@@ -1,0 +1,60 @@
+"""Hashing utilities: the sha256 per-row invariant, stable sampling hashes.
+
+The north rule requires carrying ``sha256(content)`` end-to-end (SURVEY §2.3
+M15).  Deterministic hash-based sampling replaces the reference's global
+``random.seed(42)`` + sorted-container sampling (string_processor.py:18,
+176-187): a content-hash split is partition-count-invariant and needs no RNG
+state in distributed stages (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def sha256_hex(values) -> list[str]:
+    """sha256 hex digest of each UTF-8 string in an iterable."""
+    return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def add_sha256_column(
+    batch: pa.Table, column: str = "content", out: str = "content_sha256"
+) -> pa.Table:
+    """map_batches body: append the sha256 invariant column.
+
+    hashlib releases the GIL per call and runs at C speed; at ~100 MB blocks
+    this is I/O-bound, not a hot loop.
+    """
+    digests = sha256_hex(batch[column].to_pylist())
+    return batch.append_column(out, pa.array(digests, type=pa.string()))
+
+
+def stable_hash_u64(values) -> np.ndarray:
+    """Deterministic 64-bit hash per string (first 8 bytes of md5).
+
+    Process- and partition-invariant, unlike Python's randomized ``hash``.
+    Used for hash-based splits/sampling and salted shuffle keys.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.md5(v.encode("utf-8")).digest()[:8], "big"
+        )
+    return out
+
+
+def hash_bucket(values, n_buckets: int) -> np.ndarray:
+    """Stable bucket id in [0, n_buckets) per string key."""
+    return (stable_hash_u64(values) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_sample_mask(values, keep_num: int, keep_den: int) -> np.ndarray:
+    """Keep rows whose stable hash mod keep_den < keep_num.
+
+    Deterministic replacement for the reference's seeded ``random.sample``
+    test/shot splits (SURVEY §2.7 O2).
+    """
+    return (stable_hash_u64(values) % np.uint64(keep_den)) < np.uint64(keep_num)

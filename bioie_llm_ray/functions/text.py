@@ -1,0 +1,124 @@
+"""Text-analysis kernels for the document pipeline (SURVEY §2.3 M1 + the
+training-data-pipeline extensions: token counting, quality scoring,
+language-ID, fingerprinting).
+
+All functions are batch-level: Arrow/numpy/pandas in, Arrow out.  Regexes are
+compiled at import; nothing loops over Python rows except where the kernel is
+inherently per-string (and then only C-speed library calls per row).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+# BPE-ish word/number/punct tokenizer (public GPT-2 style approximation).
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# Tiny public stopword sets per language for the n-gram/lexicon language-ID
+# heuristic (no external models in this environment).
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a and of to in is it you that was for on are".split()),
+    "es": frozenset("el la de que y en un ser se no haber por con".split()),
+    "fr": frozenset("le la de et les des en un du une est que pour".split()),
+    "de": frozenset("der die das und in den von zu mit sich des auf".split()),
+}
+
+
+def normalize_ws_lower(batch: pa.Table, column: str = "text", out: str = "norm") -> pa.Table:
+    """Lower-case + collapse whitespace (M1-style normalizer), vectorized."""
+    lowered = pc.utf8_lower(batch[column])
+    collapsed = pc.replace_substring_regex(lowered, pattern=r"\s+", replacement=" ")
+    return batch.append_column(out, pc.utf8_trim_whitespace(collapsed))
+
+
+def whitespace_token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Number of whitespace-separated tokens per string, via Arrow kernels."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), pattern=r"\s+")
+    return pc.list_value_length(toks)
+
+
+def tokenize_batch(texts) -> list[list[str]]:
+    """Whitespace tokenization of a batch of strings (Arrow-native)."""
+    arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), pattern=r"\s+")
+    return toks.to_pylist()
+
+
+def bpe_ish_token_count(texts) -> np.ndarray:
+    """Token count under the BPE-ish regex (letters / digits / punct runs)."""
+    return np.array([len(_BPE_ISH.findall(t)) for t in texts], dtype=np.int64)
+
+
+def quality_features(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Quality-scoring features: lengths, punctuation/stopword/alpha ratios.
+
+    All ratios are exact double divisions of integer counts, so a SQL oracle
+    computing the same counts produces bit-identical doubles.
+    """
+    texts = batch[column]
+    n_chars = pc.utf8_length(texts)
+    n_tokens = whitespace_token_count(texts)
+    n_punct = pa.array(
+        [len(re.findall(r"[^\w\s]", t)) for t in texts.to_pylist()], type=pa.int64()
+    )
+    n_alpha = pa.array(
+        [len(re.findall(r"[A-Za-z]", t)) for t in texts.to_pylist()], type=pa.int64()
+    )
+    nc = pc.cast(n_chars, pa.float64())
+    out = batch.append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("n_punct", n_punct)
+    out = out.append_column(
+        "punct_ratio", pc.divide(pc.cast(n_punct, pa.float64()), nc)
+    )
+    out = out.append_column(
+        "alpha_ratio", pc.divide(pc.cast(n_alpha, pa.float64()), nc)
+    )
+    return out
+
+
+def detect_language(texts) -> list[str]:
+    """Marker-lexicon language ID: argmax of per-language stopword hits.
+
+    Ties broken by fixed language order; empty/unknown → 'und'.
+    """
+    langs = list(_LANG_MARKERS)
+    out = []
+    for t in texts:
+        tokens = t.lower().split()
+        best, best_hits = "und", 0
+        for lang in langs:
+            hits = sum(1 for w in tokens if w in _LANG_MARKERS[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out.append(best)
+    return out
+
+
+def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
+    """Rabin-Karp-style rolling-hash document fingerprint (uint64).
+
+    Min-of-rolling-hashes over byte windows of the normalized text — a cheap
+    content fingerprint that is stable under leading/trailing noise.
+    """
+    base = np.uint64(1099511628211)
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(data) < window:
+            acc = np.uint64(14695981039346656037)
+            for b in data:
+                acc = np.uint64(acc * base + b)
+            out[i] = acc
+            continue
+        # vectorized polynomial rolling hash over all windows
+        powers = base ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(data, window)
+        hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+        out[i] = hashes.min()
+    return out
