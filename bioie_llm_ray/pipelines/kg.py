@@ -1,0 +1,126 @@
+"""Flagship KG-construction pipeline over the docs table (SURVEY §7.1).
+
+    read_parquet(docs) → sha256 → TripleExtractor actor pool (vocabulary
+    automaton, boundary-checked) → EntityLinker (broadcast alias index) →
+    salted canonical dedup → triples
+
+The triple-emission convention mirrors the reference's STRING entity task: a
+document stating "Q interacts with A, B" yields (Q, rel, A), (Q, rel, B) —
+the first detected mention is the subject, subsequent mentions objects.
+Subject/object pairing happens inside the extraction actor (one pass per
+document), so no per-document shuffle is needed; the only wide operation is
+the final dedup, salted on the source sha to defuse hub-entity keys.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..sources.readers import read_docs
+from ..stages.dedup import batch_local_dedup, salted_dedup
+from ..stages.linker import EntityLinker
+from ..stages.mention import MentionDetector
+
+
+class TripleExtractor(MentionDetector):
+    """Mention detection + per-document triple emission in one actor pass.
+
+    Emitting triples inside the same stage as detection keeps all mentions of
+    a document on one worker without any co-location shuffle — the
+    partitioning assumption is simply "a document is one row".
+    """
+
+    def __init__(self, vocab, relation: str = "interacts_with", **kwargs):
+        super().__init__(vocab, **kwargs)
+        self.relation = relation
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = {c: batch[c].to_pylist() for c in self.id_cols}
+        out: dict[str, list] = {c: [] for c in self.id_cols}
+        out.update({"subj": [], "pred": [], "obj": []})
+        for i, text in enumerate(texts):
+            mentions = [m.group(0) for m in self.pattern.finditer(text)]
+            if len(mentions) < 2:
+                continue
+            subj, objs = mentions[0], mentions[1:]
+            for obj in objs:
+                if obj == subj:
+                    continue
+                for c in self.id_cols:
+                    out[c].append(ids[c][i])
+                out["subj"].append(subj)
+                out["pred"].append(self.relation)
+                out["obj"].append(obj)
+        return pa.table(
+            {
+                **{c: pa.array(out[c]) for c in self.id_cols},
+                "subj": pa.array(out["subj"], type=pa.string()),
+                "pred": pa.array(out["pred"], type=pa.string()),
+                "obj": pa.array(out["obj"], type=pa.string()),
+            }
+        )
+
+
+def extract_triples(
+    docs: ray.data.Dataset,
+    vocab: list[str],
+    alias_index: dict[str, str] | None = None,
+    relation: str = "interacts_with",
+    dedup: bool = True,
+    # sized so the pool never reserves every CPU: downstream shuffle tasks
+    # must still schedule while actors are alive (pool starvation hangs the
+    # pipeline — observed with concurrency == num_cpus on a 4-CPU session)
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 1024,
+    n_salt: int = 16,
+) -> ray.data.Dataset:
+    """docs (with content_sha256) → canonical (subj, pred, obj, src_sha)."""
+    vocab_ref = ray.put(list(vocab))
+    triples = docs.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"vocab": vocab_ref, "relation": relation},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if alias_index is not None:
+        index_ref = ray.put(alias_index)
+        for col in ("subj", "obj"):
+            triples = triples.map_batches(
+                EntityLinker,
+                fn_constructor_kwargs={
+                    "alias_index": index_ref,
+                    "mention_col": col,
+                    "out_col": col,
+                    "add_linked_flag": False,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+    # TripleExtractor carries content_sha256 (its default id col); avoid
+    # ds.schema() here — it would trigger partial execution of the pipeline.
+    triples = triples.rename_columns({"content_sha256": "src_sha"})
+    if dedup:
+        # combiner-style local dedup first, then the salted global dedup
+        triples = batch_local_dedup(triples, ["subj", "pred", "obj"])
+        triples = salted_dedup(
+            triples, ["subj", "pred", "obj"], salt_col="src_sha", n_salt=n_salt
+        )
+    return triples
+
+
+def run_flagship(
+    docs_path,
+    vocab: list[str],
+    alias_index: dict[str, str] | None = None,
+    out_path: str | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    docs = read_docs(docs_path)
+    triples = extract_triples(docs, vocab, alias_index=alias_index, **kwargs)
+    if out_path is not None:
+        triples.write_parquet(out_path)
+    return triples
