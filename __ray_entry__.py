@@ -1,44 +1,383 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).  Results are pandas
+DataFrames (small aggregates); no function here calls ``ray.init``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families (SURVEY.md §2 coverage):
+- relational core: aggregates, broadcast + partitioned shuffle joins, top-k
+- stream-shaped: tumbling windows, sessionization over the events log
+- document/KG: mention detection (M9 boundary semantics), co-occurrence edge
+  extraction, entity linking + salted canonical triple dedup
+- training-data ops: exact dedup, MinHash-LSH / SimHash / embedding near-dup,
+  brute-force + IVF similarity search, token counts, quality scoring,
+  fingerprinting, language-ID
+- reference benchmark tasks (STRING/KEGG/INDRA with the deterministic
+  MockScorer) over self-generated fixtures — rows-only oracles.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_DOC_VOCAB_SQL = (
+    "('spark','hash','join','merge','sort','filter','window','vector',"
+    "'stream','batch')"
+)
+
+_TOKENS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+    "FROM documents"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: canonical co-occurrence triples at sf0.001."""
+    from bioie_llm_ray.pipelines import analytics
+
+    return analytics.triples_canonical("/root/testdata/sf0.001")
+
+
+def _kg_fixture_dir(sf_dir: str) -> str:
+    """Deterministic synthetic KB fixtures, cached per scale under /tmp."""
+    from bioie_llm_ray import fixtures
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", "bioie_ray_fixtures", tag)
+    marker = os.path.join(base, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        fixtures.write_all(base, n_docs=200)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+def _kg_adjacency(base: str):
+    import ray
+
+    from bioie_llm_ray.sources import readers
+
+    info = readers.read_protein_info(os.path.join(base, "STRING/protein.info.txt"))
+    id2n = {r["string_protein_id"]: r["preferred_name"] for r in info.take_all()}
+    links = readers.read_protein_links(os.path.join(base, "STRING/protein.links.txt"))
+    return readers.edges_to_adjacency(readers.build_edges(links, id2n))
+
+
+def _kg_string_entity(sf_dir: str):
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    adjacency = _kg_adjacency(base)
+    gold = {r["src"]: sorted(r["neighbors"]) for r in adjacency.take_all()}
+    from bioie_llm_ray.pipelines import tasks
+
+    res = tasks.string_entity_task(
+        _kg_adjacency(base),
+        test_size=30,
+        n_shots=2,
+        scorer_kwargs={"kind": "entity", "kb": ray.put(gold), "miss_rate": 0.03},
+    )
+    out = res.predictions.to_pandas()
+    return out.sort_values(["src", "pred"]).reset_index(drop=True)
+
+
+def _kg_string_relation(sf_dir: str):
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    adjacency = _kg_adjacency(base)
+    pos_pairs = set()
+    for r in adjacency.take_all():
+        for n in r["neighbors"]:
+            a, b = sorted((r["src"], n))
+            pos_pairs.add(f"{a}\x1f{b}")
+    from bioie_llm_ray.pipelines import tasks
+    from bioie_llm_ray.sources import readers
+
+    negatome = readers.read_negatome(os.path.join(base, "STRING/negatome.csv"))
+    res = tasks.string_relation_task(
+        _kg_adjacency(base),
+        negatome,
+        n_pairs_per_side=50,
+        scorer_kwargs={"kind": "relation", "kb": ray.put(pos_pairs), "flip_rate": 0.03},
+    )
+    out = res.predictions.to_pandas()
+    out["src"] = out["src"].str.replace("\x1f", "|")
+    return out.sort_values("src").reset_index(drop=True)
+
+
+def _kg_indra(sf_dir: str):
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    from bioie_llm_ray import fixtures
+    from bioie_llm_ray.pipelines import tasks
+    from bioie_llm_ray.sources import readers
+
+    kb = fixtures.make_kb()
+    label_map = {
+        s["id"]: s["rel_type"] for split in kb.indra.values() for s in split
+    }
+    stmts = readers.read_indra_statements(os.path.join(base, "INDRA/test.json"))
+    res = tasks.indra_relation_type_task(
+        stmts,
+        per_class=8,
+        scorer_kwargs={
+            "kind": "relation_type",
+            "kb": ray.put(label_map),
+            "flip_rate": 0.03,
+        },
+    )
+    out = res.triples.to_pandas()
+    return out.sort_values(["subj", "pred", "obj", "src_sha"]).reset_index(
+        drop=True
+    )
+
+
+def _multimodal_features(sf_dir: str):
+    """Binary-payload plumbing: documents → fake payloads → decoded features."""
+    import pyarrow as pa
+    import ray.data
+
+    from bioie_llm_ray.stages.multimodal import decode_features
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pa.compute.cast(batch["doc_id"], pa.string()),
+                "media_type": pa.array(
+                    ["application/octet-stream"] * len(batch), type=pa.string()
+                ),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch["text"].to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    feats = decode_features(media, feature_dim=8, fake=True)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = np.stack(batch["feature"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean": pa.array(
+                    np.round(f.mean(axis=1).astype(np.float64), 6)
+                ),
+            }
+        )
+
+    out = feats.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bioie_llm_ray.pipelines import analytics as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q3_order_revenue": A.q3_order_revenue,
+        "q5_nation_revenue": A.q5_nation_revenue,
+        "top_brand_revenue": A.top_brand_revenue,
+        "supplier_balance_by_nation": A.supplier_balance_by_nation,
+        # events / stream-shaped
+        "events_by_type": A.events_by_type,
+        "user_hourly_activity": A.user_hourly_activity,
+        "user_sessions": A.user_sessions,
+        # documents: text analysis + dedup + fingerprints
+        "doc_stats_by_lang": A.doc_stats_by_lang,
+        "doc_token_counts": A.doc_token_counts,
+        "doc_dedup_exact": A.doc_dedup_exact,
+        "doc_fingerprint": A.doc_fingerprint,
+        "word_frequency": A.word_frequency,
+        "doc_quality": A.doc_quality,
+        "doc_language_id": A.doc_language_id,
+        # KG construction over documents
+        "doc_mentions": A.doc_mentions,
+        "cooccur_edges": A.cooccur_edges,
+        "triples_canonical": A.triples_canonical,
+        # similarity / near-dup
+        "knn_bruteforce": A.knn_bruteforce,
+        "knn_ivf": A.knn_ivf,
+        "dedup_minhash": A.dedup_minhash,
+        "dedup_simhash": A.dedup_simhash,
+        "embedding_neardup": A.embedding_neardup,
+        # reference benchmark tasks (MockScorer over synthetic KB fixtures)
+        "kg_string_entity": _kg_string_entity,
+        "kg_string_relation": _kg_string_relation,
+        "kg_indra_triples": _kg_indra,
+        # multimodal plumbing
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_order_revenue": """
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "top_brand_revenue": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n.n_name, round(sum(s.s_acctbal), 2) AS total_bal,
+                   count(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "events_by_type": """
+            SELECT event_type, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "user_hourly_activity": """
+            SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events)
+            SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY 1
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) AS n_docs,
+                   round(sum(n_chars) / count(*), 4) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256,
+                   count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "word_frequency": f"""
+            SELECT token, count(*) AS n
+            FROM ({_TOKENS})
+            GROUP BY 1
+            ORDER BY n DESC, token
+            LIMIT 100
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / length(text) AS alpha_ratio,
+                   length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g'))
+                       / length(text) AS punct_ratio
+            FROM documents
+        """,
+        "doc_mentions": f"""
+            SELECT doc_id, token AS mention, count(*) AS n
+            FROM ({_TOKENS})
+            WHERE token IN {_DOC_VOCAB_SQL}
+            GROUP BY 1, 2
+        """,
+        "cooccur_edges": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL})
+            SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+        """,
+        "triples_canonical": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, upper(token) AS term
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL})
+            SELECT DISTINCT a.term AS subj,
+                   'cooccurs_with' AS pred,
+                   b.term AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM sims)
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+                   round(sim, 6) AS cosine
+            FROM ranked WHERE rnk <= 5
+        """,
+        # doc_language_id, knn_ivf, dedup_minhash, dedup_simhash,
+        # embedding_neardup, kg_*, multimodal_features: non-SQL-expressible
+        # (heuristic / approximate / model-driven) → rows-only checks.
+    }

@@ -1,0 +1,726 @@
+"""Analytics/query suite over the driver's parquet tables (TESTDATA.md).
+
+Every function takes ``sf_dir`` and returns a small pandas DataFrame (the
+driver compares row count, schema and an order-insensitive value hash against
+a DuckDB oracle — see ``__ray_entry__.oracle_sql``).  Column names match the
+SQL aliases exactly; float aggregates are rounded identically on both sides.
+
+Scale discipline applied throughout (these run at sf0.1 in bench and are
+written as if inputs were 100 TB):
+
+- reads prune columns (``columns=[...]``),
+- per-batch partial aggregation (combiner) before every groupby whose key
+  cardinality ≪ row count,
+- dimension tables broadcast (``stages.join.broadcast_join``); the one
+  fact-fact join (orders ⋈ lineitem) uses the partitioned ``shuffle_join``,
+- only final aggregates are materialized to pandas.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import sha256_hex
+from ..stages.join import broadcast_join, shuffle_join
+
+# --------------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Driver-side Arrow read for broadcast-sized dimension tables."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ------------------------------------------------------------------ relational
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped rollup with per-batch combiner before the groupby."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    merged["avg_qty"] = (merged["sum_qty"] / merged["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        merged[c] = merged[c].round(2)
+    return merged.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True
+    )
+
+
+def q3_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """Top-10 open orders by revenue for one market segment.
+
+    customer is a broadcast dimension; orders ⋈ lineitem is the fact-fact
+    partitioned shuffle join.
+    """
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_join(
+        orders, cust, keys="o_custkey", right_keys="c_custkey"
+    )
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    li = lineitem.map_batches(revenue, batch_format="pyarrow")
+    joined = shuffle_join(li, orders, keys="o_orderkey", n_buckets=16)
+
+    def agg_order(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"].slice(0, 1),
+                "o_orderdate": g["o_orderdate"].slice(0, 1),
+                "revenue": pa.array(
+                    [pc.sum(g["revenue"]).as_py()], type=pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        joined.groupby("o_orderkey")
+        .map_groups(agg_order, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by customer nation within one region (all dims broadcast)."""
+    region = _read_table(sf_dir, "region")
+    nation = _read_table(sf_dir, "nation")
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys))
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat["n_nationkey"]))
+    cust_nat = cust.join(
+        nat.select(["n_nationkey", "n_name"]),
+        keys="c_nationkey",
+        right_keys="n_nationkey",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(
+        orders, cust_nat, keys="o_custkey", right_keys="c_custkey"
+    )
+    # orders-with-nation is still broadcastable at star-schema ratios? No —
+    # orders is a fact table.  Fact-fact edge: shuffle join on the order key.
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    li = lineitem.map_batches(revenue, batch_format="pyarrow")
+    joined = shuffle_join(
+        li,
+        orders.select_columns(["o_orderkey", "n_name"]),
+        keys="o_orderkey",
+        n_buckets=16,
+    )
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("revenue", ascending=False).reset_index(drop=True)
+
+
+def top_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"l_partkey": batch["l_partkey"], "revenue": rev})
+        return t
+
+    li = lineitem.map_batches(partial, batch_format="pyarrow")
+    joined = broadcast_join(li, part, keys="l_partkey", right_keys="p_partkey")
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(sup, nation, keys="s_nationkey", right_keys="n_nationkey")
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["total_bal"] = out["total_bal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------- events
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out["avg_value"] = (out["total_value"] / out["n_events"]).round(4)
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window counts per user (stream-shaped workload)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"user_id": batch["user_id"], "hour": hour})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session counts per user (30-minute inactivity gap).
+
+    Partition by user, order by ts within the group — the groupby co-locates
+    each user's events; the windowing runs vectorized per group.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ documents
+
+
+def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.groupby("lang")
+        .aggregate(Sum("n_chars", alias_name="total_chars"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup by content hash: canonical doc id + copy count per text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_sha256": pa.array(
+                    sha256_hex(batch["text"].to_pylist()), type=pa.string()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        ds.map_batches(add_sha, batch_format="pyarrow")
+        .groupby("text_sha256")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "text_sha256", "n_copies"]
+    ]
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """md5 fingerprint of the normalized text (lower + collapsed whitespace)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch["text"])
+        collapsed = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(lowered, pattern=r"\s+", replacement=" ")
+        )
+        digests = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in collapsed.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(digests, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def word_frequency(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Corpus token frequency with per-batch combiner before the shuffle."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        counts = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(top_n)
+    return out.reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality-scoring features; ratios are exact integer-count divisions."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    alpha_re = re.compile(r"[A-Za-z]")
+    punct_re = re.compile(r"[^A-Za-z0-9_\s]")
+
+    def features(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_alpha = pa.array(
+            [len(alpha_re.findall(t)) for t in texts], type=pa.int64()
+        )
+        n_punct = pa.array(
+            [len(punct_re.findall(t)) for t in texts], type=pa.int64()
+        )
+        nc = pc.cast(n_chars, pa.float64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "alpha_ratio": pc.divide(pc.cast(n_alpha, pa.float64()), nc),
+                "punct_ratio": pc.divide(pc.cast(n_punct, pa.float64()), nc),
+            }
+        )
+
+    return (
+        ds.map_batches(features, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------- KG queries over documents
+
+# Fixed extraction vocabulary: terms the synthetic corpus uses (TESTDATA
+# documents are word bags over a small vocabulary).
+DOC_VOCAB = [
+    "spark",
+    "hash",
+    "join",
+    "merge",
+    "sort",
+    "filter",
+    "window",
+    "vector",
+    "stream",
+    "batch",
+]
+# canonical ids: the entity-linking step maps each surface form to upper-case
+DOC_ALIAS_INDEX = {v: v.upper() for v in DOC_VOCAB}
+
+
+def doc_mentions(sf_dir: str) -> pd.DataFrame:
+    """Boundary-checked mention detection over documents (M9 semantics)."""
+    from ..stages.mention import MentionDetector
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_ref = ray.put(DOC_VOCAB)
+    mentions = ds.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={
+            "vocab": vocab_ref,
+            "text_col": "text",
+            "id_cols": ("doc_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    from ray.data.aggregate import Count
+
+    out = (
+        mentions.groupby(["doc_id", "mention"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "mention"]).reset_index(drop=True)
+
+
+def cooccur_edges(sf_dir: str) -> pd.DataFrame:
+    """KG edge extraction: distinct co-occurring vocab pairs per doc, counted
+    corpus-wide.  The per-doc pairing happens inside the extraction actor (no
+    per-doc shuffle); the only wide op is the final (subj, obj) groupby."""
+    from ..stages.mention import MentionDetector
+
+    class PairEmitter(MentionDetector):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[self.text_col].to_pylist()
+            ids = batch[self.id_cols[0]].to_pylist()
+            out_id, out_a, out_b = [], [], []
+            for i, text in enumerate(texts):
+                terms = sorted({m.group(0) for m in self.pattern.finditer(text)})
+                for x in range(len(terms)):
+                    for y in range(x + 1, len(terms)):
+                        out_id.append(ids[i])
+                        out_a.append(terms[x])
+                        out_b.append(terms[y])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id),
+                    "subj": pa.array(out_a, type=pa.string()),
+                    "obj": pa.array(out_b, type=pa.string()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_ref = ray.put(DOC_VOCAB)
+    pairs = ds.map_batches(
+        PairEmitter,
+        fn_constructor_kwargs={
+            "vocab": vocab_ref,
+            "text_col": "text",
+            "id_cols": ("doc_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    from ray.data.aggregate import Count
+
+    out = (
+        pairs.groupby(["subj", "obj"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+def triples_canonical(sf_dir: str) -> pd.DataFrame:
+    """Canonicalized distinct triples: link surface forms to canonical ids,
+    then salted exact dedup of (subj, pred, obj) — the flagship KG shape."""
+    from ..stages.dedup import batch_local_dedup, salted_dedup
+    from ..stages.linker import EntityLinker
+    from ..stages.mention import MentionDetector
+
+    class TripleEmitter(MentionDetector):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[self.text_col].to_pylist()
+            ids = batch[self.id_cols[0]].to_pylist()
+            out_id, out_a, out_b = [], [], []
+            for i, text in enumerate(texts):
+                terms = sorted({m.group(0) for m in self.pattern.finditer(text)})
+                for x in range(len(terms)):
+                    for y in range(x + 1, len(terms)):
+                        out_id.append(str(ids[i]))
+                        out_a.append(terms[x])
+                        out_b.append(terms[y])
+            return pa.table(
+                {
+                    "src_sha": pa.array(out_id, type=pa.string()),
+                    "subj": pa.array(out_a, type=pa.string()),
+                    "obj": pa.array(out_b, type=pa.string()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_ref = ray.put(DOC_VOCAB)
+    triples = ds.map_batches(
+        TripleEmitter,
+        fn_constructor_kwargs={
+            "vocab": vocab_ref,
+            "text_col": "text",
+            "id_cols": ("doc_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    index_ref = ray.put(DOC_ALIAS_INDEX)
+    for col in ("subj", "obj"):
+        triples = triples.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={
+                "alias_index": index_ref,
+                "mention_col": col,
+                "out_col": col,
+                "add_linked_flag": False,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+
+    def add_pred(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pred", pa.array(["cooccurs_with"] * len(batch), type=pa.string())
+        )
+
+    triples = triples.map_batches(add_pred, batch_format="pyarrow")
+    triples = batch_local_dedup(triples, ["subj", "pred", "obj"])
+    triples = salted_dedup(
+        triples, ["subj", "pred", "obj"], salt_col="src_sha", n_salt=8
+    )
+    out = triples.select_columns(["subj", "pred", "obj"]).to_pandas()
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------- embeddings
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    from ..stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = brute_force_topk(ds, queries, qids, k=k).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """Approximate IVF variant — rows-only oracle (recall measured in tests)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = ivf_topk(ds, queries, qids, k=k, n_centroids=16, n_probe=4).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------- near-dup (rows-only)
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.5 (3-shingles)."""
+    from ..stages.neardup import minhash_lsh_candidates, verify_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(ds, text_col="text", id_col="doc_id")
+    texts = {
+        r["doc_id"]: r["text"] for r in ds.take_all()
+    }  # verify side; fine at test scale, shuffle-join re-fetch at corpus scale
+    verified = verify_jaccard_pairs(cand, texts, threshold=0.5)
+    out = verified.to_pandas()
+    if len(out):
+        out["jaccard"] = out["jaccard"].round(6)
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from ..stages.neardup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_dedup(ds, text_col="text", id_col="doc_id").to_pandas()
+    return (
+        out[["doc_id", "simhash"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.neardup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    out = embedding_neardup_pairs(ds, dim=dim, threshold=0.9).to_pandas()
+    if len(out):
+        out["cosine"] = out["cosine"].round(6)
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+def doc_language_id(sf_dir: str) -> pd.DataFrame:
+    """Marker-lexicon language ID (rows-only: heuristic, not SQL)."""
+    from ..functions.text import detect_language
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lang(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_detected": pa.array(
+                    detect_language(batch["text"].to_pylist()), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(lang, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

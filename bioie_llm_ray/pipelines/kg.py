@@ -72,7 +72,7 @@ def extract_triples(
     # sized so the pool never reserves every CPU: downstream shuffle tasks
     # must still schedule while actors are alive (pool starvation hangs the
     # pipeline — observed with concurrency == num_cpus on a 4-CPU session)
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 1024,
     n_salt: int = 16,
 ) -> ray.data.Dataset:

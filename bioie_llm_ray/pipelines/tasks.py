@@ -69,7 +69,7 @@ def string_entity_task(
     scorer_cls=MockScorer,
     scorer_kwargs: dict | None = None,
     templates: PromptTemplates | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
     batch_size: int = 256,
 ) -> TaskResult:
     """Generative PPI task over an adjacency Dataset (src, neighbors)."""
@@ -185,7 +185,7 @@ def string_relation_task(
     scorer_cls=MockScorer,
     scorer_kwargs: dict | None = None,
     templates: PromptTemplates | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
     batch_size: int = 256,
 ) -> TaskResult:
     """Yes/no pair-classification with Negatome negatives."""
@@ -300,7 +300,7 @@ def kegg_entity_task(
     scorer_cls=MockScorer,
     scorer_kwargs: dict | None = None,
     templates: PromptTemplates | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
     batch_size: int = 256,
 ) -> TaskResult:
     """Pathway→genes generative task over the top-N dose-ranked pathways.
@@ -383,7 +383,7 @@ def indra_relation_type_task(
     scorer_cls=MockScorer,
     scorer_kwargs: dict | None = None,
     templates: PromptTemplates | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
     batch_size: int = 256,
 ) -> TaskResult:
     """6-class relation typing with per-class balanced sampling (G3)."""

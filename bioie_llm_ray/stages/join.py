@@ -1,0 +1,157 @@
+"""Join operators (SURVEY §2.5).
+
+Ray Data (2.49) has no general hash join; the engine provides the two shapes
+that matter at scale:
+
+- ``broadcast_join``: small build side (dimension table, vocabulary,
+  blocklist) shipped once via ``ray.put``, probed per batch with
+  ``pyarrow.Table.join`` — zero shuffle.  This is the right join for every
+  dimension lookup in a star schema and for entity linking.
+- ``shuffle_join``: both sides large — tag each side, add a stable hash
+  bucket on the key, union, group by bucket, join the two sides of each
+  bucket with Arrow inside ``map_groups``.  An explicit partitioned hash
+  join; bucket count B and hot-key salting are the caller's scale knobs.
+- ``anti_semi_filter``: semi/anti join against a broadcast key set.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import hash_bucket
+
+_TAG = "__side"
+_BUCKET = "__bucket"
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    keys: list[str] | str,
+    join_type: str = "inner",
+    right_keys: list[str] | str | None = None,
+) -> ray.data.Dataset:
+    """Probe-side Dataset ⋈ broadcast build-side Arrow table.
+
+    ``small`` is put in the object store once; each task joins its batch
+    against it with the Arrow hash-join kernel (vectorized, zero-copy probe).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = (
+        keys
+        if right_keys is None
+        else ([right_keys] if isinstance(right_keys, str) else list(right_keys))
+    )
+    small_ref = ray.put(small)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        build = ray.get(small_ref)
+        return batch.join(
+            build, keys=keys, right_keys=right_keys, join_type=join_type
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str] | str,
+    n_buckets: int = 32,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Partitioned hash join of two large Datasets on equal column names.
+
+    Both sides are tagged and bucketed by ``stable_hash(key) % n_buckets``;
+    the union shuffles once on the bucket column; each group joins its two
+    sides with Arrow.  Size ``n_buckets`` ≥ cluster parallelism; salt hot
+    keys upstream if one key dominates.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key_strs = [
+                "\x1f".join(map(str, vals))
+                for vals in zip(*(batch[k].to_pylist() for k in keys))
+            ]
+            batch = batch.append_column(
+                _BUCKET, pa.array(hash_bucket(key_strs, n_buckets))
+            )
+            return batch.append_column(
+                _TAG, pa.array([side] * len(batch), type=pa.string())
+            )
+
+        return fn
+
+    # align schemas for union: left columns ∪ right columns, null-filled
+    left_t = left.map_batches(tag("l"), batch_format="pyarrow")
+    right_t = right.map_batches(tag("r"), batch_format="pyarrow")
+
+    left_names = [c for c in left.schema().names]
+    right_names = [c for c in right.schema().names]
+    l_only = [c for c in left_names if c not in right_names]
+    r_only = [c for c in right_names if c not in left_names]
+
+    def widen(missing_from: list[str], schema_src: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in missing_from:
+                batch = batch.append_column(
+                    c, pa.nulls(len(batch), type=schema_src[c])
+                )
+            return batch
+
+        return fn
+
+    ls, rs = left.schema(), right.schema()
+    l_schema = dict(zip(ls.names, ls.types))
+    r_schema = dict(zip(rs.names, rs.types))
+    left_t = left_t.map_batches(widen(r_only, r_schema), batch_format="pyarrow")
+    right_t = right_t.map_batches(widen(l_only, l_schema), batch_format="pyarrow")
+    # column order must match for union
+    order = keys + sorted(
+        c for c in set(left_names + right_names) if c not in keys
+    ) + [_BUCKET, _TAG]
+    left_t = left_t.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    right_t = right_t.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    union = left_t.union(right_t)
+
+    lcols = [c for c in left_names if c not in keys]
+    rcols = [c for c in right_names if c not in keys]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group[_TAG], "l")
+        l = group.filter(mask).select(keys + lcols)
+        r = group.filter(pc.invert(mask)).select(keys + rcols)
+        return l.join(r, keys=keys, join_type=join_type)
+
+    return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def anti_semi_filter(
+    ds: ray.data.Dataset,
+    key_set,
+    keys: list[str] | str,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi (keep matching) or anti (drop matching) join vs a broadcast set.
+
+    ``key_set``: set of key strings ("\\x1f"-joined for composite keys), or an
+    ObjectRef to one.  The reference's shot-exclusion filters (J3) and
+    negative-pair anti-join (J4) are this operator.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ref = key_set if isinstance(key_set, ray.ObjectRef) else ray.put(key_set)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        key_strs = [
+            "\x1f".join(map(str, vals))
+            for vals in zip(*(batch[k].to_pylist() for k in keys))
+        ]
+        mask = [((k in ks) != anti) for k in key_strs]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

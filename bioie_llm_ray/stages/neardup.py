@@ -1,0 +1,312 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact dedup lives in ``stages.dedup``; this module adds the near-dup family,
+each expressed Ray-Data-first:
+
+- **MinHash + LSH**: shingle → minhash signature per batch (vectorized
+  numpy), explode to (band_id, band_hash) rows, groupby band buckets →
+  candidate pairs → verify Jaccard.  The only shuffle is the band groupby,
+  keyed by (band_id, band_hash) — naturally load-balanced.
+- **SimHash**: 64-bit signed-projection fingerprint per doc; near-dups =
+  equal fingerprints (or equal on ≥1 of 4 16-bit bands for Hamming ≤ k
+  candidates).
+- **n-gram Jaccard**: exact pairwise verification kernel used by both
+  candidate generators.
+- **Embedding cosine**: near-dup over a ``list<float>`` embedding column via
+  LSH sign-buckets (random hyperplanes) → within-bucket cosine verify.
+
+All hashes are md5-derived (process-stable); signatures use the standard
+(a*x+b) mod p universal-hash family with a fixed seed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
+    """Stable 64-bit hashes of word shingles."""
+    toks = text.split()
+    if len(toks) < n_shingle:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [
+            " ".join(toks[i : i + n_shingle])
+            for i in range(len(toks) - n_shingle + 1)
+        ]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+    return out
+
+
+def _minhash_params(n_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, n_shingle: int) -> np.ndarray:
+    h = _token_hashes(text, n_shingle)
+    if len(h) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (n_perm, n_shingles): universal hash then row-min
+    vals = (np.outer(a, h) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor: text → LSH band rows (id, band_id, band_hash)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_perm: int = 64,
+        n_bands: int = 16,
+        n_shingle: int = 3,
+        seed: int = 42,
+    ):
+        assert n_perm % n_bands == 0
+        self.a, self.b = _minhash_params(n_perm, seed)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_bands = n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.n_shingle = n_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in enumerate(texts):
+            sig = minhash_signature(t, self.a, self.b, self.n_shingle)
+            bands = sig.reshape(self.n_bands, self.rows_per_band)
+            for bi in range(self.n_bands):
+                bh = hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
+                out_id.append(ids[i])
+                out_band.append(bi)
+                out_hash.append(bh)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.string()),
+            }
+        )
+
+
+def ngram_jaccard(a: str, b: str, n_shingle: int = 3) -> float:
+    sa = set(map(int, _token_hashes(a, n_shingle)))
+    sb = set(map(int, _token_hashes(b, n_shingle)))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """Dataset → candidate near-dup pairs (id_a, id_b), id_a < id_b, distinct.
+
+    Pairs are emitted per LSH bucket; a bucket of size m yields m-1 chained
+    pairs (not m²/2) — enough to connect a duplicate cluster, bounded output.
+    """
+    bands = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col,
+            id_col=id_col,
+            n_perm=n_perm,
+            n_bands=n_bands,
+            n_shingle=n_shingle,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(ids[:-1]),
+                "id_b": pa.array(ids[1:]),
+            }
+        )
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    from .dedup import exact_dedup
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_k",
+            pa.array(
+                [f"{a}|{b}" for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())],
+                type=pa.string(),
+            ),
+        )
+
+    return exact_dedup(pairs.map_batches(to_str, batch_format="pyarrow"), ["_k"]).drop_columns(["_k"])
+
+
+def verify_jaccard_pairs(
+    pairs: ray.data.Dataset,
+    docs_by_id,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+) -> ray.data.Dataset:
+    """Verify candidate pairs against true n-gram Jaccard ≥ threshold.
+
+    ``docs_by_id``: broadcast dict id→text (or ObjectRef).  For corpora where
+    the text side is too large to broadcast, verify by re-joining text via
+    ``shuffle_join`` on id instead.
+    """
+    ref = docs_by_id if isinstance(docs_by_id, ray.ObjectRef) else ray.put(docs_by_id)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(ref)
+        ja = [
+            ngram_jaccard(texts[a], texts[b], n_shingle)
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+        ]
+        out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+class SimHasher:
+    """Actor: text → 64-bit simhash fingerprint column.
+
+    Token hashes vote per bit position weighted +1/-1; the sign pattern is
+    the fingerprint.  Identical-fingerprint rows are near-dup candidates.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            h = _token_hashes(t, 1)
+            if len(h) == 0:
+                out[i] = 0
+                continue
+            bits = (h[:, None] & self.bit_masks) != 0  # (n_tok, 64)
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 votes
+            out[i] = np.uint64(
+                int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+            )
+        return batch.append_column(
+            self.out_col, pa.array(out.astype(np.int64))
+        )
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """Keep one row per simhash fingerprint (first by id)."""
+    hashed = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def first_by_id(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group[id_col])
+        return group.take(order[:1])
+
+    return hashed.groupby("simhash").map_groups(first_by_id, batch_format="pyarrow")
+
+
+class EmbeddingLSH:
+    """Actor: embedding list<float> → sign-bucket id (random hyperplanes)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, emb_col: str = "embedding", seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False))
+        signs = (emb @ self.planes) > 0  # (n, n_planes)
+        powers = (1 << np.arange(signs.shape[1], dtype=np.int64))
+        bucket = signs.astype(np.int64) @ powers
+        return batch.append_column("lsh_bucket", pa.array(bucket))
+
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """Cosine near-dup pairs via LSH sign buckets + within-bucket verify."""
+    bucketed = ds.map_batches(
+        EmbeddingLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        emb = np.stack(group[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        ia, ib, cs = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    ia.append(a)
+                    ib.append(b)
+                    cs.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "id_a": pa.array(ia, type=pa.int64()),
+                "id_b": pa.array(ib, type=pa.int64()),
+                "cosine": pa.array(cs, type=pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pyarrow")

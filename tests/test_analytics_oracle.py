@@ -1,0 +1,69 @@
+"""Driver-gate mimic: Ray queries vs DuckDB oracles on sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_nation_revenue",
+    "events_by_type",
+    "user_sessions",
+    "doc_dedup_exact",
+    "word_frequency",
+    "doc_mentions",
+    "cooccur_edges",
+    "triples_canonical",
+    "knn_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype in (np.float64, np.float32):
+            df[c] = df[c].astype(np.float64).round(9)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, sf_dir, con):
+    got = canon(entrymod.queries()[name](sf_dir))
+    want = canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )
+
+
+def test_entry_smoke():
+    out = entrymod.entry()
+    assert len(out) >= 0
+    assert list(out.columns) == ["subj", "pred", "obj"]
+
+
+def test_rows_only_queries_run(sf_dir):
+    qs = entrymod.queries()
+    for name in ["doc_language_id", "knn_ivf", "dedup_simhash", "multimodal_features"]:
+        out = qs[name](sf_dir)
+        assert len(out) >= 0

@@ -1,0 +1,181 @@
+"""Near-dup family + similarity search + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from bioie_llm_ray.stages.neardup import (
+    embedding_neardup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_dedup,
+    verify_jaccard_pairs,
+)
+from bioie_llm_ray.stages.similarity import brute_force_topk, ivf_topk
+
+
+def _corpus():
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"{base} variant {i} " + "filler word " * (i % 5)})
+    # near-identical pair (one token changed) and an exact duplicate
+    rows.append({"doc_id": 100, "text": base + " extra"})
+    rows.append({"doc_id": 101, "text": base + " extras"})
+    rows.append({"doc_id": 102, "text": rows[0]["text"]})
+    return rows
+
+
+class TestMinHash:
+    def test_finds_near_duplicates(self):
+        rows = _corpus()
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        cand = minhash_lsh_candidates(ds, n_perm=64, n_bands=16)
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        verified = verify_jaccard_pairs(cand, texts, threshold=0.7)
+        pairs = {(r["id_a"], r["id_b"]) for r in verified.take_all()}
+        assert (100, 101) in pairs  # near-identical
+        assert (0, 102) in pairs  # exact duplicate
+        # verified pairs really exceed the threshold
+        for a, b in pairs:
+            assert ngram_jaccard(texts[a], texts[b]) >= 0.7
+
+    def test_jaccard_kernel(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+class TestSimHash:
+    def test_exact_duplicates_collapse(self):
+        rows = _corpus()
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = simhash_dedup(ds).take_all()
+        ids = {r["doc_id"] for r in out}
+        # doc 102 duplicates doc 0 → only the smaller id survives
+        assert 0 in ids and 102 not in ids
+        # simhash also collapses near-identical variants (its purpose):
+        # strictly fewer survivors than inputs, but far more than 1
+        assert 1 < len(out) < len(rows)
+
+
+class TestEmbeddingNearDup:
+    def test_planted_duplicate_found(self):
+        rng = np.random.RandomState(0)
+        emb = rng.randn(50, 32).astype(np.float32)
+        emb[40] = emb[7] + rng.randn(32).astype(np.float32) * 0.01  # near-dup
+        df = pd.DataFrame(
+            {"vec_id": range(50), "embedding": [e.tolist() for e in emb]}
+        )
+        ds = ray.data.from_pandas(df)
+        pairs = embedding_neardup_pairs(ds, dim=32, threshold=0.98).take_all()
+        assert any(r["id_a"] == 7 and r["id_b"] == 40 for r in pairs)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self):
+        rng = np.random.RandomState(1)
+        emb = rng.randn(200, 16).astype(np.float32)
+        df = pd.DataFrame(
+            {"vec_id": range(200), "embedding": [e.tolist() for e in emb]}
+        )
+        return ray.data.from_pandas(df), emb
+
+    def test_brute_force_matches_numpy(self, emb_ds):
+        ds, emb = emb_ds
+        q = emb[:3].astype(np.float64)
+        out = brute_force_topk(ds, q, [0, 1, 2], k=4).to_pandas()
+        # independent numpy reference
+        norm = emb.astype(np.float64)
+        norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+        sims = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ norm.T
+        for qi in range(3):
+            row = sims[qi].copy()
+            row[qi] = -np.inf  # exclude self
+            expect = np.argsort(-row, kind="stable")[:4].tolist()
+            got = out[out.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
+            assert got == expect
+
+    def test_ivf_recall_reasonable(self, emb_ds):
+        ds, emb = emb_ds
+        q = emb[:5].astype(np.float64)
+        exact = brute_force_topk(ds, q, list(range(5)), k=5).to_pandas()
+        approx = ivf_topk(ds, q, list(range(5)), k=5, n_centroids=8, n_probe=4).to_pandas()
+        # recall@5 of the IVF variant with half the buckets probed
+        hits = 0
+        for qi in range(5):
+            e = set(exact[exact.query_id == qi]["neighbor_id"])
+            a = set(approx[approx.query_id == qi]["neighbor_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.5
+
+
+class TestMultimodal:
+    def test_stub_raises_without_fake(self):
+        from bioie_llm_ray.stages.multimodal import DecodeStub
+
+        with pytest.raises(NotImplementedError):
+            DecodeStub(fake=False)
+
+    def test_fake_decode_deterministic(self):
+        from bioie_llm_ray.stages.multimodal import DecodeStub
+
+        stub = DecodeStub(feature_dim=8, fake=True)
+        t = pa.table(
+            {
+                "media_id": ["a", "b"],
+                "payload": [b"payload-1", b"payload-2"],
+            }
+        )
+        f1 = stub(t)["feature"].to_pylist()
+        f2 = stub(t)["feature"].to_pylist()
+        assert f1 == f2
+        assert len(f1[0]) == 8
+        assert "payload" not in stub(t).column_names
+
+
+class TestJoins:
+    def test_shuffle_join_matches_pandas(self):
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 50, 300), "v": rng.randn(300).round(6)}
+        )
+        right = pd.DataFrame({"k": range(0, 60, 2), "w": range(30)})
+        from bioie_llm_ray.stages.join import broadcast_join, shuffle_join
+
+        lds = ray.data.from_pandas(left)
+        rds = ray.data.from_pandas(right)
+        got = (
+            shuffle_join(lds, rds, keys="k", n_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k")
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "w"]], want[["k", "v", "w"]], check_dtype=False
+        )
+        got_b = (
+            broadcast_join(lds, pa.Table.from_pandas(right), keys="k")
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_b[["k", "v", "w"]], want[["k", "v", "w"]], check_dtype=False
+        )
+
+    def test_anti_semi(self):
+        from bioie_llm_ray.stages.join import anti_semi_filter
+
+        ds = ray.data.from_items([{"k": str(i)} for i in range(10)])
+        keep = anti_semi_filter(ds, {"1", "3"}, keys="k")
+        drop = anti_semi_filter(ds, {"1", "3"}, keys="k", anti=True)
+        assert sorted(r["k"] for r in keep.take_all()) == ["1", "3"]
+        assert len(drop.take_all()) == 8
