@@ -32,9 +32,21 @@ from ..stages.join import broadcast_join, shuffle_join
 # --------------------------------------------------------------------- helpers
 
 
+# Target on-disk bytes per block.  Ray's default heuristic targets
+# parallelism ≈ 2×CPUs, which at small inputs produces thousands of
+# sub-100ms tasks whose scheduling dominates every shuffle barrier (measured:
+# q3 19.2s at 64 blocks vs 1.3s at 8 on the same data).  Sizing blocks by
+# bytes keeps per-task work meaningful at any scale: a 100 TB input still
+# yields millions of blocks, a 10 MB file yields a handful.
+_BYTES_PER_BLOCK = 8 * 1024 * 1024  # compressed parquet; ~3-5× in memory
+_MIN_BLOCKS = 2
+
+
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    nblocks = max(_MIN_BLOCKS, os.path.getsize(path) // _BYTES_PER_BLOCK)
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        path, columns=columns, override_num_blocks=int(nblocks)
     )
 
 
@@ -125,24 +137,29 @@ def q3_order_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
 
     li = lineitem.map_batches(revenue, batch_format="pyarrow")
-    joined = shuffle_join(li, orders, keys="o_orderkey", n_buckets=16)
 
-    def agg_order(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": g["o_orderkey"].slice(0, 1),
-                "o_orderdate": g["o_orderdate"].slice(0, 1),
-                "revenue": pa.array(
-                    [pc.sum(g["revenue"]).as_py()], type=pa.float64()
-                ),
-            }
+    # a key lives in exactly one bucket, so the per-order rollup is computed
+    # inside each joined bucket (Arrow group_by) — no second global shuffle
+    def rollup(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(["o_orderkey", "o_orderdate"]).aggregate(
+            [("revenue", "sum")]
         )
+        return g.rename_columns(["o_orderkey", "o_orderdate", "revenue"])
 
-    out = (
-        joined.groupby("o_orderkey")
-        .map_groups(agg_order, batch_format="pyarrow")
-        .to_pandas()
+    joined = shuffle_join(
+        li,
+        orders,
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
+        right_schema={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+        },
+        bucket_post=rollup,
     )
+    out = joined.to_pandas()
     out["revenue"] = out["revenue"].round(2)
     out = out.sort_values(
         ["revenue", "o_orderkey"], ascending=[False, True]
@@ -180,18 +197,26 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
 
     li = lineitem.map_batches(revenue, batch_format="pyarrow")
+
+    # per-bucket partial rollup by nation (combiner); the final merge is a
+    # driver-side sum over ≤ n_buckets × n_nations rows
+    def rollup(joined: pa.Table) -> pa.Table:
+        g = joined.group_by("n_name").aggregate([("revenue", "sum")])
+        return g.rename_columns(["n_name", "revenue"])
+
     joined = shuffle_join(
         li,
         orders.select_columns(["o_orderkey", "n_name"]),
         keys="o_orderkey",
         n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
+        right_schema={"o_orderkey": pa.int64(), "n_name": pa.string()},
+        bucket_post=rollup,
     )
-    from ray.data.aggregate import Sum
-
     out = (
-        joined.groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+        joined.to_pandas()
+        .groupby("n_name", as_index=False)["revenue"]
+        .sum()
     )
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values("revenue", ascending=False).reset_index(drop=True)
@@ -485,69 +510,85 @@ DOC_VOCAB = [
 DOC_ALIAS_INDEX = {v: v.upper() for v in DOC_VOCAB}
 
 
+# The analytics vocab is 10 terms: compiling the automaton per task is
+# microseconds, so these stages run as stateless fused tasks with a
+# process-level pattern cache instead of actor pools.  (The actor-pool
+# variant — stages.mention.MentionDetector — is for heavy vocabularies:
+# real STRING/KEGG lexicons, where the automaton build is worth amortizing.)
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_pattern(vocab: tuple):
+    from ..stages.mention import compile_vocab_pattern
+
+    return compile_vocab_pattern(list(vocab))
+
+
 def doc_mentions(sf_dir: str) -> pd.DataFrame:
-    """Boundary-checked mention detection over documents (M9 semantics)."""
-    from ..stages.mention import MentionDetector
+    """Boundary-checked mention detection over documents (M9 semantics).
+
+    The (doc_id, mention) count is a per-document statistic — a document is
+    one row, so the whole aggregation happens inside the extraction batch.
+    Zero shuffle (a global groupby on this 10k×docs-cardinality key measured
+    3-10× the cost of the entire rest of the query).
+    """
+    from collections import Counter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab_ref = ray.put(DOC_VOCAB)
-    mentions = ds.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={
-            "vocab": vocab_ref,
-            "text_col": "text",
-            "id_cols": ("doc_id",),
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
-    from ray.data.aggregate import Count
+    vocab = tuple(DOC_VOCAB)
 
-    out = (
-        mentions.groupby(["doc_id", "mention"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    def detect_count(batch: pa.Table) -> pa.Table:
+        pattern = _cached_pattern(vocab)
+        out_id, out_m, out_n = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts = Counter(m.group(0) for m in pattern.finditer(text))
+            for mention in sorted(counts):
+                out_id.append(did)
+                out_m.append(mention)
+                out_n.append(counts[mention])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "mention": pa.array(out_m, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(detect_count, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "mention"]).reset_index(drop=True)
+
+
+def _emit_pairs(batch: pa.Table, vocab: tuple) -> pa.Table:
+    """Distinct sorted vocab-term pairs per document (fused extraction)."""
+    pattern = _cached_pattern(vocab)
+    out_id, out_a, out_b = [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        terms = sorted({m.group(0) for m in pattern.finditer(text)})
+        for x in range(len(terms)):
+            for y in range(x + 1, len(terms)):
+                out_id.append(did)
+                out_a.append(terms[x])
+                out_b.append(terms[y])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "subj": pa.array(out_a, type=pa.string()),
+            "obj": pa.array(out_b, type=pa.string()),
+        }
+    )
 
 
 def cooccur_edges(sf_dir: str) -> pd.DataFrame:
     """KG edge extraction: distinct co-occurring vocab pairs per doc, counted
-    corpus-wide.  The per-doc pairing happens inside the extraction actor (no
+    corpus-wide.  The per-doc pairing happens inside the extraction task (no
     per-doc shuffle); the only wide op is the final (subj, obj) groupby."""
-    from ..stages.mention import MentionDetector
-
-    class PairEmitter(MentionDetector):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[self.text_col].to_pylist()
-            ids = batch[self.id_cols[0]].to_pylist()
-            out_id, out_a, out_b = [], [], []
-            for i, text in enumerate(texts):
-                terms = sorted({m.group(0) for m in self.pattern.finditer(text)})
-                for x in range(len(terms)):
-                    for y in range(x + 1, len(terms)):
-                        out_id.append(ids[i])
-                        out_a.append(terms[x])
-                        out_b.append(terms[y])
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_id),
-                    "subj": pa.array(out_a, type=pa.string()),
-                    "obj": pa.array(out_b, type=pa.string()),
-                }
-            )
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab_ref = ray.put(DOC_VOCAB)
+    vocab = tuple(DOC_VOCAB)
     pairs = ds.map_batches(
-        PairEmitter,
-        fn_constructor_kwargs={
-            "vocab": vocab_ref,
-            "text_col": "text",
-            "id_cols": ("doc_id",),
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 2),
+        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
     )
     from ray.data.aggregate import Count
 
@@ -560,65 +601,54 @@ def cooccur_edges(sf_dir: str) -> pd.DataFrame:
 
 
 def triples_canonical(sf_dir: str) -> pd.DataFrame:
-    """Canonicalized distinct triples: link surface forms to canonical ids,
-    then salted exact dedup of (subj, pred, obj) — the flagship KG shape."""
-    from ..stages.dedup import batch_local_dedup, salted_dedup
-    from ..stages.linker import EntityLinker
-    from ..stages.mention import MentionDetector
+    """Canonicalized distinct triples — the flagship KG shape.
 
-    class TripleEmitter(MentionDetector):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[self.text_col].to_pylist()
-            ids = batch[self.id_cols[0]].to_pylist()
-            out_id, out_a, out_b = [], [], []
-            for i, text in enumerate(texts):
-                terms = sorted({m.group(0) for m in self.pattern.finditer(text)})
-                for x in range(len(terms)):
-                    for y in range(x + 1, len(terms)):
-                        out_id.append(str(ids[i]))
-                        out_a.append(terms[x])
-                        out_b.append(terms[y])
-            return pa.table(
-                {
-                    "src_sha": pa.array(out_id, type=pa.string()),
-                    "subj": pa.array(out_a, type=pa.string()),
-                    "obj": pa.array(out_b, type=pa.string()),
-                }
-            )
+    One fused task stage does extract → link (canonical alias map) → pred
+    column → batch-local dedup (combiner); the only shuffles are the two
+    salted-dedup groupbys.  The heavy-state variant of this pipeline (actor
+    pools for the automaton/linker, real vocabularies) is
+    ``pipelines.kg.extract_triples``.
+    """
+    from ..stages.dedup import salted_dedup
+    from ..stages.linker import normalize_surface
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab_ref = ray.put(DOC_VOCAB)
-    triples = ds.map_batches(
-        TripleEmitter,
-        fn_constructor_kwargs={
-            "vocab": vocab_ref,
-            "text_col": "text",
-            "id_cols": ("doc_id",),
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
-    index_ref = ray.put(DOC_ALIAS_INDEX)
-    for col in ("subj", "obj"):
-        triples = triples.map_batches(
-            EntityLinker,
-            fn_constructor_kwargs={
-                "alias_index": index_ref,
-                "mention_col": col,
-                "out_col": col,
-                "add_linked_flag": False,
-            },
-            batch_format="pyarrow",
-            concurrency=(1, 2),
+    vocab = tuple(DOC_VOCAB)
+    alias_index = dict(DOC_ALIAS_INDEX)
+
+    def extract_link_dedup(batch: pa.Table) -> pa.Table:
+        pattern = _cached_pattern(vocab)
+        seen: set[tuple[str, str]] = set()
+        out_id, out_a, out_b = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            terms = sorted(
+                {
+                    alias_index.get(normalize_surface(m.group(0)), m.group(0))
+                    for m in pattern.finditer(text)
+                }
+            )
+            for x in range(len(terms)):
+                for y in range(x + 1, len(terms)):
+                    pair = (terms[x], terms[y])
+                    if pair in seen:  # batch-local combiner dedup
+                        continue
+                    seen.add(pair)
+                    out_id.append(str(did))
+                    out_a.append(terms[x])
+                    out_b.append(terms[y])
+        n = len(out_id)
+        return pa.table(
+            {
+                "src_sha": pa.array(out_id, type=pa.string()),
+                "subj": pa.array(out_a, type=pa.string()),
+                "pred": pa.array(["cooccurs_with"] * n, type=pa.string()),
+                "obj": pa.array(out_b, type=pa.string()),
+            }
         )
 
-    def add_pred(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "pred", pa.array(["cooccurs_with"] * len(batch), type=pa.string())
-        )
-
-    triples = triples.map_batches(add_pred, batch_format="pyarrow")
-    triples = batch_local_dedup(triples, ["subj", "pred", "obj"])
+    triples = ds.map_batches(extract_link_dedup, batch_format="pyarrow")
     triples = salted_dedup(
         triples, ["subj", "pred", "obj"], salt_col="src_sha", n_salt=8
     )

@@ -61,6 +61,9 @@ def shuffle_join(
     keys: list[str] | str,
     n_buckets: int = 32,
     join_type: str = "inner",
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
+    bucket_post=None,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets on equal column names.
 
@@ -68,6 +71,15 @@ def shuffle_join(
     the union shuffles once on the bucket column; each group joins its two
     sides with Arrow.  Size ``n_buckets`` ≥ cluster parallelism; salt hot
     keys upstream if one key dominates.
+
+    ``left_schema``/``right_schema`` ({name: pyarrow type}) skip the
+    ``Dataset.schema()`` probes — those execute one upstream block each, a
+    wasted partial run when the caller statically knows the shape.
+
+    ``bucket_post(joined: pa.Table) -> pa.Table`` runs on each joined bucket.
+    Because every occurrence of a key lands in exactly one bucket, a
+    key-grouped rollup inside ``bucket_post`` is exact — use it to fold the
+    post-join aggregate into the join and skip a second global shuffle.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -90,8 +102,14 @@ def shuffle_join(
     left_t = left.map_batches(tag("l"), batch_format="pyarrow")
     right_t = right.map_batches(tag("r"), batch_format="pyarrow")
 
-    left_names = [c for c in left.schema().names]
-    right_names = [c for c in right.schema().names]
+    if left_schema is None:
+        ls = left.schema()
+        left_schema = dict(zip(ls.names, ls.types))
+    if right_schema is None:
+        rs = right.schema()
+        right_schema = dict(zip(rs.names, rs.types))
+    left_names = list(left_schema)
+    right_names = list(right_schema)
     l_only = [c for c in left_names if c not in right_names]
     r_only = [c for c in right_names if c not in left_names]
 
@@ -105,11 +123,8 @@ def shuffle_join(
 
         return fn
 
-    ls, rs = left.schema(), right.schema()
-    l_schema = dict(zip(ls.names, ls.types))
-    r_schema = dict(zip(rs.names, rs.types))
-    left_t = left_t.map_batches(widen(r_only, r_schema), batch_format="pyarrow")
-    right_t = right_t.map_batches(widen(l_only, l_schema), batch_format="pyarrow")
+    left_t = left_t.map_batches(widen(r_only, right_schema), batch_format="pyarrow")
+    right_t = right_t.map_batches(widen(l_only, left_schema), batch_format="pyarrow")
     # column order must match for union
     order = keys + sorted(
         c for c in set(left_names + right_names) if c not in keys
@@ -125,7 +140,8 @@ def shuffle_join(
         mask = pc.equal(group[_TAG], "l")
         l = group.filter(mask).select(keys + lcols)
         r = group.filter(pc.invert(mask)).select(keys + rcols)
-        return l.join(r, keys=keys, join_type=join_type)
+        joined = l.join(r, keys=keys, join_type=join_type)
+        return bucket_post(joined) if bucket_post is not None else joined
 
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 

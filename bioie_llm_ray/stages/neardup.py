@@ -104,6 +104,50 @@ class MinHasher:
         )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_minhash_params(n_perm: int, seed: int = 42):
+    return _minhash_params(n_perm, seed)
+
+
+def minhash_bands_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+) -> pa.Table:
+    """Stateless map_batches body: text → LSH band rows.
+
+    The (a, b) permutation params rebuild from the seed in microseconds, so a
+    task pool (elastic, no actor ramp-up) beats an actor pool here; the
+    ``MinHasher`` actor class remains for configurations where signature
+    state is genuinely expensive.
+    """
+    a, b = _cached_minhash_params(n_perm)
+    rows_per_band = n_perm // n_bands
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    out_id, out_band, out_hash = [], [], []
+    for i, t in enumerate(texts):
+        sig = minhash_signature(t, a, b, n_shingle)
+        bands = sig.reshape(n_bands, rows_per_band)
+        for bi in range(n_bands):
+            out_id.append(ids[i])
+            out_band.append(bi)
+            out_hash.append(hashlib.md5(bands[bi].tobytes()).hexdigest()[:16])
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.string()),
+        }
+    )
+
+
 def ngram_jaccard(a: str, b: str, n_shingle: int = 3) -> float:
     sa = set(map(int, _token_hashes(a, n_shingle)))
     sb = set(map(int, _token_hashes(b, n_shingle)))
