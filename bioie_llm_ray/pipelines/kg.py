@@ -124,3 +124,49 @@ def run_flagship(
     if out_path is not None:
         triples.write_parquet(out_path)
     return triples
+
+
+def run_flagship_resumable(
+    docs_paths: list[str],
+    vocab: list[str],
+    out_root: str,
+    alias_index: dict[str, str] | None = None,
+    model_id: str = "mock-vocab-scorer",
+    **kwargs,
+) -> dict:
+    """Checkpointed flagship: one partition per input file, resume-safe.
+
+    Each partition's manifest records the north-rule lineage fields: source
+    path, vocabulary hash, model id, and per-partition metrics.  Rerunning
+    after a crash skips partitions whose MANIFEST.json exists.
+    """
+    import hashlib
+
+    from ..state import checkpoint
+
+    vocab_hash = hashlib.sha256(
+        "\x1f".join(sorted(vocab)).encode()
+    ).hexdigest()[:16]
+
+    def make(path: str):
+        def build() -> ray.data.Dataset:
+            docs = read_docs(path)
+            return extract_triples(
+                docs, vocab, alias_index=alias_index, **kwargs
+            )
+
+        return build
+
+    def lineage(part_id: str) -> dict:
+        return {
+            "source_path": part_map[part_id],
+            "vocab_sha256": vocab_hash,
+            "model_id": model_id,
+            "relation": kwargs.get("relation", "interacts_with"),
+        }
+
+    part_map = {
+        hashlib.md5(p.encode()).hexdigest()[:12]: p for p in docs_paths
+    }
+    parts = [(pid, make(path)) for pid, path in sorted(part_map.items())]
+    return checkpoint.run_resumable(out_root, parts, lineage_fn=lineage)

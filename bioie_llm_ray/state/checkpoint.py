@@ -1,0 +1,149 @@
+"""Partitioned, resumable Parquet checkpoints with lineage manifests.
+
+North-rule requirements (BASELINE.json): triple shards checkpoint to Parquet
+per partition; a failed run resumes by skipping completed partitions; every
+partition records lineage (source repo/path/commit, model id, prompt-template
+hash) and per-stage metrics (row counts, wall time).
+
+Layout:
+
+    root/
+      part=<part_id>/            completed partition (atomic rename)
+        *.parquet
+        MANIFEST.json            lineage + metrics; existence == completion
+      _tmp_<part_id>/            in-flight write (removed or renamed)
+
+A partition is the unit of resume — one input shard / file / key range.  The
+write is atomic on POSIX: data + manifest land in a temp dir which is renamed
+into place, so a crash mid-write leaves no half-complete partition.
+
+The reference's input-side convert-and-cache (string_reader.py:69-75) and
+pickled test-set cache (string_processor.py:236-243) are the ad-hoc versions
+of this; here it is one mechanism for every stage boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable, Iterable
+
+import ray
+
+
+def _part_dir(root: str, part_id: str) -> str:
+    return os.path.join(root, f"part={part_id}")
+
+
+def _manifest_path(root: str, part_id: str) -> str:
+    return os.path.join(_part_dir(root, part_id), "MANIFEST.json")
+
+
+def is_complete(root: str, part_id: str) -> bool:
+    return os.path.exists(_manifest_path(root, part_id))
+
+
+def completed_partitions(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(root, name, "MANIFEST.json")
+        ):
+            out.append(name[len("part=") :])
+    return out
+
+
+def write_partition(
+    root: str,
+    part_id: str,
+    ds: "ray.data.Dataset",
+    lineage: dict | None = None,
+) -> dict:
+    """Write one partition atomically; returns its manifest dict.
+
+    ``lineage`` carries caller-supplied provenance (source repo/path/commit,
+    model id, prompt-template hash, …); row count and wall time are measured
+    here.
+    """
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f"_tmp_{part_id}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    final = _part_dir(root, part_id)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+
+    t0 = time.perf_counter()
+    ds.write_parquet(tmp)
+    wall = time.perf_counter() - t0
+    n_rows = sum(
+        _count_parquet_rows(os.path.join(tmp, f))
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet")
+    )
+    n_bytes = sum(
+        os.path.getsize(os.path.join(tmp, f))
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet")
+    )
+    manifest = {
+        "part_id": part_id,
+        "n_rows": n_rows,
+        "n_bytes": n_bytes,
+        "write_wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "lineage": lineage or {},
+    }
+    with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp, final)
+    return manifest
+
+
+def _count_parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def read_checkpoint(root: str, columns=None) -> "ray.data.Dataset":
+    """Read every completed partition back as one Dataset."""
+    import ray.data
+
+    paths = [
+        os.path.join(_part_dir(root, p))
+        for p in completed_partitions(root)
+    ]
+    files = [
+        os.path.join(d, f)
+        for d in paths
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def run_resumable(
+    root: str,
+    partitions: Iterable[tuple[str, Callable[[], "ray.data.Dataset"]]],
+    lineage_fn: Callable[[str], dict] | None = None,
+) -> dict:
+    """Run (part_id, make_dataset) pairs, skipping completed partitions.
+
+    Returns {"completed": [...], "skipped": [...], "manifests": {...}}.
+    A crash between partitions loses nothing; a crash inside a partition
+    loses only that partition's temp dir.
+    """
+    done, skipped, manifests = [], [], {}
+    for part_id, make_ds in partitions:
+        if is_complete(root, part_id):
+            skipped.append(part_id)
+            continue
+        lineage = lineage_fn(part_id) if lineage_fn else {}
+        manifests[part_id] = write_partition(root, part_id, make_ds(), lineage)
+        done.append(part_id)
+    return {"completed": done, "skipped": skipped, "manifests": manifests}

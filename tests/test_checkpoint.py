@@ -1,0 +1,114 @@
+"""Resumable checkpoints: atomicity, skip-completed, lineage manifests."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from bioie_llm_ray import fixtures
+from bioie_llm_ray.pipelines.kg import run_flagship_resumable
+from bioie_llm_ray.state import checkpoint
+
+
+def _mini_ds(n: int):
+    return ray.data.from_items([{"x": i, "part": n} for i in range(5)])
+
+
+class TestCheckpointCore:
+    def test_write_and_read_back(self, tmp_path):
+        root = str(tmp_path / "ck")
+        m = checkpoint.write_partition(root, "p0", _mini_ds(0), {"src": "a"})
+        assert m["n_rows"] == 5
+        assert checkpoint.is_complete(root, "p0")
+        assert checkpoint.completed_partitions(root) == ["p0"]
+        ds = checkpoint.read_checkpoint(root)
+        assert ds.count() == 5
+        with open(os.path.join(root, "part=p0", "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        assert manifest["lineage"] == {"src": "a"}
+        assert manifest["rows_per_sec"] is not None
+
+    def test_resume_skips_completed(self, tmp_path):
+        root = str(tmp_path / "ck")
+        calls = []
+
+        def make(i):
+            def build():
+                calls.append(i)
+                return _mini_ds(i)
+
+            return build
+
+        out1 = checkpoint.run_resumable(
+            root, [("a", make(1)), ("b", make(2))]
+        )
+        assert out1["completed"] == ["a", "b"]
+        out2 = checkpoint.run_resumable(
+            root, [("a", make(1)), ("b", make(2)), ("c", make(3))]
+        )
+        assert out2["skipped"] == ["a", "b"]
+        assert out2["completed"] == ["c"]
+        assert calls == [1, 2, 3]  # a and b built exactly once
+
+    def test_crash_mid_partition_leaves_no_partial(self, tmp_path):
+        root = str(tmp_path / "ck")
+
+        def boom():
+            raise RuntimeError("simulated crash")
+
+        with pytest.raises(RuntimeError):
+            checkpoint.run_resumable(root, [("a", _mini_ds_ok), ("b", boom)])
+        # a completed, b left nothing visible
+        assert checkpoint.completed_partitions(root) == ["a"]
+        visible = [d for d in os.listdir(root) if d.startswith("part=")]
+        assert visible == ["part=a"]
+        # resume finishes b
+        out = checkpoint.run_resumable(
+            root, [("a", _mini_ds_ok), ("b", _mini_ds_ok)]
+        )
+        assert out["skipped"] == ["a"] and out["completed"] == ["b"]
+
+
+def _mini_ds_ok():
+    return ray.data.from_items([{"x": 1}])
+
+
+class TestFlagshipResumable:
+    def test_partition_per_file_with_lineage(self, tmp_path):
+        base = str(tmp_path / "fx")
+        kb = fixtures.write_all(base, n_docs=40)
+        docs_path = os.path.join(base, "docs", "docs.parquet")
+        # split the docs file into two partition files
+        t = pq.read_table(docs_path)
+        p1 = str(tmp_path / "docs_a.parquet")
+        p2 = str(tmp_path / "docs_b.parquet")
+        pq.write_table(t.slice(0, 20), p1)
+        pq.write_table(t.slice(20), p2)
+
+        root = str(tmp_path / "out")
+        res = run_flagship_resumable([p1, p2], vocab=kb.proteins, out_root=root)
+        assert len(res["completed"]) == 2
+        for m in res["manifests"].values():
+            assert m["lineage"]["vocab_sha256"]
+            assert m["lineage"]["model_id"] == "mock-vocab-scorer"
+            assert m["lineage"]["source_path"] in (p1, p2)
+
+        # rerun: everything skipped, outputs unchanged
+        before = checkpoint.read_checkpoint(root).count()
+        res2 = run_flagship_resumable([p1, p2], vocab=kb.proteins, out_root=root)
+        assert len(res2["skipped"]) == 2 and not res2["completed"]
+        assert checkpoint.read_checkpoint(root).count() == before
+        # triples match the single-shot pipeline over the full file
+        from bioie_llm_ray.pipelines.kg import run_flagship
+
+        whole = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in run_flagship(docs_path, vocab=kb.proteins).take_all()
+        }
+        parts = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in checkpoint.read_checkpoint(root).take_all()
+        }
+        assert parts == whole
