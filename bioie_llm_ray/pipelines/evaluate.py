@@ -91,6 +91,169 @@ def triple_prf(
     }
 
 
+def confusion_matrix(
+    ds: ray.data.Dataset,
+    labels: list[str],
+    true_col: str = "true",
+    pred_col: str = "pred",
+):
+    """Confusion counts over a predictions Dataset (K3 semantics).
+
+    Mirrors evaluator.py:135-165: predictions outside the label set are
+    dropped first.  Returns (matrix ndarray [true x pred], labels).  The
+    reference renders a PNG via sklearn/matplotlib; the counts matrix is the
+    data product — rendering is a driver-side afterthought when matplotlib
+    exists.
+    """
+    import numpy as np
+
+    label_ix = {l: i for i, l in enumerate(labels)}
+    n = len(labels)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.zeros((n, n), dtype=np.int64)
+        for t, p in zip(
+            batch[true_col].to_pylist(), batch[pred_col].to_pylist()
+        ):
+            if t in label_ix and p in label_ix:
+                m[label_ix[t], label_ix[p]] += 1
+        # one row per batch: the flattened partial matrix (mergeable sketch)
+        return pa.table(
+            {"cells": pa.array([m.reshape(-1).tolist()], type=pa.list_(pa.int64()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(n * n, dtype=np.int64)
+    for r in parts:
+        total += np.asarray(r["cells"], dtype=np.int64)
+    return total.reshape(n, n), labels
+
+
+def full_match_intersection(
+    per_model: dict[str, ray.data.Dataset], k: int = 10
+) -> dict:
+    """G6: cross-model intersection/uniqueness of full-match query sets.
+
+    Mirrors generative_task_evaluator.py:122-175: for each model, the set of
+    queries where all k aligned positions agree; reports the common core and
+    each model's unique contribution.  Per-model sets are small aggregates —
+    the set algebra runs on the driver.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    sets: dict[str, set] = {}
+    for name, ds in per_model.items():
+        def hits(batch: pa.Table) -> pa.Table:
+            eq = pc.cast(pc.equal(batch["pred"], batch["true"]), pa.int64())
+            return pa.table({"src": batch["src"], "hit": eq})
+
+        per_src = (
+            ds.map_batches(hits, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Sum("hit", alias_name="n_hits"), Count(alias_name="n"))
+            .to_pandas()
+        )
+        sets[name] = set(per_src[per_src["n_hits"] == k]["src"])
+    names = list(sets)
+    common = set.intersection(*sets.values()) if sets else set()
+    return {
+        "common": sorted(common),
+        "per_model_full": {m: len(s) for m, s in sets.items()},
+        "unique": {
+            m: sorted(s - set.union(*(sets[o] for o in names if o != m)))
+            if len(names) > 1
+            else sorted(s)
+            for m, s in sets.items()
+        },
+    }
+
+
+def chain_entity_to_relation(
+    entity_result: "ray.data.Dataset",
+    scorer_cls,
+    scorer_kwargs: dict,
+    templates=None,
+    concurrency=(1, 2),
+    batch_size: int = 256,
+):
+    """§3.2 stage chaining: entity-task predictions → yes/no verification.
+
+    The reference re-parses a result FILE from a prior run
+    (string_reader.py:11-64); here the upstream stage's predictions Dataset
+    (or its Parquet checkpoint) feeds directly: each (src, pred) pair with
+    pred != NONE becomes a relation question, answered by the scorer.
+    Returns a predictions Dataset (src='p1\\x1fp2', pred, true='yes'),
+    mirroring the reference's assumption that chained pairs are putative
+    positives (string_reader.py:60).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.parsing import parse_choice_response
+    from ..functions.prompts import get_templates
+
+    templates = templates or get_templates("default", "string")
+
+    def to_prompts(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.not_equal(batch["pred"], "NONE"))
+        p1 = keep["src"].to_pylist()
+        p2 = keep["pred"].to_pylist()
+        return pa.table(
+            {
+                "entity": pa.array(
+                    [f"{a}\x1f{b}" for a, b in zip(p1, p2)], type=pa.string()
+                ),
+                "text": pa.array(
+                    [
+                        templates.relation_q.format(e1=a, e2=b)
+                        for a, b in zip(p1, p2)
+                    ],
+                    type=pa.string(),
+                ),
+                "answer": pa.array(["yes"] * len(keep), type=pa.string()),
+            }
+        )
+
+    prompts = entity_result.map_batches(to_prompts, batch_format="pyarrow")
+    scored = prompts.map_batches(
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        preds = [
+            parse_choice_response(r, ["yes", "no"])
+            for r in batch["response"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "src": batch["entity"],
+                "pred": pa.array(preds, type=pa.string()),
+                "true": batch["answer"],
+            }
+        )
+
+    return scored.map_batches(parse, batch_format="pyarrow")
+
+
+def stage_agreement(
+    entity_preds: "ray.data.Dataset", relation_preds: "ray.data.Dataset"
+) -> dict:
+    """result_comparer.py:74-128 semantics: fraction of chained pairs the
+    yes/no verifier confirms (joint agreement of the two-stage dataflow)."""
+    rel = relation_preds.select_columns(["src", "pred"]).to_pandas()
+    n = len(rel)
+    n_yes = int((rel["pred"] == "yes").sum())
+    return {
+        "n_pairs": n,
+        "n_confirmed": n_yes,
+        "agreement": n_yes / n if n else 0.0,
+    }
+
+
 def unanimous_consensus(per_model: dict[str, ray.data.Dataset]) -> ray.data.Dataset:
     """G7: union tagged per-model predictions, keep keys with one distinct pred.
 

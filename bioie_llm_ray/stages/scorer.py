@@ -79,7 +79,11 @@ class MockScorer:
             )
             return "Answer: " + ", ".join(kept) + "".join(extra)
         if self.kind == "relation":
-            truth = key in self.kb
+            # PPI is symmetric (string_reader.py:112-120 inserts both
+            # directions): accept either orientation of the pair key
+            parts = key.split("\x1f")
+            rev = "\x1f".join(reversed(parts)) if len(parts) == 2 else key
+            truth = key in self.kb or rev in self.kb
             if _stable_frac(f"flip|{key}") < self.flip_rate:
                 truth = not truth
             return "yes" if truth else "no"
