@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": A.doc_fingerprint,
         "word_frequency": A.word_frequency,
         "doc_quality": A.doc_quality,
+        "q6_discount_revenue": A.q6_discount_revenue,
+        "distinct_counts": A.distinct_counts,
         "doc_language_id": A.doc_language_id,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
@@ -320,6 +322,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "q6_discount_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT event_type) AS n_event_types
+            FROM events
         """,
         "doc_quality": """
             SELECT doc_id,

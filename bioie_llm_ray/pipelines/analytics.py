@@ -754,3 +754,47 @@ def doc_language_id(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q6_discount_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-shaped scalar aggregate: filter + global sum (no groupby).
+
+    Filters push into the scan batch; the sum is a per-batch partial merged
+    on the driver — the cheapest possible wide operation (none).
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], 0.05),
+                pc.less_equal(batch["l_discount"], 0.07),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        kept = batch.filter(mask)
+        rev = pc.sum(
+            pc.multiply(kept["l_extendedprice"], kept["l_discount"])
+        ).as_py()
+        return pa.table({"rev": pa.array([rev or 0.0], type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = float(sum(r["rev"] for r in parts))
+    return pd.DataFrame({"revenue": [round(total, 2)]})
+
+
+def distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """Distinct-cardinality summary over events (exact, via groupby keys)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_users = ds.unique("user_id")
+    n_types = ds.unique("event_type")
+    return pd.DataFrame(
+        {
+            "n_users": [len(n_users)],
+            "n_event_types": [len(n_types)],
+        }
+    )

@@ -476,3 +476,86 @@ def indra_relation_type_task(
 
     triples = predictions.map_batches(to_triples, batch_format="pyarrow")
     return TaskResult(predictions=predictions, triples=triples)
+
+
+# ------------------------------------------------- containment (kbase-style)
+
+
+def containment_task(
+    statements: ray.data.Dataset,
+    choices: list[str],
+    scorer_cls=MockScorer,
+    scorer_kwargs: dict | None = None,
+    question_template: str = "What kind of event does {entity} describe? {choices}",
+    concurrency: int | tuple[int, int] = (1, 2),
+    batch_size: int = 256,
+) -> TaskResult:
+    """Containment-parse classification (the reference's kbase variant, M11).
+
+    Input rows: (id, entity, gold) — the scorer answers free-form text and
+    the parser scans for choice-substring containment after removing the
+    entity name (base_processor.py:1309-1332).
+    """
+    from ..functions.parsing import parse_containment_response
+
+    choices_str = ", ".join(choices)
+
+    def format_prompts(batch: pa.Table) -> pa.Table:
+        ents = batch["entity"].to_pylist()
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "text": pa.array(
+                    [
+                        question_template.format(entity=e, choices=choices_str)
+                        for e in ents
+                    ],
+                    type=pa.string(),
+                ),
+                "answer": batch["answer"],
+            }
+        )
+
+    prompts = statements.map_batches(format_prompts, batch_format="pyarrow")
+    scored = prompts.map_batches(
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs or {},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        preds = [
+            parse_containment_response(resp, ent, choices)
+            for resp, ent in zip(
+                batch["response"].to_pylist(), batch["entity"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "src": batch["entity"],
+                "pred": pa.array(preds, type=pa.string()),
+                "true": batch["answer"],
+            }
+        )
+
+    predictions = scored.map_batches(parse, batch_format="pyarrow")
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.not_equal(batch["pred"], "None"))
+        return pa.table(
+            {
+                "subj": keep["src"],
+                "pred": pa.array(["has_type"] * len(keep), type=pa.string()),
+                "obj": keep["pred"],
+                "src_sha": pa.array([""] * len(keep), type=pa.string()),
+            }
+        )
+
+    return TaskResult(
+        predictions=predictions,
+        triples=predictions.map_batches(to_triples, batch_format="pyarrow"),
+    )

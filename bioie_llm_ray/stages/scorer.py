@@ -87,6 +87,13 @@ class MockScorer:
             if _stable_frac(f"flip|{key}") < self.flip_rate:
                 truth = not truth
             return "yes" if truth else "no"
+        if self.kind == "containment":
+            # free-form sentence embedding the label (kbase-style parse, M11)
+            label = self.kb.get(key, "unknown")
+            if _stable_frac(f"flip|{key}") < self.flip_rate and self.choices:
+                idx = int(_stable_frac(f"pick|{key}") * len(self.choices))
+                label = self.choices[idx % len(self.choices)]
+            return f"I would say this describes a {label} event overall."
         if self.kind == "relation_type":
             # prompt rows pack (id, e1, span, e2, span) into the key; the
             # statement id is the first \x1f-segment
