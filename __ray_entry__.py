@@ -46,8 +46,10 @@ def _kg_fixture_dir(sf_dir: str) -> str:
     """Deterministic synthetic KB fixtures, cached per scale under /tmp."""
     from bioie_llm_ray import fixtures
 
+    from bioie_llm_ray import __version__
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join("/tmp", "bioie_ray_fixtures", tag)
+    base = os.path.join("/tmp", f"bioie_ray_fixtures_v{__version__}", tag)
     marker = os.path.join(base, ".complete")
     if not os.path.exists(marker):
         os.makedirs(base, exist_ok=True)

@@ -106,8 +106,7 @@ def run_scaling_job() -> dict:
     import pyarrow as pa
     import ray.data
 
-    from bioie_llm_ray.pipelines.analytics import DOC_VOCAB, _read
-    from bioie_llm_ray.stages.neardup import MinHasher, minhash_lsh_candidates
+    from bioie_llm_ray.pipelines.analytics import DOC_VOCAB
     from bioie_llm_ray.stages.mention import compile_vocab_pattern
 
     # warm page cache
@@ -190,8 +189,6 @@ def run_scaling_job() -> dict:
 
     def extract(batch: pa.Table) -> pa.Table:
         # mention + pair extraction (compute-heavy per row)
-        import functools
-
         pattern = compile_vocab_pattern(list(vocab))
         out_id, out_n = [], []
         for did, text in zip(
@@ -222,7 +219,10 @@ def run_scaling_job() -> dict:
     )
     n_bands = bands.count()
     dt = time.perf_counter() - t0
-    n_docs = 5000 * repeat  # 5000 docs per copy at sf0.1
+    n_docs = (
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        * repeat
+    )
     ray.shutdown()
     return {
         "metric": "kg_scaling_job",
