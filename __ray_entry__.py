@@ -141,6 +141,82 @@ def _kg_indra(sf_dir: str):
     )
 
 
+def _kg_kegg_entity(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    from bioie_llm_ray.pipelines import tasks
+    from bioie_llm_ray.sources import readers
+
+    pg = readers.read_kegg_pathway_genes(
+        os.path.join(base, "KEGG/kegg.hsa.pathway.genes")
+    )
+    genes = readers.read_kegg_genes(os.path.join(base, "KEGG/kegg.hsa.genes"))
+    paths = readers.read_kegg_pathways(os.path.join(base, "KEGG/kegg.pathway.hsa"))
+    gmap = {r["gene_id"]: list(r["aliases"]) for r in genes.take_all()}
+    pmap = {r["pathway_id"]: r["pathway_name"] for r in paths.take_all()}
+    pathway_genes = readers.build_pathway_gene_table(pg, gmap, pmap)
+    ranking = readers.read_dose_ranking(
+        os.path.join(base, "KEGG/low_dose_pathways.txt")
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pathway": pa.array(
+                    [pmap[p] for p in b["pathway_id"].to_pylist()]
+                ),
+                "rank": b["rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    gold_map = {
+        pmap[pid]: sorted({gmap[g][0] for g in gids})
+        for pid, gids in __import__("bioie_llm_ray.fixtures", fromlist=["make_kb"]).make_kb().pathway_genes.items()
+    }
+    res = tasks.kegg_entity_task(
+        pathway_genes,
+        ranking,
+        top_n=8,
+        scorer_kwargs={"kind": "entity", "kb": ray.put(gold_map), "miss_rate": 0.03},
+    )
+    out = res.predictions.to_pandas()
+    return out.sort_values(["src", "pred"]).reset_index(drop=True)
+
+
+def _kg_chain_agreement(sf_dir: str):
+    """§3.2 two-stage extract-then-verify joint agreement over fixtures."""
+    import pandas as pd
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    adjacency = _kg_adjacency(base)
+    gold = {r["src"]: sorted(r["neighbors"]) for r in adjacency.take_all()}
+    from bioie_llm_ray.pipelines import tasks
+    from bioie_llm_ray.pipelines.evaluate import (
+        chain_entity_to_relation,
+        stage_agreement,
+    )
+    from bioie_llm_ray.stages.scorer import MockScorer
+
+    ent = tasks.string_entity_task(
+        _kg_adjacency(base),
+        test_size=20,
+        n_shots=1,
+        scorer_kwargs={"kind": "entity", "kb": ray.put(gold), "miss_rate": 0.1},
+    )
+    pos_pairs = {
+        f"{min(a, b)}\x1f{max(a, b)}" for a, ns in gold.items() for b in ns
+    }
+    rel = chain_entity_to_relation(
+        ent.predictions,
+        MockScorer,
+        {"kind": "relation", "kb": ray.put(pos_pairs), "flip_rate": 0.02},
+    )
+    agg = stage_agreement(ent.predictions, rel)
+    return pd.DataFrame([agg])
+
+
 def _multimodal_features(sf_dir: str):
     """Binary-payload plumbing: documents → fake payloads → decoded features."""
     import pyarrow as pa
@@ -223,7 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference benchmark tasks (MockScorer over synthetic KB fixtures)
         "kg_string_entity": _kg_string_entity,
         "kg_string_relation": _kg_string_relation,
+        "kg_kegg_entity": _kg_kegg_entity,
         "kg_indra_triples": _kg_indra,
+        "kg_chain_agreement": _kg_chain_agreement,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
     }

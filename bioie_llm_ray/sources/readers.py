@@ -269,3 +269,54 @@ def read_legacy_result_file(path: str) -> ray.data.Dataset:
             continue
         rows.append({"src": src, "pred": pred, "true": true})
     return ray.data.from_items(rows)
+
+
+def build_pathway_gene_table(
+    pathway_genes: ray.data.Dataset,
+    gene_alias_map: dict[str, list[str]],
+    pathway_name_map: dict[str, str],
+) -> ray.data.Dataset:
+    """J2: compose the pathway→genes table via two broadcast lookups + groupby.
+
+    Mirrors kegg_reader.py:152-171: membership edges (gene_id, pathway_id)
+    resolve through the gene-alias and pathway-name maps (small broadcast
+    sides), then group per pathway into a sorted distinct primary-name list.
+    Output schema: (pathway: string, genes: list<string>).
+    """
+
+    def to_named(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pathway": pa.array(
+                    [
+                        pathway_name_map[p]
+                        for p in batch["pathway_id"].to_pylist()
+                    ],
+                    type=pa.string(),
+                ),
+                "gene": pa.array(
+                    [
+                        gene_alias_map[g][0]
+                        for g in batch["gene_id"].to_pylist()
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    def collect(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pathway": group.slice(0, 1)["pathway"],
+                "genes": pa.array(
+                    [sorted(set(group["gene"].to_pylist()))],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    return (
+        pathway_genes.map_batches(to_named, batch_format="pyarrow")
+        .groupby("pathway")
+        .map_groups(collect, batch_format="pyarrow")
+    )

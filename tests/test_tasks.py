@@ -123,39 +123,12 @@ class TestKeggEntity:
         )
         genes = readers.read_kegg_genes(os.path.join(base, "KEGG/kegg.hsa.genes"))
         paths = readers.read_kegg_pathways(os.path.join(base, "KEGG/kegg.pathway.hsa"))
-        gmap = {r["gene_id"]: r["aliases"][0] for r in genes.take_all()}
+        gmap = {r["gene_id"]: list(r["aliases"]) for r in genes.take_all()}
         pmap = {r["pathway_id"]: r["pathway_name"] for r in paths.take_all()}
 
         import pyarrow as pa
 
-        def to_named(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "pathway": pa.array(
-                        [pmap[p] for p in batch["pathway_id"].to_pylist()]
-                    ),
-                    "gene": pa.array(
-                        [gmap[g] for g in batch["gene_id"].to_pylist()]
-                    ),
-                }
-            )
-
-        def collect(group: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "pathway": group.slice(0, 1)["pathway"],
-                    "genes": pa.array(
-                        [sorted(set(group["gene"].to_pylist()))],
-                        type=pa.list_(pa.string()),
-                    ),
-                }
-            )
-
-        pathway_genes = (
-            pg.map_batches(to_named, batch_format="pyarrow")
-            .groupby("pathway")
-            .map_groups(collect, batch_format="pyarrow")
-        )
+        pathway_genes = readers.build_pathway_gene_table(pg, gmap, pmap)
         ranking_raw = readers.read_dose_ranking(
             os.path.join(base, "KEGG/low_dose_pathways.txt")
         )
@@ -171,7 +144,7 @@ class TestKeggEntity:
             batch_format="pyarrow",
         )
         gold_map = {
-            pmap[pid]: sorted({gmap[g] for g in gids})
+            pmap[pid]: sorted({gmap[g][0] for g in gids})
             for pid, gids in kb.pathway_genes.items()
         }
         kb_ref = ray.put(gold_map)
