@@ -97,22 +97,35 @@ def build_edges(links: ray.data.Dataset, id_to_name: dict[str, str]) -> ray.data
     return links.map_batches(substitute, batch_format="pyarrow")
 
 
-def edges_to_adjacency(edges: ray.data.Dataset) -> ray.data.Dataset:
+def edges_to_adjacency(edges: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
     """G1: symmetric edge stream → (src, sorted distinct neighbors).
 
-    The canonicalization/grouping shuffle (SURVEY §2.6 G1).  Dedup happens
-    per group; the input may contain both directions and duplicates.
+    The canonicalization/grouping shuffle (SURVEY §2.6 G1).  Grouped by
+    ``hash(src) % n_buckets`` rather than by ``src`` itself: one pandas
+    groupby-agg per bucket instead of one Python call per entity (at a
+    10^6-entity vocabulary the per-key variant would make 10^6 UDF calls).
     """
+    from ..functions.hashing import hash_bucket
 
-    def collect(group) -> dict:
-        import numpy as np
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(batch["src"].to_pylist(), n_buckets))
+        )
 
-        return {
-            "src": [group["src"][0]],
-            "neighbors": [np.unique(group["dst"]).tolist()],
-        }
+    def collect_bucket(group: pa.Table):
+        import pandas as pd
 
-    return edges.groupby("src").map_groups(collect, batch_format="numpy")
+        df = group.select(["src", "dst"]).to_pandas()
+        agg = df.groupby("src", sort=True)["dst"].agg(
+            lambda s: sorted(set(s))
+        )
+        return pd.DataFrame({"src": agg.index, "neighbors": agg.values})
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(collect_bucket, batch_format="pyarrow")
+    )
 
 
 def read_kegg_pathways(path: str) -> ray.data.Dataset:

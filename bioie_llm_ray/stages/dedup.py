@@ -1,15 +1,22 @@
 """Exact dedup / canonicalization shuffles with hot-key salting (SURVEY §2.8 E3).
 
 The reference dedups triples via Python ``set`` inserts in driver memory
-(string_processor.py:173, G8).  At scale that is a groupby shuffle keyed by
-the triple — and hub entities (TP53 analogs) make those keys hot.  The
-two-phase salted pattern here:
+(string_processor.py:173, G8).  At scale that is a shuffle keyed by the
+triple — and two things matter:
 
-  phase 1: group by (key, salt) where salt = stable_hash(discriminator) % k —
-           duplicates of a hot key spread over k reducers, each keeps one row;
-  phase 2: group by key alone over the ≤k survivors per key — tiny.
+1. **Never one Python call per distinct key.**  ``groupby(key).map_groups``
+   invokes the UDF once per group; at 10^9 distinct triples that is 10^9
+   Python calls.  All dedups here group by ``stable_hash(key) % n_buckets``
+   instead and run ONE vectorized Arrow ``group_by`` per bucket — per-key
+   work stays in C.
+2. **Hot keys (TP53-style hubs) skew the shuffle.**  ``salted_dedup`` runs a
+   two-phase combine: phase 1 spreads duplicates of a key over
+   ``n_salt`` sub-buckets (each keeps one row), phase 2 dedups the ≤n_salt
+   survivors per key.  Because phase 1 already buckets by (key, salt), no
+   single reducer sees a hub's full duplicate stream.
 
-For uniform keys ``exact_dedup`` (single groupby, first row wins) is enough.
+``batch_local_dedup`` is the shuffle-free combiner: duplicates co-occurring
+in a batch collapse before anything moves.
 """
 
 from __future__ import annotations
@@ -20,53 +27,93 @@ import pyarrow as pa
 from ..functions.hashing import hash_bucket
 
 _KEY_SEP = "\x1f"
+_KEY_COL = "__dk"
+_BUCKET_COL = "__dbucket"
 
 
 def _add_key_column(batch: pa.Table, key_cols: list[str], out: str) -> pa.Table:
     cols = [batch[c].to_pylist() for c in key_cols]
-    keys = [_KEY_SEP.join(vals) for vals in zip(*cols)] if cols else []
+    keys = (
+        [_KEY_SEP.join(map(str, vals)) for vals in zip(*cols)] if cols else []
+    )
     return batch.append_column(out, pa.array(keys, type=pa.string()))
 
 
-def _first_per_group(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
-def exact_dedup(ds, key_cols: list[str]):
-    """Keep one row per distinct key tuple (single-phase groupby)."""
-    keyed = ds.map_batches(
-        lambda b: _add_key_column(b, key_cols, "_dk"), batch_format="pyarrow"
+def _add_key_and_bucket(
+    batch: pa.Table, key_cols: list[str], n_buckets: int, salt_col: str | None = None, n_salt: int = 0
+) -> pa.Table:
+    batch = _add_key_column(batch, key_cols, _KEY_COL)
+    keys = batch[_KEY_COL].to_pylist()
+    if salt_col is not None:
+        # fold a salt into the key so phase-1 groups are (key, salt)
+        salt = hash_bucket(batch[salt_col].to_pylist(), n_salt)
+        keys = [f"{k}{_KEY_SEP}{s}" for k, s in zip(keys, salt)]
+        batch = batch.set_column(
+            batch.column_names.index(_KEY_COL),
+            _KEY_COL,
+            pa.array(keys, type=pa.string()),
+        )
+    return batch.append_column(
+        _BUCKET_COL, pa.array(hash_bucket(keys, n_buckets))
     )
-    out = keyed.groupby("_dk").map_groups(_first_per_group, batch_format="pyarrow")
-    return out.drop_columns(["_dk"])
 
 
-def salted_dedup(ds, key_cols: list[str], salt_col: str, n_salt: int = 16):
+def _first_per_key_in_bucket(group: pa.Table) -> pa.Table:
+    """One vectorized dedup per bucket: keep the first row of each key."""
+    import pyarrow.compute as pc
+
+    # group_by preserves no row payload — use first-occurrence indices instead
+    keys = group[_KEY_COL]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    # dictionary-encode → codes; first occurrence of each code wins
+    codes_np = pc.dictionary_encode(keys).indices.to_numpy(
+        zero_copy_only=False
+    )
+    _, first_idx = np.unique(codes_np, return_index=True)
+    return group.take(pa.array(np.sort(first_idx)))
+
+
+def exact_dedup(ds, key_cols: list[str], n_buckets: int = 64):
+    """Keep one row per distinct key tuple.
+
+    Shuffle keyed by ``hash(key) % n_buckets`` (bounded reducer count); the
+    per-bucket dedup is one numpy/Arrow pass, not one call per key.
+    """
+    keyed = ds.map_batches(
+        lambda b: _add_key_and_bucket(b, key_cols, n_buckets),
+        batch_format="pyarrow",
+    )
+    out = keyed.groupby(_BUCKET_COL).map_groups(
+        _first_per_key_in_bucket, batch_format="pyarrow"
+    )
+    return out.drop_columns([_KEY_COL, _BUCKET_COL])
+
+
+def salted_dedup(
+    ds,
+    key_cols: list[str],
+    salt_col: str,
+    n_salt: int = 16,
+    n_buckets: int = 64,
+):
     """Two-phase exact dedup for skewed keys.
 
     ``salt_col`` is any column whose value varies across duplicates of the
     same key (e.g. the source-document sha) — its hash spreads a hot key over
-    ``n_salt`` phase-1 reducers.
+    ``n_salt`` phase-1 reducers before the unsalted phase-2 dedup.
     """
-
-    def add_keys(batch: pa.Table) -> pa.Table:
-        batch = _add_key_column(batch, key_cols, "_dk")
-        salt = hash_bucket(batch[salt_col].to_pylist(), n_salt)
-        combined = [
-            f"{k}{_KEY_SEP}{s}"
-            for k, s in zip(batch["_dk"].to_pylist(), salt)
-        ]
-        return batch.append_column("_dks", pa.array(combined, type=pa.string()))
-
-    phase1 = (
-        ds.map_batches(add_keys, batch_format="pyarrow")
-        .groupby("_dks")
-        .map_groups(_first_per_group, batch_format="pyarrow")
+    phase1 = ds.map_batches(
+        lambda b: _add_key_and_bucket(
+            b, key_cols, n_buckets, salt_col=salt_col, n_salt=n_salt
+        ),
+        batch_format="pyarrow",
     )
-    phase2 = phase1.groupby("_dk").map_groups(
-        _first_per_group, batch_format="pyarrow"
-    )
-    return phase2.drop_columns(["_dk", "_dks"])
+    phase1 = phase1.groupby(_BUCKET_COL).map_groups(
+        _first_per_key_in_bucket, batch_format="pyarrow"
+    ).drop_columns([_KEY_COL, _BUCKET_COL])
+    # phase 2: ≤ n_salt rows per key remain — plain bucketed dedup
+    return exact_dedup(phase1, key_cols, n_buckets=n_buckets)
 
 
 def batch_local_dedup(ds, key_cols: list[str]):
@@ -78,14 +125,8 @@ def batch_local_dedup(ds, key_cols: list[str]):
     """
 
     def local(batch: pa.Table) -> pa.Table:
-        batch = _add_key_column(batch, key_cols, "_dk")
-        keys = batch["_dk"].to_pylist()
-        seen: set[str] = set()
-        mask = np.zeros(len(keys), dtype=bool)
-        for i, k in enumerate(keys):
-            if k not in seen:
-                seen.add(k)
-                mask[i] = True
-        return batch.filter(pa.array(mask)).drop_columns(["_dk"])
+        batch = _add_key_column(batch, key_cols, _KEY_COL)
+        out = _first_per_key_in_bucket(batch)
+        return out.drop_columns([_KEY_COL])
 
     return ds.map_batches(local, batch_format="pyarrow")

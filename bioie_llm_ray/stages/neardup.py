@@ -184,21 +184,45 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+    # group by hash(band_id, band_hash) % n_hash_buckets — one vectorized
+    # pandas pass per hash-bucket instead of one Python call per LSH bucket
+    # (LSH bucket count ~ n_bands × corpus size at scale)
+    from ..functions.hashing import hash_bucket
+
+    n_hash_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{b}|{h}"
+            for b, h in zip(
+                batch["band_id"].to_pylist(), batch["band_hash"].to_pylist()
             )
-        return pa.table(
-            {
-                "id_a": pa.array(ids[:-1]),
-                "id_b": pa.array(ids[1:]),
-            }
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_hash_buckets))
         )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    def bucket_pairs(group: pa.Table):
+        import pandas as pd
+
+        df = group.select(["band_id", "band_hash", id_col]).to_pandas()
+        df = df.sort_values(["band_id", "band_hash", id_col])
+        # chain consecutive ids within each LSH bucket: m-1 pairs connect a
+        # duplicate cluster of size m without m²/2 output
+        same = (
+            df[["band_id", "band_hash"]]
+            .eq(df[["band_id", "band_hash"]].shift())
+            .all(axis=1)
+        )
+        out = pd.DataFrame(
+            {"id_a": df[id_col].shift()[same], "id_b": df[id_col][same]}
+        )
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     from .dedup import exact_dedup
 
