@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": A.events_by_type,
         "user_hourly_activity": A.user_hourly_activity,
         "user_sessions": A.user_sessions,
+        "purchase_since_signup": A.purchase_since_signup,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
         "doc_token_counts": A.doc_token_counts,
@@ -374,6 +375,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "purchase_since_signup": """
+            SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_signup
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'signup') s
+            ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
         "doc_stats_by_lang": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,

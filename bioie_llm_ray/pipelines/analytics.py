@@ -798,3 +798,38 @@ def distinct_counts(sf_dir: str) -> pd.DataFrame:
             "n_event_types": [len(n_types)],
         }
     )
+
+
+def purchase_since_signup(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the user's latest prior signup.
+
+    The range/as-of join the reference lacks and Ray Data lacks natively —
+    implemented as bucket-by-key + per-bucket ``pd.merge_asof``
+    (stages.join.asof_join).
+    """
+    from ..stages.join import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def split(kind: str, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch["event_type"], kind))
+            return keep.select(cols)
+
+        return fn
+
+    purchases = events.map_batches(
+        split("purchase", ["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    signups = events.map_batches(
+        split("signup", ["user_id", "ts"]), batch_format="pyarrow"
+    )
+    joined = asof_join(
+        purchases, signups, by="user_id", on="ts", suffix="_signup"
+    )
+    out = joined.to_pandas()
+    return (
+        out[["event_id", "user_id", "ts", "ts_signup"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

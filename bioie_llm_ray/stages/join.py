@@ -171,3 +171,97 @@ def anti_semi_filter(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    n_buckets: int = 32,
+    suffix: str = "_right",
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` key (backward search).
+
+    Composition per the Ray Data guide: tag + bucket by the ``by`` key (all
+    rows of a key land in one bucket), then ``pd.merge_asof`` over the
+    sorted sides of each bucket — one vectorized pass per bucket.  Inner
+    semantics (left rows with no earlier right row are dropped), matching
+    DuckDB's ``ASOF JOIN``.  Right's ``on`` value is surfaced as
+    ``{on}{suffix}``; colliding right payload columns are suffixed too.
+    """
+    import pandas as pd
+
+    ls, rs = left.schema(), right.schema()
+    l_schema = dict(zip(ls.names, ls.types))
+    r_schema = dict(zip(rs.names, rs.types))
+    l_payload = [c for c in l_schema if c not in (by, on)]
+    r_payload_src = [c for c in r_schema if c not in (by, on)]
+    # right payload names after collision-suffixing (+ the right timestamp)
+    r_renamed = {
+        c: (c + suffix if c in l_schema else c) for c in r_payload_src
+    }
+    r_payload = [r_renamed[c] for c in r_payload_src] + [on + suffix]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        for c in r_payload:
+            batch = batch.append_column(
+                c,
+                pa.nulls(
+                    len(batch),
+                    type=r_schema.get(
+                        c[: -len(suffix)] if c.endswith(suffix) else c,
+                        r_schema.get(on),
+                    ),
+                ),
+            )
+        batch = batch.append_column(
+            _BUCKET,
+            pa.array(hash_bucket(list(map(str, batch[by].to_pylist())), n_buckets)),
+        )
+        return batch.append_column(
+            _TAG, pa.array(["l"] * len(batch), type=pa.string())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        for old, new in r_renamed.items():
+            if new != old:
+                batch = batch.rename_columns(
+                    [new if n == old else n for n in batch.column_names]
+                )
+        batch = batch.append_column(on + suffix, batch[on])
+        for c in l_payload:
+            batch = batch.append_column(
+                c, pa.nulls(len(batch), type=l_schema[c])
+            )
+        batch = batch.append_column(
+            _BUCKET,
+            pa.array(hash_bucket(list(map(str, batch[by].to_pylist())), n_buckets)),
+        )
+        return batch.append_column(
+            _TAG, pa.array(["r"] * len(batch), type=pa.string())
+        )
+
+    order = [by, on] + sorted(set(l_payload) | set(r_payload)) + [_BUCKET, _TAG]
+    left_t = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        lambda b: b.select(order), batch_format="pyarrow"
+    )
+    right_t = right.map_batches(tag_right, batch_format="pyarrow").map_batches(
+        lambda b: b.select(order), batch_format="pyarrow"
+    )
+    union = left_t.union(right_t)
+
+    def join_bucket(group: pa.Table):
+        df = group.to_pandas()
+        l = df[df[_TAG] == "l"][[by, on] + l_payload].sort_values(on)
+        r = df[df[_TAG] == "r"][[by, on] + r_payload].sort_values(on)
+        if len(l) == 0 or len(r) == 0:
+            empty = l.iloc[0:0].copy()
+            for c in r_payload:
+                empty[c] = pd.Series(dtype="object")
+            return empty
+        merged = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return merged[merged[on + suffix].notna()]
+
+    return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")

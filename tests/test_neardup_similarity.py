@@ -179,3 +179,53 @@ class TestJoins:
         drop = anti_semi_filter(ds, {"1", "3"}, keys="k", anti=True)
         assert sorted(r["k"] for r in keep.take_all()) == ["1", "3"]
         assert len(drop.take_all()) == 8
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self):
+        import pandas as pd
+
+        from bioie_llm_ray.stages.join import asof_join
+
+        rng = np.random.RandomState(5)
+        left = pd.DataFrame(
+            {
+                "u": rng.randint(0, 10, 100),
+                "ts": rng.randint(0, 1000, 100),
+                "val": rng.randn(100).round(4),
+            }
+        ).astype({"ts": "int64"})
+        right = pd.DataFrame(
+            {
+                "u": rng.randint(0, 10, 40),
+                "ts": rng.randint(0, 1000, 40),
+            }
+        ).astype({"ts": "int64"})
+        got = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                by="u",
+                on="ts",
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "val"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts").assign(ts_right=lambda d: d.ts),
+            on="ts",
+            by="u",
+            direction="backward",
+        )
+        want = (
+            want[want["ts_right"].notna()]
+            .sort_values(["u", "ts", "val"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["u", "ts", "val", "ts_right"]],
+            want[["u", "ts", "val", "ts_right"]],
+            check_dtype=False,
+        )
