@@ -252,16 +252,32 @@ def asof_join(
     )
     union = left_t.union(right_t)
 
-    def join_bucket(group: pa.Table):
-        df = group.to_pandas()
-        l = df[df[_TAG] == "l"][[by, on] + l_payload].sort_values(on)
-        r = df[df[_TAG] == "r"][[by, on] + r_payload].sort_values(on)
-        if len(l) == 0 or len(r) == 0:
-            empty = l.iloc[0:0].copy()
-            for c in r_payload:
-                empty[c] = pd.Series(dtype="object")
-            return empty
+    # Declared output schema — every bucket (including empty / one-sided ones)
+    # returns exactly this, so Ray block unification never sees mixed dtypes
+    # and int64 ids survive the pandas round-trip (pandas promotes
+    # int64-with-null to float64; we split sides BEFORE to_pandas so each
+    # side's own columns are null-free, and cast the merged frame back).
+    out_schema = pa.schema(
+        [(by, l_schema[by]), (on, l_schema[on])]
+        + [(c, l_schema[c]) for c in l_payload]
+        + [(r_renamed[c], r_schema[c]) for c in r_payload_src]
+        + [(on + suffix, r_schema[on])]
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group[_TAG], "l")
+        l_t = group.filter(mask).select([by, on] + l_payload)
+        r_t = group.filter(pc.invert(mask)).select([by, on] + r_payload)
+        if len(l_t) == 0 or len(r_t) == 0:
+            return out_schema.empty_table()
+        l = l_t.to_pandas().sort_values(on, kind="mergesort")
+        r = r_t.to_pandas().sort_values(on, kind="mergesort")
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward")
-        return merged[merged[on + suffix].notna()]
+        merged = merged[merged[on + suffix].notna()]
+        # merge_asof left-joins, so unmatched-left NaNs promoted right int
+        # columns to float64; the notna filter removed those rows — cast back.
+        return pa.Table.from_pandas(
+            merged[out_schema.names], schema=out_schema, preserve_index=False
+        )
 
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
