@@ -302,27 +302,43 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Session counts per user (30-minute inactivity gap).
 
-    Partition by user, order by ts within the group — the groupby co-locates
-    each user's events; the windowing runs vectorized per group.
+    Bucket-group pattern: shuffle by ``hash(user_id) % B`` (one group per
+    bucket, NOT per user), then one vectorized pandas pass per bucket —
+    sort by (user, ts), a session starts at each user change or >30 min gap,
+    per-user rollup via C-level ``DataFrame.groupby``.  Per-key
+    ``map_groups`` here would be one Python call per user (the anti-pattern
+    ``stages/dedup.py`` documents); this is one call per bucket.
     """
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    from ..functions.hashing import hash_bucket
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [str(u) for u in batch["user_id"].to_pylist()]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_buckets))
+        )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        starts = new_user | gap
         return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
+            {"user_id": g["user_id"].values, "__start": starts.values}
+        ).groupby("user_id", as_index=False).agg(
+            n_sessions=("__start", "sum"), n_events=("__start", "size")
         )
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
         .to_pandas()
     )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -694,15 +710,18 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
 
 
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.5 (3-shingles)."""
-    from ..stages.neardup import minhash_lsh_candidates, verify_jaccard_pairs
+    """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.5 (3-shingles).
+
+    Verification re-fetches text via shuffle joins (the corpus never
+    materializes on the driver) — see ``neardup.verify_jaccard_pairs_join``.
+    """
+    from ..stages.neardup import minhash_lsh_candidates, verify_jaccard_pairs_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_lsh_candidates(ds, text_col="text", id_col="doc_id")
-    texts = {
-        r["doc_id"]: r["text"] for r in ds.take_all()
-    }  # verify side; fine at test scale, shuffle-join re-fetch at corpus scale
-    verified = verify_jaccard_pairs(cand, texts, threshold=0.5)
+    verified = verify_jaccard_pairs_join(
+        cand, ds, threshold=0.5, id_col="doc_id", text_col="text"
+    )
     out = verified.to_pandas()
     if len(out):
         out["jaccard"] = out["jaccard"].round(6)

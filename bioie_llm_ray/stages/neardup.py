@@ -217,7 +217,11 @@ def minhash_lsh_candidates(
         out = pd.DataFrame(
             {"id_a": df[id_col].shift()[same], "id_b": df[id_col][same]}
         )
-        return out.astype({"id_a": "int64", "id_b": "int64"})
+        # shift() promotes int ids to float64 (NaN in row 0) — cast back to
+        # the SOURCE id dtype; string/object ids pass through untouched.
+        if pd.api.types.is_integer_dtype(df[id_col].dtype):
+            out = out.astype({"id_a": df[id_col].dtype, "id_b": df[id_col].dtype})
+        return out
 
     pairs = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -262,6 +266,75 @@ def verify_jaccard_pairs(
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def verify_jaccard_pairs_join(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_type: pa.DataType | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Scale path for pair verification: re-fetch text via two shuffle joins.
+
+    ``verify_jaccard_pairs`` broadcasts an id→text dict — an OOM when the
+    corpus no longer fits on the driver.  Here the text side streams: join
+    candidates to ``docs`` on ``id_a`` (text_a), then on ``id_b`` (text_b),
+    then one vectorized Jaccard pass per batch.  Candidate pairs are a tiny
+    fraction of the corpus, so both joins are skewless hash-bucket shuffles
+    whose payload is bounded by |pairs| + |docs| rows.
+    """
+    from .join import shuffle_join
+
+    if id_type is None:
+        id_type = pa.int64()
+
+    def side(col_id: str, col_text: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {col_id: batch[id_col], col_text: batch[text_col]}
+            )
+
+        return docs.map_batches(rename, batch_format="pyarrow")
+
+    pair_schema = {"id_a": id_type, "id_b": id_type}
+    j1 = shuffle_join(
+        pairs,
+        side("id_a", "text_a"),
+        keys="id_a",
+        n_buckets=n_buckets,
+        left_schema=pair_schema,
+        right_schema={"id_a": id_type, "text_a": pa.string()},
+    )
+    j2 = shuffle_join(
+        j1,
+        side("id_b", "text_b"),
+        keys="id_b",
+        n_buckets=n_buckets,
+        left_schema={"id_b": id_type, "id_a": id_type, "text_a": pa.string()},
+        right_schema={"id_b": id_type, "text_b": pa.string()},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            ngram_jaccard(a, b, n_shingle)
+            for a, b in zip(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+            )
+        ]
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(ja, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 class SimHasher:
@@ -315,6 +388,124 @@ def simhash_dedup(
     return hashed.groupby("simhash").map_groups(first_by_id, batch_format="pyarrow")
 
 
+def simhash_neardup_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    concurrency: int | tuple[int, int] = 2,
+    n_hash_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-dup candidate pairs via simhash Hamming bands, verified ≤ max_hamming.
+
+    Pigeonhole: two 64-bit fingerprints within Hamming distance < n_bands of
+    each other agree exactly on ≥1 of the ``n_bands`` 16-bit bands.  Explode
+    each doc to (band_id, band_val) rows, bucket by hash(band_id|band_val),
+    chain-pair consecutive ids within each equal-band run (m−1 pairs connect
+    a cluster of m), then verify true Hamming distance on the paired
+    fingerprints — no text re-fetch needed, the 64-bit signature travels with
+    the band row.  Output: (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    assert 64 % n_bands == 0
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
+
+    hashed = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    from ..functions.hashing import hash_bucket
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sigs)
+        id_type = batch.schema.field(id_col).type
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id = (
+            pa.array(np.tile(ids_np, n_bands), type=id_type)
+            if n
+            else pa.array([], type=id_type)
+        )
+        band_id = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        band_val = np.concatenate(
+            [
+                ((sigs >> np.uint64(bi * band_bits)) & band_mask).astype(np.int64)
+                for bi in range(n_bands)
+            ]
+        ) if n else np.array([], dtype=np.int64)
+        sim64 = np.tile(sigs.astype(np.int64), n_bands) if n else np.array([], dtype=np.int64)
+        keys = [f"{b}|{v}" for b, v in zip(band_id, band_val)]
+        return pa.table(
+            {
+                id_col: out_id,
+                "band_id": pa.array(band_id, type=pa.int32()),
+                "band_val": pa.array(band_val, type=pa.int64()),
+                "simhash": pa.array(sim64, type=pa.int64()),
+                "__bucket": pa.array(hash_bucket(keys, n_hash_buckets)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table):
+        import pandas as pd
+
+        df = group.select(["band_id", "band_val", id_col, "simhash"]).to_pandas()
+        df = df.sort_values(["band_id", "band_val", id_col])
+        same = (
+            df[["band_id", "band_val"]]
+            .eq(df[["band_id", "band_val"]].shift())
+            .all(axis=1)
+        )
+        # positional indexing, NOT shift(): shift promotes int64 simhash to
+        # float64 and corrupts fingerprints above 2^53
+        idx = np.flatnonzero(same.to_numpy())
+        sig = df["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ids_np = df[id_col].to_numpy()
+        ham = np.array(
+            [int(x).bit_count() for x in (sig[idx - 1] ^ sig[idx])],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        idx = idx[keep]
+        a_ids, b_ids = ids_np[idx - 1], ids_np[idx]
+        swap = a_ids > b_ids
+        a_ids, b_ids = (
+            np.where(swap, b_ids, a_ids),
+            np.where(swap, a_ids, b_ids),
+        )
+        return pd.DataFrame(
+            {"id_a": a_ids, "id_b": b_ids, "hamming": ham[keep]}
+        )
+
+    pairs = (
+        hashed.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    from .dedup import exact_dedup
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_k",
+            pa.array(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+                    )
+                ],
+                type=pa.string(),
+            ),
+        )
+
+    return exact_dedup(
+        pairs.map_batches(to_str, batch_format="pyarrow"), ["_k"]
+    ).drop_columns(["_k"])
+
+
 class EmbeddingLSH:
     """Actor: embedding list<float> → sign-bucket id (random hyperplanes)."""
 
@@ -361,19 +552,17 @@ def embedding_neardup_pairs(
         emb = np.stack(group[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         sims = norm @ norm.T
-        ia, ib, cs = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    ia.append(a)
-                    ib.append(b)
-                    cs.append(float(sims[i, j]))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        iu, ju = iu[hit], ju[hit]
+        ids_np = np.asarray(ids, dtype=np.int64)
+        a = np.minimum(ids_np[iu], ids_np[ju])
+        b = np.maximum(ids_np[iu], ids_np[ju])
         return pa.table(
             {
-                "id_a": pa.array(ia, type=pa.int64()),
-                "id_b": pa.array(ib, type=pa.int64()),
-                "cosine": pa.array(cs, type=pa.float64()),
+                "id_a": pa.array(a, type=pa.int64()),
+                "id_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(sims[iu, ju], type=pa.float64()),
             }
         )
 
