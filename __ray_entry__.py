@@ -214,7 +214,12 @@ def _kg_chain_agreement(sf_dir: str):
         {"kind": "relation", "kb": ray.put(pos_pairs), "flip_rate": 0.02},
     )
     agg = stage_agreement(ent.predictions, rel)
-    return pd.DataFrame([agg])
+    # flatten the nested confusion counts: one scalar column per cell
+    flat = {k: v for k, v in agg.items() if not isinstance(v, dict)}
+    flat.update(
+        {f"confusion_{k}": v for k, v in agg["confusion_yes_no"].items()}
+    )
+    return pd.DataFrame([flat])
 
 
 def _multimodal_features(sf_dir: str):

@@ -67,13 +67,24 @@ def triple_prf(
         )
 
     tagged = triples.map_batches(tag, batch_format="pyarrow")
-    # distinct emitted triples (the pipeline already dedups; be safe)
-    distinct = tagged.groupby("key").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
-    rows = distinct.take_all()
-    n_emitted = len(rows)
-    n_hit = sum(1 for r in rows if r["hit"])
+    # distinct emitted triples (the pipeline already dedups; be safe) —
+    # bucketed exact_dedup, NOT groupby(key).map_groups (one Python call per
+    # distinct triple at 10^9 triples); counts reduce distributed.
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import exact_dedup
+
+    distinct = exact_dedup(tagged, ["key"])
+    agg = distinct.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("hit"),
+            "hit",
+            b["hit"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("hit", alias_name="n_hit"), Count(alias_name="n_emitted"))
+    n_emitted = int(agg["n_emitted"] or 0)
+    n_hit = int(agg["n_hit"] or 0)
     precision = n_hit / n_emitted if n_emitted else 0.0
     recall = n_hit / len(gold_norm) if gold_norm else 0.0
     f1 = (
@@ -127,6 +138,39 @@ def confusion_matrix(
     for r in parts:
         total += np.asarray(r["cells"], dtype=np.int64)
     return total.reshape(n, n), labels
+
+
+def render_confusion_png(matrix, labels, path: str) -> str:
+    """K3 artifact parity (evaluator.py:135-165, result_comparer.py:125-128):
+    render the counts matrix to a PNG.  matplotlib is not in this container —
+    import-gated; the counts matrix from ``confusion_matrix`` is the data
+    product either way."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - env without matplotlib
+        raise NotImplementedError(
+            "confusion-matrix PNG rendering requires matplotlib; the counts "
+            "matrix itself is returned by confusion_matrix()"
+        ) from e
+    import numpy as np
+
+    m = np.asarray(matrix)
+    fig, ax = plt.subplots()
+    im = ax.imshow(m, cmap="Blues")
+    ax.set_xticks(range(len(labels)), labels)
+    ax.set_yticks(range(len(labels)), labels)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    for i in range(len(labels)):
+        for j in range(len(labels)):
+            ax.text(j, i, str(int(m[i, j])), ha="center", va="center")
+    fig.colorbar(im)
+    fig.savefig(path, dpi=300)
+    plt.close(fig)
+    return path
 
 
 def full_match_intersection(
@@ -242,15 +286,73 @@ def chain_entity_to_relation(
 def stage_agreement(
     entity_preds: "ray.data.Dataset", relation_preds: "ray.data.Dataset"
 ) -> dict:
-    """result_comparer.py:74-128 semantics: fraction of chained pairs the
-    yes/no verifier confirms (joint agreement of the two-stage dataflow)."""
+    """Full result_comparer.py:74-128 semantics over the chained dataflow.
+
+    The reference zips two result files positionally into boolean vectors
+    (entity row correct?, relation row correct?) and reports:
+    1. joint accuracy of the two vectors (+ raw agree count + micro-F1,
+       which for this binary positional compare equals the accuracy —
+       result_comparer.py:106-108);
+    2. the "entity-correct subset" re-comparison: keep positions where the
+       entity stage was right, report the relation stage's accuracy there
+       (result_comparer.py:110-120);
+    3. the yes/no confusion over that subset (result_comparer.py:122-128) —
+       row "no" is structurally zero because the subset's truth is all-yes.
+
+    Here the positional zip is a key join: each chained pair key is
+    ``src\\x1fpred`` of the entity row that spawned it.  Both sides are task
+    outputs (≤ test_size × k rows), so the join runs driver-side.
+    """
+    import pyarrow.compute as pc
+
+    # (key, ent_ok) for chained rows: entity pred != NONE spawned a pair
+    def ent_bits(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.not_equal(b["pred"], "NONE"))
+        return pa.table(
+            {
+                "src": pa.array(
+                    [
+                        f"{s}\x1f{p}"
+                        for s, p in zip(
+                            keep["src"].to_pylist(), keep["pred"].to_pylist()
+                        )
+                    ],
+                    type=pa.string(),
+                ),
+                "ent_ok": pc.equal(keep["pred"], keep["true"]),
+            }
+        )
+
+    ent = entity_preds.map_batches(ent_bits, batch_format="pyarrow").to_pandas()
     rel = relation_preds.select_columns(["src", "pred"]).to_pandas()
-    n = len(rel)
-    n_yes = int((rel["pred"] == "yes").sum())
+    rel["rel_ok"] = rel["pred"] == "yes"
+    merged = ent.merge(rel[["src", "rel_ok"]], on="src", how="inner")
+
+    n = len(merged)
+    agree = merged["ent_ok"] == merged["rel_ok"]
+    joint_acc = float(agree.mean()) if n else 0.0
+    sub = merged[merged["ent_ok"]]
+    n_sub = len(sub)
+    sub_acc = float(sub["rel_ok"].mean()) if n_sub else 0.0
+    n_yes = int(rel["rel_ok"].sum())
     return {
-        "n_pairs": n,
+        # original summary keys (kept for callers)
+        "n_pairs": len(rel),
         "n_confirmed": n_yes,
-        "agreement": n_yes / n if n else 0.0,
+        "agreement": n_yes / len(rel) if len(rel) else 0.0,
+        # result_comparer parity
+        "joint_accuracy": joint_acc,
+        "n_joint_agree": int(agree.sum()),
+        "joint_micro_f1": joint_acc,
+        "n_entity_correct": n_sub,
+        "entity_correct_accuracy": sub_acc,
+        "entity_correct_micro_f1": sub_acc,
+        "confusion_yes_no": {
+            "yes_yes": int(sub["rel_ok"].sum()),
+            "yes_no": int((~sub["rel_ok"]).sum()),
+            "no_yes": 0,
+            "no_no": 0,
+        },
     }
 
 
@@ -273,11 +375,31 @@ def unanimous_consensus(per_model: dict[str, ray.data.Dataset]) -> ray.data.Data
     union = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
     n_models = len(per_model)
 
-    def consensus(group: pa.Table) -> pa.Table:
-        preds = set(group["pred"].to_pylist())
-        models = set(group["model"].to_pylist())
-        if len(preds) == 1 and len(models) == n_models:
-            return group.slice(0, 1).drop_columns(["model"])
-        return group.slice(0, 0).drop_columns(["model"])
+    # bucket-group: shuffle by hash(src) % B (src cardinality = query count,
+    # unbounded), one vectorized pandas pass per bucket instead of one
+    # map_groups call per key
+    from ..functions.hashing import hash_bucket
 
-    return union.groupby("src").map_groups(consensus, batch_format="pyarrow")
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(hash_bucket(batch["src"].to_pylist(), n_buckets)),
+        )
+
+    def consensus_bucket(g):
+        import pandas as pd  # noqa: F401
+
+        stats = g.groupby("src").agg(
+            n_pred=("pred", "nunique"), n_model=("model", "nunique")
+        )
+        ok = stats[(stats["n_pred"] == 1) & (stats["n_model"] == n_models)].index
+        kept = g[g["src"].isin(ok)].drop_duplicates(subset=["src"])
+        return kept.drop(columns=["model", "__bucket"])
+
+    return (
+        union.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(consensus_bucket, batch_format="pandas")
+    )

@@ -210,22 +210,16 @@ def string_relation_task(
 
     pos = adjacency.map_batches(explode, batch_format="pyarrow")
 
+    # distributed hash top-n: never materializes the exploded pair set on the
+    # driver (~11.9M pairs at real STRING scale, string_processor.py:168);
+    # duplicate input pairs collapse to one sampled row
+    from ..stages.sample import distributed_hash_top_n
+
     def sample_side(ds: ray.data.Dataset, label: str) -> pa.Table:
-        rows = ds.take_all()
-        keys = [f"{r['p1']}{_PAIR_SEP}{r['p2']}" for r in rows]
-        chosen = set(_hash_top_n(keys, n_pairs_per_side))
-        return pa.table(
-            {
-                "p1": pa.array(
-                    [r["p1"] for r, k2 in zip(rows, keys) if k2 in chosen]
-                ),
-                "p2": pa.array(
-                    [r["p2"] for r, k2 in zip(rows, keys) if k2 in chosen]
-                ),
-                "answer": pa.array(
-                    [label] * min(n_pairs_per_side, len(chosen))
-                ),
-            }
+        t = distributed_hash_top_n(ds, ["p1", "p2"], n_pairs_per_side)
+        t = t.select(["p1", "p2"])
+        return t.append_column(
+            "answer", pa.array([label] * len(t), type=pa.string())
         )
 
     pos_t = sample_side(pos, "yes")
@@ -391,14 +385,16 @@ def indra_relation_type_task(
     choices = list(INDRA_RELATION_TYPES[:num_classes])
     choices_str = ", ".join(choices)
 
-    def per_class_sample(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_pylist()
-        chosen = set(_hash_top_n(ids, per_class))
-        mask = pa.array([i in chosen for i in ids])
-        return group.filter(mask)
+    # distributed per-class hash top-n: the old groupby("rel_type").map_groups
+    # put an entire class in one group (one task holds every statement of a
+    # 6-way class split — unbounded at corpus scale); the streaming partial
+    # top-n keeps ≤ per_class rows per class per block instead
+    from ..stages.sample import distributed_hash_top_n
 
-    sampled = statements.groupby("rel_type").map_groups(
-        per_class_sample, batch_format="pyarrow"
+    sampled = ray.data.from_arrow(
+        distributed_hash_top_n(
+            statements, ["id"], per_class, group_col="rel_type"
+        )
     )
 
     def format_prompts(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,96 @@
+"""Distributed deterministic sampling (SURVEY §2.7 O1/O2, reference G3).
+
+The reference samples with driver-resident ``random.seed(42)`` +
+``random.sample`` over fully materialized pools (string_processor.py:176-187,
+indra_processor.py:92-117).  The engine's replacement is *hash top-n*: the
+sample is the n rows whose ``stable_hash(key)`` is smallest — deterministic
+at any partition count, no RNG state, and computable as a streaming partial
+aggregate:
+
+1. per-batch kernel keeps that batch's n smallest distinct keys (vectorized
+   pandas sort + dedup), emitting ≤ n rows per block;
+2. a tree-reduce repartition applies the same kernel over the concatenated
+   partials;
+3. the driver merges the ≤ n×fan-in survivors once.
+
+Nothing ever materializes more than n rows per block on any node, so the
+sample of an 11.9M-pair STRING corpus (string_processor.py:168) — or its
+100× version — costs one streaming pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import stable_hash_u64
+
+_KEY_SEP = "\x1f"
+_H = "__sh"
+_K = "__sk"
+
+
+def _kernel(batch: pa.Table, key_cols: list[str], n: int, group_col: str | None) -> pa.Table:
+    """Keep the n smallest-hash distinct keys (per group) in this batch."""
+    if len(batch) == 0:
+        return batch
+    if _K in batch.column_names:
+        keys = batch[_K].to_pylist()
+        h = batch[_H].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        cols = [batch[c].to_pylist() for c in key_cols]
+        keys = [_KEY_SEP.join(map(str, vals)) for vals in zip(*cols)]
+        h = stable_hash_u64(keys)
+        batch = batch.append_column(_H, pa.array(h.astype(np.int64)))
+        batch = batch.append_column(_K, pa.array(keys, type=pa.string()))
+    df = pd.DataFrame({"__k": keys, "__h": h})
+    subset = ["__k"]
+    sort_cols = ["__h", "__k"]
+    if group_col is not None:
+        df["__g"] = batch[group_col].to_pylist()
+        subset = ["__g", "__k"]
+        sort_cols = ["__g", "__h", "__k"]
+    df = df.sort_values(sort_cols, kind="mergesort")
+    df = df[~df.duplicated(subset=subset)]
+    head = df.groupby("__g", sort=False).head(n) if group_col is not None else df.head(n)
+    return batch.take(pa.array(np.sort(head.index.to_numpy())))
+
+
+def distributed_hash_top_n(
+    ds: ray.data.Dataset,
+    key_cols: list[str] | str,
+    n: int,
+    group_col: str | None = None,
+    fan_in: int = 8,
+) -> pa.Table:
+    """The n distinct-key rows with smallest stable hash (optionally per group).
+
+    Replaces driver-side ``take_all()`` pools: per-block partial top-n →
+    tree reduce → one driver merge of ≤ n×fan_in rows (× n_groups).
+    Duplicate keys collapse to their first sorted occurrence, so the output
+    has exactly ``min(n, n_distinct_keys)`` rows per group.  Returns a
+    small Arrow table with the original columns.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def k1(batch: pa.Table) -> pa.Table:
+        return _kernel(batch, key_cols, n, group_col)
+
+    partials = ds.map_batches(k1, batch_format="pyarrow")
+    reduced = partials.repartition(fan_in).map_batches(k1, batch_format="pyarrow")
+    merged = _as_table(reduced)
+    final = _kernel(merged, key_cols, n, group_col)
+    return final.drop_columns([c for c in (_H, _K) if c in final.column_names])
+
+
+def _as_table(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a (small, already-reduced) Dataset as one Arrow table."""
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t is not None and len(t)]
+    if not tables:
+        # empty: still need the schema for downstream concat
+        empty = ray.get(refs[0]) if refs else None
+        return empty if empty is not None else pa.table({})
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()

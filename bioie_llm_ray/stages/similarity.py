@@ -40,7 +40,6 @@ def brute_force_topk(
     """
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
-    qid_set = set(query_ids) if exclude_self else set()
 
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
@@ -56,9 +55,16 @@ def brute_force_topk(
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            # partial top-k within the batch (argpartition, then exact sort)
-            idx = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-            order = idx[np.lexsort((ids[idx], -row[idx]))]
+            # partial top-k within the batch: argpartition, then widen to ALL
+            # elements tied with the boundary similarity so the documented
+            # 'ORDER BY sim DESC, id ASC' tie-break holds when equal-sim
+            # candidates (exact-duplicate vectors) straddle the kk-th slot
+            if kk < len(row):
+                seed_idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed_idx].min())
+            else:
+                idx = np.arange(len(row))
+            order = idx[np.lexsort((ids[idx], -row[idx]))][:kk]
             for j in order:
                 out_q.append(qi)
                 out_n.append(int(ids[j]))
@@ -175,7 +181,13 @@ def ivf_topk(
             row = q[qi] @ emb[mask].T
             sub_ids = ids[mask]
             kk = min(k + (1 if exclude_self else 0), len(row))
-            idx = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            # same boundary-tie widening as brute_force_topk
+            if kk < len(row):
+                seed_idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed_idx].min())
+                idx = idx[np.lexsort((sub_ids[idx], -row[idx]))][:kk]
+            else:
+                idx = np.arange(len(row))
             for j in idx:
                 out_q.append(qi)
                 out_n.append(int(sub_ids[j]))

@@ -127,23 +127,51 @@ def read_checkpoint(root: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(files, columns=columns)
 
 
+def read_manifest(root: str, part_id: str) -> dict:
+    with open(_manifest_path(root, part_id)) as f:
+        return json.load(f)
+
+
+class LineageMismatch(RuntimeError):
+    """A completed partition's stored lineage differs from the current run's."""
+
+
 def run_resumable(
     root: str,
     partitions: Iterable[tuple[str, Callable[[], "ray.data.Dataset"]]],
     lineage_fn: Callable[[str], dict] | None = None,
+    on_lineage_mismatch: str = "error",
 ) -> dict:
     """Run (part_id, make_dataset) pairs, skipping completed partitions.
 
     Returns {"completed": [...], "skipped": [...], "manifests": {...}}.
     A crash between partitions loses nothing; a crash inside a partition
     loses only that partition's temp dir.
+
+    A partition is only skipped when its stored lineage equals the current
+    run's ``lineage_fn(part_id)`` — rerunning against the same output dir
+    with a different vocab / model / relation must not silently mix
+    configurations.  ``on_lineage_mismatch``: ``"error"`` raises
+    ``LineageMismatch``; ``"recompute"`` overwrites the stale partition.
     """
+    if on_lineage_mismatch not in ("error", "recompute"):
+        raise ValueError(f"on_lineage_mismatch: {on_lineage_mismatch!r}")
     done, skipped, manifests = [], [], {}
     for part_id, make_ds in partitions:
-        if is_complete(root, part_id):
-            skipped.append(part_id)
-            continue
         lineage = lineage_fn(part_id) if lineage_fn else {}
+        if is_complete(root, part_id):
+            stored = read_manifest(root, part_id).get("lineage", {})
+            if stored == lineage:
+                skipped.append(part_id)
+                continue
+            if on_lineage_mismatch == "error":
+                raise LineageMismatch(
+                    f"partition {part_id!r} in {root} was written with lineage "
+                    f"{stored!r} but this run declares {lineage!r}; pass "
+                    "on_lineage_mismatch='recompute' to overwrite, or use a "
+                    "fresh output dir"
+                )
+            # fall through: recompute the stale partition
         manifests[part_id] = write_partition(root, part_id, make_ds(), lineage)
         done.append(part_id)
     return {"completed": done, "skipped": skipped, "manifests": manifests}

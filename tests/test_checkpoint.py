@@ -70,6 +70,29 @@ class TestCheckpointCore:
         )
         assert out["skipped"] == ["a"] and out["completed"] == ["b"]
 
+    def test_lineage_mismatch_refuses_silent_skip(self, tmp_path):
+        """ADVICE: a rerun with a different vocab/model against the same out
+        dir must not mix configurations under a stale manifest."""
+        root = str(tmp_path / "ck")
+        v1 = lambda p: {"vocab": "v1", "model": "m"}  # noqa: E731
+        v2 = lambda p: {"vocab": "v2", "model": "m"}  # noqa: E731
+        checkpoint.run_resumable(root, [("a", _mini_ds_ok)], lineage_fn=v1)
+        # same lineage → clean skip
+        out = checkpoint.run_resumable(root, [("a", _mini_ds_ok)], lineage_fn=v1)
+        assert out["skipped"] == ["a"]
+        # changed lineage → hard error by default
+        with pytest.raises(checkpoint.LineageMismatch, match="vocab"):
+            checkpoint.run_resumable(root, [("a", _mini_ds_ok)], lineage_fn=v2)
+        # or explicit recompute
+        out = checkpoint.run_resumable(
+            root,
+            [("a", _mini_ds_ok)],
+            lineage_fn=v2,
+            on_lineage_mismatch="recompute",
+        )
+        assert out["completed"] == ["a"]
+        assert checkpoint.read_manifest(root, "a")["lineage"]["vocab"] == "v2"
+
 
 def _mini_ds_ok():
     return ray.data.from_items([{"x": 1}])

@@ -90,3 +90,43 @@ class TestStageChaining:
         assert agreement["n_pairs"] == 2
         assert agreement["n_confirmed"] == 1
         assert agreement["agreement"] == 0.5
+
+    def test_result_comparer_parity_hand_computed(self):
+        """Full result_comparer.py:74-128 semantics on a hand-built fixture.
+
+        Chained rows (entity correct?, relation confirmed?):
+          (P1,P2): ent True,  rel yes  -> agree
+          (P1,P3): ent True,  rel no   -> disagree
+          (P2,P4): ent False, rel yes  -> disagree
+          (P2,P5): ent False, rel no   -> agree
+        Joint accuracy 2/4; entity-correct subset = first two rows, relation
+        accuracy there 1/2; confusion yes/yes=1 yes/no=1, no row zero.
+        """
+        entity_preds = _preds(
+            [
+                ("P1", "P2", "P2"),
+                ("P1", "P3", "P3"),
+                ("P2", "P4", "X"),
+                ("P2", "P5", "Y"),
+            ]
+        )
+        rel = _preds(
+            [
+                ("P1\x1fP2", "yes", "yes"),
+                ("P1\x1fP3", "no", "yes"),
+                ("P2\x1fP4", "yes", "yes"),
+                ("P2\x1fP5", "no", "yes"),
+            ]
+        )
+        out = stage_agreement(entity_preds, rel)
+        assert out["joint_accuracy"] == 0.5
+        assert out["n_joint_agree"] == 2
+        assert out["joint_micro_f1"] == 0.5
+        assert out["n_entity_correct"] == 2
+        assert out["entity_correct_accuracy"] == 0.5
+        assert out["confusion_yes_no"] == {
+            "yes_yes": 1,
+            "yes_no": 1,
+            "no_yes": 0,
+            "no_no": 0,
+        }
