@@ -222,6 +222,29 @@ def _kg_chain_agreement(sf_dir: str):
     return pd.DataFrame([flat])
 
 
+def _kg_entity_types(sf_dir: str):
+    """kbase entity_type task (run_model.py:549) over fixture proteins."""
+    from bioie_llm_ray.oracle import ENTITY_TYPE_CHOICES, entity_type_inputs
+    from bioie_llm_ray.pipelines import tasks
+
+    import ray
+
+    rows = entity_type_inputs()
+    kb_types = {r["entity"]: r["answer"] for r in rows}
+    res = tasks.entity_type_task(
+        ray.data.from_items(rows),
+        choices=ENTITY_TYPE_CHOICES,
+        scorer_kwargs={
+            "kind": "containment",
+            "kb": kb_types,
+            "flip_rate": 0.02,
+            "choices": ENTITY_TYPE_CHOICES,
+        },
+    )
+    out = res.predictions.to_pandas()
+    return out.sort_values("src").reset_index(drop=True)
+
+
 def _multimodal_features(sf_dir: str):
     """Binary-payload plumbing: documents → fake payloads → decoded features."""
     import pyarrow as pa
@@ -307,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_string_relation": _kg_string_relation,
         "kg_kegg_entity": _kg_kegg_entity,
         "kg_indra_triples": _kg_indra,
+        "kg_entity_types": _kg_entity_types,
         "kg_chain_agreement": _kg_chain_agreement,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
@@ -314,7 +338,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    # The kg_* MockScorer tasks are deterministic end-to-end, so their
+    # expected tables are computed serially (plain Python over the fixture
+    # KB, bioie_llm_ray/oracle.py — no Ray) and registered as DuckDB VALUES
+    # relations: full row/schema/value-hash verification of the distributed
+    # sampling + scoring + alignment plumbing.
+    from bioie_llm_ray import oracle as O
+
+    kg_oracles = {
+        "kg_string_entity": O.values_sql(O.expected_kg_string_entity()),
+        "kg_string_relation": O.values_sql(O.expected_kg_string_relation()),
+        "kg_kegg_entity": O.values_sql(O.expected_kg_kegg_entity()),
+        "kg_indra_triples": O.values_sql(O.expected_kg_indra_triples()),
+        "kg_entity_types": O.values_sql(O.expected_kg_entity_types()),
+        "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),
+        "doc_language_id": O.language_id_sql(),
+    }
+    return kg_oracles | {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -483,7 +523,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS cosine
             FROM ranked WHERE rnk <= 5
         """,
-        # doc_language_id, knn_ivf, dedup_minhash, dedup_simhash,
-        # embedding_neardup, kg_*, multimodal_features: non-SQL-expressible
-        # (heuristic / approximate / model-driven) → rows-only checks.
+        # knn_ivf, dedup_minhash, dedup_simhash, embedding_neardup,
+        # multimodal_features: genuinely non-SQL-expressible (approximate /
+        # md5-signature / binary-payload driven) → rows-only checks.
     }

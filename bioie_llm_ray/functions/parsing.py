@@ -74,3 +74,25 @@ def parse_containment_response(
             if h == gold:
                 return h
     return "None"
+
+
+_PAIR = re.compile(r"([^,()]+?)\s*\(([^)]+)\)")
+
+
+def parse_entity_type_pairs(response: str) -> list[tuple[str, str]]:
+    """Free-form 'Name (type), Name2 (type2)' → [(name, type), ...].
+
+    The open-extraction parse for the kbase ``entity_and_entity_type`` task
+    (run_model.py:549; the reference dumps this task's raw results as JSON,
+    run_model.py:752-762, rather than aligning them).  Leading 'Answer:'
+    markers are ignored; names/types are whitespace-trimmed; empty names
+    dropped.
+    """
+    text = response.split("Answer:", 1)[-1]
+    out = []
+    for m in _PAIR.finditer(text):
+        name = m.group(1).strip().strip(".")
+        typ = m.group(2).strip()
+        if name and typ:
+            out.append((name, typ))
+    return out

@@ -63,11 +63,13 @@ def quality_features(batch: pa.Table, column: str = "text") -> pa.Table:
     texts = batch[column]
     n_chars = pc.utf8_length(texts)
     n_tokens = whitespace_token_count(texts)
-    n_punct = pa.array(
-        [len(re.findall(r"[^\w\s]", t)) for t in texts.to_pylist()], type=pa.int64()
+    # RE2 \w is ASCII [0-9A-Za-z_], matching the DuckDB oracle's classes —
+    # one vectorized count kernel instead of a Python re.findall per row
+    n_punct = pc.cast(
+        pc.count_substring_regex(texts, pattern=r"[^\w\s]"), pa.int64()
     )
-    n_alpha = pa.array(
-        [len(re.findall(r"[A-Za-z]", t)) for t in texts.to_pylist()], type=pa.int64()
+    n_alpha = pc.cast(
+        pc.count_substring_regex(texts, pattern=r"[A-Za-z]"), pa.int64()
     )
     nc = pc.cast(n_chars, pa.float64())
     out = batch.append_column("n_chars_computed", pc.cast(n_chars, pa.int64()))

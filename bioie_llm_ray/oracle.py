@@ -1,0 +1,321 @@
+"""Serial (no-Ray) oracle builders for the MockScorer benchmark tasks.
+
+The kg_* driver queries are deterministic end-to-end: fixture KB
+(``fixtures.make_kb``, seed-fixed) → hash-based sampling → MockScorer
+(hash-stable responses) → parsers → alignment.  That makes their expected
+output computable on the driver in plain Python — no Dataset, no actor pool,
+no shuffle — by walking the same fixture KB and reusing the engine's own
+scalar kernels (scorer response function, parsers, sort_and_pad, hash order).
+
+Registering these expected tables as DuckDB ``VALUES`` relations upgrades
+the kg_* checks from rows-only to full row/schema/value-hash verification of
+the DISTRIBUTED plumbing: pool filters, hash top-n sampling across blocks,
+prompt construction, the actor-pool scorer stage, parse/align explosion and
+triple emission must all agree with this serial walk.  (Reference-semantics
+parity is covered separately by ``parity.py``.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import fixtures
+from .functions.align import sort_and_pad
+from .functions.hashing import stable_hash_u64
+from .functions.parsing import (
+    parse_choice_response,
+    parse_containment_response,
+    parse_entity_response,
+)
+from .schemas import INDRA_RELATION_TYPES
+from .stages.scorer import MockScorer
+
+_SEP = "\x1f"
+
+ENTITY_TYPE_CHOICES = ["kinase", "phosphatase", "ligase"]
+
+
+def serial_hash_top_n(keys: list[str], n: int) -> list[str]:
+    """n distinct keys with smallest stable hash, ties by key — the exact
+    order contract of ``stages.sample.distributed_hash_top_n``."""
+    uniq = sorted(set(keys))
+    if not uniq:
+        return []
+    h = stable_hash_u64(uniq)
+    order = np.lexsort((np.array(uniq), h))
+    return [uniq[int(i)] for i in order[:n]]
+
+
+def expected_kg_string_entity(
+    test_size: int = 30,
+    n_shots: int = 2,
+    k: int = 10,
+    min_test_list_len: int = 10,
+    miss_rate: float = 0.03,
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_string_entity`` (tasks.string_entity_task)."""
+    kb = fixtures.make_kb()
+    gold = {s: sorted(nb) for s, nb in kb.adjacency.items()}
+    scorer = MockScorer(kind="entity", kb=gold, miss_rate=miss_rate)
+    pool = [s for s, nb in kb.adjacency.items() if len(nb) >= min_test_list_len]
+    picked = serial_hash_top_n(pool, test_size + n_shots)
+    test_keys = sorted(picked[n_shots:])
+    rows = []
+    for src in test_keys:
+        gold_list = [g.strip() for g in sorted(set(kb.adjacency[src]))]
+        pred = parse_entity_response(scorer._respond(src), gold_list)
+        pred, true = sort_and_pad(pred, gold_list, max_entity_list_len=k)
+        rows.extend(
+            {"src": src, "pred": p, "true": t} for p, t in zip(pred, true)
+        )
+    return (
+        pd.DataFrame(rows).sort_values(["src", "pred"]).reset_index(drop=True)
+    )
+
+
+def expected_kg_string_relation(
+    n_pairs_per_side: int = 50, flip_rate: float = 0.03
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_string_relation`` (tasks.string_relation_task)."""
+    kb = fixtures.make_kb()
+    pos_pairs = {
+        f"{min(a, b)}{_SEP}{max(a, b)}"
+        for a, nb in kb.adjacency.items()
+        for b in nb
+    }
+    scorer = MockScorer(kind="relation", kb=pos_pairs, flip_rate=flip_rate)
+    pos_keys = [
+        f"{a}{_SEP}{b}"
+        for a, nb in kb.adjacency.items()
+        for b in nb
+        if a < b
+    ]
+    neg_keys = [f"{a}{_SEP}{b}" for a, b in kb.negatome]
+    rows = []
+    for keys, label in [(pos_keys, "yes"), (neg_keys, "no")]:
+        for key in serial_hash_top_n(keys, n_pairs_per_side):
+            pred = parse_choice_response(scorer._respond(key), ["yes", "no"])
+            rows.append(
+                {"src": key.replace(_SEP, "|"), "pred": pred, "true": label}
+            )
+    return pd.DataFrame(rows).sort_values("src").reset_index(drop=True)
+
+
+def expected_kg_kegg_entity(
+    top_n: int = 8, k: int = 10, miss_rate: float = 0.03
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_kegg_entity`` (tasks.kegg_entity_task)."""
+    kb = fixtures.make_kb()
+    gold_map = {
+        kb.pathways[pid]: sorted({kb.gene_aliases[g][0] for g in gids})
+        for pid, gids in kb.pathway_genes.items()
+    }
+    scorer = MockScorer(kind="entity", kb=gold_map, miss_rate=miss_rate)
+    top = [kb.pathways[p] for p in kb.dose_ranking["low"][:top_n]]
+    rows = []
+    for pathway in sorted(top):
+        gold_list = sorted(set(gold_map[pathway]))
+        pred = parse_entity_response(scorer._respond(pathway), gold_list)
+        pred, true = sort_and_pad(pred, gold_list, max_entity_list_len=k)
+        rows.extend(
+            {"src": pathway, "pred": p, "true": t} for p, t in zip(pred, true)
+        )
+    return (
+        pd.DataFrame(rows).sort_values(["src", "pred"]).reset_index(drop=True)
+    )
+
+
+def expected_kg_indra_triples(
+    per_class: int = 8, flip_rate: float = 0.03
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_indra`` (tasks.indra_relation_type_task triples)."""
+    kb = fixtures.make_kb()
+    label_map = {
+        s["id"]: s["rel_type"] for split in kb.indra.values() for s in split
+    }
+    choices = list(INDRA_RELATION_TYPES[:6])
+    scorer = MockScorer(kind="relation_type", kb=label_map, flip_rate=flip_rate)
+    # M2 unique-mention filter on raw substring counts (readers.py:252-257)
+    stmts = [
+        s
+        for s in kb.indra["test"]
+        if s["text"].count(s["entity_1"][0]) == 1
+        and s["text"].count(s["entity_2"][0]) == 1
+    ]
+    by_class: dict[str, list[dict]] = {}
+    for s in stmts:
+        by_class.setdefault(s["rel_type"], []).append(s)
+    rows = []
+    for rel, members in by_class.items():
+        ids = {s["id"]: s for s in members}
+        for sid in serial_hash_top_n(list(ids), per_class):
+            s = ids[sid]
+            (e1, (s1, e1e)) = s["entity_1"][0], tuple(s["entity_1"][1])
+            (e2, (s2, e2e)) = s["entity_2"][0], tuple(s["entity_2"][1])
+            key = _SEP.join(
+                [sid, e1, str(s1), str(e1e), e2, str(s2), str(e2e)]
+            )
+            pred = parse_choice_response(scorer._respond(key), choices)
+            if pred != "none":
+                rows.append(
+                    {"subj": e1, "pred": pred, "obj": e2, "src_sha": sid}
+                )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["subj", "pred", "obj", "src_sha"])
+        .reset_index(drop=True)
+    )
+
+
+def entity_type_inputs() -> list[dict]:
+    """Deterministic (entity, text, answer) rows for the kg_entity_types
+    query: every fixture protein typed by cycling the choice list."""
+    kb = fixtures.make_kb()
+    return [
+        {
+            "entity": name,
+            "text": f"the protein {name} was assayed in vitro",
+            "answer": ENTITY_TYPE_CHOICES[i % len(ENTITY_TYPE_CHOICES)],
+        }
+        for i, name in enumerate(kb.proteins)
+    ]
+
+
+def expected_kg_entity_types(flip_rate: float = 0.02) -> pd.DataFrame:
+    """Serial walk of the kg_entity_types query (tasks.entity_type_task)."""
+    inputs = entity_type_inputs()
+    kb_types = {r["entity"]: r["answer"] for r in inputs}
+    scorer = MockScorer(
+        kind="containment",
+        kb=kb_types,
+        flip_rate=flip_rate,
+        choices=ENTITY_TYPE_CHOICES,
+    )
+    rows = [
+        {
+            "src": r["entity"],
+            "pred": parse_containment_response(
+                scorer._respond(r["entity"]), r["entity"], ENTITY_TYPE_CHOICES
+            ),
+            "true": r["answer"],
+        }
+        for r in inputs
+    ]
+    return pd.DataFrame(rows).sort_values("src").reset_index(drop=True)
+
+
+def expected_kg_chain_agreement(
+    test_size: int = 20,
+    n_shots: int = 1,
+    k: int = 10,
+    min_test_list_len: int = 10,
+    miss_rate: float = 0.1,
+    flip_rate: float = 0.02,
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_chain_agreement`` (entity task → chained yes/no
+    verify → full result_comparer aggregate, flattened)."""
+    kb = fixtures.make_kb()
+    gold = {s: sorted(nb) for s, nb in kb.adjacency.items()}
+    ent_scorer = MockScorer(kind="entity", kb=gold, miss_rate=miss_rate)
+    pool = [s for s, nb in kb.adjacency.items() if len(nb) >= min_test_list_len]
+    picked = serial_hash_top_n(pool, test_size + n_shots)
+    ent_rows = []
+    for src in picked[n_shots:]:
+        gold_list = [g.strip() for g in sorted(set(kb.adjacency[src]))]
+        pred = parse_entity_response(ent_scorer._respond(src), gold_list)
+        pred, true = sort_and_pad(pred, gold_list, max_entity_list_len=k)
+        ent_rows.extend(
+            {"src": src, "pred": p, "true": t} for p, t in zip(pred, true)
+        )
+    pos_pairs = {
+        f"{min(a, b)}{_SEP}{max(a, b)}" for a, nb in gold.items() for b in nb
+    }
+    rel_scorer = MockScorer(kind="relation", kb=pos_pairs, flip_rate=flip_rate)
+    chained = [r for r in ent_rows if r["pred"] != "NONE"]
+    merged = []
+    for r in chained:
+        key = f"{r['src']}{_SEP}{r['pred']}"
+        rel_pred = parse_choice_response(rel_scorer._respond(key), ["yes", "no"])
+        merged.append(
+            {"ent_ok": r["pred"] == r["true"], "rel_ok": rel_pred == "yes"}
+        )
+    m = pd.DataFrame(merged)
+    n = len(m)
+    n_yes = int(m["rel_ok"].sum()) if n else 0
+    agree = (m["ent_ok"] == m["rel_ok"]) if n else pd.Series(dtype=bool)
+    sub = m[m["ent_ok"]] if n else m
+    flat = {
+        "n_pairs": n,
+        "n_confirmed": n_yes,
+        "agreement": n_yes / n if n else 0.0,
+        "joint_accuracy": float(agree.mean()) if n else 0.0,
+        "n_joint_agree": int(agree.sum()) if n else 0,
+        "joint_micro_f1": float(agree.mean()) if n else 0.0,
+        "n_entity_correct": len(sub),
+        "entity_correct_accuracy": float(sub["rel_ok"].mean()) if len(sub) else 0.0,
+        "entity_correct_micro_f1": float(sub["rel_ok"].mean()) if len(sub) else 0.0,
+        "confusion_yes_yes": int(sub["rel_ok"].sum()) if len(sub) else 0,
+        "confusion_yes_no": int((~sub["rel_ok"]).sum()) if len(sub) else 0,
+        "confusion_no_yes": 0,
+        "confusion_no_no": 0,
+    }
+    return pd.DataFrame([flat])
+
+
+# The marker lexicons of functions.text.detect_language, rendered as SQL
+# VALUES; priority = iteration order (ties resolve to the earliest lang).
+def language_id_sql() -> str:
+    from .functions.text import _LANG_MARKERS
+
+    markers = ",\n".join(
+        f"('{lang}', {prio}, '{w}')"
+        for prio, (lang, words) in enumerate(_LANG_MARKERS.items())
+        for w in sorted(words)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents),
+        m AS (SELECT * FROM (VALUES
+{markers}
+        ) AS v(lang, prio, token)),
+        hits AS (
+            SELECT t.doc_id, m.lang, m.prio, count(*) AS n
+            FROM toks t JOIN m ON t.token = m.token
+            GROUP BY 1, 2, 3),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n DESC, prio) AS rk
+            FROM hits)
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_detected
+        FROM documents d
+        LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+    """
+
+
+def values_sql(df: pd.DataFrame) -> str:
+    """Render a small DataFrame as a DuckDB VALUES relation (full oracle)."""
+    if len(df) == 0:
+        cols = ", ".join(f'NULL AS "{c}"' for c in df.columns)
+        return f"SELECT {cols} WHERE FALSE"
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (bool, np.bool_)):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating)):
+            return repr(float(v))
+        raise TypeError(f"unsupported oracle literal type: {type(v)}")
+
+    rows = ",\n".join(
+        "(" + ", ".join(lit(v) for v in rec) + ")"
+        for rec in df.itertuples(index=False)
+    )
+    cols = ", ".join(f'"{c}"' for c in df.columns)  # "true" etc. are reserved
+    return f"SELECT * FROM (VALUES\n{rows}\n) AS t({cols})"

@@ -468,24 +468,24 @@ def word_frequency(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
 
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     """Quality-scoring features; ratios are exact integer-count divisions."""
-    import re
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    alpha_re = re.compile(r"[A-Za-z]")
-    punct_re = re.compile(r"[^A-Za-z0-9_\s]")
 
     def features(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
         )
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
-        n_alpha = pa.array(
-            [len(alpha_re.findall(t)) for t in texts], type=pa.int64()
+        # vectorized RE2 counts (ASCII classes match the DuckDB oracle)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"[A-Za-z]"),
+            pa.int64(),
         )
-        n_punct = pa.array(
-            [len(punct_re.findall(t)) for t in texts], type=pa.int64()
+        n_punct = pc.cast(
+            pc.count_substring_regex(
+                batch["text"], pattern=r"[^A-Za-z0-9_\s]"
+            ),
+            pa.int64(),
         )
         nc = pc.cast(n_chars, pa.float64())
         return pa.table(

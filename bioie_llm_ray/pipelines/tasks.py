@@ -555,3 +555,166 @@ def containment_task(
         predictions=predictions,
         triples=predictions.map_batches(to_triples, batch_format="pyarrow"),
     )
+
+
+# --------------------------------------------- kbase entity_type (run_model)
+
+
+def entity_type_task(
+    statements: ray.data.Dataset,
+    choices: list[str],
+    scorer_cls=MockScorer,
+    scorer_kwargs: dict | None = None,
+    templates: PromptTemplates | None = None,
+    concurrency: int | tuple[int, int] = (1, 2),
+    batch_size: int = 256,
+) -> TaskResult:
+    """kbase ``entity_type`` task (run_model.py:549, dispatch 563-565).
+
+    Input rows: (entity, text, answer).  The prompt is the family's
+    ``entity_type_q`` ({entity}, {text}, {choices}); the response is parsed
+    by substring containment (M11, base_processor.py:1309-1332).
+    """
+    from ..functions.parsing import parse_containment_response
+
+    templates = templates or get_templates("default", "string")
+    choices_str = ", ".join(choices)
+
+    def format_prompts(batch: pa.Table) -> pa.Table:
+        ents = batch["entity"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "entity": batch["entity"],
+                "text": pa.array(
+                    [
+                        templates.entity_type_q.format(
+                            entity=e, text=t, choices=choices_str
+                        )
+                        for e, t in zip(ents, texts)
+                    ],
+                    type=pa.string(),
+                ),
+                "answer": batch["answer"],
+            }
+        )
+
+    prompts = statements.map_batches(format_prompts, batch_format="pyarrow")
+    scored = prompts.map_batches(
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs or {},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        preds = [
+            parse_containment_response(resp, ent, choices)
+            for resp, ent in zip(
+                batch["response"].to_pylist(), batch["entity"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "src": batch["entity"],
+                "pred": pa.array(preds, type=pa.string()),
+                "true": batch["answer"],
+            }
+        )
+
+    predictions = scored.map_batches(parse, batch_format="pyarrow")
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.not_equal(batch["pred"], "None"))
+        return pa.table(
+            {
+                "subj": keep["src"],
+                "pred": pa.array(["has_type"] * len(keep), type=pa.string()),
+                "obj": keep["pred"],
+                "src_sha": pa.array([""] * len(keep), type=pa.string()),
+            }
+        )
+
+    return TaskResult(
+        predictions=predictions,
+        triples=predictions.map_batches(to_triples, batch_format="pyarrow"),
+    )
+
+
+def entity_and_entity_type_task(
+    docs: ray.data.Dataset,
+    choices: list[str],
+    scorer_cls=MockScorer,
+    scorer_kwargs: dict | None = None,
+    templates: PromptTemplates | None = None,
+    concurrency: int | tuple[int, int] = (1, 2),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """kbase ``entity_and_entity_type`` open extraction (run_model.py:549,
+    737-739).
+
+    Input rows: (doc_id, text, answer: list<string> of 'Name (type)').
+    Output rows: (src, pred_entity, pred_type, hit) — one per extracted
+    pair, ``hit`` true when the pair appears in the gold list.  The
+    reference does not align/score this task; it dumps raw JSON
+    (run_model.py:752-762) — see ``state.legacy.write_raw_results_json``.
+    """
+    from ..functions.parsing import parse_entity_type_pairs
+
+    templates = templates or get_templates("default", "string")
+    choices_str = ", ".join(choices)
+
+    import pyarrow.compute as _pc
+
+    def format_prompts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": _pc.cast(batch["doc_id"], pa.string()),
+                "text": pa.array(
+                    [
+                        templates.entity_and_entity_type_q.format(
+                            text=t, choices=choices_str
+                        )
+                        for t in batch["text"].to_pylist()
+                    ],
+                    type=pa.string(),
+                ),
+                "answer": batch["answer"],
+            }
+        )
+
+    prompts = docs.map_batches(format_prompts, batch_format="pyarrow")
+    scored = prompts.map_batches(
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs or {},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        srcs, ents, typs, hits = [], [], [], []
+        for src, resp, gold in zip(
+            batch["entity"].to_pylist(),
+            batch["response"].to_pylist(),
+            batch["answer"].to_pylist(),
+        ):
+            gold_set = set(gold or [])
+            for name, typ in parse_entity_type_pairs(resp):
+                srcs.append(src)
+                ents.append(name)
+                typs.append(typ)
+                hits.append(f"{name} ({typ})" in gold_set)
+        return pa.table(
+            {
+                "src": pa.array(srcs, type=pa.string()),
+                "pred_entity": pa.array(ents, type=pa.string()),
+                "pred_type": pa.array(typs, type=pa.string()),
+                "hit": pa.array(hits, type=pa.bool_()),
+            }
+        )
+
+    return scored.map_batches(parse, batch_format="pyarrow")

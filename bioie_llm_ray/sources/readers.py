@@ -81,16 +81,24 @@ def build_edges(links: ray.data.Dataset, id_to_name: dict[str, str]) -> ray.data
     matching string_reader.py:112-120 which inserts both.
     """
 
+    def _map_ids(col) -> pa.Array:
+        # dictionary-encode: the Python dict lookup runs once per UNIQUE id
+        # in the batch (≤ vocabulary size), then a take() fans the mapped
+        # names back out over all rows at C speed.
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        uniq_names = pa.array(
+            [id_to_name[x] for x in enc.dictionary.to_pylist()],
+            type=pa.string(),
+        )
+        return uniq_names.take(enc.indices)
+
     def substitute(batch: pa.Table) -> pa.Table:
-        # dictionary-encode then map unique values only (vectorized lookup)
-        src = batch["protein_1_id"].to_pylist()
-        dst = batch["protein_2_id"].to_pylist()
-        src_n = [id_to_name[x] for x in src]
-        dst_n = [id_to_name[x] for x in dst]
         return pa.table(
             {
-                "src": pa.array(src_n, type=pa.string()),
-                "dst": pa.array(dst_n, type=pa.string()),
+                "src": _map_ids(batch["protein_1_id"]),
+                "dst": _map_ids(batch["protein_2_id"]),
             }
         )
 

@@ -94,6 +94,16 @@ class MockScorer:
                 idx = int(_stable_frac(f"pick|{key}") * len(self.choices))
                 label = self.choices[idx % len(self.choices)]
             return f"I would say this describes a {label} event overall."
+        if self.kind == "entity_and_entity_type":
+            # open extraction: kb = {doc_id: ["Name (type)", ...]}; each gold
+            # mention dropped with prob miss_rate (hash-stable)
+            gold = self.kb.get(key, [])
+            kept = [
+                g
+                for g in gold
+                if _stable_frac(f"miss|{key}|{g}") >= self.miss_rate
+            ]
+            return "Answer: " + ", ".join(kept)
         if self.kind == "relation_type":
             # prompt rows pack (id, e1, span, e2, span) into the key; the
             # statement id is the first \x1f-segment

@@ -69,3 +69,26 @@ def write_result_file(
             f.write("<< Original texts >>\n")
             for i, (a, p, t) in enumerate(orig, 1):
                 f.write(f">> No: {i}\n>> Entity: {a}\n>> Pred: {p}\n>> True: {t}\n")
+
+
+def write_raw_results_json(results: "ray.data.Dataset | list | dict", path: str) -> str:
+    """K4: raw JSON dump of a task's results (run_model.py:752-762).
+
+    The reference json.dumps the ``entity_and_entity_type`` task's
+    preprocessed results into one ``*_result_<ts>.txt`` file.  Accepts a
+    (small, task-scale) predictions Dataset, a row list, or any
+    JSON-serializable object; Dataset rows are materialized on the driver —
+    task outputs are bounded by test_sample_size, not corpus size.
+    """
+    import json
+
+    try:
+        import ray
+
+        if isinstance(results, ray.data.Dataset):
+            results = results.take_all()
+    except ImportError:  # pragma: no cover
+        pass
+    with open(path, "w") as f:
+        json.dump(results, f)
+    return path
