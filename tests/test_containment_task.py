@@ -177,3 +177,187 @@ class TestHFScorerContract:
     def test_raises_clearly_without_transformers(self):
         with pytest.raises(NotImplementedError, match="transformers"):
             HFScorer("any-model")
+
+
+# --------------------------------------------------------------------------
+# Fake transformers/torch: exercise the M7/M8 tokenize -> generate ->
+# prompt-length slice -> decode path without real torch (VERDICT round-1 #7).
+# --------------------------------------------------------------------------
+import contextlib
+from types import SimpleNamespace
+
+
+class _FakeEncoding(dict):
+    def to(self, device):
+        return self
+
+
+class _FakeTokenizer:
+    PAD = 0
+
+    def __init__(self):
+        self.id_to_tok = {self.PAD: "<pad>"}
+        self.tok_to_id = {"<pad>": self.PAD}
+        self.padding_side = None
+        self.truncation_side = "right"
+        self.pad_token_id = None
+        self.bos_token_id = 101
+        self.eos_token_id = 102
+        self.unk_token_id = 103
+        self.added = []
+
+    @classmethod
+    def from_pretrained(cls, model_id):
+        t = cls()
+        t.model_id = model_id
+        return t
+
+    def add_special_tokens(self, mapping):
+        self.added.append(mapping)
+        self.pad_token_id = 999
+
+    def add_tokens(self, toks):
+        self.added.extend(toks)
+
+    def __len__(self):
+        return 1000 + len(self.added)
+
+    def _id(self, tok):
+        if tok not in self.tok_to_id:
+            i = len(self.tok_to_id) + 10
+            self.tok_to_id[tok] = i
+            self.id_to_tok[i] = tok
+        return self.tok_to_id[tok]
+
+    def __call__(self, prompts, return_tensors, padding, truncation):
+        import numpy as np
+
+        seqs = [[self._id(w) for w in p.split()] for p in prompts]
+        width = max(len(s) for s in seqs)
+        ids = np.full((len(seqs), width), self.PAD, dtype=np.int64)
+        for r, s in enumerate(seqs):
+            if self.padding_side == "left":
+                ids[r, width - len(s) :] = s
+            else:
+                ids[r, : len(s)] = s
+        return _FakeEncoding(input_ids=ids)
+
+    def batch_decode(self, gen, skip_special_tokens=True):
+        return [
+            " ".join(
+                self.id_to_tok[int(i)] for i in row if int(i) != self.PAD
+            )
+            for row in gen
+        ]
+
+
+class _FakeModel:
+    def __init__(self):
+        self.device = "cpu"
+        self.config = SimpleNamespace(pad_token_id=None)
+        self.resized = None
+        self.load_kwargs = {}
+
+    @classmethod
+    def from_pretrained(cls, model_id, **kwargs):
+        m = cls()
+        m.model_id = model_id
+        m.load_kwargs = kwargs
+        return m
+
+    def resize_token_embeddings(self, n):
+        self.resized = n
+
+    def generate(self, input_ids=None, generation_config=None, **kw):
+        import numpy as np
+
+        # echo the prompt then "generate" its last real token again
+        return np.concatenate([input_ids, input_ids[:, -1:]], axis=1)
+
+
+class _FakeSeq2Seq(_FakeModel):
+    def generate(self, input_ids=None, generation_config=None, **kw):
+        # seq2seq models emit ONLY the generation
+        return input_ids[:, -1:]
+
+
+class _FakeGenConfig(SimpleNamespace):
+    @classmethod
+    def from_pretrained(cls, model_id):
+        return cls(source=model_id)
+
+
+def _fake_mods():
+    transformers = SimpleNamespace(
+        AutoTokenizer=_FakeTokenizer,
+        AutoModelForCausalLM=_FakeModel,
+        AutoModelForSeq2SeqLM=_FakeSeq2Seq,
+        GenerationConfig=_FakeGenConfig,
+    )
+    torch = SimpleNamespace(no_grad=contextlib.nullcontext)
+    return transformers, torch
+
+
+class TestHFScorerWithFakeTransformers:
+    def _scorer(self, model_id, **kw):
+        tr, to = _fake_mods()
+        return HFScorer(model_id, transformers_mod=tr, torch_mod=to, **kw)
+
+    def test_generate_slice_decode_roundtrip(self):
+        """M8: the echoed prompt is sliced off, only the generation decodes."""
+        import pyarrow as pa
+
+        s = self._scorer("some/unknown-model")
+        t = pa.table(
+            {"text": ["what proteins bind TP53", "does MDM2 interact yes"]}
+        )
+        out = s(t)
+        # fake model 'generates' the last prompt token; if the slice were
+        # wrong the whole prompt would leak into the response
+        assert out["response"].to_pylist() == ["TP53", "yes"]
+        assert s.tokenizer.padding_side == "left"
+
+    def test_llama2_spec(self):
+        s = self._scorer("meta-llama/Llama-2-7b-chat-hf")
+        assert s.tokenizer.truncation_side == "left"
+        assert {"pad_token": "<PAD>"} in s.tokenizer.added
+        assert s.model.resized == len(s.tokenizer)
+        assert s.generation_config.temperature == 1.0
+        assert s.model.config.pad_token_id == 999
+
+    def test_galactica_fixed_ids(self):
+        s = self._scorer("facebook/galactica-6.7b")
+        assert (
+            s.tokenizer.bos_token_id,
+            s.tokenizer.pad_token_id,
+            s.tokenizer.eos_token_id,
+        ) == (0, 1, 2)
+
+    def test_mpt_tokenizer_and_trust(self):
+        s = self._scorer("mosaicml/mpt-7b")
+        assert s.tokenizer.model_id == "EleutherAI/gpt-neox-20b"
+        assert s.model.load_kwargs.get("trust_remote_code") is True
+        assert s.tokenizer.pad_token_id == s.tokenizer.eos_token_id
+        assert s.generation_config.use_cache is True
+
+    def test_mistral_pad_is_unk(self):
+        s = self._scorer("mistralai/Mistral-7B-v0.1")
+        assert s.tokenizer.pad_token_id == s.tokenizer.unk_token_id
+
+    def test_rst_seq2seq_no_slice(self):
+        import pyarrow as pa
+
+        s = self._scorer("XLab/rst-all-11b")
+        assert isinstance(s.model, _FakeSeq2Seq)
+        assert s.generation_config.source == "t5-large"
+        out = s(pa.table({"text": ["classify this relation now"]}))
+        assert out["response"].to_pylist() == ["now"]
+
+    def test_biomedlm_gen_ids(self):
+        s = self._scorer("stanford-crfm/BioMedLM")
+        assert s.generation_config.source == "gpt2"
+        assert s.generation_config.pad_token_id == 28895
+
+    def test_quantization_flags(self):
+        s = self._scorer("tiiuae/falcon-7b", quantization="4bit")
+        assert s.model.load_kwargs.get("load_in_4bit") is True
