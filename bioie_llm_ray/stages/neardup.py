@@ -277,20 +277,35 @@ def verify_jaccard_pairs_join(
     text_col: str = "text",
     id_type: pa.DataType | None = None,
     n_buckets: int = 32,
+    max_broadcast_ids: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Scale path for pair verification: re-fetch text via two shuffle joins.
 
     ``verify_jaccard_pairs`` broadcasts an id→text dict — an OOM when the
     corpus no longer fits on the driver.  Here the text side streams: join
     candidates to ``docs`` on ``id_a`` (text_a), then on ``id_b`` (text_b),
-    then one vectorized Jaccard pass per batch.  Candidate pairs are a tiny
-    fraction of the corpus, so both joins are skewless hash-bucket shuffles
-    whose payload is bounded by |pairs| + |docs| rows.
+    then one vectorized Jaccard pass per batch.
+
+    When the candidate id set is small enough to broadcast (ids only — no
+    text; the common case, since LSH emits m−1 chain pairs per bucket), the
+    docs side is semi-filtered against it BEFORE the joins, so the shuffles
+    move ≤ 2·|pairs| text rows instead of the whole corpus.  Above
+    ``max_broadcast_ids`` distinct ids the pre-filter is skipped and the
+    full corpus streams through the bucketed joins — still no driver
+    materialization of text in either mode.
     """
-    from .join import shuffle_join
+    from .join import anti_semi_filter, shuffle_join
 
     if id_type is None:
         id_type = pa.int64()
+
+    pairs = pairs.materialize()  # consumed by both joins; candidates are small
+    if pairs.count() * 2 <= max_broadcast_ids:
+        id_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+        id_set = {str(r["id_a"]) for r in id_rows} | {
+            str(r["id_b"]) for r in id_rows
+        }
+        docs = anti_semi_filter(docs, id_set, keys=id_col)
 
     def side(col_id: str, col_text: str):
         def rename(batch: pa.Table) -> pa.Table:
