@@ -222,6 +222,45 @@ def _kg_chain_agreement(sf_dir: str):
     return pd.DataFrame([flat])
 
 
+def _kg_kegg_relation(sf_dir: str):
+    """Composed KEGG relation task with generated negatives (latent J4,
+    kegg_processor.py:140-157)."""
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    from bioie_llm_ray.pipelines import tasks
+    from bioie_llm_ray.sources import readers
+
+    membership = readers.read_kegg_pathway_genes(
+        os.path.join(base, "KEGG/kegg.hsa.pathway.genes")
+    )
+    genes = readers.read_kegg_genes(os.path.join(base, "KEGG/kegg.hsa.genes"))
+    paths = readers.read_kegg_pathways(os.path.join(base, "KEGG/kegg.pathway.hsa"))
+    gmap = {r["gene_id"]: list(r["aliases"]) for r in genes.take_all()}
+    pmap = {r["pathway_id"]: r["pathway_name"] for r in paths.take_all()}
+    pos_key_set = {
+        f"{g}\x1f{pmap[r['pathway_id']]}"
+        for r in membership.take_all()
+        for g in gmap[r["gene_id"]]
+    }
+    res = tasks.kegg_relation_task(
+        readers.read_kegg_pathway_genes(
+            os.path.join(base, "KEGG/kegg.hsa.pathway.genes")
+        ),
+        gmap,
+        pmap,
+        n_pairs_per_side=50,
+        scorer_kwargs={
+            "kind": "relation",
+            "kb": ray.put(pos_key_set),
+            "flip_rate": 0.03,
+        },
+    )
+    out = res.predictions.to_pandas()
+    out["src"] = out["src"].str.replace("\x1f", "|")
+    return out.sort_values("src").reset_index(drop=True)
+
+
 def _kg_entity_types(sf_dir: str):
     """kbase entity_type task (run_model.py:549) over fixture proteins."""
     from bioie_llm_ray.oracle import ENTITY_TYPE_CHOICES, entity_type_inputs
@@ -329,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_string_entity": _kg_string_entity,
         "kg_string_relation": _kg_string_relation,
         "kg_kegg_entity": _kg_kegg_entity,
+        "kg_kegg_relation": _kg_kegg_relation,
         "kg_indra_triples": _kg_indra,
         "kg_entity_types": _kg_entity_types,
         "kg_chain_agreement": _kg_chain_agreement,
@@ -349,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_string_entity": O.values_sql(O.expected_kg_string_entity()),
         "kg_string_relation": O.values_sql(O.expected_kg_string_relation()),
         "kg_kegg_entity": O.values_sql(O.expected_kg_kegg_entity()),
+        "kg_kegg_relation": O.values_sql(O.expected_kg_kegg_relation()),
         "kg_indra_triples": O.values_sql(O.expected_kg_indra_triples()),
         "kg_entity_types": O.values_sql(O.expected_kg_entity_types()),
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),

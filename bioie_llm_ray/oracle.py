@@ -126,6 +126,39 @@ def expected_kg_kegg_entity(
     )
 
 
+def expected_kg_kegg_relation(
+    n_pairs_per_side: int = 50, flip_rate: float = 0.03
+) -> pd.DataFrame:
+    """Serial walk of ``_kg_kegg_relation`` (tasks.kegg_relation_task)."""
+    kb = fixtures.make_kb()
+    pos_keys = {
+        f"{alias}{_SEP}{kb.pathways[pid]}"
+        for pid, gids in kb.pathway_genes.items()
+        for gid in gids
+        for alias in kb.gene_aliases[gid]
+    }
+    member_gids = {g for gids in kb.pathway_genes.values() for g in gids}
+    member_aliases = {
+        a for gid in member_gids for a in kb.gene_aliases[gid]
+    }
+    pathways = sorted(set(kb.pathways.values()))
+    neg_keys = [
+        f"{a}{_SEP}{p}"
+        for a in sorted(member_aliases)
+        for p in pathways
+        if f"{a}{_SEP}{p}" not in pos_keys
+    ]
+    scorer = MockScorer(kind="relation", kb=pos_keys, flip_rate=flip_rate)
+    rows = []
+    for keys, label in [(sorted(pos_keys), "yes"), (neg_keys, "no")]:
+        for key in serial_hash_top_n(keys, n_pairs_per_side):
+            pred = parse_choice_response(scorer._respond(key), ["yes", "no"])
+            rows.append(
+                {"src": key.replace(_SEP, "|"), "pred": pred, "true": label}
+            )
+    return pd.DataFrame(rows).sort_values("src").reset_index(drop=True)
+
+
 def expected_kg_indra_triples(
     per_class: int = 8, flip_rate: float = 0.03
 ) -> pd.DataFrame:

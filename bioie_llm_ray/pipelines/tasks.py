@@ -367,6 +367,173 @@ def kegg_entity_task(
     return TaskResult(predictions=predictions, triples=triples)
 
 
+def kegg_relation_task(
+    membership: ray.data.Dataset,
+    gene_alias_map: dict[str, list[str]],
+    pathway_name_map: dict[str, str],
+    n_pairs_per_side: int = 50,
+    scorer_cls=MockScorer,
+    scorer_kwargs: dict | None = None,
+    templates: PromptTemplates | None = None,
+    concurrency: int | tuple[int, int] = (1, 2),
+    batch_size: int = 256,
+) -> TaskResult:
+    """Composed KEGG relation task with GENERATED negatives (the latent J4
+    flow, kegg_processor.py:140-157: 17,552 pos / 190,148 neg at real scale).
+
+    Positives: every (gene alias, pathway) membership edge — the reference
+    adds every alias of every member gene.  Negatives: the gene × pathway
+    cross product minus the positive set, built per-batch against the
+    broadcast pathway list and anti-joined against the broadcast positive
+    key set (``anti_semi_filter``, J4) — the cross product never
+    materializes.  Both sides sample via distributed hash top-n.
+
+    ``membership``: Dataset (gene_id, pathway_id); the alias and
+    pathway-name maps are KB-sized broadcast sides (J2).
+    """
+    import pyarrow.compute as pc
+
+    templates = templates or get_templates("default", "kegg")
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        genes, paths = [], []
+        for gid, pid in zip(
+            batch["gene_id"].to_pylist(), batch["pathway_id"].to_pylist()
+        ):
+            pname = pathway_name_map[pid]
+            for alias in gene_alias_map[gid]:
+                genes.append(alias)
+                paths.append(pname)
+        return pa.table(
+            {
+                "gene": pa.array(genes, type=pa.string()),
+                "pathway": pa.array(paths, type=pa.string()),
+            }
+        )
+
+    pos = membership.map_batches(explode_pos, batch_format="pyarrow")
+    # positive key set: KB-sized like the alias/name maps themselves
+    # (17,552 keys at real KEGG scale) — a legitimate broadcast side
+    edges = membership.select_columns(["gene_id", "pathway_id"]).take_all()
+    pos_keys = ray.put(
+        {
+            f"{g}{_PAIR_SEP}{pathway_name_map[e['pathway_id']]}"
+            for e in edges
+            for g in gene_alias_map[e["gene_id"]]
+        }
+    )
+
+    # negative generation: distinct member aliases × broadcast pathway list,
+    # anti-filtered against the positive key set.  The gene vocabulary is
+    # KB-sized (run over the distinct gene_id side, not the corpus).
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import anti_semi_filter
+
+    pathways = sorted(set(pathway_name_map.values()))
+    distinct_genes = exact_dedup(
+        membership.select_columns(["gene_id"]), ["gene_id"]
+    )
+
+    def cross(batch: pa.Table) -> pa.Table:
+        genes, paths = [], []
+        seen = set()
+        for gid in batch["gene_id"].to_pylist():
+            for alias in gene_alias_map[gid]:
+                if alias in seen:
+                    continue
+                seen.add(alias)
+                for p in pathways:
+                    genes.append(alias)
+                    paths.append(p)
+        return pa.table(
+            {
+                "gene": pa.array(genes, type=pa.string()),
+                "pathway": pa.array(paths, type=pa.string()),
+            }
+        )
+
+    neg = anti_semi_filter(
+        distinct_genes.map_batches(cross, batch_format="pyarrow"),
+        pos_keys,
+        keys=["gene", "pathway"],
+        anti=True,
+    )
+
+    from ..stages.sample import distributed_hash_top_n
+
+    def sample_side(ds: ray.data.Dataset, label: str) -> pa.Table:
+        t = distributed_hash_top_n(ds, ["gene", "pathway"], n_pairs_per_side)
+        t = t.select(["gene", "pathway"])
+        return t.append_column(
+            "answer", pa.array([label] * len(t), type=pa.string())
+        )
+
+    pairs = ray.data.from_arrow(
+        pa.concat_tables([sample_side(pos, "yes"), sample_side(neg, "no")])
+    )
+
+    def format_prompts(batch: pa.Table) -> pa.Table:
+        g = batch["gene"].to_pylist()
+        p = batch["pathway"].to_pylist()
+        return pa.table(
+            {
+                "entity": pa.array(
+                    [f"{a}{_PAIR_SEP}{b}" for a, b in zip(g, p)],
+                    type=pa.string(),
+                ),
+                "text": pa.array(
+                    [
+                        templates.relation_q.format(e1=a, e2=b)
+                        for a, b in zip(g, p)
+                    ],
+                    type=pa.string(),
+                ),
+                "answer": batch["answer"],
+            }
+        )
+
+    prompts = pairs.map_batches(format_prompts, batch_format="pyarrow")
+    scored = prompts.map_batches(
+        scorer_cls,
+        fn_constructor_kwargs=scorer_kwargs or {},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        preds = [
+            parse_choice_response(r, ["yes", "no"])
+            for r in batch["response"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "src": batch["entity"],
+                "pred": pa.array(preds, type=pa.string()),
+                "true": batch["answer"],
+            }
+        )
+
+    predictions = scored.map_batches(parse, batch_format="pyarrow")
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["pred"], "yes"))
+        parts = [s.split(_PAIR_SEP) for s in keep["src"].to_pylist()]
+        return pa.table(
+            {
+                "subj": pa.array([p[0] for p in parts], type=pa.string()),
+                "pred": pa.array(["member_of"] * len(parts), type=pa.string()),
+                "obj": pa.array([p[1] for p in parts], type=pa.string()),
+                "src_sha": pa.array([""] * len(parts), type=pa.string()),
+            }
+        )
+
+    return TaskResult(
+        predictions=predictions,
+        triples=predictions.map_batches(to_triples, batch_format="pyarrow"),
+    )
+
+
 # ------------------------------------------------------------------ INDRA task
 
 

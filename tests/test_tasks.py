@@ -114,6 +114,53 @@ class TestStringRelation:
         assert res.triples.count() == n_yes
 
 
+class TestKeggRelation:
+    def test_generated_negatives_balanced(self, kb_env):
+        """Latent J4 flow (kegg_processor.py:140-157): positives from
+        membership aliases, negatives = gene x pathway minus positives."""
+        base, kb, _ = kb_env
+        membership = readers.read_kegg_pathway_genes(
+            os.path.join(base, "KEGG/kegg.hsa.pathway.genes")
+        )
+        genes = readers.read_kegg_genes(os.path.join(base, "KEGG/kegg.hsa.genes"))
+        paths = readers.read_kegg_pathways(
+            os.path.join(base, "KEGG/kegg.pathway.hsa")
+        )
+        gmap = {r["gene_id"]: list(r["aliases"]) for r in genes.take_all()}
+        pmap = {r["pathway_id"]: r["pathway_name"] for r in paths.take_all()}
+        pos_keys = {
+            f"{g}{PAIR_SEP}{pmap[r['pathway_id']]}"
+            for r in membership.take_all()
+            for g in gmap[r["gene_id"]]
+        }
+        res = tasks.kegg_relation_task(
+            readers.read_kegg_pathway_genes(
+                os.path.join(base, "KEGG/kegg.hsa.pathway.genes")
+            ),
+            gmap,
+            pmap,
+            n_pairs_per_side=20,
+            scorer_kwargs={
+                "kind": "relation",
+                "kb": ray.put(pos_keys),
+                "flip_rate": 0.0,
+            },
+        )
+        rows = res.predictions.take_all()
+        assert len(rows) == 40
+        by_true = {"yes": 0, "no": 0}
+        for r in rows:
+            by_true[r["true"]] += 1
+            assert r["pred"] == r["true"]  # noise-free scorer is exact
+            gene, pathway = r["src"].split(PAIR_SEP)
+            key = f"{gene}{PAIR_SEP}{pathway}"
+            assert (key in pos_keys) == (r["true"] == "yes")
+        assert by_true == {"yes": 20, "no": 20}
+        # triples carry member_of edges for predicted-yes pairs only
+        t = res.triples.take_all()
+        assert len(t) == 20 and all(r["pred"] == "member_of" for r in t)
+
+
 class TestKeggEntity:
     def test_top_n_and_parity(self, kb_env):
         base, kb, _ = kb_env
