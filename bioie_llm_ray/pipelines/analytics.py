@@ -690,6 +690,22 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def knn_self_join_exact(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k neighbors for EVERY vector (exact mode: n_probe = n_centroids).
+
+    The distributed self-join path — corpus co-partitioned with itself by
+    IVF cell, no broadcast query matrix; see ``similarity.knn_self_join``.
+    """
+    from ..stages.similarity import knn_self_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_self_join(
+        ds, k=k, n_centroids=16, n_probe=16
+    ).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     """Approximate IVF variant — rows-only oracle (recall measured in tests)."""
     from ..stages.similarity import ivf_topk

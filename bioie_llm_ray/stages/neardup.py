@@ -522,19 +522,44 @@ def simhash_neardup_pairs(
 
 
 class EmbeddingLSH:
-    """Actor: embedding list<float> → sign-bucket id (random hyperplanes)."""
+    """Actor: embedding list<float> → T sign-bucket ids (one per hash table).
 
-    def __init__(self, dim: int, n_planes: int = 16, emb_col: str = "embedding", seed: int = 42):
+    Multi-table random-hyperplane LSH: a near-dup pair straddling one
+    table's hyperplane boundary still collides in another table, so recall
+    rises as 1-(1-p^b)^T rather than the single-table p^b.  Each input row
+    explodes to ``n_tables`` (table_id, bucket) rows; the embedding travels
+    with the row for the within-bucket verify.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        n_planes: int = 16,
+        n_tables: int = 1,
+        emb_col: str = "embedding",
+        seed: int = 42,
+    ):
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        # (T, dim, n_planes): independent hyperplane sets per table
+        self.planes = rng.randn(n_tables, dim, n_planes).astype(np.float32)
+        self.n_tables = n_tables
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False))
-        signs = (emb @ self.planes) > 0  # (n, n_planes)
-        powers = (1 << np.arange(signs.shape[1], dtype=np.int64))
-        bucket = signs.astype(np.int64) @ powers
-        return batch.append_column("lsh_bucket", pa.array(bucket))
+        n = len(emb)
+        powers = 1 << np.arange(self.planes.shape[2], dtype=np.int64)
+        tables, buckets = [], []
+        for t in range(self.n_tables):
+            signs = (emb @ self.planes[t]) > 0
+            buckets.append(signs.astype(np.int64) @ powers)
+            tables.append(np.full(n, t, dtype=np.int32))
+        out = batch.take(
+            pa.array(np.tile(np.arange(n, dtype=np.int64), self.n_tables))
+        )
+        return out.append_column(
+            "lsh_table", pa.array(np.concatenate(tables))
+        ).append_column("lsh_bucket", pa.array(np.concatenate(buckets)))
 
 
 def embedding_neardup_pairs(
@@ -542,43 +567,113 @@ def embedding_neardup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int | tuple[int, int] = 2,
+    n_hash_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Cosine near-dup pairs via LSH sign buckets + within-bucket verify."""
+    """Cosine near-dup pairs via multi-table LSH sign buckets + verify.
+
+    Bucket-group pattern: the shuffle key is ``hash(table|bucket) % B``
+    (bounded reducers, not one group per LSH bucket); each reducer runs a
+    vectorized per-(table,bucket) pairwise verify.  Pairs found by several
+    tables dedup via the bucketed exact_dedup, keeping one cosine.
+    """
+    from ..functions.hashing import hash_bucket
+
     bucketed = ds.map_batches(
         EmbeddingLSH,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "emb_col": emb_col},
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "emb_col": emb_col,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{t}|{b}"
+            for t, b in zip(
+                batch["lsh_table"].to_pylist(), batch["lsh_bucket"].to_pylist()
             )
-        emb = np.stack(group[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_hash_buckets))
+        )
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(group) < 2:
+            return empty
+        df = pd.DataFrame(
+            {
+                "t": group["lsh_table"].to_pylist(),
+                "b": group["lsh_bucket"].to_pylist(),
+            }
+        )
+        emb = np.stack(group[emb_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
         norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = norm @ norm.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= threshold
-        iu, ju = iu[hit], ju[hit]
-        ids_np = np.asarray(ids, dtype=np.int64)
-        a = np.minimum(ids_np[iu], ids_np[ju])
-        b = np.maximum(ids_np[iu], ids_np[ju])
+        ids_np = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        out_a, out_b, out_c = [], [], []
+        for _, sub in df.groupby(["t", "b"]):
+            idx = sub.index.to_numpy()
+            if len(idx) < 2:
+                continue
+            sims = norm[idx] @ norm[idx].T
+            iu, ju = np.triu_indices(len(idx), k=1)
+            hit = sims[iu, ju] >= threshold
+            iu, ju = iu[hit], ju[hit]
+            ga, gb = ids_np[idx[iu]], ids_np[idx[ju]]
+            out_a.append(np.minimum(ga, gb))
+            out_b.append(np.maximum(ga, gb))
+            out_c.append(sims[iu, ju])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(a, type=pa.int64()),
-                "id_b": pa.array(b, type=pa.int64()),
-                "cosine": pa.array(sims[iu, ju], type=pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
             }
         )
 
-    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pyarrow")
+    pairs = (
+        bucketed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    # same pair may surface from several tables — keep one row per pair
+    from .dedup import exact_dedup
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_k",
+            pa.array(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+                    )
+                ],
+                type=pa.string(),
+            ),
+        )
+
+    return exact_dedup(
+        pairs.map_batches(key_col, batch_format="pyarrow"), ["_k"]
+    ).drop_columns(["_k"])

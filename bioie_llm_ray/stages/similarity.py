@@ -138,6 +138,153 @@ def train_centroids(
     return cent
 
 
+def knn_self_join(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    n_merge_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed k-NN self-join: top-k neighbors for EVERY vector.
+
+    ``brute_force_topk`` broadcasts a small query matrix; a self-join has n
+    queries, so instead the corpus co-partitions with itself IVF-style:
+
+    1. coarse quantizer from a driver sample (``train_centroids``);
+    2. each vector emits one *member* row (its nearest centroid) and
+       ``n_probe`` *query* rows (its n_probe nearest centroids) — the only
+       replication is n_probe×, not n×;
+    3. groupby centroid: one vectorized Q·Mᵀ block matmul per cell emits
+       per-query partial top-k (boundary ties widened);
+    4. global per-query merge via the bucket-group pattern
+       (``hash(qid) % B``, one pandas sort+head(k) pass per bucket).
+
+    ``n_probe = n_centroids`` makes the join exact (every pair compared
+    once per shared bucket, dedup in the merge).  Approximate recall vs
+    brute force is measured in tests.  At corpus scale raise
+    ``n_centroids`` ~√n so cells stay bounded; centroid skew is the knob to
+    watch (a hot cell = one big matmul).
+    Output: (query_id, neighbor_id, rank, cosine) — ORDER BY sim DESC,
+    neighbor_id ASC per query.
+    """
+    import pandas as pd
+
+    cent = train_centroids(ds, n_centroids, emb_col=emb_col)
+    cent_ref = ray.put(cent)
+    n_cells = len(cent)
+    probe_n = min(n_probe, n_cells)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        emb = _normalize(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        sims = emb @ c.T  # (n, n_cells)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        primary = order[:, 0]
+        probes = order[:, :probe_n]  # (n, probe_n)
+        n = len(ids)
+        # member rows (role 0) + query rows (role 1)
+        cell = np.concatenate([primary, probes.reshape(-1)])
+        rid = np.concatenate([ids, np.repeat(ids, probe_n)])
+        role = np.concatenate(
+            [np.zeros(n, dtype=np.int8), np.ones(n * probe_n, dtype=np.int8)]
+        )
+        row_idx = np.concatenate(
+            [np.arange(n), np.repeat(np.arange(n), probe_n)]
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell.astype(np.int32)),
+                "role": pa.array(role),
+                "vid": pa.array(rid),
+                "emb": pa.array(list(emb[row_idx])),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    empty_partial = pa.table(
+        {
+            "qid": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        role = np.asarray(group["role"].to_pylist(), dtype=np.int8)
+        vids = np.asarray(group["vid"].to_pylist(), dtype=np.int64)
+        emb = np.stack(group["emb"].to_numpy(zero_copy_only=False))
+        q_mask, m_mask = role == 1, role == 0
+        if not q_mask.any() or not m_mask.any():
+            return empty_partial
+        Q, M = emb[q_mask], emb[m_mask]
+        q_ids, m_ids = vids[q_mask], vids[m_mask]
+        sims = Q @ M.T
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            row = sims[qi]
+            if kk < len(row):
+                seed_idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed_idx].min())
+                idx = idx[np.lexsort((m_ids[idx], -row[idx]))][:kk]
+            else:
+                idx = np.arange(len(row))
+            out_q.extend([q_ids[qi]] * len(idx))
+            out_n.extend(m_ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = assigned.groupby("cell").map_groups(
+        cell_topk, batch_format="pyarrow"
+    )
+
+    from ..functions.hashing import hash_bucket
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [str(q) for q in batch["qid"].to_pylist()]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_merge_buckets))
+        )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # same pair may arrive from several probed cells — dedup, then the
+        # global tie-broken top-k per query, all in one vectorized pass
+        g = g.drop_duplicates(subset=["qid", "neighbor_id"])
+        if exclude_self:
+            g = g[g["qid"] != g["neighbor_id"]]
+        g = g.sort_values(
+            ["qid", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("qid", sort=False).head(k).copy()
+        g["rank"] = g.groupby("qid", sort=False).cumcount() + 1
+        return g[["qid", "neighbor_id", "rank", "cosine"]].rename(
+            columns={"qid": "query_id"}
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,

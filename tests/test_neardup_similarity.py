@@ -138,6 +138,36 @@ class TestEmbeddingNearDup:
         pairs = embedding_neardup_pairs(ds, dim=32, threshold=0.98).take_all()
         assert any(r["id_a"] == 7 and r["id_b"] == 40 for r in pairs)
 
+    def test_multi_table_recall_dominates_single(self):
+        """T=4 hash tables find every planted near-dup; a pair can straddle
+        one table's hyperplane, so T=1 recall ⊆ T=4 recall by construction."""
+        rng = np.random.RandomState(7)
+        emb = rng.randn(300, 32).astype(np.float32)
+        planted = [(i, 200 + i) for i in range(30)]
+        for a, b in planted:
+            emb[b] = emb[a] + rng.randn(32).astype(np.float32) * 0.01
+        df = pd.DataFrame(
+            {"vec_id": range(300), "embedding": [e.tolist() for e in emb]}
+        )
+        ds = ray.data.from_pandas(df)
+
+        def found(n_tables):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in embedding_neardup_pairs(
+                    ds, dim=32, threshold=0.98, n_tables=n_tables
+                ).take_all()
+            }
+
+        single, multi = found(1), found(4)
+        assert single <= multi
+        assert set(planted) <= multi  # full recall on planted pairs at T=4
+        # every reported pair really verifies (no false positives survive)
+        norm = emb.astype(np.float64)
+        norm /= np.linalg.norm(norm, axis=1, keepdims=True)
+        for a, b in multi:
+            assert float(norm[a] @ norm[b]) >= 0.98
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -163,6 +193,42 @@ class TestSimilarity:
             expect = np.argsort(-row, kind="stable")[:4].tolist()
             got = out[out.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
             assert got == expect
+
+    def test_self_join_exact_matches_brute_force(self, emb_ds):
+        """n_probe = n_centroids makes the self-join exact: identical to
+        per-query brute force over all 200 vectors."""
+        from bioie_llm_ray.stages.similarity import knn_self_join
+
+        ds, emb = emb_ds
+        got = (
+            knn_self_join(ds, k=3, n_centroids=8, n_probe=8)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        q = emb.astype(np.float64)
+        want = (
+            brute_force_topk(ds, q, list(range(200)), k=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["query_id", "neighbor_id", "rank"]],
+            want[["query_id", "neighbor_id", "rank"]],
+        )
+
+    def test_self_join_approximate_recall(self, emb_ds):
+        from bioie_llm_ray.stages.similarity import knn_self_join
+
+        ds, emb = emb_ds
+        approx = knn_self_join(ds, k=3, n_centroids=8, n_probe=4).to_pandas()
+        exact = brute_force_topk(
+            ds, emb.astype(np.float64), list(range(200)), k=3
+        ).to_pandas()
+        e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+        a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+        assert len(e & a) / len(e) >= 0.6
 
     def test_ivf_recall_reasonable(self, emb_ds):
         ds, emb = emb_ds
