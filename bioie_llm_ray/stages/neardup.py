@@ -387,8 +387,17 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | tuple[int, int] = 2,
+    n_hash_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Keep one row per simhash fingerprint (first by id)."""
+    """Keep one row per simhash fingerprint (smallest id wins).
+
+    Bucket-group pattern: distinct-fingerprint cardinality ≈ corpus size,
+    so shuffling one group per fingerprint would make one Python call per
+    distinct document; instead group by ``hash(simhash) % B`` and run one
+    vectorized sort+dedup pass per bucket.
+    """
+    from ..functions.hashing import hash_bucket
+
     hashed = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col},
@@ -396,11 +405,29 @@ def simhash_dedup(
         concurrency=concurrency,
     )
 
-    def first_by_id(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group[id_col])
-        return group.take(order[:1])
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [str(s) for s in batch["simhash"].to_pylist()]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_hash_buckets))
+        )
 
-    return hashed.groupby("simhash").map_groups(first_by_id, batch_format="pyarrow")
+    def first_by_id_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("simhash", "ascending"), (id_col, "ascending")],
+        )
+        sorted_t = group.take(order)
+        sims = sorted_t["simhash"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(sims), dtype=bool)
+        first[0] = True
+        first[1:] = sims[1:] != sims[:-1]
+        return sorted_t.filter(pa.array(first)).drop_columns(["__bucket"])
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first_by_id_bucket, batch_format="pyarrow")
+    )
 
 
 def simhash_neardup_pairs(
