@@ -51,6 +51,39 @@ def hash_bucket(values, n_buckets: int) -> np.ndarray:
     return (stable_hash_u64(values) % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain bit mixer)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_bucket_ints(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Stable bucket id per int key — fully vectorized (no per-row md5).
+
+    For shuffle keys that are a single integer column this replaces the
+    Python md5-per-row loop with one numpy pass (~100× on 10^5-row batches).
+    Deterministic and partition-invariant like ``hash_bucket``; the two
+    functions intentionally differ (a bucket id only needs to be consistent
+    across the call sites of ONE shuffle).
+    """
+    v = np.asarray(values).astype(np.int64, copy=False).astype(np.uint64)
+    return (_splitmix64(v) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucket_ids_for_column(col, n_buckets: int) -> np.ndarray:
+    """Bucket ids for one pyarrow column: vectorized for integer dtypes,
+    md5-based for everything else."""
+    import pyarrow as pa
+
+    t = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
+    if t is not None and pa.types.is_integer(t):
+        return hash_bucket_ints(col.to_numpy(zero_copy_only=False), n_buckets)
+    vals = col.to_pylist() if t is not None else list(col)
+    return hash_bucket([str(v) for v in vals], n_buckets)
+
+
 def hash_sample_mask(values, keep_num: int, keep_den: int) -> np.ndarray:
     """Keep rows whose stable hash mod keep_den < keep_num.
 

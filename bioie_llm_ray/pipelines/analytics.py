@@ -309,15 +309,15 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     ``map_groups`` here would be one Python call per user (the anti-pattern
     ``stages/dedup.py`` documents); this is one call per bucket.
     """
-    from ..functions.hashing import hash_bucket
+    from ..functions.hashing import bucket_ids_for_column
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     n_buckets = 32
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = [str(u) for u in batch["user_id"].to_pylist()]
         return batch.append_column(
-            "__bucket", pa.array(hash_bucket(keys, n_buckets))
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
         )
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:

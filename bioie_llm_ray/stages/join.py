@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashing import hash_bucket
+from ..functions.hashing import bucket_ids_for_column, hash_bucket
 
 _TAG = "__side"
 _BUCKET = "__bucket"
@@ -85,13 +85,16 @@ def shuffle_join(
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            key_strs = [
-                "\x1f".join(map(str, vals))
-                for vals in zip(*(batch[k].to_pylist() for k in keys))
-            ]
-            batch = batch.append_column(
-                _BUCKET, pa.array(hash_bucket(key_strs, n_buckets))
-            )
+            if len(keys) == 1:
+                # single-column key: vectorized bucket ids (no per-row md5)
+                ids = bucket_ids_for_column(batch[keys[0]], n_buckets)
+            else:
+                key_strs = [
+                    "\x1f".join(map(str, vals))
+                    for vals in zip(*(batch[k].to_pylist() for k in keys))
+                ]
+                ids = hash_bucket(key_strs, n_buckets)
+            batch = batch.append_column(_BUCKET, pa.array(ids))
             return batch.append_column(
                 _TAG, pa.array([side] * len(batch), type=pa.string())
             )
@@ -217,8 +220,7 @@ def asof_join(
                 ),
             )
         batch = batch.append_column(
-            _BUCKET,
-            pa.array(hash_bucket(list(map(str, batch[by].to_pylist())), n_buckets)),
+            _BUCKET, pa.array(bucket_ids_for_column(batch[by], n_buckets))
         )
         return batch.append_column(
             _TAG, pa.array(["l"] * len(batch), type=pa.string())
@@ -236,8 +238,7 @@ def asof_join(
                 c, pa.nulls(len(batch), type=l_schema[c])
             )
         batch = batch.append_column(
-            _BUCKET,
-            pa.array(hash_bucket(list(map(str, batch[by].to_pylist())), n_buckets)),
+            _BUCKET, pa.array(bucket_ids_for_column(batch[by], n_buckets))
         )
         return batch.append_column(
             _TAG, pa.array(["r"] * len(batch), type=pa.string())
