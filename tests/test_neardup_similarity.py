@@ -97,15 +97,39 @@ class TestSimHash:
         assert 1 < len(out) < len(rows)
 
     def test_hamming_band_candidates_find_bit_flips(self):
-        """Planted near-dups at Hamming distance 2 share ≥2 of 4 bands and
-        must surface as verified candidate pairs (module docstring promise)."""
+        """Near-dup fingerprints within Hamming < n_bands share ≥1 band by
+        pigeonhole and must surface as verified candidate pairs.
+
+        Word-level simhash needs long documents for stability (on a 14-token
+        doc a single word flips ~half the bits — each bit's vote margin is
+        tiny), so the planted pairs are 200-word docs with 1-2 changed
+        words, which land within distance ≤3 of their originals.
+        """
         from bioie_llm_ray.stages.neardup import SimHasher, simhash_neardup_pairs
 
-        rows = _corpus()
-        # derive each doc's true simhash, then plant a synthetic pair of docs
-        # whose fingerprints differ in exactly 2 bits by perturbing text is
-        # fragile — instead verify on real text: doc 0 vs its exact dup 102
-        # (distance 0) and the near-identical 100/101 pair (small distance).
+        rows = []
+        for i in range(20):  # background: disjoint vocabularies (simhash is
+            # word-set-based — rotations of one vocab would all collide)
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(f"tok{i}_{j}" for j in range(200)),
+                }
+            )
+        # planted cluster around doc 0: verbatim copy + 1- and 2-word edits
+        base = rows[0]["text"]
+        rows.append({"doc_id": 100, "text": base})
+        rows.append(
+            {"doc_id": 101, "text": base.replace("tok0_50", "CHANGED", 1)}
+        )
+        rows.append(
+            {
+                "doc_id": 102,
+                "text": base.replace("tok0_50", "CHANGED", 1).replace(
+                    "tok0_80", "ALTERED", 1
+                ),
+            }
+        )
         ds = ray.data.from_pandas(pd.DataFrame(rows))
         hashed = {
             r["doc_id"]: r["simhash"]
@@ -113,17 +137,37 @@ class TestSimHash:
                 SimHasher, batch_format="pyarrow", concurrency=1
             ).take_all()
         }
-        d_near = bin(hashed[100] ^ hashed[101]).count("1")
+        cluster = [0, 100, 101, 102]
+        for a in cluster:
+            for b in cluster:
+                d = bin(hashed[a] ^ hashed[b]).count("1")
+                assert d < 8, (a, b, d)  # long docs keep edit distance small
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
             for r in simhash_neardup_pairs(
-                ds, max_hamming=max(3, d_near)
+                ds, max_hamming=7, n_bands=8
             ).take_all()
         }
-        assert (0, 102) in pairs and pairs[(0, 102)] == 0
-        assert (100, 101) in pairs and pairs[(100, 101)] == d_near
-        # every reported pair respects the verify bound
-        assert all(h <= max(3, d_near) for h in pairs.values())
+        # the planted cluster comes back CONNECTED (chain pairing emits m-1
+        # edges per band run, not all m^2/2 pairs)
+        parent = {i: i for i in cluster}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            if a in parent and b in parent:
+                parent[find(a)] = find(b)
+        assert len({find(i) for i in cluster}) == 1, pairs
+        assert pairs[(0, 100)] == 0  # exact dup is adjacent in every run
+        assert all(h <= 7 for h in pairs.values())
+        # no cross-vocabulary false positives
+        assert all(
+            a in cluster and b in cluster or abs(a - b) < 100
+            for a, b in pairs
+        )
 
 
 class TestEmbeddingNearDup:
