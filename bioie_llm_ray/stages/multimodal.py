@@ -80,3 +80,143 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeStub:
+    """Actor-pool image-resize stage: payload binary → resized payload binary.
+
+    Real implementation loads PIL once per actor and re-encodes; the fake
+    mode emits a deterministic payload (md5-derived, length ∝ target area)
+    and rewrites ``meta_json`` with the new dimensions — the contract
+    (binary→binary, metadata updated, payload REPLACED not duplicated) is
+    the tested part.
+    """
+
+    def __init__(self, width: int, height: int, fake: bool = False):
+        self.width = width
+        self.height = height
+        if not fake:
+            raise NotImplementedError(
+                "image codecs (PIL) are not available in this environment; "
+                "construct with fake=True for a deterministic fake resize"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        metas = (
+            batch["meta_json"].to_pylist()
+            if "meta_json" in batch.column_names
+            else ["{}"] * len(batch)
+        )
+        new_payloads, new_metas = [], []
+        for payload, meta in zip(batch["payload"].to_pylist(), metas):
+            digest = hashlib.md5(payload).digest()
+            size = max(16, (self.width * self.height) // 64)
+            new_payloads.append((digest * (size // 16 + 1))[:size])
+            m = json.loads(meta or "{}")
+            m["width"], m["height"] = self.width, self.height
+            new_metas.append(json.dumps(m, sort_keys=True))
+        batch = batch.set_column(
+            batch.column_names.index("payload"),
+            "payload",
+            pa.array(new_payloads, type=pa.binary()),
+        )
+        if "meta_json" in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index("meta_json"),
+                "meta_json",
+                pa.array(new_metas, type=pa.string()),
+            )
+        return batch
+
+
+class FrameSampleStub:
+    """Actor-pool video frame sampler: one payload row → N frame rows.
+
+    Real implementation opens the container with av/ffmpeg per actor and
+    seeks; fake mode derives the frame count from ``duration_ms`` in
+    ``meta_json`` and emits one deterministic frame payload per sample
+    point.  Output explodes rows (media_id, frame_idx, ts_ms, payload) —
+    downstream image stages (``DecodeStub``/``ResizeStub``) consume it
+    unchanged.
+    """
+
+    def __init__(
+        self, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
+    ):
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+        if not fake:
+            raise NotImplementedError(
+                "video codecs (av/ffmpeg) are not available in this "
+                "environment; construct with fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+        for mid, payload, meta in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_json"].to_pylist(),
+        ):
+            duration = int(json.loads(meta or "{}").get("duration_ms", 0))
+            n = min(self.max_frames, max(1, duration // self.every_ms))
+            for i in range(n):
+                ts = i * self.every_ms
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(ts)
+                out["payload"].append(
+                    hashlib.md5(payload + ts.to_bytes(8, "big")).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], type=pa.int64()),
+                "payload": pa.array(out["payload"], type=pa.binary()),
+            }
+        )
+
+
+def resize_images(
+    ds,
+    width: int,
+    height: int,
+    fake: bool = False,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 64,
+):
+    """Payload rows → resized payload rows (small batches: wide binaries)."""
+    return ds.map_batches(
+        ResizeStub,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    fake: bool = False,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 32,
+):
+    """Video rows → frame rows (row-exploding stage; smallest batches)."""
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={
+            "every_ms": every_ms,
+            "max_frames": max_frames,
+            "fake": fake,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

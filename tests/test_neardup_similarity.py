@@ -295,6 +295,71 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             DecodeStub(fake=False)
 
+    def test_resize_replaces_payload_and_meta(self):
+        import json
+
+        from bioie_llm_ray.stages.multimodal import ResizeStub, resize_images
+
+        with pytest.raises(NotImplementedError):
+            ResizeStub(32, 32, fake=False)
+        ds = ray.data.from_items(
+            [
+                {
+                    "media_id": "a",
+                    "media_type": "image/png",
+                    "payload": b"img-bytes-a",
+                    "meta_json": json.dumps({"width": 640, "height": 480}),
+                }
+            ]
+        )
+        out = resize_images(ds, 32, 32, fake=True).take_all()
+        assert len(out) == 1
+        m = json.loads(out[0]["meta_json"])
+        assert (m["width"], m["height"]) == (32, 32)
+        assert out[0]["payload"] != b"img-bytes-a"
+        # deterministic
+        out2 = resize_images(ds, 32, 32, fake=True).take_all()
+        assert out2[0]["payload"] == out[0]["payload"]
+
+    def test_frame_sampler_explodes_rows(self):
+        import json
+
+        from bioie_llm_ray.stages.multimodal import (
+            FrameSampleStub,
+            decode_features,
+            sample_frames,
+        )
+
+        with pytest.raises(NotImplementedError):
+            FrameSampleStub(fake=False)
+        ds = ray.data.from_items(
+            [
+                {
+                    "media_id": "v1",
+                    "media_type": "video/mp4",
+                    "payload": b"video-bytes",
+                    "meta_json": json.dumps({"duration_ms": 3500}),
+                },
+                {
+                    "media_id": "v2",
+                    "media_type": "video/mp4",
+                    "payload": b"other-bytes",
+                    "meta_json": json.dumps({"duration_ms": 20000}),
+                },
+            ]
+        )
+        frames = sample_frames(ds, every_ms=1000, max_frames=8, fake=True)
+        rows = frames.take_all()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert len(by_id["v1"]) == 3  # 3500 ms // 1000
+        assert len(by_id["v2"]) == 8  # capped at max_frames
+        assert [r["ts_ms"] for r in sorted(by_id["v1"], key=lambda r: r["frame_idx"])] == [0, 1000, 2000]
+        # frame rows feed the image decode stage unchanged
+        feats = decode_features(frames, feature_dim=4, fake=True).take_all()
+        assert len(feats) == 11 and all(len(r["feature"]) == 4 for r in feats)
+
     def test_fake_decode_deterministic(self):
         from bioie_llm_ray.stages.multimodal import DecodeStub
 
