@@ -58,15 +58,16 @@ def run_bench() -> dict:
     for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
         pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
 
-    # warm the Ray worker pool: python worker spawn (~seconds) would
-    # otherwise be billed entirely to whichever query runs first
+    # warm the Ray worker pool: python worker spawn plus the worker-side
+    # import of the library stack (~1s each) would otherwise be billed
+    # entirely to whichever query runs first
     @ray.remote
     def _warm() -> int:
         import numpy  # noqa: F401
 
         return 0
 
-    ray.get([_warm.remote() for _ in range(num_cpus * 2)])
+    ray.get([_warm.remote() for _ in range(num_cpus)])
 
     times: dict[str, float] = {}
     for name in QUERIES:
