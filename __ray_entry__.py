@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": A.events_by_type,
         "user_hourly_activity": A.user_hourly_activity,
         "user_sessions": A.user_sessions,
+        "top_events_per_user": A.top_events_per_user,
+        "user_sliding_window": A.user_sliding_window,
         "purchase_since_signup": A.purchase_since_signup,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
@@ -462,6 +464,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "top_events_per_user": """
+            WITH ranked AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS rnk
+                FROM events)
+            SELECT user_id, event_id, round(value, 2) AS value,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 3
+        """,
+        "user_sliding_window": """
+            WITH h AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT user_id, hour, n,
+                   CAST(sum(n) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS n_3h
+            FROM h
         """,
         "purchase_since_signup": """
             SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_signup

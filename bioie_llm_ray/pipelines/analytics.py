@@ -342,6 +342,43 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k events by value per user (distributed grouped ranking)."""
+    from ..stages.window import grouped_top_k
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = grouped_top_k(
+        ds,
+        group_cols="user_id",
+        order_col="value",
+        k=k,
+        descending=True,
+        tie_cols=["event_id"],
+    ).to_pandas()
+    out["value"] = out["value"].round(2)
+    out["rank"] = out["rank"].astype("int64")
+    return (
+        out[["user_id", "event_id", "value", "rank"]]
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def user_sliding_window(sf_dir: str, n_hours: int = 3) -> pd.DataFrame:
+    """Per-user event counts over a trailing 3-hour sliding window."""
+    from ..stages.window import sliding_window_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sliding_window_counts(
+        ds, key_col="user_id", ts_col="ts", n_units=n_hours, unit="hour"
+    ).to_pandas()
+    return (
+        out.rename(columns={"bucket_ts": "hour"})
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------------ documents
 
 

@@ -1,0 +1,138 @@
+"""Windowed / per-group ranking operators (SURVEY §2.10 extensions).
+
+Both operators follow the bucket-group pattern (see ``stages/dedup.py``):
+the shuffle key is ``hash(group_key) % n_buckets`` — bounded reducer count
+at any group cardinality — and each reducer runs ONE vectorized pandas pass
+over its bucket, never one Python call per group.
+
+- ``grouped_top_k``: top-k rows per group by an order column with a
+  deterministic tie-break — the distributed form of
+  ``row_number() OVER (PARTITION BY g ORDER BY v DESC, tie) <= k``.
+- ``sliding_window_counts``: per-key event counts over a sliding window of
+  ``n_units`` time buckets (e.g. a 3-hour window sliding by 1 hour) — the
+  distributed form of ``sum(n) OVER (PARTITION BY key ORDER BY bucket
+  RANGE BETWEEN n-1 PRECEDING AND CURRENT ROW)``.  Implemented as a
+  shifted self-merge per bucket: each (key, hour) row sums the counts of
+  its ``n_units`` trailing hour slots; rows exist only for hours where the
+  key has events (matching the SQL windowed-CTE shape).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import bucket_ids_for_column
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    group_cols: list[str] | str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Top-k rows per group, ranked by ``order_col`` (ties by ``tie_cols``).
+
+    Every row of a group hashes to the same bucket, so the per-bucket
+    sort + ``groupby.head(k)`` is exact; output carries ``rank_col``
+    (1-based within group).
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    tie_cols = tie_cols or []
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if len(group_cols) == 1:
+            ids = bucket_ids_for_column(batch[group_cols[0]], n_buckets)
+        else:
+            from ..functions.hashing import hash_bucket
+
+            keys = [
+                "\x1f".join(map(str, vals))
+                for vals in zip(*(batch[c].to_pylist() for c in group_cols))
+            ]
+            ids = hash_bucket(keys, n_buckets)
+        return batch.append_column("__bucket", pa.array(ids))
+
+    sort_cols = group_cols + [order_col] + tie_cols
+    ascending = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = g.groupby(group_cols, sort=False).head(k).copy()
+        g[rank_col] = g.groupby(group_cols, sort=False).cumcount() + 1
+        return g.drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )
+
+
+def sliding_window_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    n_units: int = 3,
+    unit: str = "hour",
+    out_col: str | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key sliding-window event counts over ``n_units`` time buckets.
+
+    Output rows: (key, bucket_ts, n, ``out_col``) — one per (key, bucket)
+    that has ≥1 event; ``out_col`` sums the trailing ``n_units`` buckets.
+    Partial counts combine inside the map stage (per-batch pre-aggregation)
+    before the single hash shuffle.
+    """
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"n_{n_units}{unit[0]}"
+    delta = pd.Timedelta(**{unit + "s": 1})
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        # combiner: collapse to per-(key, bucket) partial counts early
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "bucket_ts": pc.floor_temporal(batch[ts_col], unit=unit),
+            }
+        )
+        g = t.group_by([key_col, "bucket_ts"]).aggregate([([], "count_all")])
+        g = g.rename_columns([key_col, "bucket_ts", "n"])
+        return g.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(g[key_col], n_buckets)),
+        )
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # merge duplicate partials from different input blocks, then the
+        # shifted self-merge: trailing-window sum without materializing a
+        # dense time axis
+        g = g.groupby([key_col, "bucket_ts"], as_index=False)["n"].sum()
+        acc = g.copy()
+        acc[out_col] = acc["n"]
+        for off in range(1, n_units):
+            shifted = g.copy()
+            shifted["bucket_ts"] = shifted["bucket_ts"] + off * delta
+            acc = acc.merge(
+                shifted,
+                on=[key_col, "bucket_ts"],
+                how="left",
+                suffixes=("", f"_o{off}"),
+            )
+            acc[out_col] = acc[out_col] + acc[f"n_o{off}"].fillna(0)
+            acc = acc.drop(columns=[f"n_o{off}"])
+        acc[out_col] = acc[out_col].astype("int64")
+        return acc[[key_col, "bucket_ts", "n", out_col]]
+
+    return (
+        ds.map_batches(pre_agg, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(window_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,108 @@
+"""Windowed / per-group ranking operators (stages/window.py)."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from bioie_llm_ray.stages.window import grouped_top_k, sliding_window_counts
+
+
+class TestGroupedTopK:
+    def test_matches_pandas_rank(self):
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 40, 2000),
+                "id": np.arange(2000),
+                "v": rng.randn(2000).round(6),
+            }
+        )
+        got = (
+            grouped_top_k(
+                ray.data.from_pandas(df),
+                group_cols="g",
+                order_col="v",
+                k=3,
+                tie_cols=["id"],
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        want = want.groupby("g", sort=True).head(3).copy()
+        want["rank"] = want.groupby("g").cumcount() + 1
+        want = want.sort_values(["g", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["g", "id", "v", "rank"]].astype({"rank": "int64"}),
+            want[["g", "id", "v", "rank"]].astype({"rank": "int64"}),
+        )
+
+    def test_exact_duplicate_values_tie_break(self):
+        df = pd.DataFrame(
+            {"g": [1] * 4, "id": [4, 3, 2, 1], "v": [5.0, 5.0, 5.0, 1.0]}
+        )
+        got = (
+            grouped_top_k(
+                ray.data.from_pandas(df), "g", "v", k=2, tie_cols=["id"]
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert got["id"].tolist() == [2, 3]  # smallest ids win equal values
+
+
+class TestSlidingWindow:
+    def test_matches_pandas_window(self):
+        rng = np.random.RandomState(13)
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 20, 3000),
+                "ts": base
+                + pd.to_timedelta(rng.randint(0, 72 * 60, 3000), unit="m"),
+            }
+        )
+        got = (
+            sliding_window_counts(
+                ray.data.from_pandas(df), "user_id", "ts", n_units=3
+            )
+            .to_pandas()
+            .sort_values(["user_id", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        h = (
+            df.assign(bucket_ts=df["ts"].dt.floor("h"))
+            .groupby(["user_id", "bucket_ts"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+        def win(sub):
+            sub = sub.sort_values("bucket_ts").set_index("bucket_ts")
+            w = sub["n"].rolling("3h").sum().astype("int64")
+            return sub.assign(n_3h=w).reset_index()
+
+        want = (
+            h.groupby("user_id", group_keys=False)[h.columns]
+            .apply(win)
+            .sort_values(["user_id", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["user_id", "bucket_ts", "n", "n_3h"]],
+            want[["user_id", "bucket_ts", "n", "n_3h"]],
+            check_dtype=False,
+        )
+
+    def test_partial_counts_combine_across_blocks(self):
+        """The same (user, hour) arriving in many input blocks must merge."""
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {"user_id": [1] * 100, "ts": [base] * 100}
+        )
+        out = sliding_window_counts(
+            ray.data.from_pandas(df).repartition(10), "user_id", "ts"
+        ).to_pandas()
+        assert len(out) == 1
+        assert out["n"].iloc[0] == 100 and out["n_3h"].iloc[0] == 100
