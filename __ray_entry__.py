@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": A.doc_dedup_exact,
         "doc_fingerprint": A.doc_fingerprint,
         "word_frequency": A.word_frequency,
+        "doc_tfidf": A.doc_tfidf,
+        "word_pmi_bigrams": A.word_pmi_bigrams,
         "doc_quality": A.doc_quality,
         "q6_discount_revenue": A.q6_discount_revenue,
         "distinct_counts": A.distinct_counts,
@@ -523,6 +525,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "doc_tfidf": f"""
+            WITH tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM ({_TOKENS}) GROUP BY 1, 2),
+            df AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM ({_TOKENS}) GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       tf.tf * ln(n.n / df.df) AS tfidf_raw,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.token
+                       ) AS rnk
+                FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   round(tfidf_raw, 6) AS tfidf, CAST(rnk AS BIGINT) AS rank
+            FROM scored WHERE rnk <= 3
+        """,
+        "word_pmi_bigrams": f"""
+            WITH arr AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+                FROM documents),
+            z AS (SELECT unnest(list_zip(a[:-1], a[2:])) AS p FROM arr),
+            bi AS (
+                -- list_zip pads to the longer list with NULLs: drop the
+                -- phantom (last-token, NULL) pairs
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+                FROM z WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+                GROUP BY 1, 2),
+            uni AS (SELECT token, count(*) AS n FROM ({_TOKENS}) GROUP BY 1),
+            tot AS (SELECT (SELECT sum(n) FROM bi) AS tb,
+                           (SELECT sum(n) FROM uni) AS tu)
+            SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+                   round(ln((b.n / t.tb) /
+                             ((u1.n / t.tu) * (u2.n / t.tu))), 6) AS pmi
+            FROM bi b
+            JOIN uni u1 ON b.w1 = u1.token
+            JOIN uni u2 ON b.w2 = u2.token
+            CROSS JOIN tot t
+            ORDER BY b.n DESC, b.w1, b.w2
+            LIMIT 20
         """,
         "q6_discount_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -543,6 +543,154 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_tfidf(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N / df)).
+
+    tf computes batch-locally (a document never spans blocks): split →
+    flatten → one Arrow group_by per batch, zero shuffle.  df is a small
+    token-vocabulary aggregate broadcast back into the scoring stage; the
+    per-doc ranking is ``grouped_top_k``.
+    """
+    import numpy as np
+
+    from ..stages.window import grouped_top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def term_freqs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_doc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(flat_doc, type=pa.int64()),
+                "token": pc.list_flatten(toks),
+            }
+        )
+        g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "token", "tf"])
+
+    tf = ds.map_batches(term_freqs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    df_counts = {
+        r["token"]: r["df"]
+        for r in tf.groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .take_all()
+    }
+
+    import ray as _ray
+
+    df_ref = _ray.put(df_counts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfs = _ray.get(df_ref)
+        tokens = batch["token"].to_pylist()
+        tf_np = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.array([np.log(n_docs / dfs[t]) for t in tokens])
+        return batch.append_column("tfidf", pa.array(tf_np * idf))
+
+    ranked = grouped_top_k(
+        tf.map_batches(score, batch_format="pyarrow"),
+        group_cols="doc_id",
+        order_col="tfidf",
+        k=k,
+        descending=True,
+        tie_cols=["token"],
+    ).to_pandas()
+    ranked["tfidf"] = ranked["tfidf"].round(6)
+    ranked["tf"] = ranked["tf"].astype("int64")
+    ranked["rank"] = ranked["rank"].astype("int64")
+    return (
+        ranked[["doc_id", "token", "tf", "tfidf", "rank"]]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def word_pmi_bigrams(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
+    """Top-N consecutive-token bigrams by count, with pointwise mutual
+    information vs the unigram distribution.
+
+    Bigram and unigram counts pre-aggregate inside each batch (documents
+    never span blocks) before the small vocabulary-keyed shuffles; the PMI
+    arithmetic runs on the tiny aggregate tables.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        # bigram mask: every position except each document's last token
+        keep = np.ones(len(flat), dtype=bool)
+        if len(lens):
+            keep[np.cumsum(lens) - 1] = False
+        w1 = flat[:-1][keep[:-1]] if len(flat) else flat
+        w2 = flat[1:][keep[:-1]] if len(flat) else flat
+        bi = pa.table(
+            {
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+            }
+        )
+        g = bi.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c"])
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        t = pa.table({"token": pc.list_flatten(toks)})
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "c"])
+
+    from ray.data.aggregate import Sum
+
+    bi = (
+        ds.map_batches(grams, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    uni = (
+        ds.map_batches(unigrams, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    total_bi = float(bi["n"].sum())
+    total_uni = float(uni["n"].sum())
+    uni_map = dict(zip(uni["token"], uni["n"].astype(float)))
+    top = bi.sort_values(["n", "w1", "w2"], ascending=[False, True, True]).head(
+        top_n
+    ).copy()
+    top["pmi"] = [
+        round(
+            float(
+                np.log(
+                    (c / total_bi)
+                    / ((uni_map[a] / total_uni) * (uni_map[b] / total_uni))
+                )
+            ),
+            6,
+        )
+        for a, b, c in zip(top["w1"], top["w2"], top["n"])
+    ]
+    top["n"] = top["n"].astype("int64")
+    return top[["w1", "w2", "n", "pmi"]].reset_index(drop=True)
+
+
 # --------------------------------------------------- KG queries over documents
 
 # Fixed extraction vocabulary: terms the synthetic corpus uses (TESTDATA

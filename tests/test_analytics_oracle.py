@@ -24,6 +24,16 @@ SUBSET = [
     "cooccur_edges",
     "triples_canonical",
     "knn_bruteforce",
+    # round-2 operators
+    "purchase_since_signup",
+    "top_events_per_user",
+    "user_sliding_window",
+    "doc_tfidf",
+    "word_pmi_bigrams",
+    "knn_self_join",
+    "doc_language_id",
+    "kg_string_relation",
+    "kg_entity_types",
 ]
 
 
