@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": A.doc_quality,
         "q6_discount_revenue": A.q6_discount_revenue,
         "distinct_counts": A.distinct_counts,
+        "quantity_quantiles": A.quantity_quantiles,
+        "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
@@ -579,6 +581,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users,
                    count(DISTINCT event_type) AS n_event_types
             FROM events
+        """,
+        "quantity_quantiles": """
+            SELECT CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,
+                   CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS q50,
+                   CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q75,
+                   CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS q90
+            FROM lineitem
         """,
         "doc_quality": """
             SELECT doc_id,

@@ -543,6 +543,48 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles of l_quantity (bounded-cardinality column)."""
+    from ..stages.sketch import exact_quantiles_discrete
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    qs = exact_quantiles_discrete(ds, "l_quantity", [0.25, 0.5, 0.75, 0.9])
+    return pd.DataFrame(
+        [
+            {
+                "q25": qs[0.25],
+                "q50": qs[0.5],
+                "q75": qs[0.75],
+                "q90": qs[0.9],
+            }
+        ]
+    )
+
+
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate distinct users (rows-only: estimator, not SQL).
+
+    Reports the estimate alongside the exact count so the recorded row
+    itself evidences the error bound (≈1.04/√2^14 ≈ 0.8% std).
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=14)["estimate"]
+    exact = len(ds.groupby("user_id").aggregate(Count()).take_all())
+    return pd.DataFrame(
+        [
+            {
+                "estimate": round(est, 1),
+                "exact": exact,
+                "rel_error": round(abs(est - exact) / exact, 6),
+            }
+        ]
+    )
+
+
 def doc_tfidf(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Top-k terms per document by tf·idf (idf = ln(N / df)).
 

@@ -1,0 +1,61 @@
+"""Mergeable sketches: HyperLogLog distinct count, exact discrete quantiles."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from bioie_llm_ray.stages.sketch import (
+    _hll_estimate,
+    _hll_partial,
+    approx_distinct,
+    exact_quantiles_discrete,
+)
+
+
+class TestHLL:
+    def test_error_within_bound(self):
+        n = 100_000
+        ds = ray.data.range(n, override_num_blocks=16).map_batches(
+            lambda b: b.rename(columns={"id": "v"}), batch_format="pandas"
+        )
+        out = approx_distinct(ds, "v", p=14)
+        rel = abs(out["estimate"] - n) / n
+        assert rel < 0.03, rel  # 1.04/sqrt(2^14) ~ 0.8% std; 0.03 ~ 3.7 sigma
+
+    def test_duplicates_do_not_inflate(self):
+        rows = pd.DataFrame({"v": [f"u{i % 500:04d}" for i in range(50_000)]})
+        out = approx_distinct(ray.data.from_pandas(rows), "v", p=14)
+        assert abs(out["estimate"] - 500) / 500 < 0.03
+
+    def test_partials_merge_by_max(self):
+        a = _hll_partial([f"a{i}" for i in range(5000)], 12)
+        b = _hll_partial([f"b{i}" for i in range(5000)], 12)
+        ab = _hll_partial(
+            [f"a{i}" for i in range(5000)] + [f"b{i}" for i in range(5000)], 12
+        )
+        assert np.array_equal(np.maximum(a, b), ab)
+        est = _hll_estimate(np.maximum(a, b))
+        assert abs(est - 10_000) / 10_000 < 0.05
+
+    def test_small_cardinality_linear_counting(self):
+        regs = _hll_partial(["x", "y", "z"], 14)
+        assert round(_hll_estimate(regs)) == 3
+
+
+class TestDiscreteQuantiles:
+    def test_matches_duckdb_quantile_disc(self):
+        import duckdb
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(1, 51, 20_000).astype(np.float64)
+        df = pd.DataFrame({"x": vals})
+        got = exact_quantiles_discrete(
+            ray.data.from_pandas(df).repartition(8), "x", [0.1, 0.5, 0.9, 1.0]
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        for q in [0.1, 0.5, 0.9, 1.0]:
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM t"
+            ).fetchone()[0]
+            assert got[q] == float(want), (q, got[q], want)
