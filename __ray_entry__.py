@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": A.events_by_type,
         "user_hourly_activity": A.user_hourly_activity,
         "user_sessions": A.user_sessions,
+        "user_session_spans": A.user_session_spans,
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "purchase_since_signup": A.purchase_since_signup,
@@ -468,6 +469,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "user_session_spans": """
+            WITH flags AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            sids AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags)
+            SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_idx,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   count(*) AS n_events
+            FROM sids GROUP BY 1, 2
         """,
         "top_events_per_user": """
             WITH ranked AS (

@@ -364,6 +364,16 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
 
+def user_session_spans(sf_dir: str) -> pd.DataFrame:
+    """Per-session spans (start/end/count) per user, 30-min gap."""
+    from ..stages.window import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sessionize(ds, key_col="user_id", ts_col="ts").to_pandas()
+    out["session_idx"] = out["session_idx"].astype("int64")
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 def user_sliding_window(sf_dir: str, n_hours: int = 3) -> pd.DataFrame:
     """Per-user event counts over a trailing 3-hour sliding window."""
     from ..stages.window import sliding_window_counts

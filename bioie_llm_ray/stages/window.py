@@ -74,6 +74,61 @@ def grouped_top_k(
     )
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: float = 30,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Full sessionization: one output row per (key, session) span.
+
+    Output: (key, session_idx 1-based, start_ts, end_ts, n_events).  The
+    distributed form of the gap-break window idiom
+    (``sum(gap_flag) OVER (PARTITION BY key ORDER BY ts)`` then group by
+    session id): bucket-group by key hash, one vectorized pandas pass per
+    bucket — sort, flag breaks, cumulative session ids, groupby-agg spans.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch[key_col], n_buckets)),
+        )
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = g[key_col].ne(g[key_col].shift())
+        brk = new_key | (g[ts_col].diff() > gap)
+        sid = brk.cumsum()  # globally increasing; per-key rank restores 1-based
+        out = (
+            pd.DataFrame(
+                {
+                    key_col: g[key_col].values,
+                    "__sid": sid.values,
+                    ts_col: g[ts_col].values,
+                }
+            )
+            .groupby([key_col, "__sid"], as_index=False)
+            .agg(
+                start_ts=(ts_col, "min"),
+                end_ts=(ts_col, "max"),
+                n_events=(ts_col, "size"),
+            )
+        )
+        out = out.sort_values([key_col, "__sid"], kind="mergesort")
+        out["session_idx"] = out.groupby(key_col, sort=False).cumcount() + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[[key_col, "session_idx", "start_ts", "end_ts", "n_events"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(spans, batch_format="pandas")
+    )
+
+
 def sliding_window_counts(
     ds: ray.data.Dataset,
     key_col: str,

@@ -52,6 +52,52 @@ class TestGroupedTopK:
         assert got["id"].tolist() == [2, 3]  # smallest ids win equal values
 
 
+class TestSessionize:
+    def test_spans_consistent_with_session_counts(self):
+        from bioie_llm_ray.stages.window import sessionize
+
+        rng = np.random.RandomState(17)
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 15, 2000),
+                "ts": base
+                + pd.to_timedelta(rng.randint(0, 48 * 60, 2000), unit="m"),
+            }
+        )
+        got = sessionize(
+            ray.data.from_pandas(df), "user_id", "ts", gap_minutes=30
+        ).to_pandas()
+
+        # pandas reference: per-user gap breaks
+        def ref(sub):
+            ts = sub["ts"].sort_values()
+            brk = (ts.diff() > pd.Timedelta(minutes=30)).cumsum()
+            g = ts.groupby(brk)
+            return pd.DataFrame(
+                {
+                    "session_idx": np.arange(1, g.ngroups + 1),
+                    "start_ts": g.min().values,
+                    "end_ts": g.max().values,
+                    "n_events": g.size().values,
+                }
+            )
+
+        for uid, sub in df.groupby("user_id"):
+            want = ref(sub)
+            mine = (
+                got[got.user_id == uid]
+                .sort_values("session_idx")
+                .reset_index(drop=True)
+            )
+            assert len(mine) == len(want), uid
+            assert (mine["n_events"].values == want["n_events"].values).all()
+            assert (mine["start_ts"].values == want["start_ts"].values).all()
+            assert (mine["end_ts"].values == want["end_ts"].values).all()
+        # spans partition the events exactly
+        assert int(got["n_events"].sum()) == len(df)
+
+
 class TestSlidingWindow:
     def test_matches_pandas_window(self):
         rng = np.random.RandomState(13)
