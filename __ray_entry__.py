@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
+        "knn_join_split": A.knn_join_split,
         "knn_ivf": A.knn_ivf,
         "dedup_minhash": A.dedup_minhash,
         "dedup_simhash": A.dedup_simhash,
@@ -655,6 +656,24 @@ def oracle_sql() -> dict[str, str]:
                            CAST(e.embedding AS DOUBLE[])) AS sim
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM sims)
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+                   round(sim, 6) AS cosine
+            FROM ranked WHERE rnk <= 5
+        """,
+        "knn_join_split": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM (SELECT * FROM embeddings WHERE vec_id < 100) q
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 100) e),
             ranked AS (
                 SELECT query_id, neighbor_id, sim,
                        row_number() OVER (

@@ -943,6 +943,19 @@ def knn_self_join_exact(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def knn_join_split(sf_dir: str, k: int = 5, split: int = 100) -> pd.DataFrame:
+    """Two-dataset k-NN join: query vectors (id < split) against a disjoint
+    corpus (id >= split), exact mode."""
+    from ..stages.similarity import knn_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = ds.filter(expr=f"vec_id < {split}")
+    corpus = ds.filter(expr=f"vec_id >= {split}")
+    out = knn_join(queries, corpus, k=k, n_centroids=16, n_probe=16).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     """Approximate IVF variant — rows-only oracle (recall measured in tests)."""
     from ..stages.similarity import ivf_topk

@@ -138,77 +138,81 @@ def train_centroids(
     return cent
 
 
-def knn_self_join(
-    ds: ray.data.Dataset,
+def knn_join(
+    queries_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    exclude_self: bool = True,
+    exclude_self: bool = False,
     n_merge_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """Distributed k-NN self-join: top-k neighbors for EVERY vector.
+    """Distributed k-NN join: top-k corpus neighbors for EVERY query row.
 
-    ``brute_force_topk`` broadcasts a small query matrix; a self-join has n
-    queries, so instead the corpus co-partitions with itself IVF-style:
+    ``brute_force_topk`` broadcasts a small query matrix; here BOTH sides
+    are Datasets, co-partitioned IVF-style:
 
-    1. coarse quantizer from a driver sample (``train_centroids``);
-    2. each vector emits one *member* row (its nearest centroid) and
-       ``n_probe`` *query* rows (its n_probe nearest centroids) — the only
-       replication is n_probe×, not n×;
+    1. coarse quantizer from a driver sample of the corpus
+       (``train_centroids``);
+    2. corpus vectors emit one *member* row each (nearest centroid);
+       query vectors emit ``n_probe`` *query* rows (n_probe nearest
+       centroids) — replication is n_probe×, never |queries|×;
     3. groupby centroid: one vectorized Q·Mᵀ block matmul per cell emits
        per-query partial top-k (boundary ties widened);
     4. global per-query merge via the bucket-group pattern
        (``hash(qid) % B``, one pandas sort+head(k) pass per bucket).
 
     ``n_probe = n_centroids`` makes the join exact (every pair compared
-    once per shared bucket, dedup in the merge).  Approximate recall vs
-    brute force is measured in tests.  At corpus scale raise
-    ``n_centroids`` ~√n so cells stay bounded; centroid skew is the knob to
-    watch (a hot cell = one big matmul).
+    once per shared bucket, dedup in the merge).  At corpus scale raise
+    ``n_centroids`` ~√n so cells stay bounded; centroid skew is the knob
+    to watch (a hot cell = one big matmul).
     Output: (query_id, neighbor_id, rank, cosine) — ORDER BY sim DESC,
     neighbor_id ASC per query.
     """
     import pandas as pd
 
-    cent = train_centroids(ds, n_centroids, emb_col=emb_col)
+    cent = train_centroids(corpus_ds, n_centroids, emb_col=emb_col)
     cent_ref = ray.put(cent)
     n_cells = len(cent)
     probe_n = min(n_probe, n_cells)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        emb = _normalize(
-            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
+    def assign(role_val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            emb = _normalize(
+                np.stack(
+                    batch[emb_col].to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
             )
-        )
-        sims = emb @ c.T  # (n, n_cells)
-        order = np.argsort(-sims, axis=1, kind="stable")
-        primary = order[:, 0]
-        probes = order[:, :probe_n]  # (n, probe_n)
-        n = len(ids)
-        # member rows (role 0) + query rows (role 1)
-        cell = np.concatenate([primary, probes.reshape(-1)])
-        rid = np.concatenate([ids, np.repeat(ids, probe_n)])
-        role = np.concatenate(
-            [np.zeros(n, dtype=np.int8), np.ones(n * probe_n, dtype=np.int8)]
-        )
-        row_idx = np.concatenate(
-            [np.arange(n), np.repeat(np.arange(n), probe_n)]
-        )
-        return pa.table(
-            {
-                "cell": pa.array(cell.astype(np.int32)),
-                "role": pa.array(role),
-                "vid": pa.array(rid),
-                "emb": pa.array(list(emb[row_idx])),
-            }
-        )
+            sims = emb @ c.T  # (n, n_cells)
+            n = len(ids)
+            if role_val == 0:  # member: primary cell only
+                cell = np.argmax(sims, axis=1)
+                rid, row_idx = ids, np.arange(n)
+            else:  # query: n_probe nearest cells
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
+                cell = order.reshape(-1)
+                rid = np.repeat(ids, probe_n)
+                row_idx = np.repeat(np.arange(n), probe_n)
+            return pa.table(
+                {
+                    "cell": pa.array(cell.astype(np.int32)),
+                    "role": pa.array(
+                        np.full(len(rid), role_val, dtype=np.int8)
+                    ),
+                    "vid": pa.array(rid),
+                    "emb": pa.array(list(emb[row_idx])),
+                }
+            )
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
+        return fn
+
+    members = corpus_ds.map_batches(assign(0), batch_format="pyarrow")
+    probes = queries_ds.map_batches(assign(1), batch_format="pyarrow")
+    assigned = members.union(probes)
 
     empty_partial = pa.table(
         {
@@ -282,6 +286,31 @@ def knn_self_join(
         partials.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+def knn_self_join(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    n_merge_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Top-k neighbors for every vector of one table: ``knn_join(ds, ds)``
+    with self-matches excluded."""
+    return knn_join(
+        ds,
+        ds,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        emb_col=emb_col,
+        id_col=id_col,
+        exclude_self=exclude_self,
+        n_merge_buckets=n_merge_buckets,
     )
 
 
