@@ -371,6 +371,55 @@ def verify_jaccard_pairs_join(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def near_dedup_docs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+) -> ray.data.Dataset:
+    """Corpus minus near-duplicates: keep one representative per cluster.
+
+    Composition: LSH candidates → distributed Jaccard verify → drop the
+    larger id of every verified pair.  Chain pairing emits (a, b) with
+    a < b per band run, so every non-minimal member of a duplicate cluster
+    appears as some pair's ``id_b`` and is dropped; the cluster's smallest
+    id survives.  (Members connected only through a sub-threshold chain
+    edge can survive as extra representatives — the usual LSH-dedup
+    approximation.)
+
+    The drop set is ≤ the number of near-duplicate documents; it broadcasts
+    as an id set (``anti_semi_filter``).  For corpora where even that is
+    too large to broadcast, swap the last step for a shuffle anti-join on
+    ``id_col`` — the verified-pairs side is already a Dataset.
+    """
+    cand = minhash_lsh_candidates(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        n_shingle=n_shingle,
+    )
+    verified = verify_jaccard_pairs_join(
+        cand,
+        ds,
+        threshold=threshold,
+        n_shingle=n_shingle,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    drop = {
+        str(r["id_b"])
+        for r in verified.select_columns(["id_b"]).take_all()
+    }
+    from .join import anti_semi_filter
+
+    return anti_semi_filter(ds, drop, keys=id_col, anti=True)
+
+
 class SimHasher:
     """Actor: text → 64-bit simhash fingerprint column.
 

@@ -84,6 +84,35 @@ class TestMinHashJoinVerify:
         )
 
 
+class TestNearDedupDocs:
+    def test_keeps_min_id_representative(self):
+        from bioie_llm_ray.stages.neardup import near_dedup_docs
+
+        # 20 genuinely-distinct docs (disjoint vocabularies) + two planted
+        # duplicate clusters: {0, 100(exact), 101(near)} and {5, 105(near)}
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(f"w{i}_{j}" for j in range(30)),
+            }
+            for i in range(20)
+        ]
+        base0 = rows[0]["text"]
+        base5 = rows[5]["text"]
+        rows.append({"doc_id": 100, "text": base0})
+        rows.append({"doc_id": 101, "text": base0 + " w0_30"})
+        rows.append({"doc_id": 105, "text": base5.replace("w5_7", "CHANGED")})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        kept = {
+            r["doc_id"]
+            for r in near_dedup_docs(ds, threshold=0.7).take_all()
+        }
+        assert 0 in kept and 100 not in kept and 101 not in kept
+        assert 5 in kept and 105 not in kept
+        # every genuinely-distinct doc survives
+        assert set(range(20)) <= kept
+
+
 class TestSimHash:
     def test_exact_duplicates_collapse(self):
         rows = _corpus()
