@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational core
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_order_revenue": A.q3_order_revenue,
+        "q3_colocated": A.q3_colocated,
         "q5_nation_revenue": A.q5_nation_revenue,
         "top_brand_revenue": A.top_brand_revenue,
         "supplier_balance_by_nation": A.supplier_balance_by_nation,
@@ -404,7 +405,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),
         "doc_language_id": O.language_id_sql(),
     }
+    q3_sql = """
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """
     return kg_oracles | {
+        # the bucketed-storage path must produce byte-identical q3 results
+        "q3_colocated": q3_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
