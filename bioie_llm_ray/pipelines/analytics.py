@@ -42,9 +42,14 @@ _BYTES_PER_BLOCK = 8 * 1024 * 1024  # compressed parquet; ~3-5× in memory
 _MIN_BLOCKS = 2
 
 
-def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+def _read(
+    sf_dir: str, table: str, columns=None, min_blocks: int = _MIN_BLOCKS
+) -> ray.data.Dataset:
+    """Byte-sized blocks by default; compute-heavy per-row stages pass a
+    higher ``min_blocks`` (≈ cluster CPUs) so a small file still fans out —
+    the tiny-task-storm tradeoff only bites shuffle-heavy queries."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    nblocks = max(_MIN_BLOCKS, os.path.getsize(path) // _BYTES_PER_BLOCK)
+    nblocks = max(min_blocks, os.path.getsize(path) // _BYTES_PER_BLOCK)
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=int(nblocks)
     )

