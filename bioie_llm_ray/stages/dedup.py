@@ -32,6 +32,15 @@ _BUCKET_COL = "__dbucket"
 
 
 def _add_key_column(batch: pa.Table, key_cols: list[str], out: str) -> pa.Table:
+    if len(key_cols) == 1:
+        col = batch[key_cols[0]]
+        if pa.types.is_string(col.type):
+            # single string key: zero-copy reuse, no per-row join loop
+            return batch.append_column(out, col)
+        if pa.types.is_integer(col.type):
+            import pyarrow.compute as pc
+
+            return batch.append_column(out, pc.cast(col, pa.string()))
     cols = [batch[c].to_pylist() for c in key_cols]
     keys = (
         [_KEY_SEP.join(map(str, vals)) for vals in zip(*cols)] if cols else []
