@@ -61,6 +61,63 @@ class TestHashTopN:
             got = sorted(df[df.rel_type == c]["id"])
             assert got == sorted(want), c
 
+    def test_relation_task_over_million_pair_corpus(self):
+        """VERDICT round-1 #2 'done' criterion: the STRING relation task runs
+        over an amplified corpus whose exploded positive pair set exceeds 1M
+        rows, with no driver-side take_all of the pair stream."""
+        from bioie_llm_ray.pipelines.tasks import string_relation_task
+
+        n_prot = 1500  # 1500 x 1400 directed edges -> >1M ordered pairs
+
+        def gen_adj(batch: pa.Table) -> pa.Table:
+            idx = batch["id"].to_pylist()
+            return pa.table(
+                {
+                    "src": pa.array([f"P{i:05d}" for i in idx]),
+                    "neighbors": pa.array(
+                        [
+                            [
+                                f"P{j:05d}"
+                                for j in range(n_prot)
+                                if j != i and (i + j) % 2 == 0
+                            ]
+                            for i in idx
+                        ],
+                        type=pa.list_(pa.string()),
+                    ),
+                }
+            )
+
+        adjacency = ray.data.range(n_prot, override_num_blocks=16).map_batches(
+            gen_adj, batch_format="pyarrow", batch_size=128
+        )
+        negatome = ray.data.from_items(
+            [
+                {"p1": f"N{i:05d}", "p2": f"N{i + 1:05d}"}
+                for i in range(0, 4000, 2)
+            ]
+        )
+        res = string_relation_task(
+            adjacency,
+            negatome,
+            n_pairs_per_side=100,
+            scorer_kwargs={"kind": "relation", "kb": set(), "flip_rate": 0.0},
+        )
+        rows = res.predictions.take_all()
+        assert len(rows) == 200
+        by_true = {"yes": 0, "no": 0}
+        for r in rows:
+            by_true[r["true"]] += 1
+        assert by_true == {"yes": 100, "no": 100}
+        # deterministic: the same sample comes back on a second run
+        rows2 = string_relation_task(
+            adjacency,
+            negatome,
+            n_pairs_per_side=100,
+            scorer_kwargs={"kind": "relation", "kb": set(), "flip_rate": 0.0},
+        ).predictions.take_all()
+        assert {r["src"] for r in rows} == {r["src"] for r in rows2}
+
     def test_streams_a_million_rows(self):
         """VERDICT #2: an amplified >=1M-pair corpus samples without any
         driver-side take_all — per-block partials keep <= n rows each."""
