@@ -18,7 +18,6 @@ the final division happens once on the driver (``from_label_counts``).
 
 from __future__ import annotations
 
-from collections import Counter
 from collections.abc import Sequence
 
 import numpy as np

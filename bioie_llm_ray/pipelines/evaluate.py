@@ -389,8 +389,6 @@ def unanimous_consensus(per_model: dict[str, ray.data.Dataset]) -> ray.data.Data
         )
 
     def consensus_bucket(g):
-        import pandas as pd  # noqa: F401
-
         stats = g.groupby("src").agg(
             n_pred=("pred", "nunique"), n_model=("model", "nunique")
         )
