@@ -138,6 +138,32 @@ def train_centroids(
     return cent
 
 
+def _centroids_with_share(
+    ds: ray.data.Dataset,
+    n_centroids: int,
+    emb_col: str = "embedding",
+    sample_n: int = 2048,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Trained centroids + each cell's population share in the sample."""
+    sample = ds.limit(sample_n).take_all()
+    x = _normalize(
+        np.stack([np.asarray(r[emb_col]) for r in sample]).astype(np.float64)
+    )
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(5):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    final = (x @ cent.T).argmax(axis=1)
+    share = np.bincount(final, minlength=len(cent)) / len(x)
+    return cent, share
+
+
 def knn_join(
     queries_ds: ray.data.Dataset,
     corpus_ds: ray.data.Dataset,
@@ -148,6 +174,7 @@ def knn_join(
     id_col: str = "vec_id",
     exclude_self: bool = False,
     n_merge_buckets: int = 32,
+    max_cell_frac: float = 0.25,
 ) -> ray.data.Dataset:
     """Distributed k-NN join: top-k corpus neighbors for EVERY query row.
 
@@ -166,21 +193,38 @@ def knn_join(
 
     ``n_probe = n_centroids`` makes the join exact (every pair compared
     once per shared bucket, dedup in the merge).  At corpus scale raise
-    ``n_centroids`` ~√n so cells stay bounded; centroid skew is the knob
-    to watch (a hot cell = one big matmul).
+    ``n_centroids`` ~√n so cells stay bounded.
+
+    **Hot-cell salting**: real embedding distributions skew toward a few
+    centroids, and a hot cell is one giant matmul on one worker.  Cell
+    populations are estimated from the quantizer's own training sample
+    (free); any cell whose expected share exceeds ``max_cell_frac`` splits
+    into sub-cells — members salt by ``hash(id) % n_sub``, queries probe
+    every sub-cell of each probed cell, so results are unchanged while the
+    per-task matmul stays bounded.
     Output: (query_id, neighbor_id, rank, cosine) — ORDER BY sim DESC,
     neighbor_id ASC per query.
     """
     import pandas as pd
 
-    cent = train_centroids(corpus_ds, n_centroids, emb_col=emb_col)
-    cent_ref = ray.put(cent)
+    cent, sample_frac = _centroids_with_share(
+        corpus_ds, n_centroids, emb_col=emb_col
+    )
     n_cells = len(cent)
     probe_n = min(n_probe, n_cells)
+    # sub-cell counts: split cells whose expected population share exceeds
+    # max_cell_frac of the corpus (estimated from the training sample)
+    sub_counts = np.maximum(
+        1, np.ceil(sample_frac / max_cell_frac).astype(np.int64)
+    )
+    sub_base = np.concatenate([[0], np.cumsum(sub_counts)[:-1]])  # cell → 1st sub id
+    cent_ref = ray.put((cent, sub_counts, sub_base))
+
+    from ..functions.hashing import _splitmix64
 
     def assign(role_val: int):
         def fn(batch: pa.Table) -> pa.Table:
-            c = ray.get(cent_ref)
+            c, subs, base = ray.get(cent_ref)
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
             emb = _normalize(
                 np.stack(
@@ -189,17 +233,27 @@ def knn_join(
             )
             sims = emb @ c.T  # (n, n_cells)
             n = len(ids)
-            if role_val == 0:  # member: primary cell only
+            if role_val == 0:  # member: primary cell + id-hash salt
                 cell = np.argmax(sims, axis=1)
+                salt = (
+                    _splitmix64(ids.astype(np.uint64)).astype(np.int64)
+                    % subs[cell]
+                )
+                sub_cell = base[cell] + salt
                 rid, row_idx = ids, np.arange(n)
-            else:  # query: n_probe nearest cells
+            else:  # query: every sub-cell of each of the n_probe nearest
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :probe_n]
-                cell = order.reshape(-1)
-                rid = np.repeat(ids, probe_n)
-                row_idx = np.repeat(np.arange(n), probe_n)
+                flat_cells = order.reshape(-1)
+                reps = subs[flat_cells]
+                sub_cell = np.repeat(base[flat_cells], reps) + np.concatenate(
+                    [np.arange(r) for r in reps]
+                ) if len(flat_cells) else np.array([], dtype=np.int64)
+                qrep = np.repeat(np.repeat(np.arange(n), probe_n), reps)
+                rid = ids[qrep]
+                row_idx = qrep
             return pa.table(
                 {
-                    "cell": pa.array(cell.astype(np.int32)),
+                    "cell": pa.array(np.asarray(sub_cell, dtype=np.int32)),
                     "role": pa.array(
                         np.full(len(rid), role_val, dtype=np.int8)
                     ),

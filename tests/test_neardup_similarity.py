@@ -303,6 +303,40 @@ class TestSimilarity:
         a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
         assert len(e & a) / len(e) >= 0.6
 
+    def test_self_join_hot_cell_salting_stays_exact(self):
+        """80% of the corpus collapses into one centroid cell; sub-cell
+        salting splits it and the exact-mode result is unchanged."""
+        from bioie_llm_ray.stages.similarity import knn_self_join
+
+        rng = np.random.RandomState(9)
+        hot = rng.randn(32).astype(np.float64)
+        emb = np.vstack(
+            [
+                hot + rng.randn(160, 32) * 0.05,  # hot cluster (80%)
+                rng.randn(40, 32),  # scattered tail
+            ]
+        )
+        df = pd.DataFrame(
+            {"vec_id": range(200), "embedding": [e.tolist() for e in emb]}
+        )
+        ds = ray.data.from_pandas(df)
+        got = (
+            knn_self_join(ds, k=3, n_centroids=8, n_probe=8)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            brute_force_topk(ds, emb, list(range(200)), k=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["query_id", "neighbor_id", "rank"]],
+            want[["query_id", "neighbor_id", "rank"]],
+        )
+
     def test_ivf_recall_reasonable(self, emb_ds):
         ds, emb = emb_ds
         q = emb[:5].astype(np.float64)
