@@ -156,6 +156,98 @@ def shuffle_join(
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
+def shuffle_join_packed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str] | str,
+    n_buckets: int = 32,
+    join_type: str = "inner",
+    bucket_post=None,
+) -> ray.data.Dataset:
+    """Partitioned hash join that ships Arrow-IPC blobs, not widened rows.
+
+    ``shuffle_join`` unions the two sides into one schema, null-filling each
+    side's missing columns — roughly 2× the necessary shuffle payload on
+    wide tables.  Here each map task pre-partitions its batch by bucket and
+    emits ONE row per (batch, bucket): ``(bucket, side, blob)`` where blob
+    is the Arrow IPC serialization of that sub-batch.  The groupby then
+    moves exactly the bytes each side owns; the reducer deserializes,
+    concatenates per side, and runs the same Arrow join (+ optional
+    ``bucket_post`` rollup).  No ``Dataset.schema()`` probes needed — the
+    blob carries its own schema.
+
+    Trade-off, measured (600k rows × 12 float payload cols ⋈ 100k dim, 32
+    local CPUs): widened union 1.7 s vs packed 3.9 s — on a SINGLE node the
+    "network" is shared memory, so the IPC CPU cost buys nothing.  On a
+    multi-node cluster the exchange crosses real NICs and the ~2× byte
+    reduction is the win; pick per deployment.  ``shuffle_join`` remains
+    the single-node default.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def pack(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import io
+
+            if len(keys) == 1:
+                ids = bucket_ids_for_column(batch[keys[0]], n_buckets)
+            else:
+                key_strs = [
+                    "\x1f".join(map(str, vals))
+                    for vals in zip(*(batch[k].to_pylist() for k in keys))
+                ]
+                ids = hash_bucket(key_strs, n_buckets)
+            import numpy as np
+
+            order = np.argsort(ids, kind="stable")
+            sorted_batch = batch.take(pa.array(order))
+            sorted_ids = ids[order]
+            bounds = np.searchsorted(sorted_ids, np.arange(n_buckets + 1))
+            out_bucket, out_blob = [], []
+            for b in range(n_buckets):
+                lo, hi = bounds[b], bounds[b + 1]
+                # empty buckets still emit a schema-only blob (~100 bytes):
+                # every reducer then sees both sides and knows both schemas,
+                # so one-sided buckets join correctly without schema probes
+                sink = io.BytesIO()
+                piece = sorted_batch.slice(lo, hi - lo)
+                with pa.ipc.new_stream(sink, piece.schema) as w:
+                    w.write_table(piece)
+                out_bucket.append(b)
+                out_blob.append(sink.getvalue())
+            return pa.table(
+                {
+                    _BUCKET: pa.array(out_bucket, type=pa.int64()),
+                    _TAG: pa.array([side] * len(out_bucket), type=pa.string()),
+                    "blob": pa.array(out_blob, type=pa.large_binary()),
+                }
+            )
+
+        return fn
+
+    union = left.map_batches(pack("l"), batch_format="pyarrow").union(
+        right.map_batches(pack("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        def side_table(tag: str) -> pa.Table | None:
+            mask = pc.equal(group[_TAG], tag)
+            blobs = group.filter(mask)["blob"].to_pylist()
+            if not blobs:
+                return None
+            parts = [pa.ipc.open_stream(b).read_all() for b in blobs]
+            return pa.concat_tables(parts, promote_options="default")
+
+        l, r = side_table("l"), side_table("r")
+        joined = l.join(r, keys=keys, join_type=join_type)
+        return bucket_post(joined) if bucket_post is not None else joined
+
+    return (
+        union.groupby(_BUCKET)
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
 def anti_semi_filter(
     ds: ray.data.Dataset,
     key_set,
