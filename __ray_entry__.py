@@ -184,6 +184,31 @@ def _kg_kegg_entity(sf_dir: str):
     return out.sort_values(["src", "pred"]).reset_index(drop=True)
 
 
+def _kg_entity_extraction(sf_dir: str):
+    """kbase entity_and_entity_type open extraction (run_model.py:737-762)."""
+    import ray
+
+    from bioie_llm_ray.oracle import (
+        EET_CHOICES,
+        entity_and_entity_type_inputs,
+    )
+    from bioie_llm_ray.pipelines import tasks
+
+    rows = entity_and_entity_type_inputs()
+    kb = {r["doc_id"]: r["answer"] for r in rows}
+    out = tasks.entity_and_entity_type_task(
+        ray.data.from_items(rows),
+        choices=EET_CHOICES,
+        scorer_kwargs={
+            "kind": "entity_and_entity_type",
+            "kb": kb,
+            "miss_rate": 0.05,
+            "key_col": "entity",
+        },
+    ).to_pandas()
+    return out.sort_values(["src", "pred_entity"]).reset_index(drop=True)
+
+
 def _kg_chain_agreement(sf_dir: str):
     """§3.2 two-stage extract-then-verify joint agreement over fixtures."""
     import pandas as pd
@@ -381,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kegg_relation": _kg_kegg_relation,
         "kg_indra_triples": _kg_indra,
         "kg_entity_types": _kg_entity_types,
+        "kg_entity_extraction": _kg_entity_extraction,
         "kg_chain_agreement": _kg_chain_agreement,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
@@ -402,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kegg_relation": O.values_sql(O.expected_kg_kegg_relation()),
         "kg_indra_triples": O.values_sql(O.expected_kg_indra_triples()),
         "kg_entity_types": O.values_sql(O.expected_kg_entity_types()),
+        "kg_entity_extraction": O.values_sql(O.expected_kg_entity_extraction()),
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),
         "doc_language_id": O.language_id_sql(),
     }

@@ -329,6 +329,62 @@ def language_id_sql() -> str:
     """
 
 
+EET_CHOICES = ["plasmid", "promoter", "reporter"]
+
+
+def entity_and_entity_type_inputs() -> list[dict]:
+    """Deterministic (doc_id, text, answer) rows for kg_entity_extraction:
+    each fixture protein doc carries 1-3 gold 'Name (type)' mentions."""
+    kb = fixtures.make_kb()
+    rows = []
+    for i, name in enumerate(sorted(kb.adjacency)):
+        gold = [
+            f"{name} ({EET_CHOICES[i % 3]})",
+        ]
+        if i % 2 == 0:
+            gold.append(f"{name}X ({EET_CHOICES[(i + 1) % 3]})")
+        rows.append(
+            {
+                "doc_id": f"d{i:04d}",
+                "text": f"construct report for {name}",
+                "answer": gold,
+            }
+        )
+    return rows
+
+
+def expected_kg_entity_extraction(miss_rate: float = 0.05) -> pd.DataFrame:
+    """Serial walk of the kg_entity_extraction query
+    (tasks.entity_and_entity_type_task over the fixture docs)."""
+    from .functions.parsing import parse_entity_type_pairs
+
+    rows = entity_and_entity_type_inputs()
+    kb = {r["doc_id"]: r["answer"] for r in rows}
+    scorer = MockScorer(
+        kind="entity_and_entity_type",
+        kb=kb,
+        miss_rate=miss_rate,
+        key_col="entity",
+    )
+    out = []
+    for r in rows:
+        gold_set = set(r["answer"])
+        for name, typ in parse_entity_type_pairs(scorer._respond(r["doc_id"])):
+            out.append(
+                {
+                    "src": r["doc_id"],
+                    "pred_entity": name,
+                    "pred_type": typ,
+                    "hit": f"{name} ({typ})" in gold_set,
+                }
+            )
+    return (
+        pd.DataFrame(out)
+        .sort_values(["src", "pred_entity"])
+        .reset_index(drop=True)
+    )
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Render a small DataFrame as a DuckDB VALUES relation (full oracle)."""
     if len(df) == 0:

@@ -34,6 +34,11 @@ SUBSET = [
     "doc_language_id",
     "kg_string_relation",
     "kg_entity_types",
+    "kg_entity_extraction",
+    "q3_colocated",
+    "user_session_spans",
+    "quantity_quantiles",
+    "kg_kegg_relation",
 ]
 
 
