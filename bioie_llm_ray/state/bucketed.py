@@ -133,6 +133,11 @@ def colocated_join(
         some = _bucket_dir(right_path, min(r_dirs))
         f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
         r_schema = pq.read_schema(os.path.join(some, f))
+    elif join_type != "inner":
+        raise ValueError(
+            "left-outer colocated_join needs at least one right-side bucket "
+            "to establish the joined schema; the right table is empty"
+        )
 
     @ray.remote
     def join_bucket(i: int) -> pa.Table:
