@@ -161,6 +161,10 @@ def run_scaling_job() -> dict:
             )
         return total
 
+    # warm Ray Data session internals (stats actor, logger, operator init):
+    # the timed job must measure the pipeline, not one-off session setup
+    ray.data.range(1000).map_batches(lambda b: b).count()
+
     ray.get([_wave_unit.remote() for _ in range(num_cpus)])  # warm code path
     wave_times = []
     for _ in range(3):
