@@ -85,6 +85,56 @@ def distributed_hash_top_n(
     return final.drop_columns([c for c in (_H, _K) if c in final.column_names])
 
 
+def weighted_hash_top_n(
+    ds: ray.data.Dataset,
+    key_cols: list[str] | str,
+    weight_col: str,
+    n: int,
+    fan_in: int = 8,
+) -> pa.Table:
+    """Deterministic weighted sample without replacement (streaming A-ES).
+
+    Efraimidis–Spirakis reservoir sampling keeps the n rows with largest
+    ``u^(1/w)``, u ~ Uniform(0,1); substituting the stable key hash for u
+    makes the sample deterministic and partition-invariant while keeping
+    the weighted inclusion law (cf. streaming weighted sampling over joins,
+    EDBT'23 — the score is a per-row functional, so it distributes as a
+    partial top-n exactly like the uniform sampler above).  Zero/negative
+    weights are excluded.  Returns a small Arrow table of the sampled rows.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    _S = "__ws"
+
+    def score(batch: pa.Table) -> pa.Table:
+        if _S in batch.column_names:
+            return batch
+        cols = [batch[c].to_pylist() for c in key_cols]
+        keys = [_KEY_SEP.join(map(str, vals)) for vals in zip(*cols)]
+        u = (stable_hash_u64(keys).astype(np.float64) + 0.5) / 2.0**64
+        w = np.asarray(
+            batch[weight_col].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        return batch.append_column(_S, pa.array(s))
+
+    def k1(batch: pa.Table) -> pa.Table:
+        batch = score(batch)
+        s = batch[_S].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(s >= 0)
+        if len(keep) > n:
+            order = keep[np.argsort(-s[keep], kind="stable")][:n]
+        else:
+            order = keep
+        return batch.take(pa.array(np.sort(order)))
+
+    partials = ds.map_batches(k1, batch_format="pyarrow")
+    reduced = partials.repartition(fan_in).map_batches(k1, batch_format="pyarrow")
+    merged = _as_table(reduced)
+    final = k1(merged)
+    return final.drop_columns([_S])
+
+
 def _as_table(ds: ray.data.Dataset) -> pa.Table:
     """Materialize a (small, already-reduced) Dataset as one Arrow table."""
     refs = ds.to_arrow_refs()
