@@ -396,7 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": A.knn_self_join_exact,
         "knn_join_split": A.knn_join_split,
         "knn_ivf": A.knn_ivf,
+        "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
+        "dedup_jaccard": A.dedup_jaccard,
         "dedup_simhash": A.dedup_simhash,
         "embedding_neardup": A.embedding_neardup,
         # reference benchmark tasks (MockScorer over synthetic KB fixtures)
@@ -743,7 +745,73 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS cosine
             FROM ranked WHERE rnk <= 5
         """,
-        # knn_ivf, dedup_minhash, dedup_simhash, embedding_neardup,
-        # multimodal_features: genuinely non-SQL-expressible (approximate /
-        # md5-signature / binary-payload driven) → rows-only checks.
+        # knn_ivf_exact probes every IVF bucket (n_probe == n_centroids), so
+        # the exact brute-force ranking is its oracle.
+        "knn_ivf_exact": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM sims)
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+                   round(sim, 6) AS cosine
+            FROM ranked WHERE rnk <= 5
+        """,
+        # dedup_jaccard is the EXACT prefix-filtered AllPairs similarity
+        # self-join, so plain SQL word-3-gram Jaccard is its ground truth
+        # (dedup_minhash stays rows-only: LSH chain pairing may miss a pair).
+        "dedup_jaccard": r"""
+            WITH words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS m
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(m::DOUBLE / (ca.n + cb.n - m), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5
+        """,
+        # embedding_neardup's verify step computes EXACT cosine on every
+        # LSH candidate, so output ⊆ {exact pairs ≥ t}; on this corpus the
+        # exact set is attained (LSH recall certified by planted-dup tests),
+        # making plain SQL cosine its oracle.
+        "embedding_neardup": """
+            WITH sims AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM sims WHERE c >= 0.9
+        """,
+        # knn_ivf (approximate probing), dedup_minhash / dedup_simhash
+        # (md5-signature driven), multimodal_features (binary payloads),
+        # distinct_users_hll (approximate): rows-only checks by nature.
     }

@@ -1056,6 +1056,27 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
 # ----------------------------------------------------- near-dup (rows-only)
 
 
+def knn_ivf_exact(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """IVF with ``n_probe == n_centroids``: every bucket is probed, so the
+    result is provably the exact top-k and the brute-force SQL oracle
+    applies — certifying the IVF partition/probe machinery loses nothing.
+    The approximate variant (``knn_ivf``, n_probe=4) stays rows-only."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = ivf_topk(
+        ds, queries, qids, k=k, n_centroids=16, n_probe=16
+    ).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.5 (3-shingles).
 
@@ -1070,6 +1091,25 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
         cand, ds, threshold=0.5, id_col="doc_id", text_col="text"
     )
     out = verified.to_pandas()
+    if len(out):
+        out["jaccard"] = out["jaccard"].round(6)
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+def dedup_jaccard(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (word 3-shingles, J ≥ 0.5).
+
+    Unlike ``dedup_minhash`` (probabilistic candidates, rows-only check)
+    this is prefix-filtered AllPairs — provably complete — so it carries a
+    full DuckDB oracle: the same word-3-gram Jaccard computed in SQL.
+    """
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(
+        ds, threshold=threshold, id_col="doc_id", text_col="text"
+    ).to_pandas()
     if len(out):
         out["jaccard"] = out["jaccard"].round(6)
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -1095,6 +1135,16 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     if len(out):
         out["cosine"] = out["cosine"].round(6)
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    else:
+        # Dataset.to_pandas() drops the schema when every block is empty;
+        # the driver compares column names, so pin the declared shape.
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
     return out
 
 

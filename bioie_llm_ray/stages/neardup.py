@@ -792,3 +792,149 @@ def embedding_neardup_pairs(
     return exact_dedup(
         pairs.map_batches(key_col, batch_format="pyarrow"), ["_k"]
     ).drop_columns(["_k"])
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    n_shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_type: pa.DataType | None = None,
+    n_hash_buckets: int = 64,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT n-gram-Jaccard similarity self-join: all pairs with J ≥ t.
+
+    MinHash/SimHash candidates are probabilistic (chain pairing can miss a
+    true pair — see ``minhash_lsh_candidates``); this operator is the exact
+    member of the dedup family, via prefix filtering (AllPairs / PPJoin,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08 — public algorithms):
+
+    1. Per doc, sort its distinct shingle hashes ascending (one global
+       order) and index only the first ``n − ceil(t·n) + 1`` of them.
+       Theorem: the smallest shared shingle of any pair with overlap
+       ≥ ceil(t·n) lies in BOTH prefixes, so no true pair is missed.
+    2. Inverted-index join: groupby ``hash(shingle) % B`` (bounded
+       reducers), emit all within-shingle pairs passing the length filter
+       ``min(n_a, n_b) ≥ t · max(n_a, n_b)`` (necessary for J ≥ t).
+    3. Dedup pairs (bucketed ``exact_dedup``), then verify true Jaccard
+       with the distributed text re-fetch join — output == ground truth.
+
+    Scale notes: index size is (1−t)·|shingles| rows — the threshold is the
+    cost knob.  A boilerplate shingle shared by m prefixes emits O(m²)
+    candidates; the length filter prunes most, and corpora with heavy
+    boilerplate should pre-strip it (the usual AllPairs practice) — the
+    exactness guarantee is on the given text.
+    """
+    from ..functions.hashing import hash_bucket
+    from .dedup import exact_dedup
+
+    if id_type is None:
+        id_type = pa.int64()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        out_sh, out_id, out_n = [], [], []
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            u = np.unique(_token_hashes(text, n_shingle))
+            n = len(u)
+            plen = n - int(np.ceil(threshold * n)) + 1
+            pref = u[:plen]
+            out_sh.append(pref)
+            out_id.append(np.full(len(pref), i, dtype=np.int64))
+            out_n.append(np.full(len(pref), n, dtype=np.int64))
+        ids = batch[id_col].take(
+            pa.array(np.concatenate(out_id) if out_id else [], type=pa.int64())
+        )
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(out_sh) if out_sh else [], type=pa.uint64()
+                ),
+                id_col: ids,
+                "n_sh": pa.array(
+                    np.concatenate(out_n) if out_n else [], type=pa.int64()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_bucket(
+            [str(s) for s in batch["shingle"].to_pylist()], n_hash_buckets
+        )
+        return batch.append_column("__bucket", pa.array(ids))
+
+    empty = pa.table(
+        {"id_a": pa.array([], type=id_type), "id_b": pa.array([], type=id_type)}
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "s": group["shingle"].to_numpy(zero_copy_only=False),
+                "i": group[id_col].to_pylist(),
+                "n": group["n_sh"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # drop singleton shingles before the per-shingle pair loop
+        df = df[df.groupby("s")["s"].transform("size") >= 2]
+        if df.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, sub in df.groupby("s", sort=False):
+            ids = sub["i"].to_numpy()
+            ns = sub["n"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            na, nb = ns[iu], ns[ju]
+            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            for a, b in zip(ids[iu[keep]], ids[ju[keep]]):
+                lo, hi = (a, b) if a < b else (b, a)
+                if lo != hi:
+                    out_a.append(lo)
+                    out_b.append(hi)
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=id_type),
+                "id_b": pa.array(out_b, type=id_type),
+            }
+        )
+
+    pairs = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_k",
+            pa.array(
+                [
+                    f"{a}|{b}"
+                    for a, b in zip(
+                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+                    )
+                ],
+                type=pa.string(),
+            ),
+        )
+
+    cand = exact_dedup(
+        pairs.map_batches(key_col, batch_format="pyarrow"), ["_k"]
+    ).drop_columns(["_k"])
+    return verify_jaccard_pairs_join(
+        cand,
+        ds,
+        threshold=threshold,
+        n_shingle=n_shingle,
+        id_col=id_col,
+        text_col=text_col,
+        id_type=id_type,
+        n_buckets=n_buckets,
+    )

@@ -563,3 +563,85 @@ class TestAsofJoin:
             want[["u", "ts", "val", "ts_right"]],
             check_dtype=False,
         )
+
+
+class TestNgramJaccardExact:
+    """ngram_jaccard_pairs is EXACT (prefix-filtered AllPairs): output must
+    equal a brute-force all-pairs Jaccard scan, including moderate-similarity
+    pairs that probabilistic LSH chain pairing can miss."""
+
+    @staticmethod
+    def _truth(rows, threshold, n_shingle=3):
+        import itertools
+
+        def sh(text):
+            toks = text.split()
+            k = min(n_shingle, len(toks)) if toks else 0
+            if not toks:
+                return frozenset([""])
+            return frozenset(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+
+        S = {r["doc_id"]: sh(r["text"]) for r in rows}
+        out = {}
+        for a, b in itertools.combinations(sorted(S), 2):
+            sa, sb = S[a], S[b]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+        return out
+
+    def test_matches_brute_force_exactly(self):
+        from bioie_llm_ray.stages.neardup import ngram_jaccard_pairs
+
+        rows = _corpus()
+        # a moderate pair (~0.5-0.7 Jaccard): shares half its shingles
+        half = "the quick brown fox jumps over the lazy dog again and again"
+        rows.append({"doc_id": 200, "text": half + " one two three four five"})
+        rows.append({"doc_id": 201, "text": half + " six seven eight nine ten"})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+        }
+        want = self._truth(rows, 0.5)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+    def test_threshold_prunes(self):
+        from bioie_llm_ray.stages.neardup import ngram_jaccard_pairs
+
+        rows = _corpus()
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(ds, threshold=0.95).take_all()
+        }
+        want = set(self._truth(rows, 0.95))
+        assert got == want
+        assert (0, 102) in got  # exact duplicate always survives
+
+    def test_random_corpus_property(self):
+        """Random word soup: exactness holds with no planted structure."""
+        from bioie_llm_ray.stages.neardup import ngram_jaccard_pairs
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, size=rng.randint(5, 25))),
+            }
+            for i in range(60)
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(ds, threshold=0.3).take_all()
+        }
+        assert got == set(self._truth(rows, 0.3))
