@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_activity": A.user_hourly_activity,
         "user_sessions": A.user_sessions,
         "user_session_spans": A.user_session_spans,
+        "purchase_in_session": A.purchase_in_session,
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "purchase_since_signup": A.purchase_since_signup,
@@ -532,6 +533,31 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    count(*) AS n_events
             FROM sids GROUP BY 1, 2
+        """,
+        "purchase_in_session": """
+            WITH flags AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            sids AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags),
+            spans AS (
+                SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_idx,
+                       min(ts) AS start_ts, max(ts) AS end_ts
+                FROM sids GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts,
+                   s.session_idx, s.start_ts, s.end_ts
+            FROM events e
+            JOIN spans s ON s.user_id = e.user_id
+                        AND e.ts BETWEEN s.start_ts AND s.end_ts
+            WHERE e.event_type = 'purchase'
         """,
         "top_events_per_user": """
             WITH ranked AS (

@@ -455,6 +455,40 @@ def user_session_spans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def purchase_in_session(sf_dir: str) -> pd.DataFrame:
+    """Each purchase event joined to the session span that contains it.
+
+    Composition: ``sessionize`` (gap-break spans) → ``interval_join``
+    (range containment on user_id + ts BETWEEN start/end) — the range-join
+    sibling of the as-of join, over the same events table.  Every purchase
+    falls inside exactly one span (per-user spans are disjoint), so rows
+    == number of purchase events.
+    """
+    from ..stages.join import interval_join
+    from ..stages.window import sessionize
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    spans = sessionize(events, key_col="user_id", ts_col="ts").drop_columns(
+        ["n_events"]
+    )
+    purchases = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    out = interval_join(
+        purchases,
+        spans,
+        by="user_id",
+        on="ts",
+        start="start_ts",
+        end="end_ts",
+    ).to_pandas()
+    out["session_idx"] = out["session_idx"].astype("int64")
+    cols = ["event_id", "user_id", "ts", "session_idx", "start_ts", "end_ts"]
+    return out[cols].sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
 def user_sliding_window(sf_dir: str, n_hours: int = 3) -> pd.DataFrame:
     """Per-user event counts over a trailing 3-hour sliding window."""
     from ..stages.window import sliding_window_counts

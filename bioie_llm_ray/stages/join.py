@@ -31,6 +31,7 @@ from ..functions.hashing import bucket_ids_for_column, hash_bucket
 
 _TAG = "__side"
 _BUCKET = "__bucket"
+_CHUNK = "__chunk"
 
 
 def broadcast_join(
@@ -275,6 +276,27 @@ def anti_semi_filter(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _schema_types(ds: ray.data.Dataset) -> dict:
+    """{name: pyarrow type} from ``Dataset.schema()``.
+
+    Pandas-backed blocks report object-dtype columns as the Python class
+    ``object`` instead of a pyarrow DataType — normalize those to
+    ``pa.string()`` (the only object payload these operators emit) and
+    numpy dtypes via ``pa.from_numpy_dtype``.
+    """
+    s = ds.schema()
+    out = {}
+    for name, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        else:
+            try:
+                out[name] = pa.from_numpy_dtype(t)
+            except (TypeError, pa.ArrowNotImplementedError):
+                out[name] = pa.string()
+    return out
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -295,9 +317,8 @@ def asof_join(
     """
     import pandas as pd
 
-    ls, rs = left.schema(), right.schema()
-    l_schema = dict(zip(ls.names, ls.types))
-    r_schema = dict(zip(rs.names, rs.types))
+    l_schema = _schema_types(left)
+    r_schema = _schema_types(right)
     l_payload = [c for c in l_schema if c not in (by, on)]
     r_payload_src = [c for c in r_schema if c not in (by, on)]
     # right payload names after collision-suffixing (+ the right timestamp)
@@ -378,6 +399,147 @@ def asof_join(
         # columns to float64; the notna filter removed those rows — cast back.
         return pa.Table.from_pandas(
             merged[out_schema.names], schema=out_schema, preserve_index=False
+        )
+
+    return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    n_buckets: int = 32,
+    suffix: str = "_right",
+    time_chunk: "str | None" = None,
+) -> ray.data.Dataset:
+    """Range/interval join: every (left, right) pair with the same ``by``
+    key and ``right.start <= left.on <= right.end`` (inner semantics).
+
+    The sibling of ``asof_join`` for window containment — e.g. assigning
+    events to the session span that contains them.  Tag + bucket by the
+    ``by`` key, then one vectorized pandas pass per bucket: equi-merge on
+    the key and filter BETWEEN — the per-key cross size is the same work a
+    SQL BETWEEN join does, and the output bound is inherent.
+
+    ``time_chunk`` (a pandas offset alias like ``"1D"``) adds time to the
+    shuffle key for hot ``by`` keys: left rows route by ``(by,
+    floor(on))``, right intervals replicate to every chunk they overlap,
+    and each matched pair still surfaces exactly once (the chunk of
+    ``left.on`` is unique and always among the right row's chunks).  Use
+    it when one key's rows outgrow a bucket — the normal salting story,
+    kept exact.
+    """
+    import pandas as pd
+
+    l_schema = _schema_types(left)
+    r_schema = _schema_types(right)
+    l_payload = [c for c in l_schema if c not in (by, on)]
+    r_payload_src = [c for c in r_schema if c not in (by,)]
+    r_renamed = {c: (c + suffix if c in l_schema else c) for c in r_payload_src}
+    r_payload = [r_renamed[c] for c in r_payload_src]
+    start_o, end_o = r_renamed[start], r_renamed[end]
+
+    out_schema = pa.schema(
+        [(by, l_schema[by]), (on, l_schema[on])]
+        + [(c, l_schema[c]) for c in l_payload]
+        + [(r_renamed[c], r_schema[c]) for c in r_payload_src]
+    )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        for c in r_payload:
+            src = c[: -len(suffix)] if c.endswith(suffix) and c[: -len(suffix)] in r_schema else c
+            batch = batch.append_column(
+                c, pa.nulls(len(batch), type=r_schema[src])
+            )
+        if time_chunk is None:
+            ids = bucket_ids_for_column(batch[by], n_buckets)
+            chunks = [""] * len(batch)
+        else:
+            floored = pd.Series(batch[on].to_pandas()).dt.floor(time_chunk)
+            chunks = [t.isoformat() for t in floored]
+            keys = [
+                f"{k}|{c}" for k, c in zip(batch[by].to_pylist(), chunks)
+            ]
+            ids = hash_bucket(keys, n_buckets)
+        batch = batch.append_column(
+            _CHUNK, pa.array(chunks, type=pa.string())
+        )
+        batch = batch.append_column(_BUCKET, pa.array(ids))
+        return batch.append_column(
+            _TAG, pa.array(["l"] * len(batch), type=pa.string())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        for old, new in r_renamed.items():
+            if new != old:
+                batch = batch.rename_columns(
+                    [new if n == old else n for n in batch.column_names]
+                )
+        for c in [on] + l_payload:
+            batch = batch.append_column(
+                c, pa.nulls(len(batch), type=l_schema[c])
+            )
+        if time_chunk is None:
+            batch = batch.append_column(
+                _CHUNK, pa.array([""] * len(batch), type=pa.string())
+            )
+            ids = pa.array(bucket_ids_for_column(batch[by], n_buckets))
+            batch = batch.append_column(_BUCKET, ids)
+            return batch.append_column(
+                _TAG, pa.array(["r"] * len(batch), type=pa.string())
+            )
+        # replicate each interval to every chunk it overlaps; the replica
+        # carries its chunk so the per-bucket merge keys on (by, chunk) and
+        # a pair never matches twice even when several chunks share a bucket
+        starts = pd.Series(batch[start_o].to_pandas()).dt.floor(time_chunk)
+        ends = pd.Series(batch[end_o].to_pandas()).dt.floor(time_chunk)
+        step = pd.Timedelta(time_chunk)
+        idx, keys, chunks = [], [], []
+        bys = batch[by].to_pylist()
+        for i, (s0, e0) in enumerate(zip(starts, ends)):
+            c = s0
+            while c <= e0:
+                idx.append(i)
+                chunks.append(c.isoformat())
+                keys.append(f"{bys[i]}|{chunks[-1]}")
+                c = c + step
+        rep = batch.take(pa.array(idx, type=pa.int64()))
+        rep = rep.append_column(_CHUNK, pa.array(chunks, type=pa.string()))
+        rep = rep.append_column(
+            _BUCKET, pa.array(hash_bucket(keys, n_buckets))
+        )
+        return rep.append_column(
+            _TAG, pa.array(["r"] * len(rep), type=pa.string())
+        )
+
+    order = (
+        [by, on]
+        + sorted(set(l_payload) | set(r_payload))
+        + [_CHUNK, _BUCKET, _TAG]
+    )
+    left_t = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        lambda b: b.select(order), batch_format="pyarrow"
+    )
+    right_t = right.map_batches(tag_right, batch_format="pyarrow").map_batches(
+        lambda b: b.select(order), batch_format="pyarrow"
+    )
+    union = left_t.union(right_t)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group[_TAG], "l")
+        l_t = group.filter(mask).select([by, _CHUNK, on] + l_payload)
+        r_t = group.filter(pc.invert(mask)).select([by, _CHUNK] + r_payload)
+        if len(l_t) == 0 or len(r_t) == 0:
+            return out_schema.empty_table()
+        l = l_t.to_pandas()
+        r = r_t.to_pandas()
+        m = l.merge(r, on=[by, _CHUNK], how="inner")
+        m = m[(m[start_o] <= m[on]) & (m[on] <= m[end_o])]
+        return pa.Table.from_pandas(
+            m[out_schema.names], schema=out_schema, preserve_index=False
         )
 
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")

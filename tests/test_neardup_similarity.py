@@ -645,3 +645,92 @@ class TestNgramJaccardExact:
             for r in ngram_jaccard_pairs(ds, threshold=0.3).take_all()
         }
         assert got == set(self._truth(rows, 0.3))
+
+
+class TestIntervalJoin:
+    @staticmethod
+    def _data(ts_as_datetime: bool):
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame(
+            {
+                "u": rng.randint(0, 8, 120),
+                "ts": rng.randint(0, 5000, 120),
+                "val": rng.randn(120).round(4),
+            }
+        ).astype({"ts": "int64"})
+        starts = rng.randint(0, 4500, 50)
+        right = pd.DataFrame(
+            {
+                "u": rng.randint(0, 8, 50),
+                "start": starts,
+                "end": starts + rng.randint(0, 800, 50),
+                "tag": [f"w{i}" for i in range(50)],
+            }
+        ).astype({"start": "int64", "end": "int64"})
+        if ts_as_datetime:
+            base = pd.Timestamp("2024-01-01")
+            for df, cols in ((left, ["ts"]), (right, ["start", "end"])):
+                for c in cols:
+                    df[c] = base + pd.to_timedelta(df[c], unit="m")
+        return left, right
+
+    @staticmethod
+    def _truth(left, right):
+        m = left.merge(right, on="u", how="inner")
+        m = m[(m["start"] <= m["ts"]) & (m["ts"] <= m["end"])]
+        return (
+            m.sort_values(["u", "ts", "val", "tag"]).reset_index(drop=True)
+        )
+
+    def test_matches_pandas_between(self):
+        from bioie_llm_ray.stages.join import interval_join
+
+        left, right = self._data(ts_as_datetime=False)
+        got = (
+            interval_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                by="u",
+                on="ts",
+                start="start",
+                end="end",
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "val", "tag"])
+            .reset_index(drop=True)
+        )
+        want = self._truth(left, right)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+
+    def test_time_chunk_replication_stays_exact(self):
+        """Hot-key path: intervals replicate per overlapped chunk, yet each
+        matched pair surfaces exactly once."""
+        from bioie_llm_ray.stages.join import interval_join
+
+        left, right = self._data(ts_as_datetime=True)
+        kwargs = dict(by="u", on="ts", start="start", end="end")
+        plain = (
+            interval_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right), **kwargs
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "val", "tag"])
+            .reset_index(drop=True)
+        )
+        chunked = (
+            interval_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                time_chunk="2h",
+                **kwargs,
+            )
+            .to_pandas()
+            .sort_values(["u", "ts", "val", "tag"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            plain[sorted(plain.columns)], chunked[sorted(chunked.columns)]
+        )
+        assert len(plain) == len(self._truth(left, right))
