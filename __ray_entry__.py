@@ -434,6 +434,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_extraction": O.values_sql(O.expected_kg_entity_extraction()),
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),
         "doc_language_id": O.language_id_sql(),
+        # independent SQL reimplementations of the md5-derived kernels
+        # (splitmix64 decomposed into 32-bit HUGEINT mulmods) — see
+        # oracle.simhash_sql / oracle.hll_distinct_sql
+        "dedup_simhash": O.simhash_sql(),
+        "distinct_users_hll": O.hll_distinct_sql(),
     }
     q3_sql = """
             SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,

@@ -408,3 +408,126 @@ def values_sql(df: pd.DataFrame) -> str:
     )
     cols = ", ".join(f'"{c}"' for c in df.columns)  # "true" etc. are reserved
     return f"SELECT * FROM (VALUES\n{rows}\n) AS t({cols})"
+
+
+# ---------------------------------------------------------------------------
+# SQL reimplementations of the md5-derived sketch/dedup kernels.
+#
+# These are genuinely independent second implementations: the Ray side runs
+# vectorized numpy (stages/neardup.SimHasher, stages/sketch.approx_distinct);
+# the oracle recomputes the same public algorithms (simhash voting, HLL
+# registers, splitmix64 finalizer) in pure DuckDB SQL over the same parquet
+# views.  DuckDB UBIGINT multiplication raises on overflow instead of
+# wrapping, so the mod-2^64 multiplies are decomposed into 32-bit halves in
+# HUGEINT.
+
+
+def _mulmod64_sql(z: str, c: int) -> str:
+    """SQL expr: (z * c) mod 2^64; ``z`` a HUGEINT expr in [0, 2^64)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({z}) % 4294967296) * {cl} + "
+        f"(((({z}) % 4294967296) * {ch} + (({z}) // 4294967296) * {cl})"
+        f" % 4294967296) * 4294967296) % 18446744073709551616"
+    )
+
+
+def splitmix64_sql(x: str) -> str:
+    """SQL expr computing splitmix64(x) for a UBIGINT expr ``x``.
+
+    Mirrors functions/hashing._splitmix64 (public-domain finalizer);
+    validated bit-exact against the numpy implementation in
+    tests/test_oracle_sql.py.
+    """
+    s1 = f"((({x})::HUGEINT + 11400714819323198485) % 18446744073709551616)"
+    x1 = f"xor(({s1})::UBIGINT, ({s1})::UBIGINT >> 30)"
+    s2 = _mulmod64_sql(f"({x1})::HUGEINT", 0xBF58476D1CE4E5B9)
+    x2 = f"xor(({s2})::UBIGINT, ({s2})::UBIGINT >> 27)"
+    s3 = _mulmod64_sql(f"({x2})::HUGEINT", 0x94D049BB133111EB)
+    return f"xor(({s3})::UBIGINT, ({s3})::UBIGINT >> 31)"
+
+
+# first 8 bytes of md5, big-endian — functions/hashing.stable_hash_u64
+_MD5_U64 = "('0x' || substr(md5({v}),1,16))::UBIGINT"
+
+
+def simhash_sql() -> str:
+    """DuckDB oracle for analytics.dedup_simhash.
+
+    Word tokens (whitespace split), 64-bit hash = splitmix64(md5[:8]) per
+    occurrence, per-bit +1/-1 votes, fingerprint bit b = (2·ones_b > n);
+    keep min doc_id per fingerprint.  The signed BIGINT wrap matches the
+    uint64→int64 cast on the Ray side.
+    """
+    h = splitmix64_sql(_MD5_U64.format(v="w"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.w AS w
+  FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+  WHERE t.w <> ''
+),
+hs AS (SELECT doc_id, {h} AS h FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+votes AS (
+  SELECT doc_id, g.b AS b,
+         sum(CASE WHEN ((h >> g.b) & 1) = 1 THEN 1 ELSE 0 END) AS ones
+  FROM hs, generate_series(0, 63) AS g(b)
+  GROUP BY doc_id, g.b
+),
+fp AS (
+  SELECT votes.doc_id,
+         sum(CASE WHEN 2*ones > n AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS lo,
+         sum(CASE WHEN 2*ones > n AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+  FROM votes JOIN cnt USING (doc_id)
+  GROUP BY votes.doc_id
+)
+SELECT min(doc_id) AS doc_id,
+       CASE WHEN hi >= 2147483648
+            THEN ((hi::HUGEINT * 4294967296 + lo) - 18446744073709551616)::BIGINT
+            ELSE (hi::HUGEINT * 4294967296 + lo)::BIGINT END AS simhash
+FROM fp
+GROUP BY hi, lo
+ORDER BY doc_id
+"""
+
+
+def hll_distinct_sql() -> str:
+    """DuckDB oracle for analytics.distinct_users_hll (p=14 HyperLogLog).
+
+    Register index = top 14 hash bits; rank = leading zeros of the
+    14-left-shifted remainder (guard bits ORed in) + 1, via bit length =
+    length(bin(w)); estimate = alpha·m²/Σ2^-r with the standard linear-
+    counting small-range branch.  Deterministic because the register
+    contents are a pure function of the distinct user set.
+    """
+    h = _MD5_U64.format(v="v")
+    return f"""
+WITH vals AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events),
+h AS (SELECT {h} AS h FROM vals),
+reg AS (
+  SELECT (h >> 50)::BIGINT AS idx,
+         max(65 - length(bin(((h % 1125899906842624) * 16384 + 16383)::UBIGINT))) AS r
+  FROM h GROUP BY idx
+),
+allregs AS (
+  SELECT coalesce(reg.r, 0) AS r
+  FROM generate_series(0, 16383) AS g(i) LEFT JOIN reg ON reg.idx = g.i
+),
+est0 AS (
+  SELECT (0.7213 / (1.0 + 1.079/16384.0)) * 16384.0 * 16384.0
+           / sum(power(2.0, -r)) AS raw,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM allregs
+),
+est AS (
+  SELECT CASE WHEN raw <= 2.5 * 16384.0 AND zeros > 0
+              THEN 16384.0 * ln(16384.0 / zeros)
+              ELSE raw END AS estimate
+  FROM est0
+),
+ex AS (SELECT count(DISTINCT user_id) AS exact FROM events)
+SELECT round(estimate, 1) AS estimate,
+       exact,
+       round(abs(estimate - exact) / exact, 6) AS rel_error
+FROM est, ex
+"""

@@ -39,6 +39,9 @@ SUBSET = [
     "user_session_spans",
     "quantity_quantiles",
     "kg_kegg_relation",
+    # SQL reimplementations of the md5-derived kernels
+    "dedup_simhash",
+    "distinct_users_hll",
 ]
 
 
