@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_jaccard": A.dedup_jaccard,
+        "dedup_components": A.dedup_components,
         "dedup_simhash": A.dedup_simhash,
         "embedding_neardup": A.embedding_neardup,
         # reference benchmark tasks (MockScorer over synthetic KB fixtures)
@@ -827,6 +828,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = id_a
             JOIN cnt cb ON cb.doc_id = id_b
             WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5
+        """,
+        # dedup_components: the dedup_jaccard pair SQL + a recursive
+        # transitive closure — ground truth for the large-star/small-star
+        # connected-components labels (component = min reachable doc_id)
+        "dedup_components": r"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS m
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            r(n, x) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x)
+            SELECT n AS node, min(x) AS component
+            FROM r GROUP BY n ORDER BY node
         """,
         # embedding_neardup's verify step computes EXACT cosine on every
         # LSH candidate, so output ⊆ {exact pairs ≥ t}; on this corpus the

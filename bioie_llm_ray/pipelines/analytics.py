@@ -1150,6 +1150,25 @@ def dedup_jaccard(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out
 
 
+def dedup_components(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Duplicate clusters: exact Jaccard pairs → connected components.
+
+    ``dedup_jaccard`` emits pairs; this labels every paired doc with its
+    component's minimum doc_id (large-star/small-star, ``stages/graph.py``)
+    — the cluster-exact form of near-dedup.  Oracle: the same pair SQL
+    plus a recursive transitive closure.
+    """
+    from ..stages.graph import connected_components
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=threshold, id_col="doc_id", text_col="text"
+    )
+    out = connected_components(pairs).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.neardup import simhash_dedup
 

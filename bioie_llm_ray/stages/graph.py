@@ -1,0 +1,247 @@
+"""Distributed graph operators: connected components over an edge Dataset.
+
+The near-dup family (``stages/neardup.py``) emits *pairs*; turning pairs
+into duplicate *clusters* needs connected components — the canonical
+building block of corpus-level dedup (MinHash clusters, URL/host grouping,
+cross-document coreference).  ``near_dedup_docs`` drops the larger id of
+each verified pair, which under-merges transitive clusters; components are
+the exact answer.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — public algorithm).  Each
+round is one bucketed groupby (hash(node) % B — bounded reducers, one
+vectorized pandas pass per bucket, never one Python call per node) plus a
+bucketed exact-dedup of the rewritten edges; the edge set converges to
+stars pointing at each component's minimum id in O(log²) rounds (2–5 in
+practice).  Between rounds the edge Dataset is materialized — an iterative
+fixpoint re-reads its own previous output, so leaving it lazy would
+re-execute the whole chain each round.
+
+Scale notes: edges stay oriented (u > v) so the representation is half the
+adjacency; per-round shuffle volume is O(|E|); hot hub nodes (a component's
+minimum collects edges as rounds progress) are exactly the large-star
+case the algorithm is designed to flatten, and the hash-bucket groupby
+spreads distinct hubs across reducers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import _splitmix64, hash_bucket_ints
+
+_B = "__bucket"
+
+
+def _orient(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    """(src, dst) → oriented (u, v) with u > v; self-loops dropped."""
+    a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    return pa.table(
+        {"u": pa.array(np.maximum(a, b)), "v": pa.array(np.minimum(a, b))}
+    )
+
+
+def _dedup_edges(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
+    """Distinct (u, v) rows via one bucketed vectorized pass (grouped by
+    hash(u): every copy of a pair lands in one bucket)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_bucket_ints(
+            batch["u"].to_numpy(zero_copy_only=False), n_buckets
+        )
+        return batch.append_column(_B, pa.array(ids))
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+def _large_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
+    """For each node n with m = min(Γ(n) ∪ {n}): emit (x, m) for x ∈ Γ(n), x > n."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pa.table(
+            {
+                "n": pa.array(node),
+                "x": pa.array(nbr),
+                _B: pa.array(hash_bucket_ints(node, n_buckets)),
+            }
+        )
+
+    def star(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.groupby("n")["x"].min()
+        g = group.merge(m.rename("m"), left_on="n", right_index=True)
+        g["m"] = np.minimum(g["m"].to_numpy(), g["n"].to_numpy())
+        out = g[g["x"] > g["n"]]
+        return pd.DataFrame(
+            {"u": out["x"].to_numpy(), "v": out["m"].to_numpy()}
+        ).drop_duplicates()
+
+    return (
+        edges.map_batches(bidir, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(star, batch_format="pandas")
+    )
+
+
+def _small_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
+    """For each node n (edges oriented n > v), m = min neighbor: emit
+    (v, m) for v ∈ Γ⁻(n), v ≠ m, plus (n, m)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_bucket_ints(
+            batch["u"].to_numpy(zero_copy_only=False), n_buckets
+        )
+        return batch.append_column(_B, pa.array(ids))
+
+    def star(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.groupby("u")["v"].min()
+        g = group.merge(m.rename("m"), left_on="u", right_index=True)
+        keep = g[g["v"] != g["m"]]
+        own = m.reset_index()  # (u, m): the node itself points at its min
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [keep["v"].to_numpy(), own["u"].to_numpy()]
+                ),
+                "v": np.concatenate(
+                    [keep["m"].to_numpy(), own["v"].to_numpy()]
+                ),
+            }
+        ).drop_duplicates()
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(star, batch_format="pandas")
+    )
+
+
+def _edge_fingerprint(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(count, order-independent hash-sum mod 2^64) of the edge multiset —
+    the convergence check ships two ints per batch, nothing else."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(u * np.uint64(0x9E3779B97F4A7C15) + _splitmix64(v))
+        # np.sum wraps mod 2^64 on uint64 — exactly what we want
+        return pa.table(
+            {
+                "n": pa.array([len(u)], type=pa.int64()),
+                "h": pa.array([int(h.sum(dtype=np.uint64))], type=pa.uint64()),
+            }
+        )
+
+    n, h = 0, 0
+    for row in edges.map_batches(partial, batch_format="pyarrow").take_all():
+        n += row["n"]
+        h = (h + int(row["h"])) & 0xFFFFFFFFFFFFFFFF
+    return n, h
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_buckets: int = 32,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Edge Dataset → (node, component) labels; component = min node id.
+
+    Every node appearing in ``pairs`` gets a row (isolated nodes never
+    enter an edge list — label them ``node == component`` upstream if
+    needed).  Raises after ``max_iters`` non-converged rounds (the
+    algorithm's bound is O(log² n); 50 rounds means malformed input).
+    """
+    edges = _dedup_edges(
+        pairs.map_batches(
+            lambda b: _orient(b, src, dst), batch_format="pyarrow"
+        ),
+        n_buckets,
+    ).materialize()
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_iters):
+        edges = _dedup_edges(
+            _small_star(_large_star(edges, n_buckets), n_buckets), n_buckets
+        ).materialize()
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+
+    # converged star edges: (node, root).  Roots only ever appear as v —
+    # add their self-labels from the distinct v set per bucket.
+    def labels(group: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"node": group["u"].to_numpy(), "component": group["v"].to_numpy()}
+        )
+        return out.drop_duplicates("node")
+
+    def root_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": batch["v"],
+                "v": batch["v"],
+                _B: pa.array(hash_bucket_ints(v, n_buckets)),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_bucket_ints(
+            batch["u"].to_numpy(zero_copy_only=False), n_buckets
+        )
+        return batch.append_column(_B, pa.array(ids))
+
+    tagged = edges.map_batches(add_bucket, batch_format="pyarrow").union(
+        edges.map_batches(root_bucket, batch_format="pyarrow")
+    )
+    return tagged.groupby(_B).map_groups(labels, batch_format="pandas")
+
+
+def cluster_dedup(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Corpus minus near-duplicates, cluster-exact: connected components of
+    the verified pair graph, keep each component's minimum id.
+
+    The drop set (every non-root member) broadcasts as an id set; at
+    corpus scales where even that is too large, swap the filter for a
+    shuffle anti-join on ``id_col`` against the label Dataset.
+    """
+    from .join import anti_semi_filter
+
+    comp = connected_components(
+        pairs, src=src, dst=dst, n_buckets=n_buckets
+    )
+    drop = {
+        str(r["node"])
+        for r in comp.take_all()
+        if r["node"] != r["component"]
+    }
+    return anti_semi_filter(docs, drop, keys=id_col, anti=True)

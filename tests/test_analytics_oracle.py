@@ -42,6 +42,8 @@ SUBSET = [
     # SQL reimplementations of the md5-derived kernels
     "dedup_simhash",
     "distinct_users_hll",
+    # connected components vs recursive-CTE transitive closure
+    "dedup_components",
 ]
 
 

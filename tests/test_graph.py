@@ -1,0 +1,90 @@
+"""connected_components / cluster_dedup vs a serial union-find reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from bioie_llm_ray.stages.graph import cluster_dedup, connected_components
+
+
+def _uf_reference(edges):
+    """Serial union-find: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _pairs_ds(edges):
+    return ray.data.from_items(
+        [{"id_a": int(a), "id_b": int(b)} for a, b in edges]
+    )
+
+
+def _labels(ds):
+    return {r["node"]: r["component"] for r in ds.take_all()}
+
+
+class TestConnectedComponents:
+    def test_chain_cycle_and_singleton_edge(self):
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 20), (5, 5)]
+        # 5-5 self loop is dropped; node 5 never appears
+        got = _labels(connected_components(_pairs_ds(edges), n_buckets=4))
+        want = _uf_reference([(a, b) for a, b in edges if a != b])
+        assert got == want
+
+    def test_random_graph_matches_union_find(self):
+        rng = np.random.RandomState(7)
+        edges = [
+            (int(rng.randint(200)), int(rng.randint(200))) for _ in range(300)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _labels(connected_components(_pairs_ds(edges), n_buckets=8))
+        assert got == _uf_reference(edges)
+
+    def test_star_collapse_hub(self):
+        # one hub component + log-round convergence: 0-1, 1-2, ..., a path
+        # of 64 nodes (worst case for label propagation, fine for star ops)
+        edges = [(i, i + 1) for i in range(64)]
+        got = _labels(connected_components(_pairs_ds(edges), n_buckets=4))
+        assert set(got.values()) == {0}
+        assert len(got) == 65
+
+    def test_empty_pairs(self):
+        ds = ray.data.from_arrow(
+            __import__("pyarrow").table(
+                {"id_a": [], "id_b": []}
+            ).cast(
+                __import__("pyarrow").schema(
+                    [("id_a", __import__("pyarrow").int64()), ("id_b", __import__("pyarrow").int64())]
+                )
+            )
+        )
+        assert connected_components(ds).take_all() == []
+
+
+class TestClusterDedup:
+    def test_keeps_component_minimum(self):
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"d{i}"} for i in range(8)]
+        )
+        pairs = _pairs_ds([(1, 2), (2, 5), (6, 7)])
+        kept = sorted(
+            r["doc_id"] for r in cluster_dedup(docs, pairs).take_all()
+        )
+        # components {1,2,5} -> keep 1; {6,7} -> keep 6; singletons stay
+        assert kept == [0, 1, 3, 4, 6]
