@@ -31,15 +31,39 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..functions.hashing import _splitmix64, hash_bucket_ints
+from ..functions.hashing import (
+    _splitmix64,
+    hash_bucket,
+    hash_bucket_ints,
+    stable_hash_u64,
+)
 
 _B = "__bucket"
 
 
+def _bucket_ids(arr: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Stable bucket ids for an id array — vectorized for integer dtypes,
+    md5-based otherwise (string doc ids are first-class, per the public
+    ``id_col`` API)."""
+    if np.issubdtype(arr.dtype, np.integer):
+        return hash_bucket_ints(arr, n_buckets)
+    return hash_bucket([str(x) for x in arr], n_buckets)
+
+
 def _orient(batch: pa.Table, src: str, dst: str) -> pa.Table:
-    """(src, dst) → oriented (u, v) with u > v; self-loops dropped."""
-    a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    """(src, dst) → oriented (u, v) with u > v; self-loops dropped.
+
+    Integer ids stay integer (cast to int64); any other id type goes
+    through as-is — the algorithm only needs a total order, and numpy
+    elementwise max/min and pandas groupby-min work on object arrays.
+    """
+    id_type = batch.schema.field(src).type
+    if pa.types.is_integer(id_type):
+        a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = np.asarray(batch[src].to_pylist(), dtype=object)
+        b = np.asarray(batch[dst].to_pylist(), dtype=object)
     keep = a != b
     a, b = a[keep], b[keep]
     return pa.table(
@@ -52,7 +76,7 @@ def _dedup_edges(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
     hash(u): every copy of a pair lands in one bucket)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = hash_bucket_ints(
+        ids = _bucket_ids(
             batch["u"].to_numpy(zero_copy_only=False), n_buckets
         )
         return batch.append_column(_B, pa.array(ids))
@@ -79,7 +103,7 @@ def _large_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
             {
                 "n": pa.array(node),
                 "x": pa.array(nbr),
-                _B: pa.array(hash_bucket_ints(node, n_buckets)),
+                _B: pa.array(_bucket_ids(node, n_buckets)),
             }
         )
 
@@ -104,7 +128,7 @@ def _small_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
     (v, m) for v ∈ Γ⁻(n), v ≠ m, plus (n, m)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = hash_bucket_ints(
+        ids = _bucket_ids(
             batch["u"].to_numpy(zero_copy_only=False), n_buckets
         )
         return batch.append_column(_B, pa.array(ids))
@@ -137,8 +161,12 @@ def _edge_fingerprint(edges: ray.data.Dataset) -> tuple[int, int]:
     the convergence check ships two ints per batch, nothing else."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if pa.types.is_integer(batch.schema.field("u").type):
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            u = stable_hash_u64([str(x) for x in batch["u"].to_pylist()])
+            v = stable_hash_u64([str(x) for x in batch["v"].to_pylist()])
         h = _splitmix64(u * np.uint64(0x9E3779B97F4A7C15) + _splitmix64(v))
         # np.sum wraps mod 2^64 on uint64 — exactly what we want
         return pa.table(
@@ -203,12 +231,12 @@ def connected_components(
             {
                 "u": batch["v"],
                 "v": batch["v"],
-                _B: pa.array(hash_bucket_ints(v, n_buckets)),
+                _B: pa.array(_bucket_ids(v, n_buckets)),
             }
         )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = hash_bucket_ints(
+        ids = _bucket_ids(
             batch["u"].to_numpy(zero_copy_only=False), n_buckets
         )
         return batch.append_column(_B, pa.array(ids))

@@ -402,18 +402,16 @@ def near_dedup_docs(
 ) -> ray.data.Dataset:
     """Corpus minus near-duplicates: keep one representative per cluster.
 
-    Composition: LSH candidates → distributed Jaccard verify → drop the
-    larger id of every verified pair.  Chain pairing emits (a, b) with
-    a < b per band run, so every non-minimal member of a duplicate cluster
-    appears as some pair's ``id_b`` and is dropped; the cluster's smallest
-    id survives.  (Members connected only through a sub-threshold chain
-    edge can survive as extra representatives — the usual LSH-dedup
-    approximation.)
+    Composition: LSH candidates → distributed Jaccard verify → connected
+    components of the verified pair graph (``stages/graph.py``,
+    large-star/small-star) → keep each component's minimum id.  Cluster
+    membership is transitive-exact over the verified edges; recall is
+    bounded by LSH candidate generation as usual.
 
     The drop set is ≤ the number of near-duplicate documents; it broadcasts
     as an id set (``anti_semi_filter``).  For corpora where even that is
     too large to broadcast, swap the last step for a shuffle anti-join on
-    ``id_col`` — the verified-pairs side is already a Dataset.
+    ``id_col`` — the component-label side is already a Dataset.
     """
     cand = minhash_lsh_candidates(
         ds,
@@ -431,13 +429,9 @@ def near_dedup_docs(
         id_col=id_col,
         text_col=text_col,
     )
-    drop = {
-        str(r["id_b"])
-        for r in verified.select_columns(["id_b"]).take_all()
-    }
-    from .join import anti_semi_filter
+    from .graph import cluster_dedup
 
-    return anti_semi_filter(ds, drop, keys=id_col, anti=True)
+    return cluster_dedup(ds, verified, id_col=id_col)
 
 
 class SimHasher:

@@ -88,3 +88,24 @@ class TestClusterDedup:
         )
         # components {1,2,5} -> keep 1; {6,7} -> keep 6; singletons stay
         assert kept == [0, 1, 3, 4, 6]
+
+
+class TestStringIds:
+    def test_string_node_ids(self):
+        # public id_col API: string doc ids are first-class (lexicographic min)
+        edges = [("docB", "docA"), ("docB", "docC"), ("docX", "docY")]
+        got = _labels(
+            connected_components(
+                ray.data.from_items(
+                    [{"id_a": a, "id_b": b} for a, b in edges]
+                ),
+                n_buckets=4,
+            )
+        )
+        assert got == {
+            "docA": "docA",
+            "docB": "docA",
+            "docC": "docA",
+            "docX": "docX",
+            "docY": "docX",
+        }
