@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
+        "kg_graph_nodes": A.kg_graph_nodes,
         "triples_canonical": A.triples_canonical,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
@@ -709,6 +710,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
+        """,
+        "kg_graph_nodes": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            edges AS (
+                SELECT a.token AS s, b.token AS o, count(*) AS w
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            bidir AS (
+                SELECT s AS entity, o AS nbr, w FROM edges
+                UNION ALL SELECT o, s, w FROM edges)
+            SELECT entity,
+                   count(DISTINCT nbr)::BIGINT AS degree,
+                   sum(w)::BIGINT AS support
+            FROM bidir GROUP BY entity ORDER BY entity
         """,
         "triples_canonical": f"""
             WITH m AS (

@@ -968,6 +968,29 @@ def cooccur_edges(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["subj", "obj"]).reset_index(drop=True)
 
 
+def kg_graph_nodes(sf_dir: str) -> pd.DataFrame:
+    """Materialized-KG node table: degree + support per entity.
+
+    The "graph materialize" leg of the flagship pipeline: co-occurrence
+    edges (weight = doc count) → ``stages/graph.node_degrees`` (bucketed
+    bidirectional explode, vectorized per-bucket rollup).
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import node_degrees
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    pairs = ds.map_batches(
+        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
+    )
+    edges = pairs.groupby(["subj", "obj"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+    out = node_degrees(edges, src="subj", dst="obj", weight="n_docs").to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
 def triples_canonical(sf_dir: str) -> pd.DataFrame:
     """Canonicalized distinct triples — the flagship KG shape.
 

@@ -273,3 +273,125 @@ def cluster_dedup(
         if r["node"] != r["component"]
     }
     return anti_semi_filter(docs, drop, keys=id_col, anti=True)
+
+
+def aggregate_edges(
+    triples: ray.data.Dataset,
+    keys: tuple[str, str, str] = ("subj", "pred", "obj"),
+    support_col: str = "support",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Triple stream → distinct edge table with support counts.
+
+    Two-phase count (the combiner pattern): an Arrow ``group_by`` inside
+    each batch collapses local repeats first, so the shuffle moves one
+    partial row per distinct edge per batch; the bucketed groupby then
+    sums partials — never one group per edge key.
+    """
+    ks = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(ks).aggregate([([], "count_all")])
+        g = g.rename_columns(ks + ["__n"])
+        key0 = [
+            "\x1f".join(vals)
+            for vals in zip(*(g[k].to_pylist() for k in ks))
+        ]
+        return g.append_column(
+            _B, pa.array(hash_bucket(key0, n_buckets))
+        )
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(ks, as_index=False)["__n"].sum()
+        return out.rename(columns={"__n": support_col})
+
+    return (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def node_degrees(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Edge table → (entity, degree, support) node table.
+
+    degree = distinct neighbors over both directions; support = Σ edge
+    weight (edge count when ``weight`` is None).  One bucketed groupby on
+    hash(entity) with a vectorized pandas pass per bucket.
+    """
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src].to_pylist(), dtype=object)
+        o = np.asarray(batch[dst].to_pylist(), dtype=object)
+        if weight is None:
+            w = np.ones(len(s), dtype=np.int64)
+        else:
+            w = batch[weight].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = np.concatenate([s, o])
+        nbr = np.concatenate([o, s])
+        return pa.table(
+            {
+                "entity": pa.array(ent, type=pa.string()),
+                "nbr": pa.array(nbr, type=pa.string()),
+                "w": pa.array(np.concatenate([w, w])),
+                _B: pa.array(_bucket_ids(ent, n_buckets)),
+            }
+        )
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("entity").agg(
+            degree=("nbr", "nunique"), support=("w", "sum")
+        )
+        return out.reset_index()
+
+    return (
+        edges.map_batches(bidir, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def materialize_graph(
+    triples: ray.data.Dataset,
+    out_root: str | None = None,
+    lineage: dict | None = None,
+    n_buckets: int = 32,
+) -> dict:
+    """Triple stream → materialized KG: edge table + node table, optionally
+    checkpointed as partitioned Parquet (north-rule "graph materialize").
+
+    Layout under ``out_root``::
+
+        edges/*.parquet   (subj, pred, obj, support)
+        nodes/*.parquet   (entity, degree, support)
+        MANIFEST.json     lineage + row counts
+
+    Each table keeps its block-level partitioning (one file per block) so a
+    failed downstream consumer can re-read any shard independently.
+    """
+    edges = aggregate_edges(triples, n_buckets=n_buckets).materialize()
+    nodes = node_degrees(
+        edges, weight="support", n_buckets=n_buckets
+    ).materialize()
+    result = {"edges": edges, "nodes": nodes}
+    if out_root is not None:
+        import json
+        import os
+
+        os.makedirs(out_root, exist_ok=True)
+        edges.write_parquet(os.path.join(out_root, "edges"))
+        nodes.write_parquet(os.path.join(out_root, "nodes"))
+        manifest = {
+            "lineage": lineage or {},
+            "n_edges": edges.count(),
+            "n_nodes": nodes.count(),
+        }
+        with open(os.path.join(out_root, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+    return result

@@ -44,6 +44,7 @@ SUBSET = [
     "distinct_users_hll",
     # connected components vs recursive-CTE transitive closure
     "dedup_components",
+    "kg_graph_nodes",
 ]
 
 

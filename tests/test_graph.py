@@ -109,3 +109,44 @@ class TestStringIds:
             "docX": "docX",
             "docY": "docX",
         }
+
+
+class TestMaterializeGraph:
+    def test_edges_nodes_and_manifest(self, tmp_path):
+        from bioie_llm_ray.stages.graph import materialize_graph
+
+        triples = ray.data.from_items(
+            [
+                {"subj": "A", "pred": "r", "obj": "B"},
+                {"subj": "A", "pred": "r", "obj": "B"},  # repeat -> support 2
+                {"subj": "A", "pred": "r", "obj": "C"},
+                {"subj": "B", "pred": "s", "obj": "C"},
+            ]
+        )
+        out = materialize_graph(
+            triples, out_root=str(tmp_path / "kg"), lineage={"model_id": "m"}
+        )
+        edges = {
+            (r["subj"], r["pred"], r["obj"]): r["support"]
+            for r in out["edges"].take_all()
+        }
+        assert edges == {("A", "r", "B"): 2, ("A", "r", "C"): 1, ("B", "s", "C"): 1}
+        nodes = {
+            r["entity"]: (r["degree"], r["support"])
+            for r in out["nodes"].take_all()
+        }
+        # A: nbrs {B, C}, support 2+1; B: nbrs {A, C}, support 2+1;
+        # C: nbrs {A, B}, support 1+1
+        assert nodes == {"A": (2, 3), "B": (2, 3), "C": (2, 2)}
+
+        import json
+
+        man = json.loads((tmp_path / "kg" / "MANIFEST.json").read_text())
+        assert man["n_edges"] == 3 and man["n_nodes"] == 3
+        assert man["lineage"] == {"model_id": "m"}
+        # the written shards re-read to the same tables
+        re_edges = ray.data.read_parquet(str(tmp_path / "kg" / "edges"))
+        assert sorted(
+            (r["subj"], r["pred"], r["obj"], r["support"])
+            for r in re_edges.take_all()
+        ) == sorted((s, p, o, w) for (s, p, o), w in edges.items())
