@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
         "kg_graph_nodes": A.kg_graph_nodes,
+        "kg_pagerank": A.kg_pagerank,
         "triples_canonical": A.triples_canonical,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
@@ -441,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         # oracle.simhash_sql / oracle.hll_distinct_sql
         "dedup_simhash": O.simhash_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
+        # power iteration unrolled as chained CTEs
+        "kg_pagerank": O.pagerank_sql(),
     }
     q3_sql = """
             SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,

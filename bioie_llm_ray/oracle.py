@@ -531,3 +531,48 @@ SELECT round(estimate, 1) AS estimate,
        round(abs(estimate - exact) / exact, 6) AS rel_error
 FROM est, ex
 """
+
+
+def pagerank_sql(n_iters: int = 20, damping: float = 0.85) -> str:
+    """DuckDB oracle for analytics.kg_pagerank: the power iteration unrolled
+    as ``n_iters`` chained CTEs (recursive CTEs restrict aggregates in the
+    recursive member; unrolling sidesteps the restriction and keeps each
+    step a plain join + group-by).  The bidirectional co-occurrence graph
+    has no dangling nodes, so the dangling term is identically zero and is
+    omitted on both sides.
+    """
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iters + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT e.o AS node,
+         (1 - {damping}) / nn.c + {damping} * sum(p.rank * e.w / od.od) AS rank
+  FROM edges e
+  JOIN {prev} p ON p.node = e.s
+  JOIN outdeg od ON od.node = e.s
+  CROSS JOIN nn
+  GROUP BY e.o, nn.c)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH m AS MATERIALIZED (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ('spark','hash','join','merge','sort','filter','window',
+                    'vector','stream','batch')),
+und AS MATERIALIZED (
+    SELECT a.token AS s, b.token AS o, count(*)::DOUBLE AS w
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2),
+edges AS MATERIALIZED (SELECT s, o, w FROM und UNION ALL SELECT o, s, w FROM und),
+nn AS MATERIALIZED (SELECT count(DISTINCT s) AS c FROM edges),
+outdeg AS MATERIALIZED (SELECT s AS node, sum(w) AS od FROM edges GROUP BY s),
+pr0 AS MATERIALIZED (SELECT s AS node, 1.0 / nn.c AS rank FROM (SELECT DISTINCT s FROM edges), nn),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node
+"""

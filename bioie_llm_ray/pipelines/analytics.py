@@ -991,6 +991,49 @@ def kg_graph_nodes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("entity").reset_index(drop=True)
 
 
+def kg_pagerank(sf_dir: str, n_iters: int = 20) -> pd.DataFrame:
+    """PageRank over the co-occurrence KG (undirected → both orientations).
+
+    Broadcast-iteration operator (``stages/graph.pagerank``): ranks
+    broadcast per round, edges stream.  Fixed iteration count keeps the
+    output a pure function of the topology (float-stable to well past the
+    6-decimal rounding used for the oracle comparison).
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    pairs = ds.map_batches(
+        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
+    )
+    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pa.concat_arrays(
+                    [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+                ),
+                "obj": pa.concat_arrays(
+                    [batch["obj"].combine_chunks(), batch["subj"].combine_chunks()]
+                ),
+                "w": pa.concat_arrays(
+                    [batch["w"].combine_chunks(), batch["w"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = pagerank(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        weight="w",
+        n_iters=n_iters,
+    ).to_pandas()
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def triples_canonical(sf_dir: str) -> pd.DataFrame:
     """Canonicalized distinct triples — the flagship KG shape.
 

@@ -395,3 +395,117 @@ def materialize_graph(
         with open(os.path.join(out_root, "MANIFEST.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
     return result
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iters: int = 20,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Weighted PageRank over a directed edge Dataset → (node, rank).
+
+    Broadcast-iteration pattern: the node table (ranks + out-degrees) is
+    the small side of a KG — entity count ≪ mention/edge count — so ranks
+    broadcast via ``ray.put`` each round while the edge set streams.  Per
+    round, each edge batch pre-aggregates its contributions per target
+    (one partial row per distinct dst per batch), the driver folds the
+    partials, applies damping and dangling-mass redistribution, and
+    re-broadcasts.  Driver state and per-round merge are O(|V|); edge work
+    is fully parallel and never materializes on the driver.  For graphs
+    whose NODE table outgrows driver memory, swap the fold for a bucketed
+    groupby-sum keyed by dst and a shuffle join of ranks onto edges — same
+    formula, two wide ops per round.
+
+    Fixed ``n_iters`` (deterministic output given topology); undirected
+    graphs should pass both edge orientations.
+    """
+    import collections
+
+    edges = edges.materialize()  # consumed n_iters+1 times
+
+    def outdeg_partial(batch: pa.Table) -> pa.Table:
+        s = [str(x) for x in batch[src].to_pylist()]
+        if weight is None:
+            w = np.ones(len(s), dtype=np.float64)
+        else:
+            w = batch[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+        acc: dict = {}
+        for k, wi in zip(s, w):
+            acc[k] = acc.get(k, 0.0) + wi
+        d = [str(x) for x in batch[dst].to_pylist()]
+        return pa.table(
+            {
+                "node": pa.array(list(acc) + sorted(set(d) - set(acc))),
+                "od": pa.array(
+                    list(acc.values()) + [0.0] * len(set(d) - set(acc)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    outdeg: dict = collections.defaultdict(float)
+    for row in edges.map_batches(
+        outdeg_partial, batch_format="pyarrow"
+    ).take_all():
+        outdeg[row["node"]] += row["od"]
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "rank": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    ranks = {v: 1.0 / n for v in nodes}
+
+    def contrib_partial(ranks_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            r = ray.get(ranks_ref)
+            od = ray.get(od_ref)
+            s = [str(x) for x in batch[src].to_pylist()]
+            d = [str(x) for x in batch[dst].to_pylist()]
+            if weight is None:
+                w = np.ones(len(s), dtype=np.float64)
+            else:
+                w = batch[weight].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+            acc: dict = {}
+            for si, di, wi in zip(s, d, w):
+                acc[di] = acc.get(di, 0.0) + r[si] * wi / od[si]
+            return pa.table(
+                {
+                    "node": pa.array(list(acc)),
+                    "c": pa.array(list(acc.values()), type=pa.float64()),
+                }
+            )
+
+        return fn
+
+    od_ref = ray.put(dict(outdeg))
+    for _ in range(n_iters):
+        ranks_ref = ray.put(ranks)
+        contrib: dict = collections.defaultdict(float)
+        for row in edges.map_batches(
+            contrib_partial(ranks_ref), batch_format="pyarrow"
+        ).take_all():
+            contrib[row["node"]] += row["c"]
+        dangling = sum(r for v, r in ranks.items() if outdeg[v] == 0.0)
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = {v: base + damping * contrib.get(v, 0.0) for v in nodes}
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "rank": pa.array([ranks[v] for v in nodes], type=pa.float64()),
+            }
+        )
+    )

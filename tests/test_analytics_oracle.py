@@ -45,6 +45,7 @@ SUBSET = [
     # connected components vs recursive-CTE transitive closure
     "dedup_components",
     "kg_graph_nodes",
+    "kg_pagerank",
 ]
 
 

@@ -150,3 +150,58 @@ class TestMaterializeGraph:
             (r["subj"], r["pred"], r["obj"], r["support"])
             for r in re_edges.take_all()
         ) == sorted((s, p, o, w) for (s, p, o), w in edges.items())
+
+
+class TestPageRank:
+    def _np_reference(self, edges, weights, damping=0.85, n_iters=20):
+        import numpy as np
+
+        nodes = sorted({str(x) for e in edges for x in e})
+        ix = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        W = np.zeros((n, n))
+        for (s, d), w in zip(edges, weights):
+            W[ix[str(d)], ix[str(s)]] += w
+        od = W.sum(axis=0)
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iters):
+            contrib = W @ np.where(od > 0, r / np.where(od > 0, od, 1), 0.0)
+            dangling = r[od == 0].sum()
+            r = (1 - damping) / n + damping * (contrib + dangling / n)
+        return dict(zip(nodes, r))
+
+    def test_matches_numpy_power_iteration(self):
+        from bioie_llm_ray.stages.graph import pagerank
+
+        rng = np.random.RandomState(3)
+        edges = [
+            (int(rng.randint(30)), int(rng.randint(30))) for _ in range(120)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        weights = [float(rng.randint(1, 5)) for _ in edges]
+        ds = ray.data.from_items(
+            [
+                {"subj": a, "obj": b, "w": w}
+                for (a, b), w in zip(edges, weights)
+            ]
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(ds, weight="w").take_all()
+        }
+        want = self._np_reference(edges, weights)
+        assert set(got) == set(want)
+        for v in got:
+            assert abs(got[v] - want[v]) < 1e-9, v
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_dangling_mass_redistributed(self):
+        from bioie_llm_ray.stages.graph import pagerank
+
+        # 1 -> 2, 2 is a sink (dangling): mass must recycle, ranks sum to 1
+        ds = ray.data.from_items([{"subj": 1, "obj": 2}])
+        got = {r["node"]: r["rank"] for r in pagerank(ds).take_all()}
+        want = self._np_reference([(1, 2)], [1.0])
+        for v in got:
+            assert abs(got[v] - want[v]) < 1e-12
+        assert got["2"] > got["1"]
