@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": A.doc_quality,
         "q6_discount_revenue": A.q6_discount_revenue,
         "distinct_counts": A.distinct_counts,
+        "lineitem_profile": A.lineitem_profile,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -676,6 +677,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "lineitem_profile": """
+            SELECT col, count(*)::BIGINT AS n,
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   min(v) AS min, max(v) AS max
+            FROM (
+                SELECT 'l_orderkey' AS col, l_orderkey::DOUBLE AS v FROM lineitem
+                UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            )
+            GROUP BY col ORDER BY col
         """,
         "distinct_counts": """
             SELECT count(DISTINCT user_id) AS n_users,

@@ -686,6 +686,27 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-column exact scan statistics (``stages/profile.py``): one
+    streaming pass, one partial row per column per batch, driver fold —
+    the "look before you shuffle" read-side tool."""
+    from ..stages.profile import profile_columns
+
+    cols = [
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+    out = profile_columns(ds, cols).to_pandas()
+    out = out.rename(columns={"column": "col"})
+    out["min"] = out["min"].astype(np.float64)
+    out["max"] = out["max"].astype(np.float64)
+    return out.sort_values("col").reset_index(drop=True)
+
+
 def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """HLL approximate distinct users (rows-only: estimator, not SQL).
 

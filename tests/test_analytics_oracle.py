@@ -46,6 +46,7 @@ SUBSET = [
     "dedup_components",
     "kg_graph_nodes",
     "kg_pagerank",
+    "lineitem_profile",
 ]
 
 
