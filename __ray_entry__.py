@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_discount_revenue": A.q6_discount_revenue,
         "distinct_counts": A.distinct_counts,
         "lineitem_profile": A.lineitem_profile,
+        "price_quantiles_hist": A.price_quantiles_hist,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -677,6 +678,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        # histogram-sketch quantiles: the SQL recomputes the identical
+        # IEEE expressions (same bin width, same clamp), and bin counts are
+        # integers, so equality is exact — no rounding needed
+        "price_quantiles_hist": """
+            WITH mm AS (
+                SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                       count(l_extendedprice) AS n
+                FROM lineitem),
+            bins AS (
+                SELECT LEAST(GREATEST(
+                         floor((l_extendedprice - mm.lo)
+                               / ((mm.hi - mm.lo) / 4096.0)), 0), 4095)::BIGINT AS b
+                FROM lineitem, mm
+                WHERE l_extendedprice IS NOT NULL),
+            cum AS (
+                SELECT b, sum(c) OVER (ORDER BY b) AS cum
+                FROM (SELECT b, count(*) AS c FROM bins GROUP BY b)),
+            pick AS (
+                SELECT t.q,
+                       (SELECT min(b) FROM cum
+                        WHERE cum >= ceil(t.q * mm.n)) AS b
+                FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) AS t(q), mm)
+            SELECT
+              max(CASE WHEN q = 0.25 THEN mm.lo + (b + 1) * ((mm.hi - mm.lo) / 4096.0) END) AS q25,
+              max(CASE WHEN q = 0.5  THEN mm.lo + (b + 1) * ((mm.hi - mm.lo) / 4096.0) END) AS q50,
+              max(CASE WHEN q = 0.75 THEN mm.lo + (b + 1) * ((mm.hi - mm.lo) / 4096.0) END) AS q75,
+              max(CASE WHEN q = 0.9  THEN mm.lo + (b + 1) * ((mm.hi - mm.lo) / 4096.0) END) AS q90,
+              max(CASE WHEN q = 0.99 THEN mm.lo + (b + 1) * ((mm.hi - mm.lo) / 4096.0) END) AS q99
+            FROM pick, mm
         """,
         "lineitem_profile": """
             SELECT col, count(*)::BIGINT AS n,

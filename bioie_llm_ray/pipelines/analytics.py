@@ -686,6 +686,29 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def price_quantiles_hist(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch quantiles over a continuous column (unbounded
+    cardinality — the case ``exact_quantiles_discrete`` cannot take).
+    Deterministic: integer bin counts, no floating sums."""
+    from ..stages.sketch import approx_quantiles_hist
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = approx_quantiles_hist(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    return pd.DataFrame(
+        [
+            {
+                "q25": qs[0.25],
+                "q50": qs[0.5],
+                "q75": qs[0.75],
+                "q90": qs[0.9],
+                "q99": qs[0.99],
+            }
+        ]
+    )
+
+
 def lineitem_profile(sf_dir: str) -> pd.DataFrame:
     """Per-column exact scan statistics (``stages/profile.py``): one
     streaming pass, one partial row per column per batch, driver fold —

@@ -101,3 +101,70 @@ def exact_quantiles_discrete(
         pos = max(1, int(np.ceil(q * total)))
         out[q] = float(values[int(np.searchsorted(cum, pos))])
     return out
+
+
+def approx_quantiles_hist(
+    ds: ray.data.Dataset,
+    col: str,
+    quantiles: list[float],
+    n_bins: int = 4096,
+) -> dict[float, float]:
+    """Mergeable histogram quantiles for continuous columns.
+
+    ``exact_quantiles_discrete`` needs bounded distinct cardinality; this
+    is the unbounded-column member of the sketch family.  Two streaming
+    passes: (1) global min/max (order-independent fold), (2) fixed-width
+    bin counts — one int64[n_bins] partial per batch, summed on the driver
+    (mergeable, commutative: the result is a pure function of the data, so
+    it hash-matches a SQL reimplementation exactly, unlike floating sums).
+
+    The reported quantile is the UPPER EDGE of the bin holding the
+    1-indexed position ``ceil(q·N)`` of the sorted multiset — error ≤ one
+    bin width = (max−min)/n_bins.  Bin indexing clamps into
+    [0, n_bins−1] so v == max lands in the last bin under either IEEE
+    rounding of (v−min)/w.
+    """
+    import pyarrow.compute as pc
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        mm = pc.min_max(batch[col])
+        return pa.table(
+            {
+                "lo": pa.array([mm["min"].as_py()], type=pa.float64()),
+                "hi": pa.array([mm["max"].as_py()], type=pa.float64()),
+            }
+        )
+
+    lo = hi = None
+    for row in ds.map_batches(mm_partial, batch_format="pyarrow").take_all():
+        if row["lo"] is not None and (lo is None or row["lo"] < lo):
+            lo = row["lo"]
+        if row["hi"] is not None and (hi is None or row["hi"] > hi):
+            hi = row["hi"]
+    if lo is None:
+        return {q: float("nan") for q in quantiles}
+    if lo == hi:
+        return {q: float(lo) for q in quantiles}
+    w = (hi - lo) / n_bins
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = np.clip(
+            np.floor((v - lo) / w).astype(np.int64), 0, n_bins - 1
+        )
+        counts = np.bincount(idx, minlength=n_bins).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tolist()])})
+
+    total = np.zeros(n_bins, dtype=np.int64)
+    for row in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        total += np.asarray(row["counts"], dtype=np.int64)
+    cum = total.cumsum()
+    n = int(cum[-1])
+    out = {}
+    for q in quantiles:
+        pos = max(1, int(np.ceil(q * n)))
+        b = int(np.searchsorted(cum, pos))
+        out[q] = float(lo + (b + 1) * w)
+    return out

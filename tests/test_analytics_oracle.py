@@ -47,6 +47,7 @@ SUBSET = [
     "kg_graph_nodes",
     "kg_pagerank",
     "lineitem_profile",
+    "price_quantiles_hist",
 ]
 
 

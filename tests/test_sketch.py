@@ -59,3 +59,37 @@ class TestDiscreteQuantiles:
                 f"SELECT quantile_disc(x, {q}) FROM t"
             ).fetchone()[0]
             assert got[q] == float(want), (q, got[q], want)
+
+
+class TestHistQuantiles:
+    def test_within_one_bin_of_exact(self):
+        import numpy as np
+        import ray
+
+        from bioie_llm_ray.stages.sketch import approx_quantiles_hist
+
+        rng = np.random.RandomState(11)
+        vals = rng.lognormal(mean=3.0, sigma=1.0, size=20_000)
+        ds = ray.data.from_items([{"v": float(x)} for x in vals])
+        qs = [0.25, 0.5, 0.9]
+        got = approx_quantiles_hist(ds, "v", qs, n_bins=2048)
+        w = (vals.max() - vals.min()) / 2048
+        srt = np.sort(vals)
+        for q in qs:
+            exact = srt[max(1, int(np.ceil(q * len(vals)))) - 1]
+            assert exact <= got[q] <= exact + 2 * w, q
+
+    def test_constant_and_empty(self):
+        import math
+
+        import pyarrow as pa
+        import ray
+
+        from bioie_llm_ray.stages.sketch import approx_quantiles_hist
+
+        const = ray.data.from_items([{"v": 5.0}] * 10)
+        assert approx_quantiles_hist(const, "v", [0.5]) == {0.5: 5.0}
+        empty = ray.data.from_arrow(
+            pa.table({"v": pa.array([], type=pa.float64())})
+        )
+        assert math.isnan(approx_quantiles_hist(empty, "v", [0.5])[0.5])
