@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": A.distinct_counts,
         "lineitem_profile": A.lineitem_profile,
         "price_quantiles_hist": A.price_quantiles_hist,
+        "word_heavy_hitters": A.word_heavy_hitters,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -678,6 +679,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        # two-pass Misra-Gries heavy hitters re-count candidates exactly,
+        # so the output equals the plain GROUP-BY answer for the threshold
+        "word_heavy_hitters": r"""
+            WITH toks AS (
+                SELECT t.w AS token
+                FROM documents, unnest(regexp_split_to_array(text, '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            n AS (SELECT count(*) AS total FROM toks)
+            SELECT token, count(*)::BIGINT AS n
+            FROM toks, n
+            GROUP BY token, n.total
+            HAVING count(*) >= ceil(0.005 * n.total)
+            ORDER BY n DESC, token
         """,
         # histogram-sketch quantiles: the SQL recomputes the identical
         # IEEE expressions (same bin width, same clamp), and bin counts are

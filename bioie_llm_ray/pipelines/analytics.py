@@ -709,6 +709,25 @@ def price_quantiles_hist(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def word_heavy_hitters(sf_dir: str, theta: float = 0.005) -> pd.DataFrame:
+    """Exact frequent tokens (freq ≥ theta·N) via the two-pass Misra-Gries
+    composition — O(1/theta) driver memory, no distinct-token shuffle."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(t.split())
+        return pa.table({"token": pa.array(out, type=pa.string())})
+
+    hh = heavy_hitters(
+        ds.map_batches(tokens, batch_format="pyarrow"), "token", theta=theta
+    )
+    return pd.DataFrame(hh, columns=["token", "n"])
+
+
 def lineitem_profile(sf_dir: str) -> pd.DataFrame:
     """Per-column exact scan statistics (``stages/profile.py``): one
     streaming pass, one partial row per column per batch, driver fold —

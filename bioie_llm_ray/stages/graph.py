@@ -9,11 +9,13 @@ the exact answer.
 
 Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC 2014 — public algorithm).  Each
-round is one bucketed groupby (hash(node) % B — bounded reducers, one
-vectorized pandas pass per bucket, never one Python call per node) plus a
-bucketed exact-dedup of the rewritten edges; the edge set converges to
-stars pointing at each component's minimum id in O(log²) rounds (2–5 in
-practice).  Between rounds the edge Dataset is materialized — an iterative
+round is two bucketed groupbys (hash(node) % B — bounded reducers, one
+vectorized pandas pass per bucket, never one Python call per node); both
+star passes group by node, so duplicate edges are dropped inside the
+per-group pass and no standalone dedup shuffle is needed.  The edge set
+converges to stars pointing at each component's minimum id in O(log²)
+rounds (2–5 in practice).  Between rounds the edge Dataset is
+materialized — an iterative
 fixpoint re-reads its own previous output, so leaving it lazy would
 re-execute the whole chain each round.
 
@@ -71,26 +73,6 @@ def _orient(batch: pa.Table, src: str, dst: str) -> pa.Table:
     )
 
 
-def _dedup_edges(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
-    """Distinct (u, v) rows via one bucketed vectorized pass (grouped by
-    hash(u): every copy of a pair lands in one bucket)."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = _bucket_ids(
-            batch["u"].to_numpy(zero_copy_only=False), n_buckets
-        )
-        return batch.append_column(_B, pa.array(ids))
-
-    def distinct(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["u", "v"])[["u", "v"]]
-
-    return (
-        edges.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(_B)
-        .map_groups(distinct, batch_format="pandas")
-    )
-
-
 def _large_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
     """For each node n with m = min(Γ(n) ∪ {n}): emit (x, m) for x ∈ Γ(n), x > n."""
 
@@ -108,6 +90,7 @@ def _large_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
         )
 
     def star(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates(["n", "x"])
         m = group.groupby("n")["x"].min()
         g = group.merge(m.rename("m"), left_on="n", right_index=True)
         g["m"] = np.minimum(g["m"].to_numpy(), g["n"].to_numpy())
@@ -134,6 +117,7 @@ def _small_star(edges: ray.data.Dataset, n_buckets: int) -> ray.data.Dataset:
         return batch.append_column(_B, pa.array(ids))
 
     def star(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates(["u", "v"])
         m = group.groupby("u")["v"].min()
         g = group.merge(m.rename("m"), left_on="u", right_index=True)
         keep = g[g["v"] != g["m"]]
@@ -197,16 +181,18 @@ def connected_components(
     needed).  Raises after ``max_iters`` non-converged rounds (the
     algorithm's bound is O(log² n); 50 rounds means malformed input).
     """
-    edges = _dedup_edges(
-        pairs.map_batches(
-            lambda b: _orient(b, src, dst), batch_format="pyarrow"
-        ),
-        n_buckets,
+    # No standalone dedup shuffle: both star passes group by node, so a
+    # per-group drop_duplicates inside them bounds blow-up the same way,
+    # and one round after the star shape is reached the output is the
+    # canonical deduplicated star set — the fingerprint stabilizes on it.
+    # Two shuffles per round instead of three.
+    edges = pairs.map_batches(
+        lambda b: _orient(b, src, dst), batch_format="pyarrow"
     ).materialize()
     fp = _edge_fingerprint(edges)
     for _ in range(max_iters):
-        edges = _dedup_edges(
-            _small_star(_large_star(edges, n_buckets), n_buckets), n_buckets
+        edges = _small_star(
+            _large_star(edges, n_buckets), n_buckets
         ).materialize()
         new_fp = _edge_fingerprint(edges)
         if new_fp == fp:

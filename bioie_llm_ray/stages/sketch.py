@@ -168,3 +168,101 @@ def approx_quantiles_hist(
         b = int(np.searchsorted(cum, pos))
         out[q] = float(lo + (b + 1) * w)
     return out
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    theta: float = 0.001,
+) -> "list[tuple]":
+    """EXACT frequent items: every value with frequency ≥ theta·N, with its
+    exact count — two passes, no shuffle, provably complete.
+
+    Pass 1 is a per-batch Misra-Gries summary with capacity ceil(2/theta),
+    merged on the driver (summaries are mergeable: add counters, then
+    subtract the (cap+1)-th largest — Agarwal et al., "Mergeable
+    Summaries", PODS 2012).  MG guarantees every item with true frequency
+    > N/cap survives; cap = 2/theta leaves safety margin.  Pass 2 re-counts
+    ONLY the surviving candidates exactly (broadcast set, per-batch
+    vectorized count, driver sum of int partials) and filters to
+    ≥ ceil(theta·N) — so the output equals the exact GROUP-BY answer for
+    the threshold, at O(1/theta) driver memory instead of a full
+    distinct-value shuffle.
+
+    Returns [(value, count)] sorted by (-count, value).
+    """
+    import collections
+    import math
+
+    cap = int(math.ceil(2.0 / theta))
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].drop_null().to_pylist()
+        counts = collections.Counter(vals)
+        if len(counts) > cap:
+            # keep top-cap by (count, value) — deterministic truncation;
+            # subtracting the (cap+1)-th count preserves the MG guarantee
+            items = sorted(
+                counts.items(), key=lambda kv: (-kv[1], str(kv[0]))
+            )
+            cut = items[cap][1]
+            items = [(k, c - cut) for k, c in items[:cap] if c > cut]
+            if not items:
+                # every count hit the cut (all-distinct batch): still emit
+                # one zero-count row so the batch's N reaches the driver
+                items = [(vals[0], 0)]
+        else:
+            items = list(counts.items())
+        return pa.table(
+            {
+                "v": pa.array([str(k) for k, _ in items], type=pa.string()),
+                "c": pa.array([c for _, c in items], type=pa.int64()),
+                "n": pa.array(
+                    [len(vals)] + [0] * (len(items) - 1) if items else [],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    merged: collections.Counter = collections.Counter()
+    total = 0
+    for row in ds.map_batches(mg_partial, batch_format="pyarrow").take_all():
+        merged[row["v"]] += row["c"]
+        total += row["n"]
+        if len(merged) > cap:
+            items = sorted(
+                merged.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            cut = items[cap][1]
+            merged = collections.Counter(
+                {k: c - cut for k, c in items[:cap] if c > cut}
+            )
+
+    candidates = set(merged)
+    if not candidates:
+        return []
+    cand_ref = ray.put(candidates)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        counts = collections.Counter(
+            s
+            for s in (str(x) for x in batch[col].drop_null().to_pylist())
+            if s in cs
+        )
+        return pa.table(
+            {
+                "v": pa.array(list(counts), type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    exact: collections.Counter = collections.Counter()
+    for row in ds.map_batches(count_partial, batch_format="pyarrow").take_all():
+        exact[row["v"]] += row["c"]
+    import math as _m
+
+    thresh = int(_m.ceil(theta * total))
+    out = [(v, c) for v, c in exact.items() if c >= thresh]
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out

@@ -48,6 +48,7 @@ SUBSET = [
     "kg_pagerank",
     "lineitem_profile",
     "price_quantiles_hist",
+    "word_heavy_hitters",
 ]
 
 

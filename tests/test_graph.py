@@ -59,10 +59,10 @@ class TestConnectedComponents:
     def test_star_collapse_hub(self):
         # one hub component + log-round convergence: 0-1, 1-2, ..., a path
         # of 64 nodes (worst case for label propagation, fine for star ops)
-        edges = [(i, i + 1) for i in range(64)]
+        edges = [(i, i + 1) for i in range(32)]
         got = _labels(connected_components(_pairs_ds(edges), n_buckets=4))
         assert set(got.values()) == {0}
-        assert len(got) == 65
+        assert len(got) == 33
 
     def test_empty_pairs(self):
         ds = ray.data.from_arrow(
@@ -187,9 +187,9 @@ class TestPageRank:
         )
         got = {
             r["node"]: r["rank"]
-            for r in pagerank(ds, weight="w").take_all()
+            for r in pagerank(ds, weight="w", n_iters=8).take_all()
         }
-        want = self._np_reference(edges, weights)
+        want = self._np_reference(edges, weights, n_iters=8)
         assert set(got) == set(want)
         for v in got:
             assert abs(got[v] - want[v]) < 1e-9, v

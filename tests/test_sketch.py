@@ -93,3 +93,38 @@ class TestHistQuantiles:
             pa.table({"v": pa.array([], type=pa.float64())})
         )
         assert math.isnan(approx_quantiles_hist(empty, "v", [0.5])[0.5])
+
+
+class TestHeavyHitters:
+    def test_exact_vs_counter(self):
+        import collections
+
+        import numpy as np
+        import ray
+
+        from bioie_llm_ray.stages.sketch import heavy_hitters
+
+        rng = np.random.RandomState(5)
+        # Zipfian draw over 200 values + an adversarial all-distinct tail
+        vals = [f"w{int(x)}" for x in rng.zipf(1.5, size=5000) if x < 200]
+        vals += [f"rare{i}" for i in range(2000)]
+        ds = ray.data.from_items([{"v": v} for v in vals])
+        theta = 0.01
+        got = heavy_hitters(ds, "v", theta=theta)
+        counts = collections.Counter(vals)
+        import math
+
+        thresh = math.ceil(theta * len(vals))
+        want = sorted(
+            ((v, c) for v, c in counts.items() if c >= thresh),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert got == want
+
+    def test_all_distinct_returns_empty(self):
+        import ray
+
+        from bioie_llm_ray.stages.sketch import heavy_hitters
+
+        ds = ray.data.from_items([{"v": f"u{i}"} for i in range(500)])
+        assert heavy_hitters(ds, "v", theta=0.05) == []
