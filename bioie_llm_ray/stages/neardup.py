@@ -327,11 +327,12 @@ def verify_jaccard_pairs_join(
 
     When the candidate id set is small enough to broadcast (ids only — no
     text; the common case, since LSH emits m−1 chain pairs per bucket), the
-    docs side is semi-filtered against it BEFORE the joins, so the shuffles
-    move ≤ 2·|pairs| text rows instead of the whole corpus.  Above
-    ``max_broadcast_ids`` distinct ids the pre-filter is skipped and the
-    full corpus streams through the bucketed joins — still no driver
-    materialization of text in either mode.
+    docs side is semi-filtered against it and the ≤ 2·|pairs| surviving
+    texts verify via the broadcast kernel — driver memory is bounded by
+    the CANDIDATE count, never the corpus, and the two join shuffles (pure
+    fixed overhead at that size) are skipped entirely.  Above
+    ``max_broadcast_ids`` distinct ids the full corpus streams through the
+    bucketed joins — no driver materialization of text in that mode.
     """
     from .join import anti_semi_filter, shuffle_join
 
@@ -344,7 +345,15 @@ def verify_jaccard_pairs_join(
         id_set = {str(r["id_a"]) for r in id_rows} | {
             str(r["id_b"]) for r in id_rows
         }
-        docs = anti_semi_filter(docs, id_set, keys=id_col)
+        texts = {
+            r[id_col]: r[text_col]
+            for r in anti_semi_filter(docs, id_set, keys=id_col)
+            .select_columns([id_col, text_col])
+            .take_all()
+        }
+        return verify_jaccard_pairs(
+            pairs, texts, threshold=threshold, n_shingle=n_shingle
+        )
 
     def side(col_id: str, col_text: str):
         def rename(batch: pa.Table) -> pa.Table:
