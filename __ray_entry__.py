@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": A.lineitem_profile,
         "price_quantiles_hist": A.price_quantiles_hist,
         "word_heavy_hitters": A.word_heavy_hitters,
+        "doc_chunks": A.doc_chunks,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -679,6 +680,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        # token-window chunking: stride 48 = 64 - 16; window i covers
+        # tokens [i*48, i*48+64), chunk count = max(1, ceil((n-16)/48))
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents
+                WHERE trim(text) <> ''),
+            sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
+            exploded AS (
+                SELECT doc_id, arr, n,
+                       unnest(range(0, GREATEST((n - 16 + 47) // 48, 1)))
+                           AS chunk_id
+                FROM sized)
+            SELECT doc_id,
+                   chunk_id,
+                   LEAST(64, n - chunk_id * 48)::BIGINT AS n_tokens,
+                   array_to_string(arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                       AS chunk_text
+            FROM exploded
+            ORDER BY doc_id, chunk_id
         """,
         # two-pass Misra-Gries heavy hitters re-count candidates exactly,
         # so the output equals the plain GROUP-BY answer for the threshold

@@ -124,3 +124,48 @@ def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
         hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
         out[i] = hashes.min()
     return out
+
+
+def chunk_documents(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> pa.Table:
+    """Split documents into overlapping fixed-size token windows — the
+    standard LLM training-data prep step (context packing / long-doc
+    splitting).
+
+    Whitespace tokens; window i covers tokens [i·stride, i·stride +
+    max_tokens) with stride = max_tokens − overlap; the final window is
+    emitted whenever any token remains uncovered, so every token appears
+    in ≥1 chunk.  Chunk text re-joins tokens with single spaces (the usual
+    whitespace normalization — chunk boundaries cannot preserve original
+    runs anyway).  Output: (id, chunk_id, n_tokens, chunk_text), a pure
+    per-batch flat-map — zero shuffle at any scale.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    out_id, out_chunk, out_n, out_text = [], [], [], []
+    for did, text in zip(
+        batch[id_col].to_pylist(), batch[text_col].to_pylist()
+    ):
+        toks = text.split()
+        if not toks:
+            continue
+        n_chunks = max(1, -(-(len(toks) - overlap) // stride))
+        for i in range(n_chunks):
+            piece = toks[i * stride : i * stride + max_tokens]
+            out_id.append(did)
+            out_chunk.append(i)
+            out_n.append(len(piece))
+            out_text.append(" ".join(piece))
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "chunk_id": pa.array(out_chunk, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "chunk_text": pa.array(out_text, type=pa.string()),
+        }
+    )

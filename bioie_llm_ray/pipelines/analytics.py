@@ -709,6 +709,23 @@ def price_quantiles_hist(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_chunks(
+    sf_dir: str, max_tokens: int = 64, overlap: int = 16
+) -> pd.DataFrame:
+    """Overlapping token-window chunking (LLM context prep): pure per-batch
+    flat-map, zero shuffle — see functions/text.chunk_documents."""
+    from ..functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: chunk_documents(
+            b, max_tokens=max_tokens, overlap=overlap
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def word_heavy_hitters(sf_dir: str, theta: float = 0.005) -> pd.DataFrame:
     """Exact frequent tokens (freq ≥ theta·N) via the two-pass Misra-Gries
     composition — O(1/theta) driver memory, no distinct-token shuffle."""

@@ -49,6 +49,7 @@ SUBSET = [
     "lineitem_profile",
     "price_quantiles_hist",
     "word_heavy_hitters",
+    "doc_chunks",
 ]
 
 

@@ -56,3 +56,44 @@ class TestRollingFingerprint:
     def test_short_strings(self):
         out = rolling_fingerprint(["ab", ""])
         assert out.dtype == np.uint64
+
+
+class TestChunkDocuments:
+    def test_full_coverage_and_overlap(self):
+        import pyarrow as pa
+
+        from bioie_llm_ray.functions.text import chunk_documents
+
+        toks = [f"t{i}" for i in range(150)]
+        batch = pa.table({"doc_id": [1], "text": [" ".join(toks)]})
+        out = chunk_documents(batch, max_tokens=64, overlap=16).to_pylist()
+        # ceil((150-16)/48) = 3 chunks; strides 0, 48, 96
+        assert [r["chunk_id"] for r in out] == [0, 1, 2]
+        assert [r["n_tokens"] for r in out] == [64, 64, 54]
+        assert out[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+        assert out[1]["chunk_text"].split()[0] == "t48"
+        # every token covered; consecutive chunks share exactly `overlap`
+        covered = set()
+        for r in out:
+            covered.update(r["chunk_text"].split())
+        assert covered == set(toks)
+        a, b = out[0]["chunk_text"].split(), out[1]["chunk_text"].split()
+        assert a[-16:] == b[:16]
+
+    def test_short_and_empty_docs(self):
+        import pyarrow as pa
+
+        from bioie_llm_ray.functions.text import chunk_documents
+
+        batch = pa.table(
+            {"doc_id": [1, 2, 3], "text": ["a b c", "", "   "]}
+        )
+        out = chunk_documents(batch, max_tokens=64, overlap=16).to_pylist()
+        # empty/whitespace docs emit nothing; short doc emits one chunk
+        assert len(out) == 1
+        assert out[0] == {
+            "doc_id": 1,
+            "chunk_id": 0,
+            "n_tokens": 3,
+            "chunk_text": "a b c",
+        }
