@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_hist": A.price_quantiles_hist,
         "word_heavy_hitters": A.word_heavy_hitters,
         "doc_chunks": A.doc_chunks,
+        "doc_decontaminate": A.doc_decontaminate,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -702,6 +703,27 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM exploded
             ORDER BY doc_id, chunk_id
+        """,
+        # benchmark slice = doc_id % 10 == 0; a doc is contaminated when it
+        # shares >= 1 distinct word 5-gram with that slice
+        "doc_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+                WHERE trim(text) <> ''),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, GREATEST(len(ws) - 5 + 2, 1)),
+                           i -> array_to_string(ws[i:i+4], ' '))) AS g
+                FROM toks),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+            SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+            FROM grams
+            WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         # two-pass Misra-Gries heavy hitters re-count candidates exactly,
         # so the output equals the plain GROUP-BY answer for the threshold

@@ -1371,6 +1371,75 @@ def doc_language_id(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_decontaminate(
+    sf_dir: str, n: int = 5, bench_mod: int = 10
+) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any word
+    n-gram with a held-out evaluation set (the GPT-3 / C4 training-data
+    hygiene step; here the eval set is the deterministic
+    ``doc_id % bench_mod == 0`` slice of the corpus).
+
+    Scale shape: the eval side (MMLU/GSM8K-sized in production) is orders of
+    magnitude smaller than the corpus, so its distinct n-gram set is folded
+    per batch, unioned once on the driver, and broadcast with ``ray.put`` —
+    every filter task reads the single shared object-store copy while the
+    corpus side streams with zero shuffle.  Driver memory is bounded by the
+    benchmark gram count, never the corpus.  A benchmark too large to
+    broadcast would fall back to a shuffle semi-join on gram hash
+    (``stages/join.anti_semi_filter``); the broadcast path is the right
+    default for real eval suites.
+    """
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams_of(text: str) -> set:
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = batch["doc_id"].to_numpy(zero_copy_only=False) % bench_mod == 0
+        out: set = set()
+        for t in batch.filter(pa.array(mask))["text"].to_pylist():
+            out |= grams_of(t)
+        return pa.table({"g": pa.array(sorted(out), type=pa.string())})
+
+    bench: set = set()
+    for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bench.update(b["g"].to_pylist())
+    bench_ref = ray.put(frozenset(bench))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids, counts = [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did % bench_mod == 0:
+                continue
+            k = len(grams_of(t) & bset)
+            if k:
+                ids.append(did)
+                counts.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_hits": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(hits, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q6_discount_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6-shaped scalar aggregate: filter + global sum (no groupby).
 

@@ -50,6 +50,7 @@ SUBSET = [
     "price_quantiles_hist",
     "word_heavy_hitters",
     "doc_chunks",
+    "doc_decontaminate",
 ]
 
 
