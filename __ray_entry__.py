@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_heavy_hitters": A.word_heavy_hitters,
         "doc_chunks": A.doc_chunks,
         "doc_decontaminate": A.doc_decontaminate,
+        "doc_pii_scrub": A.doc_pii_scrub,
+        "doc_repetition": A.doc_repetition,
+        "lang_balance_sample": A.lang_balance_sample,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
@@ -724,6 +727,84 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # sequential pattern scrub mirrored stage-by-stage: each pattern is
+        # counted on the text as redacted by the previous patterns (RE2 on
+        # both sides, so match semantics are identical)
+        "doc_pii_scrub": r"""
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[REDACTED]', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+                       regexp_replace(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[REDACTED]', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_email, n_ip,
+                       len(regexp_extract_all(t2, '\bspark\b'))::BIGINT AS n_blocked,
+                       regexp_replace(t2, '\bspark\b', '[REDACTED]', 'g') AS t3
+                FROM s2)
+            SELECT doc_id, n_email, n_ip, n_blocked, md5(t3) AS scrub_md5
+            FROM s3
+            ORDER BY doc_id
+        """,
+        # Gopher-style repetition signals; all ratios are exact integer
+        # divisions so double results match the Ray kernels bit-for-bit
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents
+                WHERE trim(text) <> ''),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+            wagg AS (
+                SELECT doc_id, sum(c)::BIGINT AS n, max(c) AS mx, count(*) AS d
+                FROM wc GROUP BY doc_id),
+            bis AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])) AS b
+                FROM toks),
+            bc AS (SELECT doc_id, b, count(*) AS c FROM bis GROUP BY doc_id, b),
+            bagg AS (
+                SELECT doc_id, sum(c) AS nb,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM bc GROUP BY doc_id)
+            SELECT w.doc_id, w.n AS n_words,
+                   w.d / w.n::DOUBLE AS uniq_frac,
+                   w.mx / w.n::DOUBLE AS top_word_frac,
+                   coalesce(b.dup / b.nb::DOUBLE, 0.0) AS dup_bigram_frac
+            FROM wagg w LEFT JOIN bagg b USING (doc_id)
+            ORDER BY w.doc_id
+        """,
+        # per-language cap = minority count; keep the cap rows with the
+        # smallest stable hash (first 8 bytes of md5 of the stringified id
+        # — functions/hashing.stable_hash_u64), ties broken by the key
+        # string exactly like stages/sample._kernel
+        "lang_balance_sample": r"""
+            WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+            cap AS (SELECT min(c) AS m FROM cnt),
+            ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT,
+                                    doc_id::VARCHAR) AS rn
+                FROM documents)
+            SELECT doc_id, lang
+            FROM ranked, cap
+            WHERE rn <= m
+            ORDER BY lang, doc_id
         """,
         # two-pass Misra-Gries heavy hitters re-count candidates exactly,
         # so the output equals the plain GROUP-BY answer for the threshold

@@ -1440,6 +1440,156 @@ def doc_decontaminate(
     )
 
 
+# PII/policy scrub patterns (RE2 syntax — shared verbatim by the pyarrow
+# kernels and the DuckDB oracle, both RE2-backed).  The email/IPv4 patterns
+# are the real redaction rules; on the synthetic corpus they must match
+# nothing (the oracle's md5-of-redacted-text check proves zero false
+# positives), while the blocklist term exercises the replacement path.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("blocked", r"\bspark\b"),
+)
+_REDACTED = "[REDACTED]"
+
+
+def doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII / policy redaction: count and scrub pattern matches per document.
+
+    Fully vectorized RE2 kernels (`pc.count_substring_regex` +
+    `pc.replace_substring_regex`) over zero-copy Arrow batches — zero
+    shuffle, zero Python per-row work; patterns are applied in a fixed
+    order so the output text is deterministic.  Emits per-doc match counts
+    and the md5 of the scrubbed text (the hash, not the text, leaves the
+    stage — at 100 TB the scrubbed corpus would be written straight to
+    partitioned Parquet instead).
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        out: dict[str, object] = {"doc_id": batch["doc_id"]}
+        for name, pat in PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pat, _REDACTED)
+        import hashlib
+
+        out["scrub_md5"] = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in text.to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(out)
+
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filters):
+    distinct-word fraction, top-word fraction, and the fraction of word
+    bigram occurrences that are duplicates.  Heavily repeated boilerplate
+    scores low on uniq_frac / high on dup_bigram_frac and gets filtered
+    before training.
+
+    Per-document counters only — embarrassingly parallel map, zero shuffle;
+    ratios are exact integer-count divisions so the SQL oracle matches
+    bit-for-bit.
+    """
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, n_words, uniq, topf, dupbi = [], [], [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = t.split()
+            if not toks:
+                continue
+            n = len(toks)
+            wc = Counter(toks)
+            ids.append(did)
+            n_words.append(n)
+            uniq.append(len(wc) / n)
+            topf.append(max(wc.values()) / n)
+            if n < 2:
+                dupbi.append(0.0)
+            else:
+                bc = Counter(zip(toks, toks[1:]))
+                dupbi.append(
+                    sum(c for c in bc.values() if c > 1) / (n - 1)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "uniq_frac": pa.array(uniq, type=pa.float64()),
+                "top_word_frac": pa.array(topf, type=pa.float64()),
+                "dup_bigram_frac": pa.array(dupbi, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def lang_balance_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture balancing: downsample every language to the minority
+    language's document count, deterministically (the "uniform mix" step of
+    training-data curation — same machinery handles arbitrary target
+    weights by varying the per-group cap).
+
+    Two streaming passes, no data shuffle: (1) per-batch language counts
+    folded on the driver (5 keys); (2) `distributed_hash_top_n(group_col=
+    "lang")` keeps, per language, the cap rows with smallest stable md5
+    hash — a partition-count-invariant sample computed as per-block
+    partial top-n + tree reduce, never materializing more than cap rows per
+    block anywhere.
+    """
+    from collections import Counter
+
+    from ..stages.sample import distributed_hash_top_n
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    counts: Counter = Counter()
+    for b in ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": pa.array(
+                    list(c := Counter(t["lang"].to_pylist())), type=pa.string()
+                ),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        # add per row: one fetched batch may concatenate several map-task
+        # outputs and so repeat a lang key (dict(zip(...)) would drop all
+        # but the last partial count)
+        for lang, n in zip(b["lang"].to_pylist(), b["n"].to_pylist()):
+            counts[lang] += n
+    cap = min(counts.values())
+
+    out = distributed_hash_top_n(ds, "doc_id", cap, group_col="lang")
+    return (
+        out.to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def q6_discount_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6-shaped scalar aggregate: filter + global sum (no groupby).
 

@@ -51,6 +51,9 @@ SUBSET = [
     "word_heavy_hitters",
     "doc_chunks",
     "doc_decontaminate",
+    "doc_pii_scrub",
+    "doc_repetition",
+    "lang_balance_sample",
 ]
 
 
