@@ -354,6 +354,53 @@ def _multimodal_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _code_fixture_path() -> str:
+    """sf-independent deterministic code-repo table (input_hint shape),
+    cached under /tmp; both queries() and oracle_sql() call this, so the
+    parquet exists whichever side the driver runs first."""
+    import pyarrow.parquet as pq
+
+    from bioie_llm_ray import __version__, fixtures
+
+    base = os.path.join("/tmp", f"bioie_ray_code_v{__version__}")
+    path = os.path.join(base, "code_repo.parquet")
+    if not os.path.exists(path):
+        os.makedirs(base, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(fixtures.make_code_repo_table(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _code_latest_snapshot(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.latest_snapshot_query(_code_fixture_path())
+
+
+def _code_import_graph(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.import_edges_query(_code_fixture_path())
+
+
+def _code_vendored_files(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.vendored_files_query(_code_fixture_path())
+
+
+def _kg_code_triples(sf_dir: str):
+    from bioie_llm_ray import fixtures
+    from bioie_llm_ray.pipelines import code as C
+
+    base = _kg_fixture_dir(sf_dir)
+    kb = fixtures.make_kb()
+    return C.code_triples_query(
+        os.path.join(base, "docs", "docs.parquet"), vocab=kb.proteins
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bioie_llm_ray.pipelines import analytics as A
 
@@ -424,6 +471,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chain_agreement": _kg_chain_agreement,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
+        # source-code repository table (north-rule input_hint shape)
+        "code_latest_snapshot": _code_latest_snapshot,
+        "code_import_graph": _code_import_graph,
+        "code_vendored_files": _code_vendored_files,
+        "kg_code_triples": _kg_code_triples,
     }
 
 
@@ -452,6 +504,41 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": O.hll_distinct_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
+        "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),
+    }
+    # Code-repo table oracles: independent SQL re-derivations over the SAME
+    # deterministic parquet the Ray queries read (absolute /tmp path; the
+    # helper writes it if the oracle runs before the query).
+    code_pq = _code_fixture_path()
+    kg_oracles |= {
+        "code_latest_snapshot": f"""
+            SELECT repo, path,
+                   arg_max("commit", commit_ts) AS "commit",
+                   max(commit_ts) AS commit_ts,
+                   arg_max(lang, commit_ts) AS lang
+            FROM read_parquet('{code_pq}')
+            GROUP BY repo, path
+        """,
+        "code_import_graph": f"""
+            WITH snap AS (
+                SELECT repo, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path
+            )
+            SELECT DISTINCT repo,
+                   unnest(regexp_extract_all(
+                       content,
+                       '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1)) AS module
+            FROM snap
+        """,
+        "code_vendored_files": f"""
+            SELECT sha256(content) AS content_sha256,
+                   count(DISTINCT repo) AS n_repos,
+                   count(*) AS n_copies
+            FROM read_parquet('{code_pq}')
+            GROUP BY 1
+            HAVING count(DISTINCT repo) >= 2
+        """,
     }
     q3_sql = """
             SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,

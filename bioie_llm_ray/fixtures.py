@@ -262,6 +262,87 @@ def make_docs_table(kb: FixtureKB, n_rows: int = 200, seed: int = 43):
     return table, gold
 
 
+def make_code_repo_table(
+    n_files: int = 120,
+    n_modules: int = 24,
+    n_repos: int = 9,
+    seed: int = 47,
+    vendored_frac: float = 0.12,
+):
+    """Versioned source-code repository table (BASELINE.json input_hint).
+
+    Columns: (repo, path, commit, commit_ts, lang, content).  Each logical
+    file carries 1–3 commit versions with strictly increasing ``commit_ts``
+    (so "latest per (repo, path)" has a unique answer); content is code-like
+    with ``import <module>`` statements (only the LATEST version's imports
+    belong in the import graph); a ``vendored_frac`` slice of files is
+    byte-identical content replicated into a second repo (vendored-library
+    detection via the content sha).
+
+    Everything is RandomState(seed)-deterministic — the DuckDB oracles re-run
+    the same logic in SQL over the written parquet.
+    """
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    langs = ["py", "go", "rs", "js"]
+    modules = [f"module_{i}" for i in range(n_modules)]
+    rows: dict[str, list] = {
+        k: []
+        for k in ["repo", "path", "commit", "commit_ts", "lang", "content"]
+    }
+
+    def emit(repo: str, path: str, lang: str, version: int, ts: int, content: str):
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(
+            hashlib.sha1(f"{repo}|{path}|{version}".encode()).hexdigest()
+        )
+        rows["commit_ts"].append(ts)
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+
+    vendored_every = max(2, int(round(1 / vendored_frac))) if vendored_frac else 0
+    for i in range(n_files):
+        repo = f"org{i % 3}/repo{i % n_repos}"
+        lang = langs[i % len(langs)]
+        path = f"src/pkg_{i % 11}/file_{i}.{lang}"
+        n_versions = int(rng.randint(1, 4))
+        base_ts = 1_600_000_000 + int(rng.randint(0, 10_000)) * 1000
+        content = ""
+        for v in range(n_versions):
+            k = int(rng.randint(1, 5))
+            imps = sorted(
+                modules[int(x)]
+                for x in rng.choice(n_modules, size=k, replace=False)
+            )
+            body = "".join(f"import {m}\n" for m in imps)
+            # decoy that must NOT match the import extractor
+            decoy = f"# reimport {modules[int(rng.randint(n_modules))]}x\n"
+            content = body + decoy + f"def fn_{i}_{v}():\n    return {v}\n"
+            emit(repo, path, lang, v, base_ts + v, content)
+        if vendored_every and i % vendored_every == 0:
+            # vendor the file's LATEST content into a sibling repo verbatim
+            emit(
+                f"org{(i + 1) % 3}/vendor{i % n_repos}",
+                f"third_party/file_{i}.{lang}",
+                lang,
+                0,
+                base_ts + 50,
+                content,
+            )
+    return pa.table(
+        {
+            "repo": pa.array(rows["repo"], type=pa.string()),
+            "path": pa.array(rows["path"], type=pa.string()),
+            "commit": pa.array(rows["commit"], type=pa.string()),
+            "commit_ts": pa.array(rows["commit_ts"], type=pa.int64()),
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "content": pa.array(rows["content"], type=pa.string()),
+        }
+    )
+
+
 def write_all(base_dir: str, kb: FixtureKB | None = None, n_docs: int = 200) -> FixtureKB:
     """Write every fixture family under ``base_dir``; returns the gold KB."""
     import pyarrow.parquet as pq
@@ -275,4 +356,9 @@ def write_all(base_dir: str, kb: FixtureKB | None = None, n_docs: int = 200) -> 
     pq.write_table(docs, os.path.join(base_dir, "docs", "docs.parquet"))
     with open(os.path.join(base_dir, "docs", "gold_triples.json"), "w") as f:
         json.dump(gold, f)
+    os.makedirs(os.path.join(base_dir, "code"), exist_ok=True)
+    pq.write_table(
+        make_code_repo_table(),
+        os.path.join(base_dir, "code", "code_repo.parquet"),
+    )
     return kb

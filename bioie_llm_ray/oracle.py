@@ -385,6 +385,17 @@ def expected_kg_entity_extraction(miss_rate: float = 0.05) -> pd.DataFrame:
     )
 
 
+def expected_kg_code_triples(n_docs: int = 200) -> pd.DataFrame:
+    """Serial gold for the flagship extraction over the input_hint docs
+    table: ``make_docs_table`` derives each row's triples alongside the
+    content (fixtures.py), so the expected canonical set is their distinct
+    union — no re-parse, a genuinely independent derivation."""
+    kb = fixtures.make_kb()
+    _, gold = fixtures.make_docs_table(kb, n_rows=n_docs)
+    rows = sorted({t for row in gold for t in row})
+    return pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Render a small DataFrame as a DuckDB VALUES relation (full oracle)."""
     if len(df) == 0:

@@ -1,0 +1,168 @@
+"""KG construction and table ops over the source-code repository table.
+
+The north rule's primary input (BASELINE.json input_hint) is a Parquet table
+of source-code repositories — columns (repo, path, commit, lang, content) —
+at 10^12-file scale.  This module gives that table first-class pipelines:
+
+- ``latest_snapshot``: last-writer-wins per (repo, path) by commit_ts —
+  ``argmax_dedup``, the bucketed arg-max shuffle (one vectorized pass per
+  hash bucket, never one Python call per file path).
+- ``import_edges``: (repo, module) import-graph edges extracted from the
+  latest snapshot with a compiled line-anchored regex, exact-deduped.
+  This is the code-table analogue of the reference's entity-pair extraction
+  (a file "mentions" the modules it imports).
+- ``vendored_files``: byte-identical content appearing in ≥2 repos, found
+  by grouping on the content sha256 (the per-row invariant the north rule
+  pins) — the code-corpus form of exact near-dup detection.
+
+Each query-shaped wrapper takes the fixture parquet path and returns a
+small pandas DataFrame; the DuckDB oracles re-run the same logic in SQL
+over the same file (see ``__ray_entry__.oracle_sql``).
+
+All stages stream: reads prune to the needed columns, the only wide
+operations are bucketed shuffles keyed by stable hashes, and nothing
+materializes the corpus driver-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import add_sha256_column, hash_bucket
+from ..stages.dedup import argmax_dedup, exact_dedup
+
+# line-anchored: the decoy "# reimport <mod>x" must not match
+_IMPORT_RE = re.compile(r"^import ([A-Za-z_][A-Za-z0-9_]*)$", re.MULTILINE)
+
+
+def latest_snapshot(
+    ds: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """One row per (repo, path): the version with the max commit_ts."""
+    return argmax_dedup(
+        ds, ["repo", "path"], order_col="commit_ts", n_buckets=n_buckets
+    )
+
+
+def import_edges(
+    ds: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Distinct (repo, module) edges from the latest snapshot's imports."""
+    snap = latest_snapshot(ds, n_buckets=n_buckets)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        repos_out, mods_out = [], []
+        for repo, content in zip(
+            batch["repo"].to_pylist(), batch["content"].to_pylist()
+        ):
+            for m in _IMPORT_RE.finditer(content):
+                repos_out.append(repo)
+                mods_out.append(m.group(1))
+        return pa.table(
+            {
+                "repo": pa.array(repos_out, type=pa.string()),
+                "module": pa.array(mods_out, type=pa.string()),
+            }
+        )
+
+    edges = snap.map_batches(extract, batch_format="pyarrow")
+    return exact_dedup(edges, ["repo", "module"], n_buckets=n_buckets)
+
+
+def vendored_files(
+    ds: ray.data.Dataset, min_repos: int = 2, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """(content_sha256, n_repos, n_copies) for content in ≥ min_repos repos.
+
+    Bucket-group by hash(sha) % B; each bucket runs one pandas
+    ``groupby(sha).agg(nunique, size)`` — per-sha work stays in C.  The
+    content column is projected away before the shuffle (only the 64-char
+    sha and the repo string move).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_sha256_column(b, column="content"),
+        batch_format="pyarrow",
+    ).select_columns(["content_sha256", "repo"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                hash_bucket(batch["content_sha256"].to_pylist(), n_buckets)
+            ),
+        )
+
+    out_schema = pa.schema(
+        [
+            ("content_sha256", pa.string()),
+            ("n_repos", pa.int64()),
+            ("n_copies", pa.int64()),
+        ]
+    )
+
+    def agg_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("content_sha256", as_index=False).agg(
+            n_repos=("repo", "nunique"), n_copies=("repo", "size")
+        )
+        out = out[out["n_repos"] >= min_repos]
+        # explicit Arrow schema: buckets that filter to zero rows must not
+        # emit object-dtype pandas blocks (Ray block unification warns and
+        # can't size them)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# Query-shaped wrappers over the deterministic fixture parquet.
+
+
+def latest_snapshot_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit", "commit_ts", "lang"]
+    )
+    out = latest_snapshot(ds).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)[
+        ["repo", "path", "commit", "commit_ts", "lang"]
+    ]
+
+
+def import_edges_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    out = import_edges(ds).to_pandas()
+    return out.sort_values(["repo", "module"]).reset_index(drop=True)
+
+
+def vendored_files_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(code_parquet, columns=["repo", "content"])
+    out = vendored_files(ds).to_pandas()
+    return out.sort_values("content_sha256").reset_index(drop=True)
+
+
+def code_triples_query(docs_parquet: str, vocab: list[str]) -> pd.DataFrame:
+    """Flagship KG extraction over the input_hint docs table → distinct
+    (subj, pred, obj).  Oracle: the fixture's serially-derived gold triples
+    (``fixtures.make_docs_table`` keeps them alongside the content)."""
+    from ..sources.readers import read_docs
+    from .kg import extract_triples
+
+    docs = read_docs(docs_parquet)
+    triples = extract_triples(docs, vocab=vocab, dedup=True)
+    out = (
+        triples.select_columns(["subj", "pred", "obj"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)

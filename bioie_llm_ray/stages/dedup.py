@@ -139,3 +139,43 @@ def batch_local_dedup(ds, key_cols: list[str]):
         return out.drop_columns([_KEY_COL])
 
     return ds.map_batches(local, batch_format="pyarrow")
+
+
+def argmax_dedup(
+    ds,
+    key_cols: list[str],
+    order_col: str,
+    n_buckets: int = 64,
+    descending: bool = True,
+):
+    """Keep the row with the max (default) / min ``order_col`` per key —
+    last-writer-wins semantics (snapshot of a versioned table, CDC compaction,
+    "latest commit per file path").
+
+    Same shuffle shape as ``exact_dedup`` (hash(key) % n_buckets, one
+    vectorized pass per bucket, never one Python call per key); the
+    per-bucket kernel sorts (key, order desc) and keeps each key's first
+    row.  Ties on ``order_col`` break by first-seen after a stable sort —
+    pass a unique order column for fully deterministic output.
+    """
+    import pyarrow.compute as pc
+
+    keyed = ds.map_batches(
+        lambda b: _add_key_and_bucket(b, key_cols, n_buckets),
+        batch_format="pyarrow",
+    )
+
+    def best_per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                (_KEY_COL, "ascending"),
+                (order_col, "descending" if descending else "ascending"),
+            ],
+        )
+        return _first_per_key_in_bucket(group.take(order))
+
+    out = keyed.groupby(_BUCKET_COL).map_groups(
+        best_per_key, batch_format="pyarrow"
+    )
+    return out.drop_columns([_KEY_COL, _BUCKET_COL])

@@ -1,0 +1,135 @@
+"""Code-repo table pipelines (north-rule input_hint shape) + argmax_dedup."""
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from bioie_llm_ray import fixtures
+from bioie_llm_ray.pipelines import code as C
+from bioie_llm_ray.stages.dedup import argmax_dedup
+
+
+@pytest.fixture(scope="module")
+def code_parquet(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("code"))
+    path = os.path.join(base, "code_repo.parquet")
+    pq.write_table(fixtures.make_code_repo_table(), path)
+    return path
+
+
+class TestArgmaxDedup:
+    def _ds(self):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "a", "b", "b", "b", "c"],
+                    "ts": [3, 7, 1, 9, 5, 2],
+                    "v": ["a3", "a7", "b1", "b9", "b5", "c2"],
+                }
+            )
+        )
+
+    def test_max_per_key(self):
+        out = argmax_dedup(self._ds(), ["k"], "ts").to_pandas()
+        got = dict(zip(out["k"], out["v"]))
+        assert got == {"a": "a7", "b": "b9", "c": "c2"}
+
+    def test_min_per_key(self):
+        out = argmax_dedup(
+            self._ds(), ["k"], "ts", descending=False
+        ).to_pandas()
+        got = dict(zip(out["k"], out["v"]))
+        assert got == {"a": "a3", "b": "b1", "c": "c2"}
+
+
+class TestCodeTable:
+    def test_fixture_determinism_and_shape(self):
+        t1 = fixtures.make_code_repo_table()
+        t2 = fixtures.make_code_repo_table()
+        assert t1.equals(t2)
+        assert t1.column_names == [
+            "repo", "path", "commit", "commit_ts", "lang", "content",
+        ]
+        # versions exist: some (repo, path) appear more than once
+        df = t1.to_pandas()
+        assert (df.groupby(["repo", "path"]).size() > 1).any()
+        # commit_ts unique within each (repo, path): latest is well-defined
+        assert (
+            df.groupby(["repo", "path"])["commit_ts"].nunique()
+            == df.groupby(["repo", "path"]).size()
+        ).all()
+
+    def test_latest_snapshot_matches_pandas(self, code_parquet):
+        df = pq.read_table(code_parquet).to_pandas()
+        expected = (
+            df.sort_values("commit_ts")
+            .groupby(["repo", "path"], as_index=False)
+            .last()[["repo", "path", "commit"]]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        got = C.latest_snapshot_query(code_parquet)[["repo", "path", "commit"]]
+        pd.testing.assert_frame_equal(got, expected)
+
+    def test_import_edges_line_anchored(self, code_parquet):
+        got = C.import_edges_query(code_parquet)
+        assert len(got) > 0
+        assert got["module"].str.match(r"module_\d+$").all()
+        # decoy "# reimport <mod>x" must never contribute an edge
+        assert not got["module"].str.endswith("x").any()
+
+    def test_import_edges_use_latest_version_only(self, code_parquet):
+        df = pq.read_table(code_parquet).to_pandas()
+        latest = (
+            df.sort_values("commit_ts")
+            .groupby(["repo", "path"], as_index=False)
+            .last()
+        )
+        expected = set()
+        for repo, content in zip(latest["repo"], latest["content"]):
+            for m in C._IMPORT_RE.finditer(content):
+                expected.add((repo, m.group(1)))
+        got = set(
+            map(tuple, C.import_edges_query(code_parquet).itertuples(index=False))
+        )
+        assert got == expected
+
+    def test_vendored_files_finds_planted_copies(self, code_parquet):
+        df = pq.read_table(code_parquet).to_pandas()
+        df["sha"] = [
+            hashlib.sha256(c.encode()).hexdigest() for c in df["content"]
+        ]
+        expected = (
+            df.groupby("sha")["repo"].nunique().loc[lambda s: s >= 2].index
+        )
+        got = C.vendored_files_query(code_parquet)
+        assert set(got["content_sha256"]) == set(expected)
+        assert (got["n_repos"] >= 2).all()
+        assert len(got) > 0  # the fixture plants vendored copies
+
+
+class TestCodeTriples:
+    def test_matches_serial_gold(self, tmp_path):
+        from bioie_llm_ray.oracle import expected_kg_code_triples
+
+        kb = fixtures.make_kb()
+        docs, _ = fixtures.make_docs_table(kb, n_rows=60)
+        path = os.path.join(str(tmp_path), "docs.parquet")
+        pq.write_table(docs, path)
+        got = C.code_triples_query(path, vocab=kb.proteins)
+        _, gold = fixtures.make_docs_table(kb, n_rows=60)
+        expected = (
+            pd.DataFrame(
+                sorted({t for row in gold for t in row}),
+                columns=["subj", "pred", "obj"],
+            )
+        )
+        pd.testing.assert_frame_equal(got, expected)
+        # the 200-row oracle table the driver gate uses is shaped the same
+        o = expected_kg_code_triples()
+        assert list(o.columns) == ["subj", "pred", "obj"]
