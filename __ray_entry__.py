@@ -443,6 +443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "doc_language_id": A.doc_language_id,
+        "doc_unigram_lm": A.doc_unigram_lm,
+        "customer_order_counts": A.customer_order_counts,
+        "user_cumulative_value": A.user_cumulative_value,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
@@ -722,6 +725,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "doc_unigram_lm": f"""
+            WITH tok AS ({_TOKENS}),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT sum(n)::DOUBLE AS n_total FROM counts),
+            top AS (SELECT token, n FROM counts
+                    ORDER BY n DESC, token LIMIT 20),
+            oov AS (SELECT (SELECT n_total FROM tot)
+                           - (SELECT sum(n)::DOUBLE FROM top) AS m),
+            scored AS (
+                SELECT t.doc_id,
+                       coalesce(
+                           log2(tp.n::DOUBLE / (SELECT n_total FROM tot)),
+                           log2((SELECT m FROM oov)
+                                / (SELECT n_total FROM tot))) AS lp
+                FROM tok t LEFT JOIN top tp USING (token))
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(-avg(lp), 6) AS bits_per_token
+            FROM scored GROUP BY doc_id
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        """,
+        "user_cumulative_value": """
+            SELECT event_id, user_id, ts,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 4) AS cum_value
+            FROM events
         """,
         "doc_tfidf": f"""
             WITH tf AS (

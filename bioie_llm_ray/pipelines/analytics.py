@@ -1667,3 +1667,190 @@ def purchase_since_signup(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def doc_unigram_lm(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
+    """Unigram language-model perplexity score per document (bits/token).
+
+    The CCNet-style quality signal: train a unigram LM on the corpus itself,
+    score each doc by mean negative log2 probability.  Two passes, both
+    streaming:
+
+    1. per-batch ``value_counts`` combiner → ``groupby(token).sum`` →
+       per-block partial top-V + driver merge (the brute_force_topk
+       pattern) — the driver holds V rows per block, never the vocabulary;
+    2. broadcast the ≤top_v {token: count} table + pooled OOV mass via
+       ``ray.put``; one vectorized pandas ``Series.map`` pass per batch.
+
+    At 100 TB the vocabulary table is exactly this top-V + OOV shape (a
+    full web vocab doesn't fit a broadcast); top_v is the scale knob.
+    """
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        counts = pc.value_counts(pc.list_flatten(toks))
+        return pa.table(
+            {
+                "token": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]
+        )
+        total = int(df["n"].sum())
+        head = df.head(top_v)
+        return pa.Table.from_pandas(
+            head.assign(block_total=total), preserve_index=False
+        )
+
+    # materialize: consumed twice (top-V merge + exact total) — the counts
+    # table is one row per distinct token, tiny relative to the corpus
+    counts = counts.materialize()
+    parts = counts.map_batches(block_top, batch_format="pyarrow").take_all()
+    top = (
+        pd.DataFrame(parts)
+        .sort_values(["n", "token"], ascending=[False, True])
+        .drop_duplicates("token")
+        .head(top_v)
+        if parts
+        else pd.DataFrame(columns=["token", "n"])
+    )
+    # exact corpus token total: one int per block, reduced by Dataset.sum
+    n_total = int(
+        counts.map_batches(
+            lambda b: pa.table({"s": [int(pc.sum(b["n"]).as_py() or 0)]}),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    in_v = int(top["n"].sum())
+    oov_mass = n_total - in_v
+    logp = {
+        t: float(np.log2(n / n_total)) for t, n in zip(top["token"], top["n"])
+    }
+    oov_logp = float(np.log2(oov_mass / n_total)) if oov_mass > 0 else 0.0
+    model_ref = ray.put((logp, oov_logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model, oov = ray.get(model_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pd.Series(pc.list_flatten(toks).to_pandas())
+        lp = flat.map(model).fillna(oov).to_numpy()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = np.add.reduceat(lp, bounds[:-1])
+        bits = np.where(lens > 0, -sums / np.maximum(lens, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens.astype(np.int64)),
+                "bits_per_token": pa.array(np.round(bits, 6)),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Customers with their order count, INCLUDING zero-order customers —
+    the left-outer path of the partitioned shuffle join (unmatched left
+    rows survive with a null right side; the bucket rollup counts only
+    matched rows)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        g = df.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "count")
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["c_custkey"], type=pa.int64()),
+                "n_orders": pa.array(g["n_orders"], type=pa.int64()),
+            }
+        )
+
+    joined = shuffle_join(
+        cust,
+        orders,
+        keys="c_custkey",
+        join_type="left outer",
+        left_schema={"c_custkey": pa.int64()},
+        right_schema={"c_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        bucket_post=rollup,
+    )
+    out = joined.to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def user_cumulative_value(sf_dir: str) -> pd.DataFrame:
+    """Running total of event value per user ordered by (ts, event_id) —
+    the cumulative-window operator.  Bucket-group by hash(user) % B, one
+    vectorized ``groupby.cumsum`` per bucket (never one call per user)."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("cum_value", pa.float64()),
+        ]
+    )
+
+    def cumsum_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = g.groupby("user_id")["value"].cumsum()
+        res = pd.DataFrame(
+            {
+                "event_id": g["event_id"].values,
+                "user_id": g["user_id"].values,
+                "ts": g["ts"].values,
+                "cum_value": np.round(cum.values, 4),
+            }
+        )
+        return pa.Table.from_pandas(
+            res, schema=out_schema, preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cumsum_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""Unigram-LM scoring, left-outer shuffle join, cumulative window."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from bioie_llm_ray.stages.join import shuffle_join
+
+
+class TestLeftOuterShuffleJoin:
+    def test_unmatched_left_rows_survive(self):
+        left = ray.data.from_arrow(
+            pa.table({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": [2, 2, 3], "rv": [10, 11, 12]})
+        )
+        out = shuffle_join(
+            left,
+            right,
+            keys="k",
+            n_buckets=4,
+            join_type="left outer",
+            left_schema={"k": pa.int64(), "lv": pa.string()},
+            right_schema={"k": pa.int64(), "rv": pa.int64()},
+        ).to_pandas()
+        # every left key appears; k=2 fans out to its two matches
+        assert sorted(out["k"]) == [1, 2, 2, 3, 4]
+        unmatched = out[out["k"].isin([1, 4])]
+        assert unmatched["rv"].isna().all()
+
+    def test_left_outer_rollup_counts_matches_only(self):
+        left = ray.data.from_arrow(pa.table({"k": [1, 2, 3]}))
+        right = ray.data.from_arrow(pa.table({"k": [2, 2], "rv": [5, 6]}))
+
+        def rollup(joined: pa.Table) -> pa.Table:
+            df = joined.to_pandas()
+            g = df.groupby("k", as_index=False).agg(n=("rv", "count"))
+            return pa.table(
+                {
+                    "k": pa.array(g["k"], type=pa.int64()),
+                    "n": pa.array(g["n"], type=pa.int64()),
+                }
+            )
+
+        out = shuffle_join(
+            left,
+            right,
+            keys="k",
+            n_buckets=2,
+            join_type="left outer",
+            left_schema={"k": pa.int64()},
+            right_schema={"k": pa.int64(), "rv": pa.int64()},
+            bucket_post=rollup,
+        ).to_pandas()
+        assert dict(zip(out["k"], out["n"])) == {1: 0, 2: 2, 3: 0}
+
+
+class TestUnigramLM:
+    def test_scores_match_hand_computed(self, tmp_path, sf_dir):
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import doc_unigram_lm
+
+        # corpus: 'a' x4, 'b' x2, 'c' x1, 'd' x1  (8 tokens)
+        docs = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a a b", "a a b c", "d"],
+                "lang": ["en"] * 3,
+            }
+        )
+        d = tmp_path / "lm"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = doc_unigram_lm(str(d), top_v=2)  # top-2: a, b; OOV mass = 2/8
+        p = {"a": 4 / 8, "b": 2 / 8}
+        oov = 2 / 8
+        exp0 = -(2 * np.log2(p["a"]) + np.log2(p["b"])) / 3
+        exp1 = -(2 * np.log2(p["a"]) + np.log2(p["b"]) + np.log2(oov)) / 4
+        exp2 = -np.log2(oov)
+        got = dict(zip(out["doc_id"], out["bits_per_token"]))
+        assert abs(got[0] - exp0) < 1e-6
+        assert abs(got[1] - exp1) < 1e-6
+        assert abs(got[2] - exp2) < 1e-6
+        assert dict(zip(out["doc_id"], out["n_tokens"])) == {0: 3, 1: 4, 2: 1}
+
+
+class TestCumulativeWindow:
+    def test_running_sum_per_user(self, sf_dir):
+        from bioie_llm_ray.pipelines.analytics import user_cumulative_value
+
+        out = user_cumulative_value(sf_dir)
+        # within each user (ordered by ts, event_id) cum_value is the
+        # running total of a nonneg... values may be negative; instead
+        # recompute per user for a sample and compare
+        import pyarrow.parquet as pq
+        import os
+
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value"],
+        ).to_pandas()
+        uid = ev["user_id"].iloc[0]
+        mine = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        expected = np.round(mine["value"].cumsum().to_numpy(), 4)
+        got = (
+            out[out["user_id"] == uid]
+            .sort_values(["ts", "event_id"])["cum_value"]
+            .to_numpy()
+        )
+        np.testing.assert_allclose(got, expected, atol=1e-4)
