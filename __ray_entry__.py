@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_lm": A.doc_unigram_lm,
         "customer_order_counts": A.customer_order_counts,
         "user_cumulative_value": A.user_cumulative_value,
+        "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
+        "doc_split_assign": A.doc_split_assign,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
@@ -749,6 +751,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY 1
+        """,
+        "doc_dup_ngram_spans": r"""
+            WITH arr AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''),
+            w AS (
+                SELECT doc_id,
+                       array_to_string(a[i + 1 : i + 5], ' ') AS win
+                FROM arr, unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5)
+            SELECT win AS window, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN h < 8 THEN 'train'
+                        WHEN h = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                             % 10 AS h
+                  FROM documents)
         """,
         "user_cumulative_value": """
             SELECT event_id, user_id, ts,

@@ -1854,3 +1854,80 @@ def user_cumulative_value(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_dup_ngram_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """Duplicated token-window detection (Lee et al. 2022-style exact
+    substring-dup signal): every word w-gram occurring ≥2 times corpus-wide,
+    with its occurrence and document counts.
+
+    One shuffle, exact: each batch emits one row per (doc, window) with the
+    within-doc count (a document lives in one row, so the local count is
+    already exact); ``groupby(window)`` then needs only ``Sum`` (total
+    occurrences) and ``Count`` (distinct docs — rows are distinct by
+    construction).  No distinct-count shuffle, no second pass.
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        out_doc, out_win, out_cnt = [], [], []
+        for did, ts in zip(batch["doc_id"].to_pylist(), toks.to_pylist()):
+            if len(ts) < w:
+                continue
+            c = Counter(
+                " ".join(ts[i : i + w]) for i in range(len(ts) - w + 1)
+            )
+            for win, n in c.items():
+                out_doc.append(did)
+                out_win.append(win)
+                out_cnt.append(n)
+        return pa.table(
+            {
+                "window": pa.array(out_win, type=pa.string()),
+                "cnt": pa.array(out_cnt, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("window")
+        .aggregate(Sum("cnt", alias_name="n_occ"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    out = out[out["n_occ"] >= 2]
+    out["n_occ"] = out["n_occ"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("window").reset_index(drop=True)
+
+
+def doc_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10).
+
+    ``stable_hash_u64(str(doc_id)) % 10`` — partition-count invariant, no
+    RNG, reproducible from the id alone; the same md5 prefix expression is
+    evaluated in the SQL oracle.  Zero shuffle: one vectorized map pass.
+    """
+    from ..functions.hashing import stable_hash_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = stable_hash_u64([str(i) for i in ids]) % np.uint64(10)
+        split = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -111,3 +111,58 @@ class TestCumulativeWindow:
             .to_numpy()
         )
         np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+class TestDupNgramSpans:
+    def test_planted_duplicate_window(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import doc_dup_ngram_spans
+
+        shared = "alpha beta gamma delta epsilon"
+        docs = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    f"x {shared} y",
+                    f"p q {shared}",
+                    "totally unrelated words here now",
+                ],
+            }
+        )
+        d = tmp_path / "dup"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = doc_dup_ngram_spans(str(d), w=5)
+        assert shared in set(out["window"])
+        row = out[out["window"] == shared].iloc[0]
+        assert row["n_occ"] == 2 and row["n_docs"] == 2
+        # windows occurring once never appear
+        assert (out["n_occ"] >= 2).all()
+
+    def test_within_doc_repeat_counts_occurrences(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import doc_dup_ngram_spans
+
+        docs = pa.table(
+            {"doc_id": [0], "text": ["a b c d e a b c d e"]}
+        )
+        d = tmp_path / "dup2"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = doc_dup_ngram_spans(str(d), w=5)
+        row = out[out["window"] == "a b c d e"].iloc[0]
+        assert row["n_occ"] == 2 and row["n_docs"] == 1
+
+
+class TestSplitAssign:
+    def test_deterministic_and_roughly_80_10_10(self, sf_dir):
+        from bioie_llm_ray.pipelines.analytics import doc_split_assign
+
+        a = doc_split_assign(sf_dir)
+        b = doc_split_assign(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.7 < frac["train"] < 0.9
+        assert set(a["split"]) == {"train", "val", "test"}
