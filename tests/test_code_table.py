@@ -133,3 +133,45 @@ class TestCodeTriples:
         # the 200-row oracle table the driver gate uses is shaped the same
         o = expected_kg_code_triples()
         assert list(o.columns) == ["subj", "pred", "obj"]
+
+
+class TestCodeTableScaleStress:
+    def test_latest_snapshot_at_1m_rows(self, code_parquet):
+        """>=1M-row version history through argmax_dedup: the snapshot
+        output stays at the logical file count and matches the unamplified
+        answer — no driver materialization anywhere in the path."""
+        import numpy as np
+
+        base = pq.read_table(code_parquet)
+        replicas = max(1, 1_000_000 // len(base) + 1)
+        ds = ray.data.from_arrow(base).map_batches(
+            lambda b: pa.concat_tables(
+                [
+                    b.set_column(
+                        b.column_names.index("commit_ts"),
+                        "commit_ts",
+                        pa.array(
+                            np.asarray(b["commit_ts"]) + i * 1_000_000,
+                            type=pa.int64(),
+                        ),
+                    )
+                    for i in range(replicas)
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        assert len(base) * replicas >= 1_000_000
+        out = C.latest_snapshot(ds).to_pandas()
+        df = base.to_pandas()
+        expected = (
+            df.sort_values("commit_ts")
+            .groupby(["repo", "path"], as_index=False)
+            .last()
+        )
+        assert len(out) == len(expected)
+        got = out.sort_values(["repo", "path"]).reset_index(drop=True)
+        # ts offsets preserve within-key order, so the winning commit is
+        # the same as in the unamplified table
+        pd.testing.assert_series_equal(
+            got["commit"], expected["commit"], check_names=False
+        )
