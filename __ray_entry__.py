@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_order_revenue": A.q3_order_revenue,
         "q3_colocated": A.q3_colocated,
+        "q3_bloom": A.q3_bloom,
         "q5_nation_revenue": A.q5_nation_revenue,
         "top_brand_revenue": A.top_brand_revenue,
         "supplier_balance_by_nation": A.supplier_balance_by_nation,
@@ -559,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
     return kg_oracles | {
         # the bucketed-storage path must produce byte-identical q3 results
         "q3_colocated": q3_sql,
+        # the bloom-prefiltered fact-fact join must too (false positives
+        # are eliminated by the join; no false negatives by construction)
+        "q3_bloom": q3_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -91,3 +91,80 @@ def hash_sample_mask(values, keep_num: int, keep_den: int) -> np.ndarray:
     test/shot splits (SURVEY §2.7 O2).
     """
     return (stable_hash_u64(values) % np.uint64(keep_den)) < np.uint64(keep_num)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit key hashes (double hashing).
+
+    Built once on the small side's distinct keys, broadcast via ``ray.put``,
+    probed per batch with pure numpy — the classic shuffle-reduction
+    pre-filter for large⋈small joins at cluster scale: fact rows whose key
+    cannot be on the build side never enter the exchange.  False positives
+    only (rate ``fpp``); the downstream join re-verifies, so results stay
+    exact.  No false negatives: every inserted key always probes true.
+
+    Keys are pre-hashed with the same vectorized paths the shuffle buckets
+    use (``hash_bucket_ints`` mixer for ints, md5 for strings), then k bit
+    positions derive from h1 + i*h2 double hashing (Kirsch–Mitzenmacher).
+    """
+
+    __slots__ = ("words", "m_bits", "k")
+
+    def __init__(self, words: np.ndarray, m_bits: int, k: int):
+        self.words = words
+        self.m_bits = m_bits
+        self.k = k
+
+    @staticmethod
+    def _key_hashes(values) -> np.ndarray:
+        v = np.asarray(values)
+        if v.dtype.kind in "iu":
+            return _splitmix64(v.astype(np.int64, copy=False).astype(np.uint64))
+        return stable_hash_u64([str(x) for x in values])
+
+    @classmethod
+    def build(
+        cls,
+        values,
+        fpp: float = 0.01,
+        m_bits: int | None = None,
+        k: int | None = None,
+    ) -> "BloomFilter":
+        """Size from (n, fpp) unless ``m_bits``/``k`` are pinned — pinned
+        sizing makes per-block partial filters mergeable (same positions),
+        the distributed-build path."""
+        h = cls._key_hashes(values)
+        if m_bits is None:
+            n = max(1, len(np.unique(h)))
+            m_bits = int(max(64, np.ceil(-n * np.log(fpp) / (np.log(2) ** 2))))
+            m_bits = ((m_bits + 63) // 64) * 64
+            k = max(1, int(round(m_bits / n * np.log(2))))
+        assert m_bits % 64 == 0 and k is not None and k >= 1
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        h1 = h
+        h2 = _splitmix64(h) | np.uint64(1)  # odd → full-period stepping
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return cls(words, m_bits, k)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """OR-union of two same-shape filters (per-block partial merge)."""
+        assert self.m_bits == other.m_bits and self.k == other.k
+        return BloomFilter(self.words | other.words, self.m_bits, self.k)
+
+    def contains_many(self, values) -> np.ndarray:
+        h1 = self._key_hashes(values)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m_bits)
+            bit = (
+                self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out

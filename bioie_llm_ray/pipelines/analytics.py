@@ -1931,3 +1931,72 @@ def doc_split_assign(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q3_bloom(sf_dir: str) -> pd.DataFrame:
+    """q3 with a Bloom pre-filter on the fact side of the fact-fact join.
+
+    The BUILDING orders' keys fold into a distributed Bloom filter (pinned
+    shape, per-block partials OR-merged — only filter words return to the
+    driver); lineitem rows whose order key cannot match are dropped BEFORE
+    the shuffle.  At this selectivity (~1/5 of orders) the exchange moves
+    ~5× fewer fact rows; false positives are eliminated by the join itself,
+    so the result is byte-identical to plain q3 (same DuckDB oracle).
+    """
+    from ..stages.join import bloom_prefilter, build_bloom_distributed
+
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_join(
+        orders, cust, keys="o_custkey", right_keys="c_custkey"
+    ).materialize()  # consumed twice: bloom build + join probe
+
+    bloom = build_bloom_distributed(orders, "o_orderkey")
+
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    li = lineitem.map_batches(revenue, batch_format="pyarrow")
+    li = bloom_prefilter(li, _ray_put(bloom), key="o_orderkey")
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(["o_orderkey", "o_orderdate"]).aggregate(
+            [("revenue", "sum")]
+        )
+        return g.rename_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+    joined = shuffle_join(
+        li,
+        orders,
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
+        right_schema={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+        },
+        bucket_post=rollup,
+    )
+    out = joined.to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+def _ray_put(obj):
+    import ray
+
+    return ray.put(obj)

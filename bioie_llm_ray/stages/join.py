@@ -276,6 +276,79 @@ def anti_semi_filter(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bloom_prefilter(
+    ds: ray.data.Dataset,
+    key_values,
+    key: str,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """Bloom-filter pre-filter before a shuffle join (scale optimization).
+
+    ``key_values``: the build side's join keys (any iterable / numpy array /
+    Arrow column), or a prebuilt ``BloomFilter``, or an ObjectRef to one.
+    Rows of ``ds`` whose ``key`` cannot be on the build side are dropped
+    BEFORE the exchange — at cluster scale this is the difference between
+    shuffling the whole fact table and shuffling only the ~selectivity
+    fraction that can match.  False positives pass through (rate ``fpp``)
+    and are eliminated by the join itself; no false negatives, so the
+    composed result is exact — ``q3_bloom`` proves it against the plain-q3
+    oracle.
+    """
+    from ..functions.hashing import BloomFilter
+
+    if isinstance(key_values, ray.ObjectRef):
+        ref = key_values
+    elif isinstance(key_values, BloomFilter):
+        ref = ray.put(key_values)
+    else:
+        import pyarrow as _pa
+
+        if isinstance(key_values, (_pa.Array, _pa.ChunkedArray)):
+            key_values = key_values.to_numpy(zero_copy_only=False)
+        ref = ray.put(BloomFilter.build(key_values, fpp=fpp))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        mask = bf.contains_many(
+            batch[key].to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(batch[key].type)
+            else batch[key].to_pylist()
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_bloom_distributed(
+    ds: ray.data.Dataset, key: str, m_bits: int = 1 << 20, k: int = 7
+):
+    """Build one Bloom filter over a DISTRIBUTED key column.
+
+    Each block folds its keys into a pinned-shape partial filter
+    (``m_bits``/``k`` fixed → identical bit positions everywhere); only the
+    m_bits/8 bytes of words return per block, OR-merged on the driver.
+    The build side streams — nothing key-shaped materializes driver-side.
+    """
+    import numpy as np
+
+    from ..functions.hashing import BloomFilter
+
+    def partial(batch: pa.Table):
+        bf = BloomFilter.build(
+            batch[key].to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(batch[key].type)
+            else batch[key].to_pylist(),
+            m_bits=m_bits,
+            k=k,
+        )
+        return pa.table({"words": pa.array([bf.words.tobytes()], type=pa.large_binary())})
+
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        words |= np.frombuffer(row["words"], dtype=np.uint64)
+    return BloomFilter(words, m_bits, k)
+
+
 def _schema_types(ds: ray.data.Dataset) -> dict:
     """{name: pyarrow type} from ``Dataset.schema()``.
 

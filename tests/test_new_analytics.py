@@ -166,3 +166,44 @@ class TestSplitAssign:
         frac = a["split"].value_counts(normalize=True)
         assert 0.7 < frac["train"] < 0.9
         assert set(a["split"]) == {"train", "val", "test"}
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fpp(self):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+
+        keys = np.arange(0, 20_000, 2)  # even ints
+        bf = BloomFilter.build(keys, fpp=0.01)
+        assert bf.contains_many(keys).all()
+        probe = np.arange(1, 20_001, 2)  # odd ints, none inserted
+        fp = bf.contains_many(probe).mean()
+        assert fp < 0.03
+
+    def test_string_keys_and_merge(self):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+
+        a = BloomFilter.build([f"k{i}" for i in range(100)], m_bits=4096, k=5)
+        b = BloomFilter.build([f"q{i}" for i in range(100)], m_bits=4096, k=5)
+        m = a.merge(b)
+        assert m.contains_many(["k3", "q7"]).all()
+
+    def test_distributed_build_equals_local(self):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+        from bioie_llm_ray.stages.join import build_bloom_distributed
+
+        keys = np.arange(5000, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+        dist = build_bloom_distributed(ds, "k", m_bits=1 << 16, k=5)
+        local = BloomFilter.build(keys, m_bits=1 << 16, k=5)
+        assert (dist.words == local.words).all()
+
+    def test_prefilter_keeps_all_matches(self):
+        from bioie_llm_ray.stages.join import bloom_prefilter
+
+        facts = ray.data.from_arrow(
+            pa.table({"k": list(range(1000)), "v": list(range(1000))})
+        )
+        build_keys = np.arange(0, 1000, 10)
+        out = bloom_prefilter(facts, build_keys, key="k").to_pandas()
+        assert set(build_keys) <= set(out["k"])  # no false negatives
+        assert len(out) < 1000  # actually filters
