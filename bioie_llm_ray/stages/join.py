@@ -157,6 +157,94 @@ def shuffle_join(
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
+def salted_shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str] | str,
+    hot_keys,
+    n_salt: int = 8,
+    n_buckets: int = 32,
+    join_type: str = "inner",
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
+) -> ray.data.Dataset:
+    """``shuffle_join`` with hot-key salting — the skew defuser.
+
+    A hub key (TP53-style) sends every one of its rows to one reducer in a
+    plain hash join; here each LEFT (probe/fact) row of a hot key scatters
+    over ``n_salt`` sub-buckets while the RIGHT side's rows for that key
+    replicate to all of them, so every (l, r) pair still meets exactly once
+    and no reducer sees more than ~1/n_salt of the hub's stream.  Cold keys
+    pay nothing (salt 0 on both sides).
+
+    ``hot_keys``: iterable of key strings ("\\x1f"-joined for composite
+    keys) — produce it with ``stages.sketch.heavy_hitters`` (exact frequent
+    items, two streaming passes, O(1/theta) driver memory).  Assumes the
+    skew is on the left side; swap the arguments for right-skew.  Salt
+    assignment uses a per-batch round-robin, so row→reducer placement is
+    partition-dependent — the OUTPUT is partition-invariant regardless
+    (pair-meet-once is structural).  No ``bucket_post``: a hot key spans
+    buckets, so per-bucket rollups would be partial; aggregate downstream.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    hot_ref = ray.put(set(hot_keys))
+
+    def key_strs_of(batch: pa.Table) -> list[str]:
+        if len(keys) == 1:
+            col = batch[keys[0]]
+            return [str(v) for v in col.to_pylist()]
+        return [
+            "\x1f".join(map(str, vals))
+            for vals in zip(*(batch[k].to_pylist() for k in keys))
+        ]
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ks = key_strs_of(batch)
+        salts = np.zeros(len(ks), dtype=np.int64)
+        hot_idx = [i for i, k in enumerate(ks) if k in hs]
+        salts[hot_idx] = np.arange(len(hot_idx)) % n_salt
+        return batch.append_column("__salt", pa.array(salts))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ks = key_strs_of(batch)
+        idx, salts = [], []
+        for i, k in enumerate(ks):
+            if k in hs:
+                for s in range(n_salt):
+                    idx.append(i)
+                    salts.append(s)
+            else:
+                idx.append(i)
+                salts.append(0)
+        rep = batch.take(pa.array(idx, type=pa.int64()))
+        return rep.append_column(
+            "__salt", pa.array(salts, type=pa.int64())
+        )
+
+    left_s = left.map_batches(salt_left, batch_format="pyarrow")
+    right_s = right.map_batches(salt_right, batch_format="pyarrow")
+    if left_schema is not None:
+        left_schema = dict(left_schema, __salt=pa.int64())
+    if right_schema is not None:
+        right_schema = dict(right_schema, __salt=pa.int64())
+    joined = shuffle_join(
+        left_s,
+        right_s,
+        keys=keys + ["__salt"],
+        n_buckets=n_buckets,
+        join_type=join_type,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__salt"]), batch_format="pyarrow"
+    )
+
+
 def shuffle_join_packed(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -207,3 +207,68 @@ class TestBloomFilter:
         out = bloom_prefilter(facts, build_keys, key="k").to_pandas()
         assert set(build_keys) <= set(out["k"])  # no false negatives
         assert len(out) < 1000  # actually filters
+
+
+class TestSaltedShuffleJoin:
+    def test_matches_pandas_with_planted_hub(self):
+        from bioie_llm_ray.stages.join import salted_shuffle_join
+
+        # hub key 7: 5,000 left rows; cold keys 0..99: a few rows each
+        lk = [7] * 5000 + [i % 100 for i in range(400)]
+        lv = list(range(len(lk)))
+        rk = [7, 7, 3, 5]
+        rv = ["hub_a", "hub_b", "three", "five"]
+        left = ray.data.from_arrow(pa.table({"k": lk, "lv": lv}))
+        right = ray.data.from_arrow(pa.table({"k": rk, "rv": rv}))
+        out = salted_shuffle_join(
+            left,
+            right,
+            keys="k",
+            hot_keys={"7"},
+            n_salt=4,
+            n_buckets=8,
+            left_schema={"k": pa.int64(), "lv": pa.int64()},
+            right_schema={"k": pa.int64(), "rv": pa.string()},
+        ).to_pandas()
+        expected = (
+            pd.DataFrame({"k": lk, "lv": lv})
+            .merge(pd.DataFrame({"k": rk, "rv": rv}), on="k")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        got = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], expected)
+
+    def test_left_outer_with_salting(self):
+        from bioie_llm_ray.stages.join import salted_shuffle_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": [1] * 100 + [2, 3], "lv": list(range(102))})
+        )
+        right = ray.data.from_arrow(pa.table({"k": [1], "rv": [9]}))
+        out = salted_shuffle_join(
+            left,
+            right,
+            keys="k",
+            hot_keys={"1"},
+            n_salt=4,
+            join_type="left outer",
+            left_schema={"k": pa.int64(), "lv": pa.int64()},
+            right_schema={"k": pa.int64(), "rv": pa.int64()},
+        ).to_pandas()
+        assert len(out) == 102
+        assert out[out["k"] == 1]["rv"].notna().all()
+        assert out[out["k"] != 1]["rv"].isna().all()
+
+    def test_composes_with_heavy_hitters(self, sf_dir):
+        """Detect hot order keys with the exact frequent-items sketch, then
+        salt exactly those keys — the end-to-end skew recipe."""
+        import os
+
+        from bioie_llm_ray.stages.sketch import heavy_hitters
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+        )
+        hot = heavy_hitters(li, "l_orderkey", theta=0.001)
+        assert isinstance(hot, list)  # [(value, count)] — feed str(value)s in
