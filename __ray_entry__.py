@@ -449,11 +449,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
         "doc_split_assign": A.doc_split_assign,
+        "er_blocking_pairs": A.er_blocking_pairs,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
         "kg_graph_nodes": A.kg_graph_nodes,
         "kg_pagerank": A.kg_pagerank,
+        "kg_two_hop_paths": A.kg_two_hop_paths,
         "triples_canonical": A.triples_canonical,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
@@ -1050,6 +1052,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
+        """,
+        "kg_two_hop_paths": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            edges AS (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            bidir AS (
+                SELECT s AS endpoint, o AS mid FROM edges
+                UNION ALL SELECT o, s FROM edges)
+            SELECT x.endpoint AS src, y.endpoint AS dst,
+                   count(*) AS n_paths
+            FROM bidir x JOIN bidir y
+              ON x.mid = y.mid AND x.endpoint < y.endpoint
+            GROUP BY 1, 2
+        """,
+        "er_blocking_pairs": r"""
+            WITH arr AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''),
+            tb AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(a[i + 1 : i + 3], ' ') AS key
+                FROM arr, unnest(range(0, GREATEST(len(a) - 2, 0))) AS t(i)
+                WHERE len(a) >= 3),
+            sizes AS (SELECT key, count(*) AS c FROM tb GROUP BY 1),
+            kept AS (
+                SELECT tb.doc_id, tb.key
+                FROM tb JOIN sizes USING (key)
+                WHERE c BETWEEN 2 AND 10)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cbs
+            FROM kept a JOIN kept b
+              ON a.key = b.key AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "kg_graph_nodes": f"""
             WITH m AS (

@@ -2000,3 +2000,80 @@ def _ray_put(obj):
     import ray
 
     return ray.put(obj)
+
+
+def er_blocking_pairs(sf_dir: str) -> pd.DataFrame:
+    """SparkER-style meta-blocking candidates over the documents table
+    (token blocking → block purging → common-block-count weighting)."""
+    from ..stages.blocking import token_blocking_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_blocking_pairs(
+        ds, max_block_size=10, min_common_blocks=2
+    ).to_pandas()
+    out["cbs"] = out["cbs"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def kg_two_hop_paths(sf_dir: str) -> pd.DataFrame:
+    """2-hop path concatenation over the materialized KG (path extraction à
+    la ICDE'18 parallel path concatenation): edges self-joined on the middle
+    node — the path join is a partitioned shuffle keyed by the concat node.
+
+    Output: (src, dst, n_paths) with src < dst, n_paths = distinct middles.
+    """
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    pairs = ds.map_batches(
+        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
+    )
+    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mid": pa.concat_arrays(
+                    [
+                        batch["obj"].combine_chunks().cast(pa.string()),
+                        batch["subj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "endpoint": pa.concat_arrays(
+                    [
+                        batch["subj"].combine_chunks().cast(pa.string()),
+                        batch["obj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+            }
+        )
+
+    half = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    def rename_right(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["mid", "endpoint_b"])
+
+    right = half.map_batches(rename_right, batch_format="pyarrow")
+
+    def keep_ordered(joined: pa.Table) -> pa.Table:
+        mask = pc.less(joined["endpoint"], joined["endpoint_b"])
+        return joined.filter(mask)
+
+    joined = shuffle_join(
+        half,
+        right,
+        keys="mid",
+        n_buckets=16,
+        left_schema={"mid": pa.string(), "endpoint": pa.string()},
+        right_schema={"mid": pa.string(), "endpoint_b": pa.string()},
+        bucket_post=keep_ordered,
+    )
+    out = (
+        joined.groupby(["endpoint", "endpoint_b"])
+        .aggregate(Count(alias_name="n_paths"))
+        .to_pandas()
+        .rename(columns={"endpoint": "src", "endpoint_b": "dst"})
+    )
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)

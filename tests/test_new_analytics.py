@@ -272,3 +272,41 @@ class TestSaltedShuffleJoin:
         )
         hot = heavy_hitters(li, "l_orderkey", theta=0.001)
         assert isinstance(hot, list)  # [(value, count)] — feed str(value)s in
+
+
+class TestMetaBlocking:
+    def test_purging_and_cbs_weighting(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.stages.blocking import token_blocking_pairs
+
+        # docs 0,1 share two distinct 3-gram blocks; doc 2 shares only one
+        # with doc 0; the "z z z ..." key floods >max_block_size docs and
+        # must be purged before pair generation
+        flood = " ".join(["z"] * 3)
+        docs = pa.table(
+            {
+                "doc_id": list(range(14)),
+                "text": [
+                    f"alpha beta gamma delta {flood}",
+                    f"alpha beta gamma delta {flood}",
+                    f"alpha beta gamma zzz {flood}",
+                ]
+                + [f"unique{i} filler{i} pad{i} {flood}" for i in range(11)],
+            }
+        )
+        d = tmp_path / "blk"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        ds = ray.data.read_parquet(str(d / "documents.parquet"))
+        out = token_blocking_pairs(
+            ds, max_block_size=5, min_common_blocks=2
+        ).to_pandas()
+        got = {(a, b): c for a, b, c in out.itertuples(index=False)}
+        # docs 0/1 share every 3-gram of their identical text (>=2 -> kept)
+        assert (0, 1) in got and got[(0, 1)] >= 2
+        # docs 0/2 share 'alpha beta gamma' + 'beta gamma ...'? only
+        # 'alpha beta gamma' -> below min_common_blocks, absent
+        assert (0, 2) not in got
+        # no pair may exist solely through the flooded key
+        assert all(a < 3 and b < 3 for a, b in got)
