@@ -111,3 +111,40 @@ class TestHashDeterminism:
         ids = hash_bucket_ints(np.array(vals, dtype=np.int64), b)
         assert ((ids >= 0) & (ids < b)).all()
         assert (ids == hash_bucket_ints(np.array(vals, dtype=np.int64), b)).all()
+
+
+class TestBloomFilterProperties:
+    @given(
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500)
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives_ints(self, keys):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+
+        bf = BloomFilter.build(np.array(keys, dtype=np.int64), fpp=0.01)
+        assert bf.contains_many(np.array(keys, dtype=np.int64)).all()
+
+    @given(st.lists(names, min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives_strings(self, keys):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+
+        bf = BloomFilter.build(keys, fpp=0.01)
+        assert bf.contains_many(keys).all()
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=400),
+        st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_partial_merge_equals_whole_build(self, keys, n_parts):
+        from bioie_llm_ray.functions.hashing import BloomFilter
+
+        arr = np.array(keys, dtype=np.int64)
+        whole = BloomFilter.build(arr, m_bits=4096, k=5)
+        parts = np.array_split(arr, n_parts)
+        merged = BloomFilter.build(parts[0], m_bits=4096, k=5)
+        for p in parts[1:]:
+            if len(p):
+                merged = merged.merge(BloomFilter.build(p, m_bits=4096, k=5))
+        assert (merged.words == whole.words).all()
