@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
         "doc_split_assign": A.doc_split_assign,
         "er_blocking_pairs": A.er_blocking_pairs,
+        "events_range_pruned": A.events_range_pruned,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
@@ -780,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
                              % 10 AS h
                   FROM documents)
+        """,
+        "events_range_pruned": """
+            SELECT count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-12 00:00:00'
         """,
         "user_cumulative_value": """
             SELECT event_id, user_id, ts,

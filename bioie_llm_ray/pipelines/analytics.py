@@ -2077,3 +2077,41 @@ def kg_two_hop_paths(sf_dir: str) -> pd.DataFrame:
     )
     out["n_paths"] = out["n_paths"].astype("int64")
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def events_range_pruned(sf_dir: str) -> pd.DataFrame:
+    """Range scan over a SORTED zone-mapped events store (state/sorted_store):
+    files whose [min, max] ts span misses the window are never read — the
+    range-predicate complement of the hash-bucketed layout.  The store is
+    built once per scale under /tmp (the one paid sort); the query itself
+    is a pruned read + per-batch partial sum.
+    """
+    import ray
+
+    from .. import __version__
+    from ..state import sorted_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    store = os.path.join("/tmp", f"bioie_ray_sorted_v{__version__}", tag, "events")
+    marker = os.path.join(store, "_ZONES.json")
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+        sorted_store.write_sorted(ds, store, col="ts", n_files=16)
+
+    lo = pd.Timestamp("2024-01-10 00:00:00")
+    hi = pd.Timestamp("2024-01-12 00:00:00")
+    ds = sorted_store.read_range(store, lo, hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch["value"]).as_py() or 0.0
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "s": pa.array([float(s)], type=pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in parts))
+    s = float(sum(r["s"] for r in parts))
+    return pd.DataFrame({"n_events": [n], "total_value": [round(s, 2)]})
