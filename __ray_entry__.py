@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": A.doc_language_id,
         "doc_unigram_lm": A.doc_unigram_lm,
         "customer_order_counts": A.customer_order_counts,
+        "orders_with_returns": A.orders_with_returns,
+        "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
         "doc_split_assign": A.doc_split_assign,
@@ -757,6 +759,23 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": """
             SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        """,
+        "orders_with_returns": """
+            SELECT o.o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c.c_nationkey::BIGINT AS c_nationkey,
+                   count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
             GROUP BY 1
         """,
         "doc_dup_ngram_spans": r"""

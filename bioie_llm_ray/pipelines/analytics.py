@@ -1808,6 +1808,86 @@ def customer_order_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def orders_with_returns(sf_dir: str) -> pd.DataFrame:
+    """Orders with at least one returned lineitem, counted by priority —
+    the distributed EXISTS semi join (``join.shuffle_semi_join``).
+
+    The right side (lineitem) is a fact table whose distinct-key set is too
+    big to broadcast at scale: keys dedup per batch (combiner), both sides
+    bucket once, and each bucket runs the Arrow ``left semi`` kernel.  The
+    per-priority count folds into the join bucket (``bucket_post``), so the
+    final groupby sums ~5 rows per bucket."""
+    from ..stages.join import shuffle_semi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    returned = li.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def count_by_priority(kept: pa.Table) -> pa.Table:
+        return kept.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count")]
+        ).rename_columns(["o_orderpriority", "n_orders"])
+
+    kept = shuffle_semi_join(
+        orders,
+        returned,
+        keys="o_orderkey",
+        left_schema={"o_orderkey": pa.int64(), "o_orderpriority": pa.string()},
+        bucket_post=count_by_priority,
+    )
+    out = kept.to_pandas()  # ≤ n_buckets × 5 rows
+    out = out.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum")
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Customers with NO completed ('F'-status) order, counted per nation —
+    the distributed NOT EXISTS anti join (``shuffle_semi_join(anti=True)``).
+    Same bucketed exchange as the semi path; the Arrow ``left anti`` kernel
+    keeps exactly the unmatched left rows, and the nation rollup folds into
+    the bucket."""
+    from ..stages.join import shuffle_semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.filter(pc.equal(b["o_orderstatus"], "F"))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def count_by_nation(kept: pa.Table) -> pa.Table:
+        return kept.group_by("c_nationkey").aggregate(
+            [("c_custkey", "count")]
+        ).rename_columns(["c_nationkey", "n_customers"])
+
+    kept = shuffle_semi_join(
+        cust,
+        orders,
+        keys="c_custkey",
+        anti=True,
+        left_schema={"c_custkey": pa.int64(), "c_nationkey": pa.int32()},
+        bucket_post=count_by_nation,
+    )
+    out = kept.to_pandas()
+    if out.empty:  # fully-empty datasets lose their schema in to_pandas
+        out = pd.DataFrame({"c_nationkey": [], "n_customers": []})
+    out = out.groupby("c_nationkey", as_index=False).agg(
+        n_customers=("n_customers", "sum")
+    )
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def user_cumulative_value(sf_dir: str) -> pd.DataFrame:
     """Running total of event value per user ordered by (ts, event_id) —
     the cumulative-window operator.  Bucket-group by hash(user) % B, one

@@ -12,6 +12,9 @@ that matter at scale:
   bucket with Arrow inside ``map_groups``.  An explicit partitioned hash
   join; bucket count B and hot-key salting are the caller's scale knobs.
 - ``anti_semi_filter``: semi/anti join against a broadcast key set.
+- ``shuffle_semi_join``: semi/anti join when the right side is itself a
+  large table (EXISTS / NOT EXISTS against another fact table) — right
+  keys dedup per batch before one bucketed exchange.
 
 Ray 2.49 does ship a native ``Dataset.join`` (hash-shuffle via aggregator
 actors); measured on the q3 fact-fact shape (600k lineitem ⋈ 150k orders,
@@ -362,6 +365,90 @@ def anti_semi_filter(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def shuffle_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str] | str,
+    anti: bool = False,
+    n_buckets: int = 32,
+    left_schema: dict | None = None,
+    bucket_post=None,
+) -> ray.data.Dataset:
+    """Semi (EXISTS) / anti (NOT EXISTS) join when BOTH sides are large.
+
+    ``anti_semi_filter`` broadcasts the key set — right for a shot list or a
+    blocklist, wrong when the right side is another fact table (at 100 TB
+    the distinct-key set itself exceeds driver memory).  This operator keeps
+    everything distributed:
+
+    - the right side is projected to its key columns and deduped per batch
+      (combiner) so only distinct keys enter the exchange — for a fact table
+      with many rows per key this shrinks the shuffled payload by the key
+      multiplicity before any network hop;
+    - both sides bucket by ``stable_hash(key) % n_buckets`` and union;
+    - each bucket runs the Arrow ``left semi`` / ``left anti`` join kernel —
+      left payload columns never widen onto right rows (right rows carry
+      nulls), and the output is exactly the surviving left rows.
+
+    ``bucket_post(kept: pa.Table) -> pa.Table`` folds a per-key rollup into
+    the join bucket (every key lands in one bucket, so it is exact), same
+    contract as ``shuffle_join``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def bucket_ids(batch: pa.Table):
+        if len(keys) == 1:
+            return bucket_ids_for_column(batch[keys[0]], n_buckets)
+        key_strs = [
+            "\x1f".join(map(str, vals))
+            for vals in zip(*(batch[k].to_pylist() for k in keys))
+        ]
+        return hash_bucket(key_strs, n_buckets)
+
+    if left_schema is None:
+        left_schema = _schema_types(left)
+    payload = [c for c in left_schema if c not in keys]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keys + payload)
+        batch = batch.append_column(_BUCKET, pa.array(bucket_ids(batch)))
+        return batch.append_column(
+            _TAG, pa.array([False] * len(batch), type=pa.bool_())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # combiner: distinct keys only — the semi join needs existence, not rows
+        batch = batch.select(keys).group_by(keys).aggregate([])
+        for c in payload:
+            batch = batch.append_column(
+                c, pa.nulls(len(batch), type=left_schema[c])
+            )
+        batch = batch.select(keys + payload)
+        batch = batch.append_column(_BUCKET, pa.array(bucket_ids(batch)))
+        return batch.append_column(
+            _TAG, pa.array([True] * len(batch), type=pa.bool_())
+        )
+
+    left_t = left.map_batches(tag_left, batch_format="pyarrow")
+    right_t = right.map_batches(tag_right, batch_format="pyarrow")
+    union = left_t.union(right_t)
+    how = "left anti" if anti else "left semi"
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = group[_TAG]
+        l = group.filter(pc.invert(mask)).select(keys + payload)
+        r = (
+            group.filter(mask)
+            .select(keys)
+            .group_by(keys)
+            .aggregate([])  # dedup across right batches within the bucket
+        )
+        kept = l.join(r, keys=keys, join_type=how)
+        return bucket_post(kept) if bucket_post is not None else kept
+
+    return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def bloom_prefilter(

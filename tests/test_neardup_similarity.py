@@ -514,6 +514,78 @@ class TestJoins:
         assert sorted(r["k"] for r in keep.take_all()) == ["1", "3"]
         assert len(drop.take_all()) == 8
 
+    def test_shuffle_semi_join_matches_pandas(self):
+        """Distributed semi/anti vs pandas isin over a many-rows-per-key
+        right side (the combiner dedup must not change the answer)."""
+        from bioie_llm_ray.stages.join import shuffle_semi_join
+
+        rng = np.random.RandomState(7)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 40, 200), "v": rng.randn(200).round(6)}
+        )
+        right = pd.DataFrame({"k": rng.randint(0, 25, 500)})  # dup-heavy
+        lds = ray.data.from_pandas(left)
+        rds = ray.data.from_pandas(right)
+        schema = {"k": pa.int64(), "v": pa.float64()}
+        in_right = left["k"].isin(set(right["k"]))
+        for anti, want_mask in ((False, in_right), (True, ~in_right)):
+            got = (
+                shuffle_semi_join(
+                    lds, rds, keys="k", anti=anti, n_buckets=8,
+                    left_schema=schema,
+                )
+                .to_pandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            want = (
+                left[want_mask].sort_values(["k", "v"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["k", "v"]], want[["k", "v"]], check_dtype=False
+            )
+
+    def test_shuffle_semi_join_multikey_and_bucket_post(self):
+        from bioie_llm_ray.stages.join import shuffle_semi_join
+
+        left = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "z"],
+                "b": [1, 2, 1, 2, 1],
+                "grp": ["g1", "g1", "g2", "g2", "g2"],
+            }
+        )
+        right = pd.DataFrame({"a": ["x", "y", "x"], "b": [1, 2, 1]})
+        schema = {"a": pa.string(), "b": pa.int64(), "grp": pa.string()}
+
+        def rollup(kept: pa.Table) -> pa.Table:
+            return (
+                kept.group_by("grp")
+                .aggregate([("b", "count")])
+                .rename_columns(["grp", "n"])
+            )
+
+        got = (
+            shuffle_semi_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                keys=["a", "b"],
+                n_buckets=4,
+                left_schema=schema,
+                bucket_post=rollup,
+            )
+            .to_pandas()
+            .groupby("grp", as_index=False)
+            .agg(n=("n", "sum"))
+            .sort_values("grp")
+            .reset_index(drop=True)
+        )
+        # matches: (x,1) and (y,2) → g1 has 1 row, g2 has 1 row
+        assert got.to_dict("records") == [
+            {"grp": "g1", "n": 1},
+            {"grp": "g2", "n": 1},
+        ]
+
 
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self):
