@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_lm": A.doc_unigram_lm,
         "customer_order_counts": A.customer_order_counts,
         "orders_with_returns": A.orders_with_returns,
+        "lineitem_rollup": A.lineitem_rollup,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
@@ -768,6 +769,15 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(l_quantity) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "customers_without_orders": """
             SELECT c.c_nationkey::BIGINT AS c_nationkey,

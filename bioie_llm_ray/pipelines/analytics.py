@@ -1888,6 +1888,41 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """Pricing totals at every ROLLUP(l_returnflag, l_linestatus) level —
+    the multi-level aggregate operator (``stages/rollup.rollup_aggregate``).
+    The input shuffles once (finest level); the (flag) and () levels
+    re-aggregate the finest RESULT, so no second input-sized exchange.
+    Rolled-up keys surface as 'ALL' (NULL-coalesced on both sides) so the
+    oracle hash compare never depends on NULL sort order."""
+    from ..stages.rollup import rollup_aggregate
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = rollup_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "n_items": ("l_quantity", "count"),
+        },
+        key_types={"l_returnflag": pa.string(), "l_linestatus": pa.string()},
+    ).to_pandas()
+    for k in ("l_returnflag", "l_linestatus"):
+        out[k] = out[k].fillna("ALL")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return (
+        out.sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
 def user_cumulative_value(sf_dir: str) -> pd.DataFrame:
     """Running total of event value per user ordered by (ts, event_id) —
     the cumulative-window operator.  Bucket-group by hash(user) % B, one

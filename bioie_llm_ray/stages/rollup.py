@@ -1,0 +1,162 @@
+"""Rollup / grouping-sets aggregation (multi-level GROUP BY in one pass tree).
+
+``GROUP BY ROLLUP (a, b)`` computes the aggregate at levels (a, b), (a,) and
+() — the reference's evaluator reports exactly this shape (per-class metrics
+plus micro totals, evaluator.py:10-31).  A naive engine runs one full-input
+shuffle per level; this operator pays the input-sized exchange ONCE, for the
+finest level, and derives every coarser level by re-aggregating the finest
+RESULT — at 100 TB the finest group table is orders of magnitude smaller
+than the input, and each coarser level shrinks again.
+
+Only re-aggregable functions are exposed (sum / count / min / max — count
+re-aggregates as sum); averages are derived from sum+count columns by the
+caller.  Rolled-up key columns are NULL, as in SQL ROLLUP.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import bucket_ids_for_column, hash_bucket
+
+_BUCKET = "__bucket"
+
+# partial-fn, final-fn (applied to partial outputs) per public agg name
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _agg_pairs(aggs: dict, partial: bool) -> tuple[list, list]:
+    """[(col, arrow_fn)] + output names for one aggregate pass.
+
+    ``partial=True`` runs the public fn on raw columns; ``partial=False``
+    re-aggregates prior partial outputs (count → sum) keyed by out name.
+    """
+    pairs, names = [], []
+    for out, (col, fn) in aggs.items():
+        if fn not in _REAGG:
+            raise ValueError(f"non-re-aggregable fn {fn!r} (use sum/count/min/max)")
+        pairs.append((col if partial else out, fn if partial else _REAGG[fn]))
+        names.append(out)
+    return pairs, names
+
+
+def _grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict,
+    n_buckets: int,
+    partial: bool,
+) -> ray.data.Dataset:
+    """One distributed grouped aggregate: per-batch combiner partials, one
+    bucketed exchange, per-bucket final combine.  Global (no-key) aggregates
+    skip the exchange entirely: every batch folds to one row and a single
+    group finishes it."""
+    pairs, names = _agg_pairs(aggs, partial)
+    final_pairs = [(n, _REAGG[fn]) for n, (_, fn) in zip(names, aggs.values())]
+
+    def scalar_agg(batch: pa.Table, ps) -> pa.Table:
+        # global (no-key) aggregate: one row per batch via compute kernels
+        cols = {}
+        for (col, fn), out in zip(ps, names):
+            arr = batch[col]
+            if fn == "sum":
+                v = pc.sum(arr)
+            elif fn == "count":
+                v = pa.scalar(len(arr) - arr.null_count, type=pa.int64())
+            elif fn == "min":
+                v = pc.min(arr)
+            else:
+                v = pc.max(arr)
+            cols[out] = pa.array([v.as_py()], type=v.type)
+        return pa.table(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        if not keys:
+            g = scalar_agg(batch, pairs)
+            return g.append_column(_BUCKET, pa.array([0] * len(g)))
+        g = batch.group_by(keys).aggregate(pairs)
+        g = g.rename_columns(keys + names)
+        if keys:
+            if len(keys) == 1:
+                ids = bucket_ids_for_column(g[keys[0]], n_buckets)
+            else:
+                ids = hash_bucket(
+                    [
+                        "\x1f".join(map(str, vals))
+                        for vals in zip(*(g[k].to_pylist() for k in keys))
+                    ],
+                    n_buckets,
+                )
+            g = g.append_column(_BUCKET, pa.array(ids))
+        else:
+            g = g.append_column(_BUCKET, pa.array([0] * len(g)))
+        return g
+
+    def combine(group: pa.Table) -> pa.Table:
+        if not keys:
+            return scalar_agg(group, [(n, f) for n, f in final_pairs])
+        out = group.group_by(keys).aggregate(final_pairs)
+        return out.rename_columns(keys + names)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    key_types: dict | None = None,
+) -> ray.data.Dataset:
+    """ROLLUP(keys): aggregate at every prefix level of ``keys`` plus the
+    grand total, rolled-up key columns NULL.
+
+    ``aggs``: {out_name: (source_col, fn)} with fn ∈ sum/count/min/max.
+    The input shuffles once (finest level); levels ``keys[:i]`` re-aggregate
+    the finest result, whose size is the finest group count, not the input.
+
+    ``key_types`` ({key: pyarrow type}) skips the ``Dataset.schema()`` probe
+    when the caller statically knows key dtypes (used for the NULL columns
+    of rolled-up levels).
+    """
+    keys = list(keys)
+    if key_types is None:
+        s = ds.schema()
+        key_types = {
+            n: t for n, t in zip(s.names, s.types) if n in keys
+        }
+
+    finest = _grouped_agg(ds, keys, aggs, n_buckets, partial=True)
+    # coarser levels re-aggregate the FINEST RESULT with count→sum semantics
+    reagg = {out: (out, fn) for out, (_, fn) in aggs.items()}
+
+    levels = [finest]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:i]
+        lvl = _grouped_agg(finest, lvl_keys, reagg, n_buckets, partial=False)
+
+        def widen(batch: pa.Table, missing=tuple(keys[i:])) -> pa.Table:
+            for k in missing:
+                batch = batch.append_column(
+                    k, pa.nulls(len(batch), type=key_types[k])
+                )
+            return batch.select(list(keys) + list(reagg))
+
+        levels.append(lvl.map_batches(widen, batch_format="pyarrow"))
+
+    ordered = [
+        lvl.map_batches(
+            lambda b: b.select(keys + list(aggs)), batch_format="pyarrow"
+        )
+        for lvl in levels
+    ]
+    out = ordered[0]
+    for lvl in ordered[1:]:
+        out = out.union(lvl)
+    return out

@@ -310,3 +310,72 @@ class TestMetaBlocking:
         assert (0, 2) not in got
         # no pair may exist solely through the flooded key
         assert all(a < 3 and b < 3 for a, b in got)
+
+
+class TestRollupAggregate:
+    def test_matches_pandas_all_levels(self):
+        from bioie_llm_ray.stages.rollup import rollup_aggregate
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], 200),
+                "b": rng.choice(["p", "q"], 200),
+                "v": rng.randint(0, 100, 200),
+            }
+        )
+        out = rollup_aggregate(
+            ray.data.from_pandas(df),
+            keys=["a", "b"],
+            aggs={
+                "s": ("v", "sum"),
+                "n": ("v", "count"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            n_buckets=4,
+            key_types={"a": pa.string(), "b": pa.string()},
+        ).to_pandas()
+        out[["a", "b"]] = out[["a", "b"]].fillna("ALL")
+        out = out.sort_values(["a", "b"]).reset_index(drop=True)
+
+        def agg(g):
+            return pd.Series(
+                {
+                    "s": g["v"].sum(),
+                    "n": len(g),
+                    "lo": g["v"].min(),
+                    "hi": g["v"].max(),
+                }
+            )
+
+        fine = df.groupby(["a", "b"]).apply(agg, include_groups=False).reset_index()
+        mid = df.groupby("a").apply(agg, include_groups=False).reset_index()
+        mid["b"] = "ALL"
+        top = agg(df).to_frame().T
+        top["a"] = "ALL"
+        top["b"] = "ALL"
+        want = (
+            pd.concat([fine, mid, top], ignore_index=True)[
+                ["a", "b", "s", "n", "lo", "hi"]
+            ]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    def test_single_key_and_row_counts(self):
+        from bioie_llm_ray.stages.rollup import rollup_aggregate
+
+        df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 4.0]})
+        out = rollup_aggregate(
+            ray.data.from_pandas(df),
+            keys=["k"],
+            aggs={"s": ("v", "sum")},
+            n_buckets=2,
+            key_types={"k": pa.string()},
+        ).to_pandas()
+        # 2 finest groups + 1 grand total
+        assert len(out) == 3
+        total = out[out["k"].isna()]
+        assert total["s"].iloc[0] == 7.0
