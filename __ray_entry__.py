@@ -341,12 +341,12 @@ def _multimodal_features(sf_dir: str):
         import numpy as np
 
         f = np.stack(batch["feature"].to_numpy(zero_copy_only=False))
+        # float64 mean of exactly-representable b/256 values: bit-equal to
+        # the SQL oracle's sum(byte)/(256*dim), no rounding needed
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "feat_mean": pa.array(
-                    np.round(f.mean(axis=1).astype(np.float64), 6)
-                ),
+                "feat_mean": pa.array(f.astype(np.float64).mean(axis=1)),
             }
         )
 
@@ -1314,7 +1314,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM sims WHERE c >= 0.9
         """,
-        # knn_ivf (approximate probing), dedup_minhash / dedup_simhash
-        # (md5-signature driven), multimodal_features (binary payloads),
-        # distinct_users_hll (approximate): rows-only checks by nature.
+        "multimodal_features": """
+            -- rebuild the md5-byte fake decode: payload = utf8(text),
+            -- feature[i] = digest_byte[i]/256 (exact in float32), dim=8 →
+            -- feat_mean = sum(first 8 bytes) / 2048
+            WITH h AS (
+                SELECT doc_id::VARCHAR AS media_id, md5(text) AS hx
+                FROM documents),
+            b AS (
+                SELECT media_id,
+                       (strpos('0123456789abcdef',
+                               substring(hx, i * 2 + 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) AS byte
+                FROM h, unnest(range(0, 8)) AS t(i))
+            SELECT media_id, sum(byte) / 2048.0 AS feat_mean
+            FROM b GROUP BY 1
+        """,
+        # knn_ivf (approximate probing) and dedup_minhash (LSH-recall
+        # candidate set): rows-only checks by nature.
     }

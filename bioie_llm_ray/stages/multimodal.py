@@ -51,9 +51,13 @@ class DecodeStub:
             )
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-        rng = np.random.RandomState(seed)
-        return rng.randn(self.feature_dim).astype(np.float32)
+        # md5 digest bytes cycled to feature_dim, scaled by 1/256: every
+        # value is exactly representable in float32 (b * 2^-8), so the fake
+        # is bit-reproducible in any arithmetic — including a SQL oracle.
+        digest = hashlib.md5(payload).digest()
+        reps = -(-self.feature_dim // len(digest))
+        b = np.frombuffer(digest * reps, dtype=np.uint8)[: self.feature_dim]
+        return (b.astype(np.float32)) / np.float32(256.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
