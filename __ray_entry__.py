@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": A.customer_order_counts,
         "orders_with_returns": A.orders_with_returns,
         "lineitem_rollup": A.lineitem_rollup,
+        "event_funnel": A.event_funnel,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
@@ -769,6 +770,25 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+            SELECT 1::BIGINT AS step, 'view' AS event_type,
+                   count(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3
         """,
         "lineitem_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

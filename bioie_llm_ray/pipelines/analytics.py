@@ -1888,6 +1888,18 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def event_funnel(sf_dir: str) -> pd.DataFrame:
+    """view → click → purchase conversion funnel
+    (``stages/window.funnel_counts``): users reaching each step via the
+    earliest-qualifying chain (each step's first event strictly after the
+    previous step's conversion time).  Non-step events are filtered at the
+    scan; one bucketed exchange by user."""
+    from ..stages.window import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, steps=["view", "click", "purchase"])
+
+
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     """Pricing totals at every ROLLUP(l_returnflag, l_linestatus) level —
     the multi-level aggregate operator (``stages/rollup.rollup_aggregate``).

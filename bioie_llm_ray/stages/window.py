@@ -15,6 +15,9 @@ over its bucket, never one Python call per group.
   shifted self-merge per bucket: each (key, hour) row sums the counts of
   its ``n_units`` trailing hour slots; rows exist only for hours where the
   key has events (matching the SQL windowed-CTE shape).
+- ``funnel_counts``: ordered-step conversion funnel (view → click →
+  purchase) with earliest-qualifying-chain semantics — one bucketed
+  exchange, per-step partial counts out of each bucket.
 """
 
 from __future__ import annotations
@@ -191,3 +194,72 @@ def sliding_window_counts(
         .groupby("__bucket")
         .map_groups(window_bucket, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Ordered-step conversion funnel: how many users reach each step.
+
+    Semantics (earliest-qualifying chain): a user reaches step k when an
+    event of type ``steps[k]`` exists STRICTLY AFTER the user's step-(k-1)
+    conversion time, where the conversion time is the earliest such event;
+    step 0's time is the user's first ``steps[0]`` event.
+
+    Shape: rows filter to the step types at the scan (everything else never
+    enters the exchange), bucket once by ``hash(user) % n_buckets``, and
+    each bucket runs one vectorized pandas chain (per-step ``groupby.min``
+    + merge, len(steps) passes over the bucket, zero per-user calls).
+    Buckets emit per-step partial counts; the driver sums
+    ``n_buckets × len(steps)`` rows.
+    """
+    step_set = list(steps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch[type_col], value_set=pa.array(step_set))
+        batch = batch.filter(keep).select([user_col, ts_col, type_col])
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch[user_col], n_buckets)),
+        )
+
+    def funnel_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None  # DataFrame[user_col, "__t_prev"]
+        for k, step in enumerate(step_set):
+            ev = group[group[type_col] == step][[user_col, ts_col]]
+            if prev is not None:
+                ev = ev.merge(prev, on=user_col)
+                ev = ev[ev[ts_col] > ev["__t_prev"]]
+            cur = (
+                ev.groupby(user_col, as_index=False)[ts_col]
+                .min()
+                .rename(columns={ts_col: "__t_prev"})
+            )
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {
+                "step": pd.Series(range(1, len(step_set) + 1), dtype="int64"),
+                "event_type": step_set,
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.groupby(["step", "event_type"], as_index=False).agg(
+        n_users=("n_users", "sum")
+    )
+    return out.sort_values("step").reset_index(drop=True)

@@ -152,3 +152,35 @@ class TestSlidingWindow:
         ).to_pandas()
         assert len(out) == 1
         assert out["n"].iloc[0] == 100 and out["n_3h"].iloc[0] == 100
+
+
+class TestFunnelCounts:
+    def test_hand_computed_chain(self):
+        from bioie_llm_ray.stages.window import funnel_counts
+
+        rows = [
+            # u1 converts all 3 steps in order
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: click BEFORE first view → not a step-2 conversion;
+            # later purchase without a qualifying click → stops at view
+            (2, 15, "click"), (2, 20, "view"), (2, 25, "purchase"),
+            # u3: view then purchase, no click → stops at view
+            (3, 5, "view"), (3, 50, "purchase"),
+            # u4: equal timestamps are NOT strictly after → stops at view
+            (4, 7, "view"), (4, 7, "click"),
+            # u5: never views → counted nowhere (purchase alone)
+            (5, 1, "purchase"),
+            # u6: two chains; earliest-qualifying picks view@2→click@3→purchase@4
+            (6, 2, "view"), (6, 3, "click"), (6, 4, "purchase"), (6, 1, "click"),
+        ]
+        ds = ray.data.from_items(
+            [{"user_id": u, "ts": t, "event_type": e} for u, t, e in rows]
+        )
+        out = funnel_counts(
+            ds, steps=["view", "click", "purchase"], n_buckets=4
+        )
+        assert out.to_dict("records") == [
+            {"step": 1, "event_type": "view", "n_users": 5},
+            {"step": 2, "event_type": "click", "n_users": 2},
+            {"step": 3, "event_type": "purchase", "n_users": 2},
+        ]
