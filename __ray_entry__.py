@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": A.orders_with_returns,
         "lineitem_rollup": A.lineitem_rollup,
         "event_funnel": A.event_funnel,
+        "user_event_pivot": A.user_event_pivot,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
@@ -770,6 +771,20 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n_view
+            FROM events GROUP BY 1
         """,
         "event_funnel": """
             WITH s1 AS (

@@ -1900,6 +1900,23 @@ def event_funnel(sf_dir: str) -> pd.DataFrame:
     return funnel_counts(ds, steps=["view", "click", "purchase"])
 
 
+def user_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type counts as wide columns — the pivot operator
+    (``stages/rollup.pivot_counts``).  Domain pinned (5 event types), so no
+    discovery pass; per-batch (user, type) partial counts shrink the
+    exchange to the distinct-pair set before the bucketed pivot."""
+    from ..stages.rollup import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(
+        ds,
+        key_col="user_id",
+        pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     """Pricing totals at every ROLLUP(l_returnflag, l_linestatus) level —
     the multi-level aggregate operator (``stages/rollup.rollup_aggregate``).

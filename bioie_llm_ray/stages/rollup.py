@@ -160,3 +160,60 @@ def rollup_aggregate(
     for lvl in ordered[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    pivot_col: str,
+    values: list | None = None,
+    prefix: str = "n_",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Long → wide pivot: one row per key, one count column per pivot value.
+
+    Classic pivot precondition: the pivot domain must be small (it becomes
+    the schema).  ``values`` pins it; when omitted, a distinct pass
+    discovers it (tiny result, but one extra job — pass ``values`` when the
+    domain is known).  Shape: per-batch partial (key, value) counts — the
+    combiner — then one bucketed exchange by key and a vectorized
+    ``pivot_table`` per bucket.  Keys never split across buckets, so the
+    per-bucket pivot is exact; missing cells are 0, not NULL.
+    """
+    if values is None:
+        values = sorted(ds.unique(pivot_col))
+    val_list = [str(v) for v in values]
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_col, pivot_col])
+            .group_by([key_col, pivot_col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([key_col, pivot_col, "__n"])
+        # drop pivot values outside the declared domain
+        g = g.filter(pc.is_in(g[pivot_col], value_set=pa.array(values)))
+        return g.append_column(
+            _BUCKET, pa.array(bucket_ids_for_column(g[key_col], n_buckets))
+        )
+
+    def widen(group) -> "pa.Table":
+        import pandas as pd
+
+        df = group if hasattr(group, "pivot_table") else group.to_pandas()
+        wide = df.pivot_table(
+            index=key_col,
+            columns=pivot_col,
+            values="__n",
+            aggfunc="sum",
+            fill_value=0,
+        )
+        wide = wide.reindex(columns=values, fill_value=0).astype("int64")
+        wide.columns = [prefix + v for v in val_list]
+        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(widen, batch_format="pandas")
+    )

@@ -379,3 +379,50 @@ class TestRollupAggregate:
         assert len(out) == 3
         total = out[out["k"].isna()]
         assert total["s"].iloc[0] == 7.0
+
+
+class TestPivotCounts:
+    def test_matches_pandas_crosstab(self):
+        from bioie_llm_ray.stages.rollup import pivot_counts
+
+        rng = np.random.RandomState(19)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 30, 500),
+                "p": rng.choice(["a", "b", "c"], 500),
+            }
+        )
+        got = (
+            pivot_counts(
+                ray.data.from_pandas(df).repartition(6),
+                key_col="k",
+                pivot_col="p",
+                values=["a", "b", "c"],
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.crosstab(df["k"], df["p"])
+            .reindex(columns=["a", "b", "c"], fill_value=0)
+            .reset_index()
+        )
+        want.columns = ["k", "n_a", "n_b", "n_c"]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_discovers_domain_and_zero_cells(self):
+        from bioie_llm_ray.stages.rollup import pivot_counts
+
+        df = pd.DataFrame({"k": [1, 1, 2], "p": ["x", "x", "y"]})
+        got = (
+            pivot_counts(ray.data.from_pandas(df), "k", "p", n_buckets=2)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"k": 1, "n_x": 2, "n_y": 0},
+            {"k": 2, "n_x": 0, "n_y": 1},
+        ]
