@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": A.lineitem_rollup,
         "event_funnel": A.event_funnel,
         "user_event_pivot": A.user_event_pivot,
+        "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
@@ -771,6 +772,13 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "quantity_quantiles_by_flag": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.25) AS p25,
+                   quantile_disc(l_quantity, 0.50) AS p50,
+                   quantile_disc(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY 1
         """,
         "user_event_pivot": """
             SELECT user_id,

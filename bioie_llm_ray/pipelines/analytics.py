@@ -1917,6 +1917,19 @@ def user_event_pivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def quantity_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Exact p25/p50/p75 of lineitem quantity PER return flag — the grouped
+    quantile operator (``stages/sketch.grouped_quantiles_discrete``): the
+    exchange carries (flag, quantity) distinct-pair counts, not rows."""
+    from ..stages.sketch import grouped_quantiles_discrete
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_quantiles_discrete(
+        ds, group_col="l_returnflag", col="l_quantity",
+        quantiles=[0.25, 0.5, 0.75],
+    )
+
+
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     """Pricing totals at every ROLLUP(l_returnflag, l_linestatus) level —
     the multi-level aggregate operator (``stages/rollup.rollup_aggregate``).

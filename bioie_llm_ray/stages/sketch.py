@@ -11,6 +11,9 @@
   value→count aggregate (small), then the discrete quantile read off the
   cumulative distribution — matching SQL ``quantile_disc`` semantics
   (value at 1-indexed position ``ceil(q·N)`` of the sorted multiset).
+- ``grouped_quantiles_discrete``: the per-group form — (group, value)
+  count partials, one bucketed exchange by group, vectorized cumulative
+  read-off per bucket.
 """
 
 from __future__ import annotations
@@ -266,3 +269,64 @@ def heavy_hitters(
     out = [(v, c) for v, c in exact.items() if c >= thresh]
     out.sort(key=lambda kv: (-kv[1], kv[0]))
     return out
+
+
+def grouped_quantiles_discrete(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+    n_buckets: int = 32,
+) -> "pd.DataFrame":
+    """Exact per-group quantiles (the grouped form of
+    ``exact_quantiles_discrete``; same ``quantile_disc`` semantics: the
+    element at 1-indexed position ``ceil(q·N_g)`` of each group's sorted
+    multiset).
+
+    Shape: per-batch (group, value) count partials — the exchange carries
+    the distinct-pair set, not the rows — then one bucketed shuffle by
+    group and a vectorized cumulative read-off per bucket (sort + grouped
+    cumsum + one searchsorted-style mask per q; never a Python call per
+    group).  Wide output: one ``p{q}`` column per requested quantile.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([group_col, col])
+            .group_by([group_col, col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([group_col, col, "__n"])
+        return g.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(g[group_col], n_buckets)),
+        )
+
+    qnames = [f"p{int(round(q * 100))}" for q in quantiles]
+
+    def read_off(group: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            group.groupby([group_col, col], as_index=False)["__n"]
+            .sum()  # merge partials from different input blocks
+            .sort_values([group_col, col], kind="stable")
+        )
+        cum = df.groupby(group_col)["__n"].cumsum()
+        total = df.groupby(group_col)["__n"].transform("sum")
+        out = df[[group_col]].drop_duplicates().reset_index(drop=True)
+        for q, name in zip(quantiles, qnames):
+            target = np.maximum(1, np.ceil(q * total).astype("int64"))
+            hit = df[cum >= target].groupby(group_col, as_index=False)[col].first()
+            out = out.merge(hit.rename(columns={col: name}), on=group_col)
+        return out
+
+    parts = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(read_off, batch_format="pandas")
+        .to_pandas()
+    )
+    return parts.sort_values(group_col).reset_index(drop=True)

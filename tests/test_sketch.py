@@ -128,3 +128,43 @@ class TestHeavyHitters:
 
         ds = ray.data.from_items([{"v": f"u{i}"} for i in range(500)])
         assert heavy_hitters(ds, "v", theta=0.05) == []
+
+
+class TestGroupedQuantiles:
+    def test_matches_pandas_quantile_disc(self):
+        from bioie_llm_ray.stages.sketch import grouped_quantiles_discrete
+
+        rng = np.random.RandomState(23)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c", "d"], 3000),
+                "v": rng.randint(1, 51, 3000).astype("float64"),
+            }
+        )
+        got = grouped_quantiles_discrete(
+            ray.data.from_pandas(df).repartition(7),
+            group_col="g",
+            col="v",
+            quantiles=[0.25, 0.5, 0.75],
+            n_buckets=3,
+        )
+
+        def disc(s, q):
+            vals = np.sort(s.to_numpy())
+            return float(vals[max(1, int(np.ceil(q * len(vals)))) - 1])
+
+        for _, row in got.iterrows():
+            s = df[df["g"] == row["g"]]["v"]
+            assert row["p25"] == disc(s, 0.25)
+            assert row["p50"] == disc(s, 0.5)
+            assert row["p75"] == disc(s, 0.75)
+        assert sorted(got["g"]) == ["a", "b", "c", "d"]
+
+    def test_single_element_groups(self):
+        from bioie_llm_ray.stages.sketch import grouped_quantiles_discrete
+
+        df = pd.DataFrame({"g": ["x", "y"], "v": [3.0, 9.0]})
+        got = grouped_quantiles_discrete(
+            ray.data.from_pandas(df), "g", "v", [0.5], n_buckets=2
+        )
+        assert got.set_index("g")["p50"].to_dict() == {"x": 3.0, "y": 9.0}
