@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": A.event_funnel,
         "user_event_pivot": A.user_event_pivot,
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
+        "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
@@ -772,6 +773,14 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "small_quantity_revenue": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS lim
+                  FROM lineitem GROUP BY 1) t
+              ON l.l_partkey = t.l_partkey
+            WHERE l.l_quantity < t.lim
         """,
         "quantity_quantiles_by_flag": """
             SELECT l_returnflag,

@@ -1917,6 +1917,60 @@ def user_event_pivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q17 shape: revenue of lineitems whose quantity is below half
+    their part's average — the aggregate-then-rejoin-to-detail dataflow.
+    The per-part average is itself a distributed aggregate (combiner
+    partials + bucketed combine), then rejoins the SAME fact table via
+    ``shuffle_join``; the below-threshold filter and revenue partial fold
+    into the join bucket, so only one float per bucket returns."""
+    from ..stages.rollup import _grouped_agg
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    sums = _grouped_agg(
+        li.select_columns(["l_partkey", "l_quantity"]),
+        keys=["l_partkey"],
+        aggs={"s": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
+        n_buckets=32,
+        partial=True,
+    )
+    lim = sums.map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "lim": pc.divide(
+                    pc.multiply(b["s"], pa.scalar(0.5)),
+                    pc.cast(b["n"], pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_sum(joined: pa.Table) -> pa.Table:
+        kept = joined.filter(pc.less(joined["l_quantity"], joined["lim"]))
+        s = pc.sum(kept["l_extendedprice"])
+        return pa.table({"part_sum": pa.array([s.as_py() or 0.0])})
+
+    parts = shuffle_join(
+        li,
+        lim,
+        keys="l_partkey",
+        left_schema={
+            "l_partkey": pa.int64(),
+            "l_quantity": pa.float64(),
+            "l_extendedprice": pa.float64(),
+        },
+        right_schema={"l_partkey": pa.int64(), "lim": pa.float64()},
+        bucket_post=bucket_sum,
+    ).to_pandas()
+    total = float(parts["part_sum"].sum())
+    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
+
+
 def quantity_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
     """Exact p25/p50/p75 of lineitem quantity PER return flag — the grouped
     quantile operator (``stages/sketch.grouped_quantiles_discrete``): the
