@@ -515,8 +515,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_language_id": O.language_id_sql(),
         # independent SQL reimplementations of the md5-derived kernels
         # (splitmix64 decomposed into 32-bit HUGEINT mulmods) — see
-        # oracle.simhash_sql / oracle.hll_distinct_sql
+        # oracle.simhash_sql / oracle.minhash_sql / oracle.hll_distinct_sql
         "dedup_simhash": O.simhash_sql(),
+        "dedup_minhash": O.minhash_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
@@ -1383,6 +1384,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, sum(byte) / 2048.0 AS feat_mean
             FROM b GROUP BY 1
         """,
-        # knn_ivf (approximate probing) and dedup_minhash (LSH-recall
-        # candidate set): rows-only checks by nature.
+        # knn_ivf (approximate probing): rows-only check by nature.
     }

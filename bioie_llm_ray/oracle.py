@@ -587,3 +587,152 @@ pr0 AS MATERIALIZED (SELECT s AS node, 1.0 / nn.c AS rank FROM (SELECT DISTINCT 
 {chain}
 SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node
 """
+
+
+def _mulmod64_vars_sql(x: str, a: str) -> str:
+    """SQL expr: (x * a) mod 2^64 for TWO variable HUGEINT exprs in
+    [0, 2^64) — both operands decomposed into 32-bit halves (the
+    constant-multiplier form is ``_mulmod64_sql``)."""
+    xl, xh = f"(({x}) % 4294967296)", f"(({x}) // 4294967296)"
+    al, ah = f"(({a}) % 4294967296)", f"(({a}) // 4294967296)"
+    return (
+        f"(({xl} * {al} + (({xl} * {ah} + {xh} * {al}) % 4294967296)"
+        f" * 4294967296) % 18446744073709551616)"
+    )
+
+
+_POLY_INT = 0x100000001B3  # stages/neardup._POLY
+_MERSENNE_INT = (1 << 61) - 1  # stages/neardup._MERSENNE
+# md5(b"") first 8 bytes big-endian — _token_hashes('') singleton
+_EMPTY_TOKEN_HASH = 0xD41D8CD98F00B204
+_M64 = "18446744073709551616"
+
+
+def minhash_sql(
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_shingle: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for analytics.dedup_minhash — the FULL pipeline
+    (shingle hashing → 64-perm MinHash → 16-band LSH buckets → chained
+    candidate pairs → exact hash-set Jaccard ≥ threshold) rebuilt in SQL.
+
+    Faithful to stages/neardup.py kernel-for-kernel: word hash =
+    md5(word)[:8] big-endian; 3-shingle hash = splitmix64 rolled polynomial
+    (acc = sm(acc·POLY + h) per step, one final sm); universal hash =
+    ((a·x mod 2^64) + b mod 2^64) mod (2^61−1) with the (a, b) params from
+    the same seed inlined as literals; LSH buckets group by the band's
+    minhash TUPLE (the Ray side compacts it through md5 — equality of
+    tuples ⇔ equality of hashes modulo md5 collision); a bucket of m docs
+    chains m−1 (prev, next) pairs in id order.  Verification is Jaccard
+    over the DISTINCT shingle-hash sets, exactly `ngram_jaccard`.
+
+    Only deterministic arithmetic crosses the comparison: mod-2^64
+    multiplies decompose into 32-bit HUGEINT halves (bit-exactness pinned
+    in tests/test_oracle_sql.py), and the jaccard round uses round_even to
+    match numpy's half-to-even (tie cases exist: odd/2^k fractions).
+    """
+    import numpy as np
+
+    assert n_shingle == 3, "SQL oracle is written for the 3-shingle kernel"
+    rows_per_band = n_perm // n_bands
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    perm_rows = ",\n        ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(n_perm)
+    )
+
+    wh = _MD5_U64.format(v="w")  # md5(word)[:8] big-endian, raw (no splitmix)
+    # rolling step exprs; splitmix staged through CTE columns so each
+    # splitmix64_sql argument is a short column name (it expands ~200x)
+    mul_h1 = _mulmod64_sql("h1", _POLY_INT)
+    mul_u1 = _mulmod64_sql("u1", _POLY_INT)
+    sm_t1 = splitmix64_sql("t1")
+    sm_t2 = splitmix64_sql("t2")
+    sm_u2 = splitmix64_sql("u2")
+    sm_h1 = splitmix64_sql("(h1)::UBIGINT")
+    uhash = (
+        f"(({_mulmod64_vars_sql('s.s::HUGEINT', 'perms.a')} + perms.b)"
+        f" % {_M64}) % {_MERSENNE_INT}"
+    )
+
+    return f"""
+WITH arr AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS a
+    FROM documents),
+toks AS (
+    SELECT doc_id, i, a[i] AS w
+    FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+hs AS (
+    SELECT doc_id, i, ({wh})::HUGEINT AS h,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM toks),
+win AS (
+    SELECT doc_id, n, h AS h1,
+           lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h2,
+           lead(h, 2) OVER (PARTITION BY doc_id ORDER BY i) AS h3
+    FROM hs),
+-- n >= 3: full 3-shingles (rows with h3 present)
+st3a AS (
+    SELECT doc_id, ((({mul_h1}) + h2) % {_M64})::UBIGINT AS t1, h3
+    FROM win WHERE n >= 3 AND h3 IS NOT NULL),
+st3b AS (SELECT doc_id, ({sm_t1})::HUGEINT AS u1, h3 FROM st3a),
+st3c AS (
+    SELECT doc_id, ((({mul_u1}) + h3) % {_M64})::UBIGINT AS t2 FROM st3b),
+st3d AS (SELECT doc_id, ({sm_t2})::UBIGINT AS u2 FROM st3c),
+sh3 AS (SELECT doc_id, ({sm_u2})::HUGEINT AS s FROM st3d),
+-- n = 2: one 2-shingle
+st2a AS (
+    SELECT doc_id, ((({mul_h1}) + h2) % {_M64})::UBIGINT AS t1
+    FROM win WHERE n = 2 AND h2 IS NOT NULL),
+st2b AS (SELECT doc_id, ({sm_t1})::UBIGINT AS u2 FROM st2a),
+sh2 AS (SELECT doc_id, ({sm_u2})::HUGEINT AS s FROM st2b),
+-- n = 1: splitmix of the single word hash
+sh1 AS (
+    SELECT doc_id, ({sm_h1})::HUGEINT AS s FROM win WHERE n = 1),
+-- n = 0: the md5(b'') singleton
+sh0 AS (
+    SELECT doc_id, {_EMPTY_TOKEN_HASH}::HUGEINT AS s
+    FROM arr WHERE len(a) = 0),
+sset AS (
+    SELECT DISTINCT doc_id, s
+    FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM sh2
+          UNION ALL SELECT * FROM sh1 UNION ALL SELECT * FROM sh0)),
+perms(p, a, b) AS (
+    VALUES {perm_rows}),
+uh AS (
+    SELECT s.doc_id, perms.p, min({uhash}) AS mh
+    FROM sset s, perms GROUP BY 1, 2),
+sig AS (
+    SELECT doc_id, p // {rows_per_band} AS band_id,
+           string_agg(mh::VARCHAR, ',' ORDER BY p) AS bsig
+    FROM uh GROUP BY 1, 2),
+chain AS (
+    SELECT doc_id,
+           lag(doc_id) OVER (PARTITION BY band_id, bsig ORDER BY doc_id)
+               AS prev
+    FROM sig),
+pairs AS (
+    SELECT DISTINCT prev AS id_a, doc_id AS id_b
+    FROM chain WHERE prev IS NOT NULL),
+card AS (SELECT doc_id, count(*) AS n FROM sset GROUP BY 1),
+inter AS (
+    SELECT p.id_a, p.id_b, count(*) AS i
+    FROM pairs p
+    JOIN sset x ON x.doc_id = p.id_a
+    JOIN sset y ON y.doc_id = p.id_b AND y.s = x.s
+    GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round_even(i.i::DOUBLE / (ca.n + cb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN card ca ON ca.doc_id = i.id_a
+JOIN card cb ON cb.doc_id = i.id_b
+WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= {threshold}
+ORDER BY i.id_a, i.id_b
+"""
