@@ -15,6 +15,9 @@ that matter at scale:
 - ``shuffle_semi_join``: semi/anti join when the right side is itself a
   large table (EXISTS / NOT EXISTS against another fact table) — right
   keys dedup per batch before one bucketed exchange.
+- ``auto_join``: the planner rule — build side under a size threshold
+  broadcasts, anything larger (or unknown, or carrying a bucket_post
+  rollup) takes the shuffle plan.
 
 Ray 2.49 does ship a native ``Dataset.join`` (hash-shuffle via aggregator
 actors); measured on the q3 fact-fact shape (600k lineitem ⋈ 150k orders,
@@ -791,3 +794,55 @@ def interval_join(
         )
 
     return union.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str] | str,
+    join_type: str = "inner",
+    broadcast_bytes: int = 64 * 1024 * 1024,
+    n_buckets: int = 32,
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
+    bucket_post=None,
+):
+    """Pick the join physical plan from the build side's estimated size.
+
+    The planner rule every engine ships: a build side under
+    ``broadcast_bytes`` (64 MB default — roughly one object-store copy per
+    node) materializes once and probes per batch with zero shuffle
+    (``broadcast_join``); anything larger goes through the bucketed
+    ``shuffle_join``.  ``Dataset.size_bytes()`` is metadata for Parquet
+    reads and a cheap partial execution otherwise; ``None`` (unknown)
+    falls back to the shuffle plan — the safe direction, since a broadcast
+    of an unexpectedly-large side OOMs while a shuffle of a small side
+    merely wastes an exchange.  A non-None ``bucket_post`` also forces the
+    shuffle plan: its contract (each key complete within one call) only
+    holds for key-bucketed groups, never for arbitrary probe batches.
+
+    Returns ``(joined, plan)`` where plan ∈ {"broadcast", "shuffle"} so
+    callers/tests can assert the decision.
+    """
+    est = right.size_bytes() if bucket_post is None else None
+    if est is not None and est <= broadcast_bytes:
+        refs = right.to_arrow_refs()
+        if refs:
+            small = pa.concat_tables(
+                [ray.get(r) for r in refs], promote_options="default"
+            )
+            out = broadcast_join(left, small, keys, join_type=join_type)
+            return out, "broadcast"
+    return (
+        shuffle_join(
+            left,
+            right,
+            keys,
+            n_buckets=n_buckets,
+            join_type=join_type,
+            left_schema=left_schema or _schema_types(left),
+            right_schema=right_schema or _schema_types(right),
+            bucket_post=bucket_post,
+        ),
+        "shuffle",
+    )

@@ -426,3 +426,41 @@ class TestPivotCounts:
             {"k": 1, "n_x": 2, "n_y": 0},
             {"k": 2, "n_x": 0, "n_y": 1},
         ]
+
+
+class TestAutoJoin:
+    def test_small_side_broadcasts_large_side_shuffles(self):
+        from bioie_llm_ray.stages.join import auto_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+        right = pd.DataFrame({"k": [2, 3], "w": [20, 30]})
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+        out, plan = auto_join(lds, rds, keys="k")
+        assert plan == "broadcast"
+        got = out.to_pandas().sort_values("k").reset_index(drop=True)
+        want = left.merge(right, on="k").sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        out2, plan2 = auto_join(lds, rds, keys="k", broadcast_bytes=1)
+        assert plan2 == "shuffle"
+        got2 = out2.to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got2[["k", "v", "w"]], want[["k", "v", "w"]], check_dtype=False
+        )
+
+    def test_bucket_post_forces_shuffle_plan(self):
+        from bioie_llm_ray.stages.join import auto_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1, 1, 2]}))
+        right = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "w": [5, 6]}))
+
+        def rollup(t: pa.Table) -> pa.Table:
+            return t.group_by("k").aggregate([("w", "count")]).rename_columns(
+                ["k", "n"]
+            )
+
+        out, plan = auto_join(left, right, keys="k", bucket_post=rollup)
+        assert plan == "shuffle"
+        got = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert got.to_dict("records") == [{"k": 1, "n": 2}, {"k": 2, "n": 1}]
