@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": A.event_funnel,
         "user_event_pivot": A.user_event_pivot,
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
+        "user_event_unpivot": A.user_event_unpivot,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
@@ -782,6 +783,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1) t
               ON l.l_partkey = t.l_partkey
             WHERE l.l_quantity < t.lim
+        """,
+        "user_event_unpivot": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            t(et) AS (VALUES ('click'), ('error'), ('purchase'),
+                             ('signup'), ('view')),
+            c AS (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2)
+            SELECT u.user_id, 'n_' || t.et AS cat,
+                   coalesce(c.n, 0) AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.et
         """,
         "quantity_quantiles_by_flag": """
             SELECT l_returnflag,

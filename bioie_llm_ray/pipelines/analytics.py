@@ -1971,6 +1971,30 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
 
 
+def user_event_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot → unpivot round trip: the wide per-user count table melted
+    back to long form (``stages/rollup.unpivot``, zero-shuffle reshape).
+    Zero cells survive the round trip — the oracle cross-joins the user and
+    type domains to reproduce them."""
+    from ..stages.rollup import pivot_counts, unpivot
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    wide = pivot_counts(
+        ds,
+        key_col="user_id",
+        pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    out = unpivot(
+        wide,
+        id_cols=["user_id"],
+        value_cols=["n_click", "n_error", "n_purchase", "n_signup", "n_view"],
+        var_name="cat",
+        value_name="n",
+    ).to_pandas()
+    return out.sort_values(["user_id", "cat"]).reset_index(drop=True)
+
+
 def quantity_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
     """Exact p25/p50/p75 of lineitem quantity PER return flag — the grouped
     quantile operator (``stages/sketch.grouped_quantiles_discrete``): the

@@ -217,3 +217,35 @@ def pivot_counts(
         .groupby(_BUCKET)
         .map_groups(widen, batch_format="pandas")
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Wide → long melt: one output row per (input row × value column).
+
+    The inverse of ``pivot_counts`` — pure per-batch reshape, zero shuffle,
+    zero-copy id columns (each value column contributes one slice that
+    reuses the id arrays).  ``value_type`` pins the common type when the
+    value columns differ (they are concatenated into ONE column).
+    """
+    value_cols = list(value_cols)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            vals = batch[c]
+            if value_type is not None:
+                vals = pc.cast(vals, value_type)
+            cols = {k: batch[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * len(batch), type=pa.string())
+            cols[value_name] = vals
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -464,3 +464,30 @@ class TestAutoJoin:
         assert plan == "shuffle"
         got = out.to_pandas().sort_values("k").reset_index(drop=True)
         assert got.to_dict("records") == [{"k": 1, "n": 2}, {"k": 2, "n": 1}]
+
+
+class TestUnpivot:
+    def test_roundtrips_pivot(self):
+        from bioie_llm_ray.stages.rollup import unpivot
+
+        df = pd.DataFrame(
+            {"k": [1, 2], "n_a": [3, 0], "n_b": [1, 5]}
+        )
+        got = (
+            unpivot(
+                ray.data.from_pandas(df),
+                id_cols=["k"],
+                value_cols=["n_a", "n_b"],
+                var_name="cat",
+                value_name="n",
+            )
+            .to_pandas()
+            .sort_values(["k", "cat"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.melt(id_vars="k", var_name="cat", value_name="n")
+            .sort_values(["k", "cat"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
