@@ -767,7 +767,8 @@ def lineitem_profile(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
-    """HLL approximate distinct users (rows-only: estimator, not SQL).
+    """HLL approximate distinct users (full SQL oracle: the register
+    pipeline is rebuilt in DuckDB — oracle.hll_distinct_sql).
 
     Reports the estimate alongside the exact count so the recorded row
     itself evidences the error bound (≈1.04/√2^14 ≈ 0.8% std).
@@ -1233,7 +1234,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
-# ----------------------------------------------------- near-dup (rows-only)
+# ------------------------------------------------------------- near-dup
 
 
 def knn_ivf_exact(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
@@ -1280,9 +1281,10 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
 def dedup_jaccard(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-shingles, J ≥ 0.5).
 
-    Unlike ``dedup_minhash`` (probabilistic candidates, rows-only check)
-    this is prefix-filtered AllPairs — provably complete — so it carries a
-    full DuckDB oracle: the same word-3-gram Jaccard computed in SQL.
+    Unlike ``dedup_minhash`` (probabilistic LSH candidates) this is
+    prefix-filtered AllPairs — provably complete.  Both carry full DuckDB
+    oracles; this one is the same word-3-gram Jaccard computed in SQL,
+    minhash's is the whole LSH pipeline rebuilt (oracle.minhash_sql).
     """
     from ..stages.neardup import ngram_jaccard_pairs
 
@@ -1348,7 +1350,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_language_id(sf_dir: str) -> pd.DataFrame:
-    """Marker-lexicon language ID (rows-only: heuristic, not SQL)."""
+    """Marker-lexicon language ID (SQL oracle: oracle.language_id_sql)."""
     from ..functions.text import detect_language
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
