@@ -491,3 +491,45 @@ class TestUnpivot:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestSemiJoinScaleStress:
+    def test_million_row_semi_join_counts(self):
+        """>=1M left rows through shuffle_semi_join: the right side's key
+        multiplicity collapses in the per-batch combiner, the exchange stays
+        bucket-bounded, and semi+anti partition the left exactly."""
+        from bioie_llm_ray.stages.join import shuffle_semi_join
+
+        n_left, n_keys = 1_000_000, 50_000
+        left = ray.data.range(n_left).map_batches(
+            lambda b: pa.table({"k": pa.array(np.asarray(b["id"]) % n_keys)}),
+            batch_format="numpy",
+        )
+        # right: even keys only, each repeated 8x (combiner must collapse)
+        right = ray.data.range(n_keys * 4).map_batches(
+            lambda b: pa.table(
+                {"k": pa.array((np.asarray(b["id"]) % n_keys) // 2 * 2)}
+            ),
+            batch_format="numpy",
+        )
+        schema = {"k": pa.int64()}
+
+        def count_bucket(kept: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array([len(kept)], type=pa.int64())})
+
+        n_semi = sum(
+            r["n"]
+            for r in shuffle_semi_join(
+                left, right, keys="k", left_schema=schema,
+                bucket_post=count_bucket,
+            ).take_all()
+        )
+        n_anti = sum(
+            r["n"]
+            for r in shuffle_semi_join(
+                left, right, keys="k", anti=True, left_schema=schema,
+                bucket_post=count_bucket,
+            ).take_all()
+        )
+        assert n_semi == n_left // 2  # even keys = half the rows
+        assert n_semi + n_anti == n_left
