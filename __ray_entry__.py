@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": A.user_event_pivot,
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
         "user_event_unpivot": A.user_event_unpivot,
+        "embedding_clusters": A.embedding_clusters,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle.simhash_sql / oracle.minhash_sql / oracle.hll_distinct_sql
         "dedup_simhash": O.simhash_sql(),
         "dedup_minhash": O.minhash_sql(),
+        "embedding_clusters": O.kmeans_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),

@@ -736,3 +736,62 @@ JOIN card cb ON cb.doc_id = i.id_b
 WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= {threshold}
 ORDER BY i.id_a, i.id_b
 """
+
+
+def kmeans_sql(k: int = 8, n_iters: int = 3) -> str:
+    """DuckDB oracle for analytics.embedding_clusters: Lloyd's k-means
+    unrolled as CTE chains (like ``pagerank_sql``) over the embeddings
+    table — deterministic init (embeddings of the k smallest vec_ids),
+    squared-euclidean argmin with ties to the lowest centroid id, empty
+    clusters keeping their previous centroid, cluster sizes of the final
+    assignment under the final centroids.
+
+    Float caveat, stated honestly: centroid means and distance sums are
+    IEEE doubles accumulated in different orders on the two sides (numpy
+    pairwise vs SQL sequential).  Assignments only flip if a vector is
+    within ~1 ulp of equidistant between two centroids — far below the
+    centroid separation of any real embedding table; the planted-parity
+    test in tests/test_oracle_sql.py guards the assumption.
+    """
+    steps = []
+    prev = "c0"
+    for t in range(1, n_iters + 1):
+        steps.append(f"""
+d{t} AS (
+    SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
+    FROM ve JOIN {prev} c USING (j)
+    GROUP BY 1, 2),
+a{t} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{t}) WHERE rn = 1),
+c{t} AS (
+    SELECT a.cid, ve.j, avg(ve.x) AS v
+    FROM a{t} a JOIN ve ON ve.vec_id = a.vec_id
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT p.cid, p.j, p.v FROM {prev} p
+    WHERE p.cid NOT IN (SELECT DISTINCT cid FROM a{t}))""")
+        prev = f"c{t}"
+    chain = ",".join(steps)
+    return f"""
+WITH ve AS (
+    SELECT vec_id, i AS j, embedding[i]::DOUBLE AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+c0 AS (
+    SELECT vec_id AS cid, i AS j, embedding[i]::DOUBLE AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    WHERE vec_id < {k}),{chain},
+dfin AS (
+    SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
+    FROM ve JOIN {prev} c USING (j)
+    GROUP BY 1, 2),
+afin AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin) WHERE rn = 1)
+SELECT cid AS cluster, count(*) AS n_vecs
+FROM afin GROUP BY 1 ORDER BY 1
+"""

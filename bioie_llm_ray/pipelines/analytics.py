@@ -1278,6 +1278,36 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """k-means cluster sizes over the embeddings table — the iterative
+    broadcast-refine operator (``similarity.distributed_kmeans``): per
+    round only centroids broadcast and one (k×dim sums, k counts) partial
+    returns per block; the corpus streams every iteration.  Sizes come
+    from a per-batch bincount partial, not a materialized assignment."""
+    from ..stages.similarity import assign_clusters, distributed_kmeans
+
+    k = 8
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = distributed_kmeans(ds, k=k, n_iters=3)
+    assigned = assign_clusters(ds, cent)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch["cluster"].to_numpy(zero_copy_only=False), minlength=k
+        ).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tolist()])})
+
+    total = np.zeros(k, dtype=np.int64)
+    for row in assigned.map_batches(
+        size_partial, batch_format="pyarrow"
+    ).take_all():
+        total += np.asarray(row["counts"], dtype=np.int64)
+    out = pd.DataFrame(
+        {"cluster": np.arange(k, dtype=np.int64), "n_vecs": total}
+    )
+    return out[out["n_vecs"] > 0].reset_index(drop=True)
+
+
 def dedup_jaccard(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (word 3-shingles, J ≥ 0.5).
 

@@ -457,3 +457,94 @@ def ivf_topk(
             "cosine": pa.array(out["cosine"], type=pa.float64()),
         }
     )
+
+
+def distributed_kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Lloyd's k-means where the CORPUS streams and only k×dim floats move.
+
+    The iterative broadcast-refine pattern (same family as ``pagerank``):
+    each round puts the centroid matrix in the object store once, every
+    batch computes nearest-centroid assignments (vectorized argmin over the
+    squared-distance matrix, ties to the lowest centroid id) and folds them
+    into a (k×dim sum, k count) partial — the only thing that returns to
+    the driver is one partial per block, so a 100 TB embedding table costs
+    n_blocks × k × dim floats per round, never the data.  Initialization is
+    deterministic and RNG-free: the embeddings of the k smallest ids.
+    Empty clusters keep their previous centroid.
+
+    This is the scale form of the driver-side ``train_centroids`` sampler
+    (which remains the right tool for a coarse IVF quantizer); it is the
+    clustering primitive SemDeDup-style corpus pruning needs.
+    """
+    init_rows = sorted(
+        ds.filter(expr=f"{id_col} < {k}").take_all(),
+        key=lambda r: r[id_col],
+    )
+    cent = np.stack(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]
+    )
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = np.stack(
+                batch[emb_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)  # ties → lowest centroid id
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], type=pa.large_binary()),
+                    "counts": pa.array([counts.tobytes()], type=pa.large_binary()),
+                }
+            )
+
+        tot = np.zeros_like(cent)
+        cnt = np.zeros(len(cent), dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            tot += np.frombuffer(row["sums"], dtype=np.float64).reshape(cent.shape)
+            cnt += np.frombuffer(row["counts"], dtype=np.int64)
+        nonempty = cnt > 0
+        cent = cent.copy()
+        cent[nonempty] = tot[nonempty] / cnt[nonempty, None]
+    return cent
+
+
+def assign_clusters(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Nearest-centroid assignment as a streaming projection (id, cluster);
+    the embedding column is dropped after the argmin — project early."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: pa.array(
+                    np.argmin(d2, axis=1).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -806,3 +806,67 @@ class TestIntervalJoin:
             plain[sorted(plain.columns)], chunked[sorted(chunked.columns)]
         )
         assert len(plain) == len(self._truth(left, right))
+
+
+class TestDistributedKmeans:
+    def _serial_lloyd(self, X, k, n_iters):
+        cent = X[:k].astype(np.float64).copy()
+        for _ in range(n_iters):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    cent[c] = X[a == c].mean(axis=0)
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        return cent, np.argmin(d2, axis=1)
+
+    def test_matches_serial_lloyd(self):
+        from bioie_llm_ray.stages.similarity import (
+            assign_clusters,
+            distributed_kmeans,
+        )
+
+        rng = np.random.RandomState(41)
+        # well-separated blobs so float order-of-summation can't flip labels
+        centers = rng.randn(4, 16) * 10
+        X = np.concatenate(
+            [c + rng.randn(50, 16) for c in centers]
+        ).astype(np.float32)
+        order = rng.permutation(len(X))
+        X = X[order]
+        ds = ray.data.from_items(
+            [
+                {"vec_id": i, "embedding": X[i].tolist()}
+                for i in range(len(X))
+            ]
+        ).repartition(5)
+
+        cent = distributed_kmeans(ds, k=4, n_iters=3)
+        want_cent, want_assign = self._serial_lloyd(
+            X.astype(np.float64), 4, 3
+        )
+        np.testing.assert_allclose(cent, want_cent, rtol=1e-9)
+        got = (
+            assign_clusters(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")["cluster"]
+            .to_numpy()
+        )
+        assert (got == want_assign).all()
+
+    def test_empty_cluster_keeps_centroid(self):
+        from bioie_llm_ray.stages.similarity import distributed_kmeans
+
+        # two far blobs, k=3 seeded with two points from blob A and one from
+        # B: after one round the duplicate-A centroid empties and must stay
+        X = np.array(
+            [[0.0, 0.0], [0.1, 0.0], [10.0, 10.0], [10.1, 10.0],
+             [0.05, 0.0], [10.05, 10.0]],
+            dtype=np.float32,
+        )
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+        )
+        cent = distributed_kmeans(ds, k=3, n_iters=2)
+        assert cent.shape == (3, 2)
+        assert np.isfinite(cent).all()
