@@ -1,4 +1,8 @@
-"""Rollup / grouping-sets aggregation (multi-level GROUP BY in one pass tree).
+"""Reshaping aggregates: rollup / grouping sets, pivot, unpivot.
+
+- ``rollup_aggregate``: multi-level GROUP BY in one pass tree.
+- ``pivot_counts``: long → wide per-key category counts.
+- ``unpivot``: wide → long melt (zero shuffle).
 
 ``GROUP BY ROLLUP (a, b)`` computes the aggregate at levels (a, b), (a,) and
 () — the reference's evaluator reports exactly this shape (per-class metrics
