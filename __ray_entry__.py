@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
         "user_event_unpivot": A.user_event_unpivot,
         "embedding_clusters": A.embedding_clusters,
+        "semantic_dedup": A.semantic_dedup,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
         "user_cumulative_value": A.user_cumulative_value,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": O.simhash_sql(),
         "dedup_minhash": O.minhash_sql(),
         "embedding_clusters": O.kmeans_sql(),
+        "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),

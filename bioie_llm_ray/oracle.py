@@ -753,6 +753,18 @@ def kmeans_sql(k: int = 8, n_iters: int = 3) -> str:
     centroid separation of any real embedding table; the planted-parity
     test in tests/test_oracle_sql.py guards the assumption.
     """
+    return f"""
+WITH {_kmeans_chain_sql(k, n_iters)}
+SELECT cid AS cluster, count(*) AS n_vecs
+FROM afin GROUP BY 1 ORDER BY 1
+"""
+
+
+def _kmeans_chain_sql(k: int, n_iters: int) -> str:
+    """The shared Lloyd CTE chain: ``ve`` (unnested embeddings) → ``afin``
+    (final vec_id → cid assignment).  ``kmeans_sql`` reads cluster sizes
+    off it; ``semantic_dedup_sql`` joins pairwise cosine within ``afin``
+    clusters."""
     steps = []
     prev = "c0"
     for t in range(1, n_iters + 1):
@@ -775,8 +787,7 @@ c{t} AS (
     WHERE p.cid NOT IN (SELECT DISTINCT cid FROM a{t}))""")
         prev = f"c{t}"
     chain = ",".join(steps)
-    return f"""
-WITH ve AS (
+    return f"""ve AS (
     SELECT vec_id, i AS j, embedding[i]::DOUBLE AS x
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
 c0 AS (
@@ -791,7 +802,38 @@ afin AS (
     SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM dfin) WHERE rn = 1)
-SELECT cid AS cluster, count(*) AS n_vecs
-FROM afin GROUP BY 1 ORDER BY 1
+        FROM dfin) WHERE rn = 1)"""
+
+
+def semantic_dedup_sql(
+    k: int = 8, n_iters: int = 3, threshold: float = 0.4
+) -> str:
+    """DuckDB oracle for analytics.semantic_dedup: the Lloyd assignment
+    chain (shared with ``kmeans_sql``) plus exact within-cluster pairwise
+    cosine — a vector is dropped iff SOME lower-id vector in its cluster
+    reaches ``threshold`` (SemDeDup's min-id-representative rule).
+
+    Float caveat as in ``kmeans_sql``: a drop decision flips only if a
+    pair's cosine sits within ~1 ulp of the threshold; fixture embeddings
+    are random floats, nowhere near that knife-edge."""
+    return f"""
+WITH {_kmeans_chain_sql(k, n_iters)},
+norms AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY 1),
+cpairs AS (
+    SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo, sum(vh.x * vl.x) AS dot
+    FROM afin hi
+    JOIN afin lo ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+    JOIN ve vh ON vh.vec_id = hi.vec_id
+    JOIN ve vl ON vl.vec_id = lo.vec_id AND vl.j = vh.j
+    GROUP BY 1, 2),
+dropped AS (
+    SELECT DISTINCT p.id_hi AS vec_id
+    FROM cpairs p
+    JOIN norms nh ON nh.vec_id = p.id_hi
+    JOIN norms nl ON nl.vec_id = p.id_lo
+    WHERE p.dot / (nh.nrm * nl.nrm) >= {threshold})
+SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS kept
+FROM afin a LEFT JOIN dropped d USING (vec_id)
+ORDER BY a.vec_id
 """

@@ -779,7 +779,9 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=14)["estimate"]
-    exact = len(ds.groupby("user_id").aggregate(Count()).take_all())
+    # count() drains only per-block row counts — no distinct-user rows
+    # ever reach the driver
+    exact = ds.groupby("user_id").aggregate(Count()).count()
     return pd.DataFrame(
         [
             {
@@ -1306,6 +1308,24 @@ def embedding_clusters(sf_dir: str) -> pd.DataFrame:
         {"cluster": np.arange(k, dtype=np.int64), "n_vecs": total}
     )
     return out[out["n_vecs"] > 0].reset_index(drop=True)
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """SemDeDup corpus pruning (Abbas et al. 2023): k-means the embedding
+    space (``distributed_kmeans``, broadcast-refine — only centroids move),
+    then ONE cluster-keyed exchange and a single m×m cosine pass per
+    cluster drops every vector with an earlier (lower-id) semantic
+    duplicate.  Full SQL oracle: the Lloyd chain + exact pairwise cosine
+    (oracle.semantic_dedup_sql).
+
+    The fixture embeddings are random (max pair cosine ≈ 0.51), so the
+    0.4 threshold exercises real drops without planted data."""
+    from ..stages.similarity import distributed_kmeans, semantic_dedup_flags
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = distributed_kmeans(ds, k=8, n_iters=3)
+    out = semantic_dedup_flags(ds, cent, threshold=threshold).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def dedup_jaccard(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:

@@ -548,3 +548,69 @@ def assign_clusters(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup_flags(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then inside each cluster drop every vector
+    whose cosine similarity to a LOWER-id vector reaches ``threshold`` —
+    the min-id vector of each semantic ε-ball survives.
+
+    Shuffle shape: one nearest-centroid projection (centroids broadcast via
+    ``ray.put``, embeddings kept), ONE exchange keyed on the cluster id,
+    then a single vectorized pass per cluster — normalize, one m×m matmul,
+    strict-upper-triangle column ``any``.  The drop rule ("∃ earlier vector
+    with sim ≥ t") is deterministic, partition-invariant, and exactly
+    SQL-expressible, which is what the driver oracle checks.
+
+    Scale contract: the per-cluster cost is O(m²·dim), which is the
+    algorithm (SemDeDup's own step) — the caller bounds m by scaling ``k``
+    with the corpus (k ≈ n/target_cluster_size in the paper).  The cluster
+    id is the ONE partitioning key; each group holds one cluster's vectors,
+    never the corpus.
+    """
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        return batch.append_column(
+            "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int64))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cluster_pass(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.stack(group[emb_col].to_numpy(zero_copy_only=False))[
+            order
+        ].astype(np.float64)
+        xn = _normalize(x)
+        sims = xn @ xn.T
+        # entry (j, i) with j < i = sim of vector i to EARLIER vector j;
+        # column-any over the strict upper triangle = "has an earlier dup"
+        drop = (np.triu(sims, 1) >= threshold).any(axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster": group["cluster"].take(
+                    pa.array(order, type=pa.int64())
+                ),
+                "kept": pa.array(~drop),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        cluster_pass, batch_format="pyarrow"
+    )

@@ -870,3 +870,77 @@ class TestDistributedKmeans:
         cent = distributed_kmeans(ds, k=3, n_iters=2)
         assert cent.shape == (3, 2)
         assert np.isfinite(cent).all()
+
+
+class TestSemanticDedup:
+    def _serial(self, X, assign, threshold):
+        """Reference drop rule: within a cluster, drop i iff some j < i has
+        cosine(i, j) >= threshold (ids are row indices)."""
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        kept = np.ones(len(X), dtype=bool)
+        for i in range(len(X)):
+            for j in range(i):
+                if assign[j] == assign[i] and Xn[i] @ Xn[j] >= threshold:
+                    kept[i] = False
+                    break
+        return kept
+
+    def test_planted_duplicates_dropped_min_id_survives(self):
+        from bioie_llm_ray.stages.similarity import (
+            distributed_kmeans,
+            semantic_dedup_flags,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 16).astype(np.float32)
+        # plant: 41 == 5 exactly, 42 = tiny perturbation of 12
+        dup_a = base[5]
+        dup_b = base[12] + rng.randn(16).astype(np.float32) * 1e-3
+        X = np.concatenate([base, dup_a[None], dup_b[None]])
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+        ).repartition(4)
+
+        cent = distributed_kmeans(ds, k=4, n_iters=2)
+        out = (
+            semantic_dedup_flags(ds, cent, threshold=0.99)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 42
+        # originals keep (lower id), planted copies drop
+        assert bool(out.loc[5, "kept"])
+        assert not bool(out.loc[40, "kept"])  # exact copy of 5
+        assert bool(out.loc[12, "kept"])
+        assert not bool(out.loc[41, "kept"])  # near-copy of 12
+
+    def test_matches_serial_rule(self):
+        from bioie_llm_ray.stages.similarity import (
+            assign_clusters,
+            distributed_kmeans,
+            semantic_dedup_flags,
+        )
+
+        rng = np.random.RandomState(13)
+        X = rng.randn(120, 8).astype(np.float32)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist()} for i in range(len(X))]
+        ).repartition(6)
+        cent = distributed_kmeans(ds, k=5, n_iters=2)
+        assign = (
+            assign_clusters(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")["cluster"]
+            .to_numpy()
+        )
+        # random 8-dim vectors collide often enough at 0.55 to exercise drops
+        got = (
+            semantic_dedup_flags(ds, cent, threshold=0.55)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        want = self._serial(X.astype(np.float64), assign, 0.55)
+        assert (got["kept"].to_numpy() == want).all()
+        assert (~want).sum() > 0, "fixture must exercise at least one drop"
+        assert (got["cluster"].to_numpy() == assign).all()
