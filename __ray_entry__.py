@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
         "doc_token_counts": A.doc_token_counts,
+        "doc_pack_blocks": A.doc_pack_blocks,
         "doc_dedup_exact": A.doc_dedup_exact,
         "doc_fingerprint": A.doc_fingerprint,
         "word_frequency": A.word_frequency,
@@ -730,6 +731,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        # doc_pack_blocks: the distributed prefix sum IS the window cumsum;
+        # block spans are integer arithmetic off the exclusive offset
+        "doc_pack_blocks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            scanned AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS token_start
+                FROM toks)
+            SELECT doc_id, n_tokens, token_start,
+                   token_start // 256 AS block_first,
+                   CASE WHEN n_tokens > 0
+                        THEN (token_start + n_tokens - 1) // 256
+                        ELSE token_start // 256 END AS block_last
+            FROM scanned ORDER BY doc_id
         """,
         "doc_dedup_exact": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256,

@@ -542,6 +542,32 @@ def doc_token_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_pack_blocks(sf_dir: str, block_size: int = 256) -> pd.DataFrame:
+    """GPT-style sequence packing layout: docs concatenated in doc_id order,
+    chunked into fixed ``block_size``-token blocks — each doc's global token
+    span and block range, via the distributed two-phase range-bucketed
+    prefix sum (``stages.scan.ordered_prefix_sum``: one streaming partial
+    pass, B int64s to the driver, one bounded-key exchange)."""
+    from ..stages.scan import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(count_tokens, batch_format="pyarrow")
+    out = pack_sequences(toks, block_size=block_size).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup by content hash: canonical doc id + copy count per text."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

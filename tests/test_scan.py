@@ -1,0 +1,109 @@
+"""Distributed ordered prefix sum + sequence packing (stages/scan.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from bioie_llm_ray.stages.scan import ordered_prefix_sum, pack_sequences
+
+
+def _ds(df: pd.DataFrame, parts: int) -> ray.data.Dataset:
+    # shuffle row order so correctness can't ride on input ordering
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    return ray.data.from_pandas(shuffled).repartition(parts)
+
+
+class TestOrderedPrefixSum:
+    def test_matches_pandas_cumsum(self):
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {"k": np.arange(1000, dtype=np.int64),
+             "v": rng.randint(0, 50, 1000).astype(np.int64)}
+        )
+        out = (
+            ordered_prefix_sum(_ds(df, 7), "k", "v", out_col="c", n_buckets=16)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = df["v"].cumsum().to_numpy()
+        assert (out["c"].to_numpy() == want).all()
+        assert (out["k"].to_numpy() == df["k"].to_numpy()).all()
+
+    def test_partition_invariant(self):
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {"k": np.arange(300, dtype=np.int64),
+             "v": rng.randint(0, 9, 300).astype(np.int64)}
+        )
+        a = (
+            ordered_prefix_sum(_ds(df, 2), "k", "v", n_buckets=8)
+            .to_pandas().sort_values("k")["cumsum"].to_numpy()
+        )
+        b = (
+            ordered_prefix_sum(_ds(df, 11), "k", "v", n_buckets=32)
+            .to_pandas().sort_values("k")["cumsum"].to_numpy()
+        )
+        assert (a == b).all()
+
+    def test_sparse_negative_domain(self):
+        # non-contiguous, negative order keys — range bucketing must not
+        # assume density or non-negativity
+        ks = np.array([-500, -3, 0, 7, 9999, 100000], dtype=np.int64)
+        df = pd.DataFrame({"k": ks, "v": np.ones(len(ks), dtype=np.int64)})
+        out = (
+            ordered_prefix_sum(_ds(df, 3), "k", "v", n_buckets=4)
+            .to_pandas().sort_values("k")
+        )
+        assert (out["cumsum"].to_numpy() == np.arange(1, len(ks) + 1)).all()
+
+    def test_static_domain_skips_probe(self):
+        df = pd.DataFrame(
+            {"k": np.arange(50, dtype=np.int64),
+             "v": np.full(50, 2, dtype=np.int64)}
+        )
+        out = (
+            ordered_prefix_sum(
+                _ds(df, 4), "k", "v", n_buckets=8, order_min=0, order_max=49
+            )
+            .to_pandas().sort_values("k")
+        )
+        assert (out["cumsum"].to_numpy() == np.arange(1, 51) * 2).all()
+
+
+class TestPackSequences:
+    def test_spans_and_straddle(self):
+        # doc 0: 10 tokens → block 0; doc 1: 250 → straddles 0..1 (size 256);
+        # doc 2: 0 tokens → empty-doc convention; doc 3: 300 → 1..2
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "n_tokens": np.array([10, 250, 0, 300], dtype=np.int64),
+            }
+        )
+        out = (
+            pack_sequences(_ds(df, 2), block_size=256, n_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["token_start"].tolist() == [0, 10, 260, 260]
+        assert out["block_first"].tolist() == [0, 0, 1, 1]
+        assert out["block_last"].tolist() == [0, 1, 1, 2]
+
+    def test_total_tokens_conserved(self):
+        rng = np.random.RandomState(1)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(200, dtype=np.int64),
+                "n_tokens": rng.randint(0, 400, 200).astype(np.int64),
+            }
+        )
+        out = (
+            pack_sequences(_ds(df, 5), block_size=128)
+            .to_pandas().sort_values("doc_id")
+        )
+        ends = out["token_start"] + out["n_tokens"]
+        # spans tile [0, total) with no gaps or overlaps
+        assert out["token_start"].iloc[0] == 0
+        assert (out["token_start"].to_numpy()[1:] == ends.to_numpy()[:-1]).all()
+        assert ends.iloc[-1] == df["n_tokens"].sum()
