@@ -390,6 +390,12 @@ def _code_vendored_files(sf_dir: str):
     return C.vendored_files_query(_code_fixture_path())
 
 
+def _code_commit_diff(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.commit_diff_query(_code_fixture_path())
+
+
 def _kg_code_triples(sf_dir: str):
     from bioie_llm_ray import fixtures
     from bioie_llm_ray.pipelines import code as C
@@ -493,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         # source-code repository table (north-rule input_hint shape)
         "code_latest_snapshot": _code_latest_snapshot,
+        "code_commit_diff": _code_commit_diff,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -541,6 +548,23 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(lang, commit_ts) AS lang
             FROM read_parquet('{code_pq}')
             GROUP BY repo, path
+        """,
+        "code_commit_diff": f"""
+            WITH h AS (
+                SELECT repo, path, commit_ts, sha256(content) AS sha
+                FROM read_parquet('{code_pq}')),
+            b AS (
+                SELECT repo, path, arg_max(sha, commit_ts) AS sha
+                FROM h WHERE commit_ts <= 2000000000 GROUP BY 1, 2),
+            a AS (
+                SELECT repo, path, arg_max(sha, commit_ts) AS sha
+                FROM h WHERE commit_ts <= 1605000000 GROUP BY 1, 2)
+            SELECT b.repo, b.path,
+                   CASE WHEN a.sha IS NULL THEN 'added'
+                        WHEN a.sha <> b.sha THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM b LEFT JOIN a USING (repo, path)
+            ORDER BY repo, path
         """,
         "code_import_graph": f"""
             WITH snap AS (

@@ -320,7 +320,10 @@ def make_code_repo_table(
             # decoy that must NOT match the import extractor
             decoy = f"# reimport {modules[int(rng.randint(n_modules))]}x\n"
             content = body + decoy + f"def fn_{i}_{v}():\n    return {v}\n"
-            emit(repo, path, lang, v, base_ts + v, content)
+            # 500k-second version spacing: a global as-of cut then lands
+            # BETWEEN versions of ~10% of files, so commit_diff's
+            # "modified" class is populated (1-second spacing never was)
+            emit(repo, path, lang, v, base_ts + v * 500_000, content)
         if vendored_every and i % vendored_every == 0:
             # vendor the file's LATEST content into a sibling repo verbatim
             emit(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -123,6 +124,84 @@ def vendored_files(
     )
 
 
+def commit_diff(
+    ds: ray.data.Dataset,
+    ts_a: int,
+    ts_b: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Snapshot diff between two as-of timestamps: for every (repo, path)
+    present at ``ts_b``, whether it was ``added`` (absent at ``ts_a``),
+    ``modified`` (different content sha), or ``unchanged`` since ``ts_a``.
+
+    The incremental-processing primitive for the code table: rerun
+    extraction only over added+modified files instead of the 10^12-file
+    corpus.  ONE exchange keyed on hash(repo|path) — both as-of versions of
+    a path land in the same bucket, where a single vectorized pandas pass
+    (sort by ts, groupby last) resolves them; content is projected to its
+    sha before the shuffle, so only (repo, path, ts, sha64) bytes move.
+
+    Deletions need tombstone rows the (append-only) table doesn't carry —
+    a path present at ``ts_a`` is still present at ``ts_b`` by
+    construction, so ``deleted`` cannot occur and is not emitted.
+    """
+    hashed = (
+        ds.map_batches(
+            lambda b: add_sha256_column(b, column="content"),
+            batch_format="pyarrow",
+        )
+        .select_columns(["repo", "path", "commit_ts", "content_sha256"])
+        .filter(expr=f"commit_ts <= {ts_b}")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}\x1f{p}"
+            for r, p in zip(
+                batch["repo"].to_pylist(), batch["path"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_buckets))
+        )
+
+    out_schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string()), ("status", pa.string())]
+    )
+
+    def diff_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("commit_ts", kind="mergesort")
+        b_sha = g.groupby(["repo", "path"], as_index=False)[
+            "content_sha256"
+        ].last()
+        a = g[g["commit_ts"] <= ts_a]
+        a_sha = a.groupby(["repo", "path"], as_index=False)[
+            "content_sha256"
+        ].last()
+        m = b_sha.merge(
+            a_sha, on=["repo", "path"], how="left", suffixes=("_b", "_a")
+        )
+        status = np.where(
+            m["content_sha256_a"].isna(),
+            "added",
+            np.where(
+                m["content_sha256_a"] == m["content_sha256_b"],
+                "unchanged",
+                "modified",
+            ),
+        )
+        out = m[["repo", "path"]].assign(status=status)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(diff_bucket, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Query-shaped wrappers over the deterministic fixture parquet.
 
@@ -149,6 +228,19 @@ def vendored_files_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(code_parquet, columns=["repo", "content"])
     out = vendored_files(ds).to_pandas()
     return out.sort_values("content_sha256").reset_index(drop=True)
+
+
+# mid-range as-of cut for the fixture (bases span [1.6e9, 1.6e9 + 1e7],
+# versions 500k apart): populates all three diff classes
+DIFF_TS_A = 1_605_000_000
+
+
+def commit_diff_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    out = commit_diff(ds, ts_a=DIFF_TS_A, ts_b=2_000_000_000).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
 def code_triples_query(docs_parquet: str, vocab: list[str]) -> pd.DataFrame:

@@ -175,3 +175,58 @@ class TestCodeTableScaleStress:
         pd.testing.assert_series_equal(
             got["commit"], expected["commit"], check_names=False
         )
+
+
+class TestCommitDiff:
+    def _table(self):
+        # planted: fileA modified across the cut, fileB unchanged (single
+        # version before), fileC added after, fileD two versions both
+        # BEFORE the cut (unchanged, latest-at-a == latest-at-b)
+        rows = [
+            ("r1", "a.py", 100, "v0"),
+            ("r1", "a.py", 900, "v1"),   # modified: 100 <= ta=500 < 900
+            ("r1", "b.py", 200, "same"),  # unchanged
+            ("r1", "c.py", 700, "new"),   # added after ta
+            ("r2", "d.py", 100, "d0"),
+            ("r2", "d.py", 300, "d1"),    # both <= ta → unchanged
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array([r[0] for r in rows]),
+                    "path": pa.array([r[1] for r in rows]),
+                    "commit_ts": pa.array(
+                        [r[2] for r in rows], type=pa.int64()
+                    ),
+                    "content": pa.array([r[3] for r in rows]),
+                }
+            )
+        ).repartition(3)
+
+    def test_classes(self):
+        out = (
+            C.commit_diff(self._table(), ts_a=500, ts_b=1000, n_buckets=4)
+            .to_pandas()
+            .set_index(["repo", "path"])["status"]
+        )
+        assert out[("r1", "a.py")] == "modified"
+        assert out[("r1", "b.py")] == "unchanged"
+        assert out[("r1", "c.py")] == "added"
+        assert out[("r2", "d.py")] == "unchanged"
+        assert len(out) == 4
+
+    def test_ts_b_cut_excludes_later_versions(self):
+        # with ts_b=500 the later a.py version is invisible: unchanged
+        out = (
+            C.commit_diff(self._table(), ts_a=500, ts_b=500, n_buckets=4)
+            .to_pandas()
+            .set_index(["repo", "path"])["status"]
+        )
+        assert out[("r1", "a.py")] == "unchanged"
+        assert ("r1", "c.py") not in out.index  # not yet present at ts_b
+
+    def test_fixture_populates_all_classes(self, code_parquet):
+        out = C.commit_diff_query(code_parquet)
+        counts = out["status"].value_counts().to_dict()
+        assert set(counts) == {"added", "modified", "unchanged"}
+        assert all(v > 0 for v in counts.values())
