@@ -54,6 +54,10 @@ SUBSET = [
     "doc_pii_scrub",
     "doc_repetition",
     "lang_balance_sample",
+    # round-2 late additions
+    "semantic_dedup",
+    "doc_pack_blocks",
+    "code_commit_diff",
 ]
 
 
