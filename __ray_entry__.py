@@ -396,6 +396,12 @@ def _code_commit_diff(sf_dir: str):
     return C.commit_diff_query(_code_fixture_path())
 
 
+def _kg_incremental_triples(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.incremental_triples_query(_code_fixture_path())
+
+
 def _kg_code_triples(sf_dir: str):
     from bioie_llm_ray import fixtures
     from bioie_llm_ray.pipelines import code as C
@@ -503,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
+        "kg_incremental_triples": _kg_incremental_triples,
     }
 
 
@@ -535,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
         "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),
+        "kg_incremental_triples": O.values_sql(
+            O.expected_kg_incremental_triples()
+        ),
     }
     # Code-repo table oracles: independent SQL re-derivations over the SAME
     # deterministic parquet the Ray queries read (absolute /tmp path; the

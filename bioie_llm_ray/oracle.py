@@ -396,6 +396,35 @@ def expected_kg_code_triples(n_docs: int = 200) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["subj", "pred", "obj"])
 
 
+def expected_kg_incremental_triples(
+    ts_b: int = 2_000_000_000, relation: str = "co_imported_with"
+) -> pd.DataFrame:
+    """Serial gold for the incremental code-KG refresh: latest snapshot at
+    ``ts_b``, each file's ``import X`` lines IN ORDER (first = subject,
+    rest = objects), distinct triples.  Independent derivation: it parses
+    the import statements structurally — no mention automaton, no Ray."""
+    df = fixtures.make_code_repo_table().to_pandas()
+    df = (
+        df[df["commit_ts"] <= ts_b]
+        .sort_values("commit_ts", kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .last()
+    )
+    triples = set()
+    for content in df["content"]:
+        mods = [
+            line[len("import ") :]
+            for line in content.splitlines()
+            if line.startswith("import ")
+        ]
+        if len(mods) < 2:
+            continue
+        for obj in mods[1:]:
+            if obj != mods[0]:
+                triples.add((mods[0], relation, obj))
+    return pd.DataFrame(sorted(triples), columns=["subj", "pred", "obj"])
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Render a small DataFrame as a DuckDB VALUES relation (full oracle)."""
     if len(df) == 0:

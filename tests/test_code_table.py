@@ -230,3 +230,83 @@ class TestCommitDiff:
         counts = out["status"].value_counts().to_dict()
         assert set(counts) == {"added", "modified", "unchanged"}
         assert all(v > 0 for v in counts.values())
+
+
+class TestIncrementalTriples:
+    VOCAB = [f"module_{i}" for i in range(24)]
+
+    def _full(self, code_parquet, ts_b):
+        ds = ray.data.read_parquet(
+            code_parquet, columns=["repo", "path", "commit_ts", "content"]
+        )
+        _, canon = C.incremental_code_triples(
+            ds, self.VOCAB, ts_b=ts_b, n_buckets=8
+        )
+        return (
+            canon.select_columns(["subj", "pred", "obj"])
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+
+    def test_incremental_equals_full_rebuild(self, code_parquet):
+        ds = ray.data.read_parquet(
+            code_parquet, columns=["repo", "path", "commit_ts", "content"]
+        )
+        from bioie_llm_ray.pipelines.code import DIFF_TS_A
+
+        predup_a, _ = C.incremental_code_triples(
+            ds, self.VOCAB, ts_b=DIFF_TS_A, n_buckets=8
+        )
+        predup_a = predup_a.materialize()
+        _, canon = C.incremental_code_triples(
+            ds,
+            self.VOCAB,
+            ts_b=2_000_000_000,
+            prev_predup=predup_a,
+            n_buckets=8,
+        )
+        got = (
+            canon.select_columns(["subj", "pred", "obj"])
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        want = self._full(code_parquet, ts_b=2_000_000_000)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_stale_triples_dropped_on_modify(self):
+        # v0 imports (m1, m2) → triple (m1, rel, m2); v1 rewrites to
+        # (m3, m4): after the refresh the old triple must be GONE
+        t = pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["f.py", "f.py"],
+                "commit_ts": pa.array([100, 900], type=pa.int64()),
+                "content": [
+                    "import module_1\nimport module_2\n",
+                    "import module_3\nimport module_4\n",
+                ],
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        predup_a, canon_a = C.incremental_code_triples(
+            ds, self.VOCAB, ts_b=500, n_buckets=4
+        )
+        a = canon_a.select_columns(["subj", "pred", "obj"]).to_pandas()
+        assert set(map(tuple, a.values)) == {
+            ("module_1", "co_imported_with", "module_2")
+        }
+        _, canon_b = C.incremental_code_triples(
+            ds,
+            self.VOCAB,
+            ts_b=1000,
+            prev_predup=predup_a.materialize(),
+            n_buckets=4,
+        )
+        b = canon_b.select_columns(["subj", "pred", "obj"]).to_pandas()
+        assert set(map(tuple, b.values)) == {
+            ("module_3", "co_imported_with", "module_4")
+        }
