@@ -469,6 +469,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": A.semantic_dedup,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
+        "cross_nation_trade": A.cross_nation_trade,
+        "top_return_customers": A.top_return_customers,
+        "urgent_by_linestatus": A.urgent_by_linestatus,
+        "promo_revenue_ratio": A.promo_revenue_ratio,
+        "large_orders": A.large_orders,
+        "disjunctive_revenue": A.disjunctive_revenue,
+        "rich_idle_customers": A.rich_idle_customers,
+        "sole_return_suppliers": A.sole_return_suppliers,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
         "doc_split_assign": A.doc_split_assign,
@@ -833,6 +841,122 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY 1
+        """,
+        "cross_nation_trade": """
+            WITH rows AS (
+                SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                       year(l.l_shipdate) AS l_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS rev
+                FROM lineitem l
+                JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+                  AND sn.n_name <> cn.n_name
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(rev), 2) AS revenue
+            FROM rows GROUP BY 1, 2, 3
+            ORDER BY round(sum(rev), 2) DESC, supp_nation, cust_nation, l_year
+            LIMIT 20
+        """,
+        "top_return_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                     c.c_custkey
+            LIMIT 20
+        """,
+        "urgent_by_linestatus": """
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "promo_revenue_ratio": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0 END)
+                      / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                AS promo_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "large_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+                   t.sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(l_quantity) > 150.0) t
+              ON o.o_orderkey = t.l_orderkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "disjunctive_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND l.l_quantity BETWEEN 1 AND 11
+                   AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#23'
+                   AND l.l_quantity BETWEEN 10 AND 20
+                   AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#3'
+                   AND l.l_quantity BETWEEN 20 AND 30
+                   AND p.p_size BETWEEN 1 AND 15)
+        """,
+        "rich_idle_customers": """
+            WITH a AS (SELECT avg(c_acctbal) AS v FROM customer
+                       WHERE c_acctbal > 0)
+            SELECT c.c_mktsegment,
+                   count(*)::BIGINT AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_bal
+            FROM customer c, a
+            WHERE c.c_acctbal > a.v
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "sole_return_suppliers": """
+            WITH per AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS any_r
+                FROM lineitem GROUP BY 1, 2
+            ),
+            ok AS (
+                SELECT l_orderkey FROM per GROUP BY 1
+                HAVING count(*) >= 2 AND sum(any_r) = 1
+            ),
+            hit AS (
+                SELECT p.l_suppkey, count(*)::BIGINT AS n_orders
+                FROM per p JOIN ok USING (l_orderkey)
+                WHERE p.any_r = 1 GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, h.n_orders
+            FROM hit h JOIN supplier s ON s.s_suppkey = h.l_suppkey
+            ORDER BY h.n_orders DESC, s.s_suppkey
+            LIMIT 10
         """,
         "small_quantity_revenue": """
             SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly

@@ -2428,3 +2428,544 @@ def events_range_pruned(sf_dir: str) -> pd.DataFrame:
     n = int(sum(r["n"] for r in parts))
     s = float(sum(r["s"] for r in parts))
     return pd.DataFrame({"n_events": [n], "total_value": [round(s, 2)]})
+
+
+def cross_nation_trade(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q7 shape: shipping volume between pairs of distinct nations.
+
+    Two independent broadcast dims attach to OPPOSITE sides of the fact-fact
+    edge — supplier-nation onto lineitem, customer-nation onto orders — then
+    one bucketed ``shuffle_join`` on the order key evaluates the cross-side
+    predicate (supp_nation != cust_nation) and folds the (supp, cust, year)
+    rollup into the join bucket, so ≤ buckets × 25 × 24 × n_years rows reach
+    the driver.  Reference shape: TPC-H Q7 (suppliers/customers swapped for
+    available columns)."""
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    supp = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation, keys="s_nationkey", right_keys="n_nationkey").select(
+        ["s_suppkey", "n_name"]
+    ).rename_columns(["s_suppkey", "supp_nation"])
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").select(
+        ["c_custkey", "n_name"]
+    ).rename_columns(["c_custkey", "cust_nation"])
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        kept = batch.filter(mask)
+        rev = pc.multiply(
+            kept["l_extendedprice"], pc.subtract(pa.scalar(1.0), kept["l_discount"])
+        )
+        return pa.table(
+            {
+                "o_orderkey": kept["l_orderkey"],
+                "l_suppkey": kept["l_suppkey"],
+                "l_year": pc.year(kept["l_shipdate"]),
+                "revenue": rev,
+            }
+        )
+
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    li = broadcast_join(li, supp, keys="l_suppkey", right_keys="s_suppkey")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        kept = joined.filter(
+            pc.not_equal(joined["supp_nation"], joined["cust_nation"])
+        )
+        g = kept.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("revenue", "sum")]
+        )
+        return g.rename_columns(
+            ["supp_nation", "cust_nation", "l_year", "revenue"]
+        )
+
+    joined = shuffle_join(
+        li.select_columns(["o_orderkey", "l_year", "revenue", "supp_nation"]),
+        orders.select_columns(["o_orderkey", "cust_nation"]),
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "l_year": pa.int64(),
+            "revenue": pa.float64(),
+            "supp_nation": pa.string(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "cust_nation": pa.string()},
+        bucket_post=rollup,
+    )
+    out = joined.to_pandas()
+    out = out.groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False
+    )["revenue"].sum()
+    out["revenue"] = out["revenue"].round(2)
+    out["l_year"] = out["l_year"].astype("int64")
+    out = out.sort_values(
+        ["revenue", "supp_nation", "cust_nation", "l_year"],
+        ascending=[False, True, True, True],
+        kind="stable",
+    ).head(20)
+    return out.reset_index(drop=True)
+
+
+def top_return_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q10 shape: top-20 customers by revenue of RETURNED lineitems.
+
+    lineitem(R) ⋈ orders is the fact-fact edge bucketed on the order key;
+    the per-customer rollup starts inside the join bucket (partials keyed by
+    o_custkey), a SECOND bucketed exchange on the customer key finishes the
+    sums exactly (``_grouped_agg``), and the global top-20 is a per-block
+    partial top-k + driver merge — the only driver state is 20 rows per
+    block.  Names attach afterwards via a 20-key pruned fetch, never a wide
+    join."""
+    from ..stages.rollup import _grouped_agg
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned_rev(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(
+            kept["l_extendedprice"], pc.subtract(pa.scalar(1.0), kept["l_discount"])
+        )
+        return pa.table({"o_orderkey": kept["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(returned_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def to_cust_partials(joined: pa.Table) -> pa.Table:
+        g = joined.group_by("o_custkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["c_custkey", "revenue"])
+
+    partials = shuffle_join(
+        li,
+        orders,
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
+        right_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        bucket_post=to_cust_partials,
+    )
+    # rename right-side key: bucket_post already emitted c_custkey partials
+    sums = _grouped_agg(
+        partials,
+        keys=["c_custkey"],
+        aggs={"revenue": ("revenue", "sum")},
+        n_buckets=16,
+        partial=True,
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = sums.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="stable"
+    ).head(20)
+
+    keyset = pa.array(top["c_custkey"].astype("int64"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    rows = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b["c_custkey"], value_set=keyset)),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ 20 rows: pruned point fetch, not a join
+    nation = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    rows = rows.merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = top.merge(rows[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="stable"
+    )
+    return out[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+
+
+def urgent_by_linestatus(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q12 shape: conditional (CASE WHEN) counts over a fact-fact join.
+
+    lineitem (1996 ship year, scan-filtered) joins orders on the order key;
+    the urgent/non-urgent split by o_orderpriority folds into the join
+    bucket as two conditional sums per l_linestatus — 2 rows per bucket
+    reach the driver."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus",
+                                            "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        .select(["l_orderkey", "l_linestatus"])
+        .rename_columns(["o_orderkey", "l_linestatus"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def split_counts(joined: pa.Table) -> pa.Table:
+        urgent = pc.is_in(
+            joined["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        hi_c = pc.cast(urgent, pa.int64())
+        lo_c = pc.cast(pc.invert(urgent), pa.int64())
+        t = pa.table(
+            {
+                "l_linestatus": joined["l_linestatus"],
+                "high_count": hi_c,
+                "low_count": lo_c,
+            }
+        )
+        g = t.group_by("l_linestatus").aggregate(
+            [("high_count", "sum"), ("low_count", "sum")]
+        )
+        return g.rename_columns(["l_linestatus", "high_count", "low_count"])
+
+    joined = shuffle_join(
+        li,
+        orders,
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "l_linestatus": pa.string()},
+        right_schema={"o_orderkey": pa.int64(), "o_orderpriority": pa.string()},
+        bucket_post=split_counts,
+    )
+    out = joined.to_pandas().groupby("l_linestatus", as_index=False).agg(
+        high_count=("high_count", "sum"), low_count=("low_count", "sum")
+    )
+    out["high_count"] = out["high_count"].astype("int64")
+    out["low_count"] = out["low_count"].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def promo_revenue_ratio(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q14 shape: PROMO revenue share for one ship month.
+
+    part is a broadcast dim (p_partkey → p_type); the conditional numerator
+    and total denominator are per-batch partials — zero shuffle, one ratio
+    row out."""
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = li.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+        ).select(["l_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    li = broadcast_join(li, part, keys="l_partkey", right_keys="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        promo = pc.if_else(
+            pc.equal(batch["p_type"], "PROMO"), rev, pa.scalar(0.0)
+        )
+        return pa.table(
+            {
+                "promo": pa.array([pc.sum(promo).as_py() or 0.0]),
+                "total": pa.array([pc.sum(rev).as_py() or 0.0]),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    promo = float(sum(r["promo"] for r in parts))
+    total = float(sum(r["total"] for r in parts))
+    pct = round(100.0 * promo / total, 4) if total else 0.0
+    return pd.DataFrame({"promo_pct": [pct]})
+
+
+def large_orders(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds a threshold,
+    rejoined to the order header — the groupby-HAVING-then-rejoin dataflow.
+
+    The per-order quantity sum is a distributed aggregate (combiner partials
+    + one bucketed exchange); the HAVING filter runs inside the combine, so
+    only qualifying keys flow into the second ``shuffle_join`` against the
+    orders fact table.  Top-10 by (o_totalprice desc, key) on the driver."""
+    from ..stages.rollup import _grouped_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = _grouped_agg(
+        li,
+        keys=["l_orderkey"],
+        aggs={"sum_qty": ("l_quantity", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)).rename_columns(
+            ["o_orderkey", "sum_qty"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = shuffle_join(
+        sums,
+        orders,
+        keys="o_orderkey",
+        n_buckets=16,
+        left_schema={"o_orderkey": pa.int64(), "sum_qty": pa.float64()},
+        right_schema={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "o_totalprice": pa.float64(),
+        },
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    return out[
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q19 shape: OR-of-conjunctions predicate across the broadcast
+    part dim — revenue of lineitems matching any of three (brand, size,
+    quantity-band) clauses.  All predicate work is vectorized Arrow kernels
+    inside the scan batch; single-row output, zero shuffle."""
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, part, keys="l_partkey", right_keys="p_partkey")
+
+    def clause(b, brand, qlo, qhi, smax):
+        return pc.and_(
+            pc.and_(
+                pc.equal(b["p_brand"], brand),
+                pc.and_(
+                    pc.greater_equal(b["l_quantity"], float(qlo)),
+                    pc.less_equal(b["l_quantity"], float(qhi)),
+                ),
+            ),
+            pc.and_(
+                pc.greater_equal(b["p_size"], 1),
+                pc.less_equal(b["p_size"], smax),
+            ),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.or_(
+                clause(batch, "Brand#12", 1, 11, 5),
+                clause(batch, "Brand#23", 10, 20, 10),
+            ),
+            clause(batch, "Brand#3", 20, 30, 15),
+        )
+        kept = batch.filter(mask)
+        rev = pc.sum(
+            pc.multiply(
+                kept["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), kept["l_discount"]),
+            )
+        ).as_py()
+        return pa.table({"rev": pa.array([rev or 0.0], type=pa.float64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    total = round(float(sum(r["rev"] for r in parts)), 2)
+    return pd.DataFrame({"revenue": [total]})
+
+
+def rich_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q22 shape: above-average-balance customers with NO RECENT
+    order (none since 2001-01-01), counted per market segment.
+
+    The scalar subquery (average positive balance) is a per-batch partial
+    pair (sum, count) merged on the driver and broadcast back as a plain
+    float; the NOT EXISTS is the distributed anti join
+    (``shuffle_semi_join(anti=True)``) with the per-segment rollup folded
+    into the bucket."""
+    from ..stages.join import shuffle_semi_join
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        pos = batch.filter(pc.greater(batch["c_acctbal"], 0.0))
+        s = pc.sum(pos["c_acctbal"]).as_py() or 0.0
+        return pa.table(
+            {
+                "s": pa.array([float(s)]),
+                "n": pa.array([len(pos)], type=pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in parts))
+    avg_bal = (float(sum(r["s"] for r in parts)) / n) if n else 0.0
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], avg_bal)),
+        batch_format="pyarrow",
+    )
+    cutoff = pd.Timestamp("2001-01-01")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.filter(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff))
+                )["o_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def seg_rollup(kept: pa.Table) -> pa.Table:
+        g = kept.group_by("c_mktsegment").aggregate(
+            [("c_custkey", "count"), ("c_acctbal", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_customers", "total_bal"])
+
+    kept = shuffle_semi_join(
+        rich,
+        orders,
+        keys="c_custkey",
+        anti=True,
+        left_schema={
+            "c_custkey": pa.int64(),
+            "c_acctbal": pa.float64(),
+            "c_mktsegment": pa.string(),
+        },
+        bucket_post=seg_rollup,
+    )
+    out = kept.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=str),
+             "n_customers": pd.Series(dtype="int64"),
+             "total_bal": pd.Series(dtype=float)}
+        )
+    out = out.groupby("c_mktsegment", as_index=False).agg(
+        n_customers=("n_customers", "sum"), total_bal=("total_bal", "sum")
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_bal"] = out["total_bal"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
+    """TPC-H q21 shape: in multi-supplier orders where EXACTLY ONE supplier
+    had a returned item, count those orders per offending supplier.
+
+    The reference phrasing is a self semi + anti join on the same fact
+    table; here one bucketed exchange on the order key replaces both —
+    each bucket sees every lineitem of its orders, so the group-wise
+    EXISTS / NOT-EXISTS reduces to a vectorized pandas pass (per-(order,
+    supplier) any-R combiner runs per batch BEFORE the exchange).  The
+    per-supplier count re-aggregates via ``_grouped_agg``; names attach by
+    a pruned point fetch of the ≤ top_n winning keys."""
+    from ..stages.rollup import _grouped_agg
+    from ..functions.hashing import hash_bucket
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+
+    def per_pair(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "is_r": pc.cast(
+                    pc.equal(batch["l_returnflag"], "R"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("is_r", "max")])
+        g = g.rename_columns(["l_orderkey", "l_suppkey", "any_r"])
+        b = hash_bucket([str(v) for v in g["l_orderkey"].to_pylist()], 32)
+        return g.append_column("_b", pa.array(b))
+
+    pairs = li.map_batches(per_pair, batch_format="pyarrow")
+
+    def offenders(group: pd.DataFrame) -> pd.DataFrame:
+        # finish the per-(order, supplier) any-R combine across batches,
+        # then the group-wise EXISTS(other supplier) / exactly-one-R test
+        g = group.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            any_r=("any_r", "max")
+        )
+        per_order = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "nunique"), n_r=("any_r", "sum")
+        )
+        keep = per_order[(per_order["n_supp"] >= 2) & (per_order["n_r"] == 1)]
+        hit = g[g["l_orderkey"].isin(keep.index) & (g["any_r"] == 1)]
+        return pd.DataFrame(
+            {
+                "l_suppkey": hit["l_suppkey"].astype("int64"),
+                "n": np.ones(len(hit), dtype="int64"),
+            }
+        )
+
+    hits = pairs.groupby("_b").map_groups(offenders, batch_format="pandas")
+    counts = _grouped_agg(
+        hits,
+        keys=["l_suppkey"],
+        aggs={"n_orders": ("n", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
+    top = counts.sort_values(
+        ["n_orders", "l_suppkey"], ascending=[False, True], kind="stable"
+    ).head(top_n)
+
+    keyset = pa.array(top["l_suppkey"].astype("int64"))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = supp.map_batches(
+        lambda b: b.filter(pc.is_in(b["s_suppkey"], value_set=keyset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = top.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out.sort_values(
+        ["n_orders", "l_suppkey"], ascending=[False, True], kind="stable"
+    )
+    return out[["s_suppkey", "s_name", "n_orders"]].reset_index(drop=True)

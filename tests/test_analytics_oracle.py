@@ -58,6 +58,15 @@ SUBSET = [
     "semantic_dedup",
     "doc_pack_blocks",
     "code_commit_diff",
+    # classic join/agg topologies (q7/q10/q12/q14/q18/q19/q21/q22 shapes)
+    "cross_nation_trade",
+    "top_return_customers",
+    "urgent_by_linestatus",
+    "promo_revenue_ratio",
+    "large_orders",
+    "disjunctive_revenue",
+    "rich_idle_customers",
+    "sole_return_suppliers",
 ]
 
 
