@@ -396,6 +396,12 @@ def _code_commit_diff(sf_dir: str):
     return C.commit_diff_query(_code_fixture_path())
 
 
+def _code_file_history(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.file_history_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_in_session": A.purchase_in_session,
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
+        "user_event_gaps": A.user_event_gaps,
         "purchase_since_signup": A.purchase_since_signup,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
@@ -488,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_nodes": A.kg_graph_nodes,
         "kg_pagerank": A.kg_pagerank,
         "kg_two_hop_paths": A.kg_two_hop_paths,
+        "kg_triangles": A.kg_triangles,
         "triples_canonical": A.triples_canonical,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-code repository table (north-rule input_hint shape)
         "code_latest_snapshot": _code_latest_snapshot,
         "code_commit_diff": _code_commit_diff,
+        "code_file_history": _code_file_history,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -583,6 +592,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status
             FROM b LEFT JOIN a USING (repo, path)
             ORDER BY repo, path
+        """,
+        "code_file_history": f"""
+            SELECT repo, path, "commit",
+                   commit_ts AS valid_from,
+                   coalesce(
+                       lead(commit_ts) OVER (
+                           PARTITION BY repo, path ORDER BY commit_ts),
+                       9223372036854775807) AS valid_to,
+                   lead(commit_ts) OVER (
+                       PARTITION BY repo, path ORDER BY commit_ts) IS NULL
+                       AS is_current
+            FROM read_parquet('{code_pq}')
         """,
         "code_import_graph": f"""
             WITH snap AS (
@@ -1305,6 +1326,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) AS n_event_types
             FROM events
         """,
+        "user_event_gaps": """
+            SELECT event_id, user_id,
+                   coalesce(
+                       date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                           ts),
+                       -1)::BIGINT AS gap_us
+            FROM events
+        """,
         "quantity_quantiles": """
             SELECT CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,
                    CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS q50,
@@ -1336,6 +1367,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
+        """,
+        "kg_triangles": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            edges AS (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            tri AS (
+                SELECT e1.s AS a, e1.o AS b, e2.o AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.s = e1.o
+                JOIN edges e3 ON e3.s = e1.s AND e3.o = e2.o),
+            corners AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            SELECT node, count(*)::BIGINT AS n_triangles
+            FROM corners GROUP BY 1 ORDER BY 1
         """,
         "kg_two_hop_paths": f"""
             WITH m AS (

@@ -2969,3 +2969,123 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
         ["n_orders", "l_suppkey"], ascending=[False, True], kind="stable"
     )
     return out[["s_suppkey", "s_name", "n_orders"]].reset_index(drop=True)
+
+
+def kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts over the mention co-occurrence graph — the
+    classic distributed-join graph kernel.
+
+    Edges are canonical (subj < obj), so every triangle (a < b < c) is
+    enumerated exactly once: edges ⋈ edges on the shared middle vertex
+    builds the wedge set (one bucketed exchange keyed by the middle), then
+    a distributed multi-key semi join against the edge set closes each
+    wedge (second exchange keyed by (a, c) — never a broadcast of the edge
+    list, which at web scale is itself a fact table).  The per-node rollup
+    is a per-batch combiner (each triangle feeds its three corners) merged
+    on the driver — ≤ 3 × |vocab| rows per batch."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import shuffle_semi_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    pairs = ds.map_batches(
+        lambda b: _emit_pairs(b, vocab)
+        .select(["subj", "obj"])
+        .group_by(["subj", "obj"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    edges = exact_dedup(pairs, ["subj", "obj"])
+
+    left = edges.map_batches(
+        lambda b: pa.table({"a": b["subj"], "mid": b["obj"]}),
+        batch_format="pyarrow",
+    )
+    right = edges.map_batches(
+        lambda b: pa.table({"mid": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow",
+    )
+    wedges = shuffle_join(
+        left,
+        right,
+        keys="mid",
+        n_buckets=16,
+        left_schema={"a": pa.string(), "mid": pa.string()},
+        right_schema={"mid": pa.string(), "c": pa.string()},
+    )
+    edges_ac = edges.map_batches(
+        lambda b: pa.table({"a": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow",
+    )
+    tris = shuffle_semi_join(
+        wedges,
+        edges_ac,
+        keys=["a", "c"],
+        left_schema={"a": pa.string(), "mid": pa.string(), "c": pa.string()},
+    )
+
+    def corner_counts(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["mid"].combine_chunks(),
+             batch["c"].combine_chunks()]
+        )
+        t = pa.table({"node": nodes})
+        g = t.group_by("node").aggregate([("node", "count")])
+        return g.rename_columns(["node", "n_triangles"])
+
+    parts = tris.map_batches(corner_counts, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=str),
+             "n_triangles": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("node", as_index=False).agg(
+        n_triangles=("n_triangles", "sum")
+    )
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def user_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-event LAG window: microseconds since the same user's previous
+    event (-1 for the user's first) — the row-level lead/lag window shape, as
+    opposed to the rollup windows (`user_sessions`) and range windows
+    (`user_sliding_window`).
+
+    Same bucket-group pattern: one exchange keyed ``hash(user_id) % B``,
+    one vectorized pandas pass per bucket (sort + ``groupby.diff``), output
+    cardinality = input (a true per-row window, streamed back per bucket,
+    never one Python call per user).  Ordering ties broken by event_id so
+    the lag is deterministic."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["ts"].shift()
+        # exact integer microseconds (timestamps are µs-precision); the
+        # floor-div keeps NaT as NaN so the first-event sentinel survives
+        us = (g["ts"] - prev) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"],
+                "gap_us": us.fillna(-1).astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

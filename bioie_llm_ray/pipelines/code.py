@@ -202,6 +202,75 @@ def commit_diff(
     )
 
 
+_CURRENT_TS = (1 << 63) - 1  # open-ended valid_to sentinel (int64 max)
+
+
+def file_history(
+    ds: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """SCD-type-2 validity intervals per (repo, path): each version gets
+    ``[valid_from, valid_to)`` from consecutive commit timestamps; the
+    current version's ``valid_to`` is the int64-max sentinel and
+    ``is_current`` is true.
+
+    The dimension-history primitive for the code table (point-in-time
+    reads become a BETWEEN filter instead of an as-of argmax per query).
+    ONE exchange keyed on hash(repo|path); every version of a path lands
+    in the same bucket, where a single vectorized pandas pass (sort +
+    ``groupby.shift(-1)``) computes the lead timestamp — never one Python
+    call per path."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}\x1f{p}"
+            for r, p in zip(
+                batch["repo"].to_pylist(), batch["path"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_buckets))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("valid_from", pa.int64()),
+            ("valid_to", pa.int64()),
+            ("is_current", pa.bool_()),
+        ]
+    )
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["repo", "path", "commit_ts"], kind="mergesort")
+        # shift() emits float64 (NaN for group tails); route through the
+        # nullable Int64 dtype so the int64-max sentinel survives exactly
+        nxt = (
+            g.groupby(["repo", "path"])["commit_ts"].shift(-1).astype("Int64")
+        )
+        out = pd.DataFrame(
+            {
+                "repo": g["repo"],
+                "path": g["path"],
+                "commit": g["commit"],
+                "valid_from": g["commit_ts"].astype("int64"),
+                "valid_to": nxt.fillna(_CURRENT_TS).astype("int64"),
+                "is_current": nxt.isna(),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return (
+        ds.select_columns(["repo", "path", "commit", "commit_ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
 _TRIPLE_COLS = ["src_sha", "subj", "pred", "obj"]
 
 
@@ -344,6 +413,16 @@ def commit_diff_query(code_parquet: str) -> pd.DataFrame:
     )
     out = commit_diff(ds, ts_a=DIFF_TS_A, ts_b=2_000_000_000).to_pandas()
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def file_history_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit", "commit_ts"]
+    )
+    out = file_history(ds, n_buckets=8).to_pandas()
+    return out.sort_values(["repo", "path", "valid_from"]).reset_index(
+        drop=True
+    )
 
 
 def incremental_triples_query(code_parquet: str) -> pd.DataFrame:

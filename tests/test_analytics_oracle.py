@@ -67,6 +67,11 @@ SUBSET = [
     "disjunctive_revenue",
     "rich_idle_customers",
     "sole_return_suppliers",
+    # graph kernel + code-table SCD2 history
+    "kg_triangles",
+    "code_file_history",
+    # per-row LAG window
+    "user_event_gaps",
 ]
 
 
