@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
+        "event_props_stats": A.event_props_stats,
         "purchase_since_signup": A.purchase_since_signup,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
@@ -1325,6 +1326,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users,
                    count(DISTINCT event_type) AS n_event_types
             FROM events
+        """,
+        "event_props_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, count(k)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   round(sum(k) / count(k), 6) AS avg_k
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         "user_event_gaps": """
             SELECT event_id, user_id,

@@ -72,6 +72,8 @@ SUBSET = [
     "code_file_history",
     # per-row LAG window
     "user_event_gaps",
+    # semi-structured JSON field extraction
+    "event_props_stats",
 ]
 
 
