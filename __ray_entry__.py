@@ -402,6 +402,12 @@ def _code_file_history(sf_dir: str):
     return C.file_history_query(_code_fixture_path())
 
 
+def _code_clone_pairs(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.clone_pairs_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -524,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_latest_snapshot": _code_latest_snapshot,
         "code_commit_diff": _code_commit_diff,
         "code_file_history": _code_file_history,
+        "code_clone_pairs": _code_clone_pairs,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -569,6 +576,14 @@ def oracle_sql() -> dict[str, str]:
     # helper writes it if the oracle runs before the query).
     code_pq = _code_fixture_path()
     kg_oracles |= {
+        # serial winnowing walk (oracle.py) rendered as a VALUES relation
+        # (small integer literals parse as INT32 — cast back to BIGINT)
+        "code_clone_pairs": (
+            "SELECT repo_a, path_a, repo_b, path_b,"
+            " n_shared::BIGINT AS n_shared FROM ("
+            + O.values_sql(O.code_clone_pairs_expected(code_pq))
+            + ") v"
+        ),
         "code_latest_snapshot": f"""
             SELECT repo, path,
                    arg_max("commit", commit_ts) AS "commit",

@@ -866,3 +866,73 @@ SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS kept
 FROM afin a LEFT JOIN dropped d USING (vec_id)
 ORDER BY a.vec_id
 """
+
+
+def code_clone_pairs_expected(
+    code_parquet: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 16,
+    min_shared: int = 2,
+) -> pd.DataFrame:
+    """Serial winnowing clone detection (plain loops, no Ray/numpy windows).
+
+    Independent second implementation of ``pipelines/code.clone_pairs``:
+    latest snapshot per (repo, path), k-gram hashes, width-``w`` window
+    with RIGHTMOST-minimum selection, hub-fingerprint purge (> ``max_df``
+    files), pair counting, cross-repo filter.  Shares only the pinned
+    ``stable_hash_u64`` kernel with the distributed path."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(
+            code_parquet, columns=["repo", "path", "commit_ts", "content"]
+        )
+        .to_pandas()
+        .sort_values("commit_ts", kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .last()
+    )
+    fps: dict[tuple, set] = {}
+    for repo, path, content in zip(t["repo"], t["path"], t["content"]):
+        toks = content.split()
+        sel: set = set()
+        if len(toks) >= k:
+            grams = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+            hs = [int(x) for x in stable_hash_u64(grams).astype(np.int64)]
+            if len(hs) <= w:
+                mn = min(hs)
+                sel.add(hs[max(i for i, v in enumerate(hs) if v == mn)])
+            else:
+                for s in range(len(hs) - w + 1):
+                    window = hs[s : s + w]
+                    mn = min(window)
+                    off = max(i for i, v in enumerate(window) if v == mn)
+                    sel.add(hs[s + off])
+        fps[(repo, path)] = sel
+
+    inv: dict[int, list] = {}
+    for fid, s in fps.items():
+        for f in s:
+            inv.setdefault(f, []).append(fid)
+    cnt: Counter = Counter()
+    for f, files in inv.items():
+        if len(files) > max_df:
+            continue
+        files = sorted(files)
+        for i in range(len(files)):
+            for j in range(i + 1, len(files)):
+                cnt[(files[i], files[j])] += 1
+    rows = [
+        (a[0], a[1], b[0], b[1], n)
+        for (a, b), n in cnt.items()
+        if n >= min_shared and a[0] != b[0]
+    ]
+    return pd.DataFrame(
+        sorted(rows),
+        columns=["repo_a", "path_a", "repo_b", "path_b", "n_shared"],
+    )

@@ -33,7 +33,11 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..functions.hashing import add_sha256_column, hash_bucket
+from ..functions.hashing import (
+    add_sha256_column,
+    hash_bucket,
+    stable_hash_u64,
+)
 from ..stages.dedup import argmax_dedup, exact_dedup
 
 # line-anchored: the decoy "# reimport <mod>x" must not match
@@ -466,3 +470,155 @@ def code_triples_query(docs_parquet: str, vocab: list[str]) -> pd.DataFrame:
         .drop_duplicates()
     )
     return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+# Winnowing clone detection (Schleimer/Wilkerson/Aiken, SIGMOD'03): any
+# shared token run of length >= CLONE_K + CLONE_W - 1 is guaranteed to share
+# at least one selected fingerprint.
+CLONE_K = 5   # tokens per k-gram
+CLONE_W = 4   # winnowing window over consecutive k-gram hashes
+CLONE_MAX_DF = 16  # purge fingerprints present in more files (hub control)
+_ID_SEP = "\x1f"
+
+
+def _winnow(tokens: list, k: int = CLONE_K, w: int = CLONE_W) -> np.ndarray:
+    """Distinct winnowed fingerprints of one token sequence (int64).
+
+    Vectorized: hash every k-gram once, slide a width-``w`` window with
+    ``sliding_window_view`` and keep the RIGHTMOST minimum of each window
+    (the deterministic tie rule) — the standard guarantee plus a stable
+    selection the serial oracle reproduces with plain loops."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.int64)
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    h = stable_hash_u64(grams).astype(np.int64)  # C-cast wrap, deterministic
+    if len(h) <= w:
+        flip = h[::-1]
+        return np.array(
+            [h[len(h) - 1 - int(flip.argmin())]], dtype=np.int64
+        )
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, w)
+    rev = win[:, ::-1]
+    idx = (w - 1) - rev.argmin(axis=1)  # rightmost min per window
+    pos = np.arange(len(win)) + idx
+    return np.unique(h[np.unique(pos)])
+
+
+def clone_pairs(
+    ds: ray.data.Dataset,
+    min_shared: int = 2,
+    max_df: int = CLONE_MAX_DF,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cross-repo clone-pair candidates by winnowing fingerprints.
+
+    MOSS-style content similarity, the code-corpus complement of
+    byte-identical ``vendored_files``: latest snapshot → per-file winnowed
+    fingerprints (``_winnow``) → ONE exchange keyed by fingerprint, where
+    each bucket holds its fingerprints' complete file lists — oversized
+    lists (> ``max_df`` files) are PURGED before pair generation, the same
+    hub control as ER block purging, so no reducer enumerates a stop-gram's
+    O(m²) pairs — → per-fingerprint file pairs → a second exchange counts
+    shared fingerprints per (file_a, file_b) and keeps cross-repo pairs
+    with ≥ ``min_shared``.  Content never enters either exchange (only
+    (fingerprint, file-id) rows move)."""
+    from ..stages.rollup import _grouped_agg
+
+    snap = latest_snapshot(ds, n_buckets=n_buckets)
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        fids, fps = [], []
+        for repo, path, content in zip(
+            batch["repo"].to_pylist(),
+            batch["path"].to_pylist(),
+            batch["content"].to_pylist(),
+        ):
+            sel = _winnow(content.split())
+            fids.extend([f"{repo}{_ID_SEP}{path}"] * len(sel))
+            fps.extend(sel.tolist())
+        t = pa.table(
+            {
+                "fid": pa.array(fids, type=pa.string()),
+                "fp": pa.array(fps, type=pa.int64()),
+            }
+        )
+        b = hash_bucket([str(v) for v in t["fp"].to_pylist()], n_buckets)
+        return t.append_column("__bucket", pa.array(b))
+
+    pair_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["fp", "fid"])
+        sizes = g.groupby("fp")["fid"].transform("size")
+        g = g[sizes <= max_df]  # purge hub fingerprints
+        g = g.sort_values(["fp", "fid"], kind="mergesort")
+        m = g.merge(g, on="fp", suffixes=("_a", "_b"))
+        m = m[m["fid_a"] < m["fid_b"]]
+        out = pd.DataFrame(
+            {
+                "id_a": m["fid_a"],
+                "id_b": m["fid_b"],
+                "n": np.ones(len(m), dtype="int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, schema=pair_schema, preserve_index=False)
+
+    fps = snap.select_columns(["repo", "path", "content"]).map_batches(
+        fingerprints, batch_format="pyarrow"
+    )
+    pairs = (
+        fps.groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
+    counts = _grouped_agg(
+        pairs,
+        keys=["id_a", "id_b"],
+        aggs={"n_shared": ("n", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("repo_a", pa.string()),
+            ("path_a", pa.string()),
+            ("repo_b", pa.string()),
+            ("path_b", pa.string()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["n_shared"] >= min_shared]
+        a = df["id_a"].str.split(_ID_SEP, expand=True)
+        b = df["id_b"].str.split(_ID_SEP, expand=True)
+        if len(df) == 0:
+            return out_schema.empty_table()
+        out = pd.DataFrame(
+            {
+                "repo_a": a[0],
+                "path_a": a[1],
+                "repo_b": b[0],
+                "path_b": b[1],
+                "n_shared": df["n_shared"].astype("int64"),
+            }
+        )
+        out = out[out["repo_a"] != out["repo_b"]]  # cross-repo only
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def clone_pairs_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    out = clone_pairs(ds, n_buckets=8).to_pandas()
+    return out.sort_values(
+        ["repo_a", "path_a", "repo_b", "path_b"]
+    ).reset_index(drop=True)

@@ -74,6 +74,8 @@ SUBSET = [
     "user_event_gaps",
     # semi-structured JSON field extraction
     "event_props_stats",
+    # winnowing clone detection over the code table
+    "code_clone_pairs",
 ]
 
 

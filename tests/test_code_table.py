@@ -310,3 +310,68 @@ class TestIncrementalTriples:
         assert set(map(tuple, b.values)) == {
             ("module_3", "co_imported_with", "module_4")
         }
+
+
+class TestClonePairs:
+    def _table(self, rows):
+        return pa.table(
+            {
+                "repo": [r[0] for r in rows],
+                "path": [r[1] for r in rows],
+                "commit_ts": pa.array(
+                    [r[2] for r in rows], type=pa.int64()
+                ),
+                "content": [r[3] for r in rows],
+            }
+        )
+
+    def test_planted_clone_found_and_disjoint_not(self):
+        # shared run of k+w-1 = 8 tokens >> guarantee threshold; the
+        # winnowing theorem says the pair MUST share >= 1 fingerprint,
+        # and with min_shared=1 it must surface.
+        shared = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            ("org0/a", "x.py", 1, shared + " tail_a only_a"),
+            ("org1/b", "y.py", 1, shared + " tail_b only_b"),
+            ("org2/c", "z.py", 1, " ".join(f"zzz{i}" for i in range(30))),
+        ]
+        out = C.clone_pairs(
+            ray.data.from_arrow(self._table(rows)),
+            min_shared=1,
+            n_buckets=4,
+        ).to_pandas()
+        pairs = set(zip(out["repo_a"], out["repo_b"]))
+        assert ("org0/a", "org1/b") in pairs
+        assert not any("org2/c" in p for pair in pairs for p in pair)
+
+    def test_same_repo_pairs_excluded_and_old_versions_ignored(self):
+        shared = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            # two paths in the SAME repo sharing content: excluded
+            ("org0/a", "x.py", 1, shared),
+            ("org0/a", "y.py", 1, shared),
+            # cross-repo clone only in the STALE version: latest differs
+            ("org1/b", "z.py", 1, shared),
+            ("org1/b", "z.py", 9, " ".join(f"new{i}" for i in range(30))),
+        ]
+        out = C.clone_pairs(
+            ray.data.from_arrow(self._table(rows)),
+            min_shared=1,
+            n_buckets=4,
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_hub_fingerprint_purged(self):
+        # identical content in max_df+1 files -> every fingerprint is a
+        # hub -> no pairs survive the purge
+        shared = " ".join(f"tok{i}" for i in range(30))
+        rows = [
+            (f"org{i}/r{i}", "f.py", 1, shared) for i in range(5)
+        ]
+        out = C.clone_pairs(
+            ray.data.from_arrow(self._table(rows)),
+            min_shared=1,
+            max_df=4,
+            n_buckets=4,
+        ).to_pandas()
+        assert len(out) == 0
