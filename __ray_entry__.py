@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
         "event_props_stats": A.event_props_stats,
+        "signup_purchase_users": A.signup_purchase_users,
         "purchase_since_signup": A.purchase_since_signup,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
@@ -1341,6 +1342,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users,
                    count(DISTINCT event_type) AS n_event_types
             FROM events
+        """,
+        "signup_purchase_users": """
+            WITH s AS (SELECT user_id, count(*)::BIGINT AS n_signup
+                       FROM events WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT user_id, count(*)::BIGINT AS n_purchase
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT coalesce(s.user_id, p.user_id) AS user_id,
+                   coalesce(s.n_signup, 0)::BIGINT AS n_signup,
+                   coalesce(p.n_purchase, 0)::BIGINT AS n_purchase
+            FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
         """,
         "event_props_stats": """
             WITH x AS (

@@ -3121,3 +3121,58 @@ def event_props_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)[
         ["event_type", "n", "sum_k", "avg_k"]
     ]
+
+
+def signup_purchase_users(sf_dir: str) -> pd.DataFrame:
+    """Per-user signup vs purchase counts via a distributed FULL OUTER
+    join — users appearing on either side survive, the missing side
+    zero-fills.
+
+    Both inputs pre-aggregate to one row per (user, side) with combiner
+    partials (``_grouped_agg``), so the full-outer ``shuffle_join`` moves
+    only the distinct-user sets; each bucket's Arrow ``full outer`` kernel
+    is exact because a user hashes to exactly one bucket."""
+    from ..stages.rollup import _grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(ev: str, out: str):
+        filt = ds.map_batches(
+            lambda b, e=ev, o=out: pa.table(
+                {
+                    "user_id": b.filter(pc.equal(b["event_type"], e))[
+                        "user_id"
+                    ],
+                    o: pa.nulls(
+                        len(b.filter(pc.equal(b["event_type"], e))),
+                        type=pa.int64(),
+                    ).fill_null(1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return _grouped_agg(
+            filt,
+            keys=["user_id"],
+            aggs={out: (out, "sum")},
+            n_buckets=16,
+            partial=True,
+        )
+
+    signups = side("signup", "n_signup")
+    purchases = side("purchase", "n_purchase")
+
+    out = shuffle_join(
+        signups,
+        purchases,
+        keys="user_id",
+        n_buckets=16,
+        join_type="full outer",
+        left_schema={"user_id": pa.int64(), "n_signup": pa.int64()},
+        right_schema={"user_id": pa.int64(), "n_purchase": pa.int64()},
+    ).to_pandas()
+    out["n_signup"] = out["n_signup"].fillna(0).astype("int64")
+    out["n_purchase"] = out["n_purchase"].fillna(0).astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_signup", "n_purchase"]
+    ]

@@ -76,6 +76,8 @@ SUBSET = [
     "event_props_stats",
     # winnowing clone detection over the code table
     "code_clone_pairs",
+    # distributed FULL OUTER join
+    "signup_purchase_users",
 ]
 
 
