@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": A.customer_order_counts,
         "orders_with_returns": A.orders_with_returns,
         "lineitem_rollup": A.lineitem_rollup,
+        "lineitem_cube": A.lineitem_cube,
         "event_funnel": A.event_funnel,
         "user_event_pivot": A.user_event_pivot,
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
@@ -1063,6 +1064,15 @@ def oracle_sql() -> dict[str, str]:
                    count(l_quantity) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(l_quantity) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "customers_without_orders": """
             SELECT c.c_nationkey::BIGINT AS c_nationkey,

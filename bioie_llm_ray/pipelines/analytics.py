@@ -3176,3 +3176,37 @@ def signup_purchase_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)[
         ["user_id", "n_signup", "n_purchase"]
     ]
+
+
+def lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """Pricing totals at every CUBE(l_returnflag, l_linestatus) grouping
+    set — all 2^n subsets, not just rollup's prefixes
+    (``stages/rollup.cube_aggregate``; one input shuffle, coarser sets
+    re-aggregate the finest result).  Absent keys coalesce to 'ALL' on
+    both sides so the hash compare never depends on NULL ordering."""
+    from ..stages.rollup import cube_aggregate
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = cube_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "n_items": ("l_quantity", "count"),
+        },
+        key_types={"l_returnflag": pa.string(), "l_linestatus": pa.string()},
+    ).to_pandas()
+    for k in ("l_returnflag", "l_linestatus"):
+        out[k] = out[k].fillna("ALL")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return (
+        out.sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )

@@ -253,3 +253,60 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    key_types: dict | None = None,
+) -> ray.data.Dataset:
+    """CUBE(keys): aggregate at EVERY subset of ``keys`` (all 2^n grouping
+    sets), absent key columns NULL — the full generalization of
+    ``rollup_aggregate`` (which emits only prefix sets).
+
+    The input shuffles ONCE (the finest set, all keys); every coarser set
+    re-aggregates the finest RESULT, whose size is the finest group count —
+    so 2^n sets cost 2^n small exchanges over group-count-sized data, never
+    a second input-sized pass.  ``n`` is bounded by the caller (CUBE over
+    many keys explodes by definition)."""
+    from itertools import combinations
+
+    keys = list(keys)
+    if key_types is None:
+        s = ds.schema()
+        key_types = {n: t for n, t in zip(s.names, s.types) if n in keys}
+
+    finest = _grouped_agg(ds, keys, aggs, n_buckets, partial=True)
+    reagg = {out: (out, fn) for out, (_, fn) in aggs.items()}
+
+    levels = [finest]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            lvl = _grouped_agg(
+                finest, list(subset), reagg, n_buckets, partial=False
+            )
+
+            def widen(
+                batch: pa.Table,
+                missing=tuple(k for k in keys if k not in subset),
+            ) -> pa.Table:
+                for k in missing:
+                    batch = batch.append_column(
+                        k, pa.nulls(len(batch), type=key_types[k])
+                    )
+                return batch.select(list(keys) + list(reagg))
+
+            levels.append(lvl.map_batches(widen, batch_format="pyarrow"))
+
+    ordered = [
+        lvl.map_batches(
+            lambda b: b.select(keys + list(aggs)), batch_format="pyarrow"
+        )
+        for lvl in levels
+    ]
+    out = ordered[0]
+    for lvl in ordered[1:]:
+        out = out.union(lvl)
+    return out

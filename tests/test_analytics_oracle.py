@@ -78,6 +78,8 @@ SUBSET = [
     "code_clone_pairs",
     # distributed FULL OUTER join
     "signup_purchase_users",
+    # CUBE: all 2^n grouping sets
+    "lineitem_cube",
 ]
 
 
