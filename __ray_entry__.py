@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balance_sample": A.lang_balance_sample,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
+        "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
         "doc_language_id": A.doc_language_id,
         "doc_unigram_lm": A.doc_unigram_lm,
         "customer_order_counts": A.customer_order_counts,
@@ -566,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": O.kmeans_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
+        "distinct_users_hll_by_type": O.hll_grouped_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
         "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),

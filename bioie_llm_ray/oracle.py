@@ -936,3 +936,49 @@ def code_clone_pairs_expected(
         sorted(rows),
         columns=["repo_a", "path_a", "repo_b", "path_b", "n_shared"],
     )
+
+
+def hll_grouped_sql() -> str:
+    """DuckDB oracle for analytics.distinct_users_hll_by_type: the p=14
+    register pipeline of ``hll_distinct_sql`` rebuilt PER GROUP (types ×
+    generate_series register domain, per-type linear-counting branch)."""
+    h = _MD5_U64.format(v="v")
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+h AS (SELECT event_type, {h} AS h FROM vals),
+reg AS (
+  SELECT event_type, (h >> 50)::BIGINT AS idx,
+         max(65 - length(bin(((h % 1125899906842624) * 16384 + 16383)::UBIGINT))) AS r
+  FROM h GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+allregs AS (
+  SELECT t.event_type, coalesce(reg.r, 0) AS r
+  FROM types t
+  CROSS JOIN generate_series(0, 16383) AS g(i)
+  LEFT JOIN reg ON reg.event_type = t.event_type AND reg.idx = g.i
+),
+est0 AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079/16384.0)) * 16384.0 * 16384.0
+           / sum(power(2.0, -r)) AS raw,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM allregs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * 16384.0 AND zeros > 0
+              THEN 16384.0 * ln(16384.0 / zeros)
+              ELSE raw END AS estimate
+  FROM est0
+),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact
+       FROM events GROUP BY 1)
+SELECT est.event_type,
+       round(est.estimate, 1) AS estimate,
+       ex.exact,
+       round(abs(est.estimate - ex.exact) / ex.exact, 6) AS rel_error
+FROM est JOIN ex USING (event_type)
+ORDER BY 1
+"""

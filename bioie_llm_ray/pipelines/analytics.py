@@ -3210,3 +3210,47 @@ def lineitem_cube(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+
+
+def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HLL approximate distinct users, reported alongside
+    the exact count (``stages/sketch.approx_distinct_grouped``; the one
+    exchange moves register blobs keyed by the 5-value type column, never
+    user rows).  The oracle rebuilds the register pipeline per group in
+    SQL, so the estimate itself — not just the exact side — is
+    hash-verified."""
+    from ..stages.rollup import _grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    from ..stages.sketch import approx_distinct_grouped
+
+    est = approx_distinct_grouped(ds, "user_id", "event_type", p=14).to_pandas()
+
+    # exact side: distinct (type, user) pairs exchange, then a count by type
+    from ..stages.dedup import exact_dedup
+
+    pairs = exact_dedup(ds, ["event_type", "user_id"], n_buckets=16)
+    exact = (
+        _grouped_agg(
+            pairs.map_batches(
+                lambda b: b.append_column(
+                    "one", pa.array(np.ones(len(b), dtype="int64"))
+                ),
+                batch_format="pyarrow",
+            ),
+            keys=["event_type"],
+            aggs={"exact": ("one", "sum")},
+            n_buckets=8,
+            partial=True,
+        )
+    ).to_pandas()
+    out = est.merge(exact, on="event_type")
+    out["exact"] = out["exact"].astype("int64")
+    # rel_error from the UNROUNDED estimate (same as the global query)
+    out["rel_error"] = (
+        (out["estimate"] - out["exact"]).abs() / out["exact"]
+    ).round(6)
+    out["estimate"] = out["estimate"].round(1)
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "estimate", "exact", "rel_error"]
+    ]

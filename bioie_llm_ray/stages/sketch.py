@@ -330,3 +330,47 @@ def grouped_quantiles_discrete(
         .to_pandas()
     )
     return parts.sort_values(group_col).reset_index(drop=True)
+
+
+def approx_distinct_grouped(
+    ds: ray.data.Dataset, col: str, group_col: str, p: int = 14
+) -> ray.data.Dataset:
+    """Per-group HLL distinct estimate: (group, estimate) rows.
+
+    Each batch emits ONE (group, 2^p-byte register array) partial per
+    group present in the batch; the only exchange is keyed by the group
+    and moves register blobs (batches × groups × 2^p bytes), never value
+    rows.  Group-keyed ``map_groups`` is fine here because the operator
+    targets LOW-cardinality group columns (the registers themselves are
+    2^p bytes per group — per-user HLLs would be the wrong tool); the
+    per-group merge is an elementwise ``np.maximum`` reduce."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        groups, blobs = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            groups.append(g)
+            blobs.append(_hll_partial(sub[col].tolist(), p).tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "regs": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_e = [], []
+        for key, sub in g.groupby(group_col, sort=False):
+            m = np.zeros(1 << p, dtype=np.uint8)
+            for blob in sub["regs"]:
+                m = np.maximum(m, np.frombuffer(blob, dtype=np.uint8))
+            out_g.append(key)
+            out_e.append(float(_hll_estimate(m)))
+        return pd.DataFrame({group_col: out_g, "estimate": out_e})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -80,6 +80,8 @@ SUBSET = [
     "signup_purchase_users",
     # CUBE: all 2^n grouping sets
     "lineitem_cube",
+    # per-group HLL registers rebuilt in SQL
+    "distinct_users_hll_by_type",
 ]
 
 
