@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": A.orders_with_returns,
         "lineitem_rollup": A.lineitem_rollup,
         "lineitem_cube": A.lineitem_cube,
+        "monthly_revenue_growth": A.monthly_revenue_growth,
         "event_funnel": A.event_funnel,
         "user_event_pivot": A.user_event_pivot,
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
@@ -1066,6 +1067,20 @@ def oracle_sql() -> dict[str, str]:
                    count(l_quantity) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "monthly_revenue_growth": """
+            WITH s AS (
+                SELECT year(o_orderdate)::BIGINT AS y,
+                       month(o_orderdate)::BIGINT AS m,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1, 2)
+            SELECT y, m, revenue,
+                   coalesce(
+                       round((revenue - lag(revenue) OVER w)
+                             / lag(revenue) OVER w * 100.0, 6),
+                       0.0) AS growth_pct
+            FROM s WINDOW w AS (ORDER BY y, m)
+            ORDER BY y, m
         """,
         "lineitem_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -3254,3 +3254,40 @@ def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)[
         ["event_type", "estimate", "exact", "rel_error"]
     ]
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month order revenue growth — the time-series reporting
+    shape: a distributed (year, month) aggregate (combiner partials, one
+    small exchange), then the LAG/pct-change pass over the ≤ n_months
+    result rows on the driver (the series is aggregate-sized by
+    construction, so driver-side is the right place)."""
+    from ..stages.rollup import _grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "y": pc.year(batch["o_orderdate"]),
+                "m": pc.month(batch["o_orderdate"]),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    sums = _grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        keys=["y", "m"],
+        aggs={"revenue": ("o_totalprice", "sum")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    out = sums.sort_values(["y", "m"]).reset_index(drop=True)
+    out["revenue"] = out["revenue"].round(2)
+    prev = out["revenue"].shift()
+    out["growth_pct"] = (
+        ((out["revenue"] - prev) / prev * 100.0).fillna(0.0).round(6)
+    )
+    out["y"] = out["y"].astype("int64")
+    out["m"] = out["m"].astype("int64")
+    return out[["y", "m", "revenue", "growth_pct"]]

@@ -82,6 +82,8 @@ SUBSET = [
     "lineitem_cube",
     # per-group HLL registers rebuilt in SQL
     "distinct_users_hll_by_type",
+    # time-series pct-change over a distributed aggregate
+    "monthly_revenue_growth",
 ]
 
 
