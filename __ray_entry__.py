@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
         "lang_balance_sample": A.lang_balance_sample,
+        "source_mixture_sample": A.source_mixture_sample,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
@@ -1293,6 +1294,27 @@ def oracle_sql() -> dict[str, str]:
         # smallest stable hash (first 8 bytes of md5 of the stringified id
         # — functions/hashing.stable_hash_u64), ties broken by the key
         # string exactly like stages/sample._kernel
+        "source_mixture_sample": r"""
+            WITH cnt AS (SELECT source, count(*) AS c
+                         FROM documents GROUP BY 1),
+            tot AS (SELECT sum(c) AS t, sum(power(c, 0.5)) AS z FROM cnt),
+            tgt AS (
+                SELECT source,
+                       LEAST(c, CAST(floor(floor(0.5 * t) * power(c, 0.5) / z)
+                                     AS BIGINT)) AS cap
+                FROM cnt, tot),
+            ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT,
+                                    doc_id::VARCHAR) AS rn
+                FROM documents)
+            SELECT r.doc_id, r.source
+            FROM ranked r JOIN tgt USING (source)
+            WHERE r.rn <= tgt.cap
+            ORDER BY source, doc_id
+        """,
         "lang_balance_sample": r"""
             WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
             cap AS (SELECT min(c) AS m FROM cnt),

@@ -3291,3 +3291,68 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     out["y"] = out["y"].astype("int64")
     out["m"] = out["m"].astype("int64")
     return out[["y", "m", "revenue", "growth_pct"]]
+
+
+def source_mixture_sample(
+    sf_dir: str, alpha: float = 0.5, frac: float = 0.5
+) -> pd.DataFrame:
+    """Temperature-weighted data mixing: deterministically sample a
+    ``frac``-sized corpus whose per-source share follows
+    ``count^alpha / Σ count^alpha`` (alpha < 1 upweights small sources —
+    the standard temperature-mixing step of multi-source training-data
+    curation).
+
+    Pass 1 folds per-batch source counts on the driver (5 keys); the
+    per-source caps derive from them with floor arithmetic the SQL oracle
+    reproduces exactly.  Pass 2 is `distributed_hash_top_n(group_col=
+    "source")` at the max cap — per-block partial top-n, tree reduce,
+    partition-count-invariant — trimmed to each source's cap over the
+    ≤ max_cap × n_sources surviving rows."""
+    import math
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash_u64
+    from ..stages.sample import distributed_hash_top_n
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    counts: Counter = Counter()
+    for b in ds.map_batches(
+        lambda t: pa.table(
+            {
+                "source": pa.array(
+                    list(c := Counter(t["source"].to_pylist())),
+                    type=pa.string(),
+                ),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for src, n in zip(b["source"].to_pylist(), b["n"].to_pylist()):
+            counts[src] += n
+
+    total = sum(counts.values())
+    z = sum(c**alpha for c in sorted(counts.values()))
+    target_total = math.floor(frac * total)
+    caps = {
+        s: min(c, math.floor(target_total * (c**alpha) / z))
+        for s, c in counts.items()
+    }
+
+    top = distributed_hash_top_n(
+        ds, "doc_id", max(caps.values()), group_col="source"
+    ).to_pandas()
+    # trim the small per-source surplus (≤ max_cap × n_sources rows) by
+    # the same (hash, key) order the distributed kernel used
+    top["_h"] = stable_hash_u64([str(v) for v in top["doc_id"]]).astype(
+        "uint64"
+    )
+    top = top.sort_values(["source", "_h", "doc_id"], kind="mergesort")
+    top["_rn"] = top.groupby("source").cumcount() + 1
+    top = top[top["_rn"] <= top["source"].map(caps)]
+    return (
+        top[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )

@@ -84,6 +84,8 @@ SUBSET = [
     "distinct_users_hll_by_type",
     # time-series pct-change over a distributed aggregate
     "monthly_revenue_growth",
+    # temperature-weighted source mixing
+    "source_mixture_sample",
 ]
 
 
