@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": A.kg_pagerank,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
+        "kg_bfs_levels": A.kg_bfs_levels,
         "triples_canonical": A.triples_canonical,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
@@ -1453,6 +1454,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
+        """,
+        "kg_bfs_levels": f"""
+            WITH RECURSIVE m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            e AS (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            bidir AS (SELECT s, o FROM e UNION ALL SELECT o, s FROM e),
+            bfs(node, dist) AS (
+                SELECT 'batch', 0
+                UNION
+                SELECT bd.o, bfs.dist + 1
+                FROM bfs JOIN bidir bd ON bd.s = bfs.node
+                WHERE bfs.dist < 32
+            )
+            SELECT node, min(dist)::BIGINT AS dist
+            FROM bfs GROUP BY 1 ORDER BY 1
         """,
         "kg_triangles": f"""
             WITH m AS (

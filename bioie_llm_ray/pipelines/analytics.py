@@ -3356,3 +3356,38 @@ def source_mixture_sample(
         .sort_values(["source", "doc_id"])
         .reset_index(drop=True)
     )
+
+
+def kg_bfs_levels(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
+    """Single-source shortest-path levels over the co-occurrence KG
+    (``stages/graph.bfs_levels``; frontier broadcast per round, edges
+    stream — the reachability member of the iterative family alongside
+    pagerank / connected components / k-means).  Undirected: both edge
+    orientations feed the walk."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import bfs_levels
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    pairs = ds.map_batches(
+        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
+    )
+    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pa.concat_arrays(
+                    [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+                ),
+                "obj": pa.concat_arrays(
+                    [batch["obj"].combine_chunks(), batch["subj"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = bfs_levels(
+        edges.map_batches(both_dirs, batch_format="pyarrow"), seed=seed
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

@@ -495,3 +495,57 @@ def pagerank(
             }
         )
     )
+
+
+def bfs_levels(
+    edges: ray.data.Dataset,
+    seed: str,
+    src: str = "subj",
+    dst: str = "obj",
+    max_iters: int = 32,
+) -> ray.data.Dataset:
+    """Single-source BFS shortest-path levels → (node, dist).
+
+    Broadcast-iteration pattern (same contract as ``pagerank``): the
+    frontier set broadcasts via ``ray.put`` each round while the edge set
+    streams; each edge batch emits the DISTINCT neighbors of frontier
+    sources (per-batch combiner), the driver folds them, subtracts the
+    visited set, and re-broadcasts.  Driver state is O(|V|) — right when
+    the node table is entity-sized (≪ edges); for node tables beyond
+    driver memory, swap the fold for a per-round bucketed distinct + anti
+    join against visited (same semantics, two wide ops per round).
+    Directed reachability; pass both orientations for undirected graphs.
+    Terminates when the frontier empties (``max_iters`` is a safety
+    bound)."""
+    edges = edges.materialize()  # re-streamed once per BFS level
+    dist: dict = {str(seed): 0}
+    frontier = {str(seed)}
+    level = 0
+    while frontier and level < max_iters:
+        level += 1
+        fref = ray.put(frontier)
+
+        def nbrs(batch: pa.Table, _f=fref) -> pa.Table:
+            f = ray.get(_f)
+            s = [str(x) for x in batch[src].to_pylist()]
+            d = [str(x) for x in batch[dst].to_pylist()]
+            out = sorted({di for si, di in zip(s, d) if si in f})
+            return pa.table({"node": pa.array(out, type=pa.string())})
+
+        nxt: set = set()
+        for row in edges.map_batches(nbrs, batch_format="pyarrow").take_all():
+            nxt.add(row["node"])
+        frontier = {v for v in nxt if v not in dist}
+        for v in frontier:
+            dist[v] = level
+    nodes = sorted(dist)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "dist": pa.array(
+                    [dist[v] for v in nodes], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -86,6 +86,8 @@ SUBSET = [
     "monthly_revenue_growth",
     # temperature-weighted source mixing
     "source_mixture_sample",
+    # single-source BFS levels (recursive-CTE oracle)
+    "kg_bfs_levels",
 ]
 
 

@@ -205,3 +205,50 @@ class TestPageRank:
         for v in got:
             assert abs(got[v] - want[v]) < 1e-12
         assert got["2"] > got["1"]
+
+
+class TestBfsLevels:
+    def test_chain_levels_and_unreachable(self):
+        import pyarrow as pa
+        import ray
+
+        from bioie_llm_ray.stages.graph import bfs_levels
+
+        # a -> b -> c -> d chain plus an isolated x <-> y pair
+        edges = pa.table(
+            {
+                "subj": ["a", "b", "c", "x"],
+                "obj": ["b", "c", "d", "y"],
+            }
+        )
+
+        def both(b):
+            return pa.table(
+                {
+                    "subj": pa.concat_arrays(
+                        [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                    ),
+                    "obj": pa.concat_arrays(
+                        [b["obj"].combine_chunks(), b["subj"].combine_chunks()]
+                    ),
+                }
+            )
+
+        ds = ray.data.from_arrow(edges).map_batches(
+            both, batch_format="pyarrow"
+        )
+        out = bfs_levels(ds, seed="a").to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # x, y unreachable
+
+    def test_seed_without_edges(self):
+        import pyarrow as pa
+        import ray
+
+        from bioie_llm_ray.stages.graph import bfs_levels
+
+        ds = ray.data.from_arrow(
+            pa.table({"subj": ["p"], "obj": ["q"]})
+        )
+        out = bfs_levels(ds, seed="z").to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == {"z": 0}
