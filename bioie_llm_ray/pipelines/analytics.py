@@ -3391,3 +3391,26 @@ def kg_bfs_levels(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
         edges.map_batches(both_dirs, batch_format="pyarrow"), seed=seed
     ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """End-to-end entity resolution, composed from three engine operators:
+    token blocking with block purging (``blocking.token_blocking_pairs``)
+    → exact word-shingle Jaccard verification with the text re-fetched by
+    shuffle join, never a driver dict (``neardup.verify_jaccard_pairs_join``)
+    → connected components (``graph.connected_components``) → (node,
+    cluster) labels, cluster = min reachable doc_id.  The oracle replays
+    blocking + verify + a recursive transitive closure in one SQL."""
+    from ..stages.blocking import token_blocking_pairs
+    from ..stages.graph import connected_components
+    from ..stages.neardup import verify_jaccard_pairs_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = token_blocking_pairs(docs).select_columns(["id_a", "id_b"])
+    verified = verify_jaccard_pairs_join(
+        cand, docs, threshold=threshold, n_shingle=3
+    )
+    out = connected_components(verified).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -88,6 +88,8 @@ SUBSET = [
     "source_mixture_sample",
     # single-source BFS levels (recursive-CTE oracle)
     "kg_bfs_levels",
+    # composed ER: blocking -> jaccard verify -> connected components
+    "er_entity_clusters",
 ]
 
 
