@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": A.dedup_minhash,
         "dedup_jaccard": A.dedup_jaccard,
         "dedup_components": A.dedup_components,
+        "dedup_keep_best": A.dedup_keep_best,
         "dedup_simhash": A.dedup_simhash,
         "embedding_neardup": A.embedding_neardup,
         # reference benchmark tasks (MockScorer over synthetic KB fixtures)
@@ -1533,6 +1534,56 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.key = b.key AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "dedup_keep_best": r"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS m
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+            prs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+            r(n, x) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x),
+            comp AS (SELECT n AS node, min(x) AS component FROM r GROUP BY n),
+            q AS (
+                SELECT doc_id AS node,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / length(text) AS alpha_ratio
+                FROM documents),
+            ranked AS (
+                SELECT comp.component, comp.node, q.alpha_ratio,
+                       row_number() OVER (
+                           PARTITION BY comp.component
+                           ORDER BY q.alpha_ratio DESC, comp.node) AS rn,
+                       count(*) OVER (PARTITION BY comp.component)
+                           AS n_members
+                FROM comp JOIN q USING (node))
+            SELECT component, node AS kept_doc,
+                   round(alpha_ratio, 6) AS best_alpha,
+                   n_members::BIGINT AS n_members
+            FROM ranked WHERE rn = 1 ORDER BY component
         """,
         "er_entity_clusters": r"""
             WITH RECURSIVE arr AS (

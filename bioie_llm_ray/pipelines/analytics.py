@@ -3414,3 +3414,91 @@ def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     out["node"] = out["node"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Canonical-document selection per near-dup cluster — the KEEP policy
+    that turns dup clusters into a dedup decision: within each connected
+    component, keep the highest-alpha-ratio document (tie → smallest
+    doc_id).
+
+    Composition: exact Jaccard pairs → connected components (labels) →
+    shuffle join of labels onto streamed per-doc quality (never a driver
+    id→label dict — at corpus scale the clustered set is corpus-sized) →
+    per-component winner via one vectorized pass per hash(component)
+    bucket, with (n_members, kept) folded into the join bucket."""
+    from ..stages.graph import connected_components
+    from ..stages.neardup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=threshold, id_col="doc_id", text_col="text"
+    )
+    labels = connected_components(pairs)
+
+    def quality(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        n_alpha = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"[A-Za-z]"),
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "node": pc.cast(batch["doc_id"], pa.int64()),
+                "alpha_ratio": pc.divide(n_alpha, n_chars),
+            }
+        )
+
+    q = ds.map_batches(quality, batch_format="pyarrow")
+
+    def best_per_component(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        df = df.sort_values(
+            ["component", "alpha_ratio", "node"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = df.groupby("component", as_index=False)
+        out = g.first()[["component", "node", "alpha_ratio"]]
+        out = out.merge(
+            g.size().rename(columns={"size": "n_members"}), on="component"
+        )
+        return pa.table(
+            {
+                "component": pa.array(out["component"], type=pa.int64()),
+                "kept_doc": pa.array(out["node"], type=pa.int64()),
+                "best_alpha": pa.array(
+                    out["alpha_ratio"].round(6), type=pa.float64()
+                ),
+                "n_members": pa.array(out["n_members"], type=pa.int64()),
+            }
+        )
+
+    out = shuffle_join(
+        labels,
+        q,
+        keys="node",
+        n_buckets=16,
+        left_schema={"node": pa.int64(), "component": pa.int64()},
+        right_schema={"node": pa.int64(), "alpha_ratio": pa.float64()},
+        bucket_post=None,
+    )
+    # second exchange keyed by component: winners are exact per bucket
+    from ..functions.hashing import hash_bucket
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = hash_bucket([str(v) for v in batch["component"].to_pylist()], 16)
+        return batch.append_column("__cb", pa.array(b))
+
+    out = (
+        out.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(
+            lambda g: best_per_component(pa.Table.from_pandas(g)),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("component").reset_index(drop=True)[
+        ["component", "kept_doc", "best_alpha", "n_members"]
+    ]

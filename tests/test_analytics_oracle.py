@@ -90,6 +90,8 @@ SUBSET = [
     "kg_bfs_levels",
     # composed ER: blocking -> jaccard verify -> connected components
     "er_entity_clusters",
+    # canonical-doc keep policy per dup cluster
+    "dedup_keep_best",
 ]
 
 
