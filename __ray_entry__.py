@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
+        "rolling_active_users": A.rolling_active_users,
         "event_props_stats": A.event_props_stats,
         "signup_purchase_users": A.signup_purchase_users,
         "purchase_since_signup": A.purchase_since_signup,
@@ -1394,6 +1395,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users,
                    count(DISTINCT event_type) AS n_event_types
             FROM events
+        """,
+        "rolling_active_users": """
+            WITH hp AS (
+                SELECT DISTINCT date_trunc('hour', ts) AS h, user_id AS u
+                FROM events),
+            ex AS (
+                SELECT h + to_hours(t.k) AS wh, u
+                FROM hp, range(0, 3) AS t(k))
+            SELECT wh, count(DISTINCT u)::BIGINT AS n_users
+            FROM ex GROUP BY 1 ORDER BY 1
         """,
         "signup_purchase_users": """
             WITH s AS (SELECT user_id, count(*)::BIGINT AS n_signup

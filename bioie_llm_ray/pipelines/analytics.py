@@ -3502,3 +3502,75 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values("component").reset_index(drop=True)[
         ["component", "kept_doc", "best_alpha", "n_members"]
     ]
+
+
+def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
+    """Distinct active users per trailing ``window_h``-hour window — the
+    windowed COUNT DISTINCT, which no simple sliding sum can express (a
+    user active twice inside one window still counts once).
+
+    Exact and fully distributed: (hour, user) pairs dedup (bucketed
+    ``exact_dedup``), each pair explodes to the window-end hours it
+    feeds (vectorized timestamp adds), the exploded (window, user) pairs
+    dedup AGAIN (the cross-hour overlap), and the final count per window
+    is a combiner aggregate.  Cardinality never exceeds
+    pairs × window_h."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.rollup import _grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def hour_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "h": pc.floor_temporal(batch["ts"], unit="hour"),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["h", "user_id"]).aggregate([])
+
+    pairs = exact_dedup(
+        ds.map_batches(hour_pairs, batch_format="pyarrow"),
+        ["h", "user_id"],
+        n_buckets=16,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        whs, us = [], []
+        for k in range(window_h):
+            whs.append(
+                pc.add(
+                    batch["h"], pa.scalar(pd.Timedelta(hours=k))
+                ).combine_chunks()
+            )
+            us.append(batch["user_id"].combine_chunks())
+        return pa.table(
+            {
+                "wh": pa.concat_arrays(
+                    [c for a in whs for c in (a.chunks if hasattr(a, "chunks") else [a])]
+                ),
+                "user_id": pa.concat_arrays(
+                    [c for a in us for c in (a.chunks if hasattr(a, "chunks") else [a])]
+                ),
+            }
+        )
+
+    win_pairs = exact_dedup(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        ["wh", "user_id"],
+        n_buckets=16,
+    )
+    counts = _grouped_agg(
+        win_pairs.map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), dtype="int64"))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["wh"],
+        aggs={"n_users": ("one", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
+    counts["n_users"] = counts["n_users"].astype("int64")
+    return counts.sort_values("wh").reset_index(drop=True)[["wh", "n_users"]]

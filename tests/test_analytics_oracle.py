@@ -92,6 +92,8 @@ SUBSET = [
     "er_entity_clusters",
     # canonical-doc keep policy per dup cluster
     "dedup_keep_best",
+    # windowed COUNT DISTINCT (explode + double dedup)
+    "rolling_active_users",
 ]
 
 
