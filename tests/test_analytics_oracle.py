@@ -94,6 +94,8 @@ SUBSET = [
     "dedup_keep_best",
     # windowed COUNT DISTINCT (explode + double dedup)
     "rolling_active_users",
+    # ER blocking (rewritten size-class pair generation + combiner CBS)
+    "er_blocking_pairs",
 ]
 
 
