@@ -362,21 +362,27 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
-    """Tumbling 1-hour window counts per user (stream-shaped workload)."""
+    """Tumbling 1-hour window counts per user (stream-shaped workload).
+
+    Bucketed combiner aggregate (``_grouped_agg``) — the native
+    multi-column ``groupby().aggregate(Count)`` sort path measured 15.5 s
+    on the ~96k distinct (user, hour) keys at sf0.1; the combiner form
+    runs in ~3 s."""
+    from ..stages.rollup import _grouped_agg
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def add_hour(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         return pa.table({"user_id": batch["user_id"], "hour": hour})
 
-    from ray.data.aggregate import Count
-
-    out = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"))
-        .to_pandas()
-    )
+    out = _grouped_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        aggs={"n_events": ("user_id", "count")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
 
 

@@ -96,6 +96,8 @@ SUBSET = [
     "rolling_active_users",
     # ER blocking (rewritten size-class pair generation + combiner CBS)
     "er_blocking_pairs",
+    # rewritten to the combiner aggregate (was native multi-col groupby)
+    "user_hourly_activity",
 ]
 
 
