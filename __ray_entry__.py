@@ -1592,7 +1592,7 @@ def oracle_sql() -> dict[str, str]:
                            AS n_members
                 FROM comp JOIN q USING (node))
             SELECT component, node AS kept_doc,
-                   round(alpha_ratio, 6) AS best_alpha,
+                   alpha_ratio AS best_alpha,
                    n_members::BIGINT AS n_members
             FROM ranked WHERE rn = 1 ORDER BY component
         """,
@@ -1780,7 +1780,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
                 GROUP BY 1, 2)
             SELECT id_a, id_b,
-                   round(m::DOUBLE / (ca.n + cb.n - m), 6) AS jaccard
+                   -- round_even matches numpy's half-even .round(6); plain
+                   -- round splits on exact dyadic halves (e.g. odd/2^7)
+                   round_even(m::DOUBLE / (ca.n + cb.n - m), 6) AS jaccard
             FROM inter
             JOIN cnt ca ON ca.doc_id = id_a
             JOIN cnt cb ON cb.doc_id = id_b

@@ -3473,8 +3473,11 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             {
                 "component": pa.array(out["component"], type=pa.int64()),
                 "kept_doc": pa.array(out["node"], type=pa.int64()),
+                # unrounded: both sides compute the same IEEE division, and
+                # explicit round(…, 6) splits on exact half values (numpy
+                # half-even vs DuckDB half-away; seen at alpha = 105/128)
                 "best_alpha": pa.array(
-                    out["alpha_ratio"].round(6), type=pa.float64()
+                    out["alpha_ratio"], type=pa.float64()
                 ),
                 "n_members": pa.array(out["n_members"], type=pa.int64()),
             }
