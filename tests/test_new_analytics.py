@@ -533,3 +533,77 @@ class TestSemiJoinScaleStress:
         )
         assert n_semi == n_left // 2  # even keys = half the rows
         assert n_semi + n_anti == n_left
+
+
+class TestJoinRekeyTopkScaleStress:
+    def test_million_row_fact_join_rekey_topk(self):
+        """>=1M fact rows through the top_return_customers dataflow:
+        fact ⋈ dim-fact shuffle join with a per-bucket re-key rollup, a
+        second combiner exchange on the new key, and a per-block partial
+        top-k whose driver merge sees <= 20 rows per block — nothing
+        corpus-sized ever materializes.  Revenue per customer is
+        analytic (custkey × 100), so the exact top-20 is checkable."""
+        from bioie_llm_ray.stages.join import shuffle_join
+        from bioie_llm_ray.stages.rollup import _grouped_agg
+
+        n_rows, n_orders, n_cust = 1_000_000, 100_000, 10_000
+        fact = ray.data.range(n_rows).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": pa.array(np.asarray(b["id"]) % n_orders),
+                    "revenue": pa.array(
+                        ((np.asarray(b["id"]) % n_orders) % n_cust).astype(
+                            "float64"
+                        )
+                    ),
+                }
+            ),
+            batch_format="numpy",
+        )
+        orders = ray.data.range(n_orders).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": pa.array(np.asarray(b["id"])),
+                    "o_custkey": pa.array(np.asarray(b["id"]) % n_cust),
+                }
+            ),
+            batch_format="numpy",
+        )
+
+        def to_cust(joined: pa.Table) -> pa.Table:
+            g = joined.group_by("o_custkey").aggregate([("revenue", "sum")])
+            return g.rename_columns(["c_custkey", "revenue"])
+
+        partials = shuffle_join(
+            fact,
+            orders,
+            keys="o_orderkey",
+            n_buckets=16,
+            left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
+            right_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+            bucket_post=to_cust,
+        )
+        sums = _grouped_agg(
+            partials,
+            keys=["c_custkey"],
+            aggs={"revenue": ("revenue", "sum")},
+            n_buckets=16,
+            partial=True,
+        )
+
+        def block_topk(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().sort_values(
+                ["revenue", "c_custkey"], ascending=[False, True]
+            ).head(20)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand = sums.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+        top = cand.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True]
+        ).head(20)
+        # each custkey c owns 10 orders x 10 rows, each row worth c
+        assert list(top["c_custkey"]) == list(range(n_cust - 1, n_cust - 21, -1))
+        assert all(
+            top["revenue"].to_numpy()
+            == top["c_custkey"].to_numpy().astype("float64") * 100.0
+        )
