@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": A.doc_repetition,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
+        "curate_corpus": A.curate_corpus,
         "quantity_quantiles": A.quantity_quantiles,
         "distinct_users_hll": A.distinct_users_hll,
         "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
@@ -1298,6 +1299,41 @@ def oracle_sql() -> dict[str, str]:
         # smallest stable hash (first 8 bytes of md5 of the stringified id
         # — functions/hashing.stable_hash_u64), ties broken by the key
         # string exactly like stages/sample._kernel
+        "curate_corpus": r"""
+            WITH q AS (
+                SELECT doc_id, lang, source, text
+                FROM documents
+                WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                          / length(text) >= 0.8175
+                  AND len(regexp_split_to_array(trim(text), '\s+')) >= 5
+                  AND lang IN ('en', 'de', 'fr')),
+            d AS (
+                SELECT *, min(doc_id) OVER (PARTITION BY sha256(text))
+                          AS keeper
+                FROM q),
+            k AS (SELECT doc_id, lang, source, text FROM d
+                  WHERE doc_id = keeper),
+            ev AS (
+                SELECT DISTINCT array_to_string(a[i + 1 : i + 5], ' ') AS g
+                FROM (SELECT string_split_regex(trim(text), '\s+') AS a
+                      FROM documents WHERE doc_id % 10 = 0),
+                     unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5),
+            kg AS (
+                SELECT k.doc_id,
+                       array_to_string(a[i + 1 : i + 5], ' ') AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS a
+                      FROM k) k,
+                     unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5),
+            hits AS (SELECT DISTINCT kg.doc_id
+                     FROM kg JOIN ev ON kg.g = ev.g)
+            SELECT doc_id, lang, source FROM k
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
+        """,
         "source_mixture_sample": r"""
             WITH cnt AS (SELECT source, count(*) AS c
                          FROM documents GROUP BY 1),

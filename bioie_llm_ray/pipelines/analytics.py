@@ -3583,3 +3583,104 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
     ).to_pandas()
     counts["n_users"] = counts["n_users"].astype("int64")
     return counts.sort_values("wh").reset_index(drop=True)[["wh", "n_users"]]
+
+
+def curate_corpus(
+    sf_dir: str,
+    min_alpha: float = 0.8175,
+    min_tokens: int = 5,
+    langs: tuple = ("en", "de", "fr"),
+    n: int = 5,
+    bench_mod: int = 10,
+) -> pd.DataFrame:
+    """The full training-data curation recipe as ONE composed pipeline —
+    quality gate → language gate → exact dedup (keep min doc_id per
+    content sha) → benchmark decontamination — returning the surviving
+    (doc_id, lang, source) set.
+
+    Every stage reuses an engine operator in its scale shape: the gates
+    are vectorized scan-side filters (zero shuffle), the dedup is the
+    bucketed ``argmax_dedup`` keyed on the content sha, and the
+    decontamination broadcasts the eval slice's distinct n-grams via
+    ``ray.put`` while the corpus streams.  One bucketed exchange total."""
+    import ray as _ray
+
+    from ..stages.dedup import argmax_dedup
+
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    lang_set = pa.array(list(langs))
+
+    def gates(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        n_alpha = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"[A-Za-z]"),
+            pa.float64(),
+        )
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(
+                    pc.divide(n_alpha, n_chars), pa.scalar(min_alpha)
+                ),
+                pc.greater_equal(
+                    pc.list_value_length(toks), pa.scalar(min_tokens)
+                ),
+            ),
+            pc.is_in(batch["lang"], value_set=lang_set),
+        )
+        kept = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "lang": kept["lang"],
+                "source": kept["source"],
+                "text": kept["text"],
+                "text_sha256": pa.array(
+                    sha256_hex(kept["text"].to_pylist()), type=pa.string()
+                ),
+            }
+        )
+
+    gated = ds.map_batches(gates, batch_format="pyarrow")
+    deduped = argmax_dedup(
+        gated, ["text_sha256"], order_col="doc_id", descending=False
+    )
+
+    # eval slice n-grams from the FULL corpus (the benchmark is fixed,
+    # not subject to the corpus gates), folded per batch + broadcast once
+    def grams_of(text: str) -> set:
+        toks = text.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = batch["doc_id"].to_numpy(zero_copy_only=False) % bench_mod == 0
+        out: set = set()
+        for t in batch.filter(pa.array(mask))["text"].to_pylist():
+            out |= grams_of(t)
+        return pa.table({"g": pa.array(sorted(out), type=pa.string())})
+
+    bench: set = set()
+    for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bench.update(b["g"].to_pylist())
+    bench_ref = _ray.put(frozenset(bench))
+
+    def decontaminate(batch: pa.Table) -> pa.Table:
+        bset = _ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            keep.append(
+                did % bench_mod != 0 and not (grams_of(t) & bset)
+            )
+        kept = batch.filter(pa.array(keep))
+        return kept.select(["doc_id", "lang", "source"])
+
+    out = deduped.map_batches(decontaminate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

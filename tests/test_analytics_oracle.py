@@ -98,6 +98,8 @@ SUBSET = [
     "er_blocking_pairs",
     # rewritten to the combiner aggregate (was native multi-col groupby)
     "user_hourly_activity",
+    # composed curation recipe: gates -> dedup -> decontamination
+    "curate_corpus",
 ]
 
 
