@@ -588,14 +588,21 @@ def doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    # bucketed combiner aggregate: per-batch (min id, count) partials per
+    # sha, one hash exchange — the native groupby sort path pays a full
+    # sort on what is a corpus-cardinality key at scale
+    from ..stages.rollup import _grouped_agg
 
-    out = (
-        ds.map_batches(add_sha, batch_format="pyarrow")
-        .groupby("text_sha256")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-        .to_pandas()
-    )
+    out = _grouped_agg(
+        ds.map_batches(add_sha, batch_format="pyarrow"),
+        keys=["text_sha256"],
+        aggs={
+            "doc_id": ("doc_id", "min"),
+            "n_copies": ("doc_id", "count"),
+        },
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "text_sha256", "n_copies"]
     ]
