@@ -2585,17 +2585,11 @@ def top_return_customers(sf_dir: str) -> pd.DataFrame:
         partial=True,
     )
 
-    def block_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            ["revenue", "c_custkey"], ascending=[False, True], kind="stable"
-        ).head(20)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    from ..stages.sample import distributed_sort_top_k
 
-    cand = sums.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-    top = cand.sort_values(
-        ["revenue", "c_custkey"], ascending=[False, True], kind="stable"
-    ).head(20)
+    top = distributed_sort_top_k(
+        sums, ["revenue", "c_custkey"], ascending=[False, True], k=20
+    )
 
     keyset = pa.array(top["c_custkey"].astype("int64"))
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
@@ -2760,17 +2754,11 @@ def large_orders(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
         },
     )
 
-    def block_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
-        ).head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    from ..stages.sample import distributed_sort_top_k
 
-    out = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(
-        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
-    ).head(10)
+    out = distributed_sort_top_k(
+        joined, ["o_totalprice", "o_orderkey"], ascending=[False, True], k=10
+    )
     return out[
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty"]
     ].reset_index(drop=True)

@@ -144,3 +144,32 @@ def _as_table(ds: ray.data.Dataset) -> pa.Table:
         empty = ray.get(refs[0]) if refs else None
         return empty if empty is not None else pa.table({})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def distributed_sort_top_k(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+) -> "pd.DataFrame":
+    """Global top-k by arbitrary sort columns: per-block partial top-k +
+    one driver merge of ≤ k rows per block.
+
+    The ORDER BY ... LIMIT k primitive without a global sort — right
+    whenever k ≪ rows per block.  ``sort_cols``/``ascending`` must make
+    the ordering total (include a unique tie-break column) or the result
+    is input-partitioning-dependent."""
+    import pandas as pd
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            sort_cols, ascending=ascending, kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return (
+        cand.sort_values(sort_cols, ascending=ascending, kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
