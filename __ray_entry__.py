@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
         "rolling_active_users": A.rolling_active_users,
+        "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
         "signup_purchase_users": A.signup_purchase_users,
         "purchase_since_signup": A.purchase_since_signup,
@@ -1431,6 +1432,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS n_users,
                    count(DISTINCT event_type) AS n_event_types
             FROM events
+        """,
+        "events_incremental_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "rolling_active_users": """
             WITH hp AS (

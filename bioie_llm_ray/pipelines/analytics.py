@@ -3679,3 +3679,76 @@ def curate_corpus(
 
     out = deduped.map_batches(decontaminate, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hourly_counts_asof(
+    ds: "ray.data.Dataset", cutoff: pd.Timestamp
+) -> "ray.data.Dataset":
+    """(user_id, hour, n_events) partial-count table for events ≤ cutoff —
+    the mergeable state unit of `events_incremental_hourly` (combiner
+    partials + one bucketed exchange; re-aggregable because counts sum)."""
+    from ..stages.rollup import _grouped_agg
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(
+            pc.less_equal(batch["ts"], pa.scalar(cutoff))
+        )
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "hour": pc.floor_temporal(kept["ts"], unit="hour"),
+            }
+        )
+
+    return _grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        aggs={"n_events": ("user_id", "count")},
+        n_buckets=16,
+        partial=True,
+    )
+
+
+def events_incremental_hourly(sf_dir: str) -> pd.DataFrame:
+    """Incremental analytics over the events stream: hourly per-user
+    counts maintained across two ingest cuts.  The first cut's aggregate
+    is REUSED as mergeable state — the refresh re-aggregates only the
+    delta slice (ts pushdown at the scan) and merges via one more
+    combiner pass, never re-reading the old events.
+
+    The events-table counterpart of the code table's incremental KG
+    refresh; a unit test proves merge(state(t1), delta(t1, t2)) equals
+    the full recompute at t2.  The query returns the refreshed table (its
+    oracle is the plain full aggregate at t2 — equality IS the
+    incremental-correctness claim)."""
+    from ..stages.rollup import _grouped_agg
+
+    t1 = pd.Timestamp("2024-01-15")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    state = hourly_counts_asof(ds, t1)  # the checkpointed first cut
+
+    def delta_prep(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch["ts"], pa.scalar(t1)))
+        return pa.table(
+            {
+                "user_id": kept["user_id"],
+                "hour": pc.floor_temporal(kept["ts"], unit="hour"),
+            }
+        )
+
+    delta = _grouped_agg(
+        ds.map_batches(delta_prep, batch_format="pyarrow"),
+        keys=["user_id", "hour"],
+        aggs={"n_events": ("user_id", "count")},
+        n_buckets=16,
+        partial=True,
+    )
+    merged = _grouped_agg(
+        state.union(delta),
+        keys=["user_id", "hour"],
+        aggs={"n_events": ("n_events", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
+    merged["n_events"] = merged["n_events"].astype("int64")
+    return merged.sort_values(["user_id", "hour"]).reset_index(drop=True)

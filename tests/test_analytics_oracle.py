@@ -100,6 +100,8 @@ SUBSET = [
     "user_hourly_activity",
     # composed curation recipe: gates -> dedup -> decontamination
     "curate_corpus",
+    # incremental aggregation: state(t1) + delta == full recompute
+    "events_incremental_hourly",
 ]
 
 

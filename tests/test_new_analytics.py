@@ -607,3 +607,29 @@ class TestJoinRekeyTopkScaleStress:
             top["revenue"].to_numpy()
             == top["c_custkey"].to_numpy().astype("float64") * 100.0
         )
+
+
+class TestIncrementalHourly:
+    def test_incremental_equals_full_recompute(self, sf_dir):
+        """merge(state(t1), delta(t1, t2)) == full aggregate at t2 — the
+        incremental-correctness contract of events_incremental_hourly."""
+        import pandas as pd
+
+        from bioie_llm_ray.pipelines.analytics import (
+            events_incremental_hourly,
+            hourly_counts_asof,
+            _read,
+        )
+
+        inc = events_incremental_hourly(sf_dir)
+        full = (
+            hourly_counts_asof(
+                _read(sf_dir, "events", columns=["user_id", "ts"]),
+                pd.Timestamp("2099-01-01"),
+            )
+            .to_pandas()
+            .sort_values(["user_id", "hour"])
+            .reset_index(drop=True)
+        )
+        full["n_events"] = full["n_events"].astype("int64")
+        pd.testing.assert_frame_equal(inc, full)
