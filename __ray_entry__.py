@@ -907,14 +907,14 @@ def oracle_sql() -> dict[str, str]:
                   AND sn.n_name <> cn.n_name
             )
             SELECT supp_nation, cust_nation, l_year,
-                   round(sum(rev), 2) AS revenue
+                   round_even(sum(rev), 2) AS revenue
             FROM rows GROUP BY 1, 2, 3
-            ORDER BY round(sum(rev), 2) DESC, supp_nation, cust_nation, l_year
+            ORDER BY round_even(sum(rev), 2) DESC, supp_nation, cust_nation, l_year
             LIMIT 20
         """,
         "top_return_customers": """
             SELECT c.c_custkey, c.c_name, n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   round_even(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
                        AS revenue
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -938,7 +938,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "promo_revenue_ratio": """
-            SELECT round(
+            SELECT round_even(
                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                                  THEN l.l_extendedprice * (1 - l.l_discount)
                                  ELSE 0 END)
@@ -960,7 +960,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "disjunctive_revenue": """
-            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            SELECT round_even(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
                 AS revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE (p.p_brand = 'Brand#12'
@@ -978,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
                        WHERE c_acctbal > 0)
             SELECT c.c_mktsegment,
                    count(*)::BIGINT AS n_customers,
-                   round(sum(c.c_acctbal), 2) AS total_bal
+                   round_even(sum(c.c_acctbal), 2) AS total_bal
             FROM customer c, a
             WHERE c.c_acctbal > a.v
               AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1079,11 +1079,11 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT year(o_orderdate)::BIGINT AS y,
                        month(o_orderdate)::BIGINT AS m,
-                       round(sum(o_totalprice), 2) AS revenue
+                       round_even(sum(o_totalprice), 2) AS revenue
                 FROM orders GROUP BY 1, 2)
             SELECT y, m, revenue,
                    coalesce(
-                       round((revenue - lag(revenue) OVER w)
+                       round_even((revenue - lag(revenue) OVER w)
                              / lag(revenue) OVER w * 100.0, 6),
                        0.0) AS growth_pct
             FROM s WINDOW w AS (ORDER BY y, m)
@@ -1092,8 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round_even(sum(l_quantity), 2) AS sum_qty,
+                   round_even(sum(l_extendedprice), 2) AS sum_price,
                    count(l_quantity) AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1465,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT event_type, count(k)::BIGINT AS n,
                    sum(k)::BIGINT AS sum_k,
-                   round(sum(k) / count(k), 6) AS avg_k
+                   round_even(sum(k) / count(k), 6) AS avg_k
             FROM x GROUP BY 1 ORDER BY 1
         """,
         "user_event_gaps": """

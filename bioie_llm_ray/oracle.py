@@ -976,9 +976,9 @@ est AS (
 ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact
        FROM events GROUP BY 1)
 SELECT est.event_type,
-       round(est.estimate, 1) AS estimate,
+       round_even(est.estimate, 1) AS estimate,
        ex.exact,
-       round(abs(est.estimate - ex.exact) / ex.exact, 6) AS rel_error
+       round_even(abs(est.estimate - ex.exact) / ex.exact, 6) AS rel_error
 FROM est JOIN ex USING (event_type)
 ORDER BY 1
 """

@@ -364,11 +364,11 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window counts per user (stream-shaped workload).
 
-    Bucketed combiner aggregate (``_grouped_agg``) — the native
+    Bucketed combiner aggregate (``grouped_agg``) — the native
     multi-column ``groupby().aggregate(Count)`` sort path measured 15.5 s
     on the ~96k distinct (user, hour) keys at sf0.1; the combiner form
     runs in ~3 s."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
@@ -376,7 +376,7 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         return pa.table({"user_id": batch["user_id"], "hour": hour})
 
-    out = _grouped_agg(
+    out = grouped_agg(
         ds.map_batches(add_hour, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
@@ -591,9 +591,9 @@ def doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     # bucketed combiner aggregate: per-batch (min id, count) partials per
     # sha, one hash exchange — the native groupby sort path pays a full
     # sort on what is a corpus-cardinality key at scale
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
-    out = _grouped_agg(
+    out = grouped_agg(
         ds.map_batches(add_sha, batch_format="pyarrow"),
         keys=["text_sha256"],
         aggs={
@@ -2015,13 +2015,13 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     partials + bucketed combine), then rejoins the SAME fact table via
     ``shuffle_join``; the below-threshold filter and revenue partial fold
     into the join bucket, so only one float per bucket returns."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
-    sums = _grouped_agg(
+    sums = grouped_agg(
         li.select_columns(["l_partkey", "l_quantity"]),
         keys=["l_partkey"],
         aggs={"s": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
@@ -2541,11 +2541,11 @@ def top_return_customers(sf_dir: str) -> pd.DataFrame:
     lineitem(R) ⋈ orders is the fact-fact edge bucketed on the order key;
     the per-customer rollup starts inside the join bucket (partials keyed by
     o_custkey), a SECOND bucketed exchange on the customer key finishes the
-    sums exactly (``_grouped_agg``), and the global top-20 is a per-block
+    sums exactly (``grouped_agg``), and the global top-20 is a per-block
     partial top-k + driver merge — the only driver state is 20 rows per
     block.  Names attach afterwards via a 20-key pruned fetch, never a wide
     join."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     li = _read(
         sf_dir,
@@ -2577,7 +2577,7 @@ def top_return_customers(sf_dir: str) -> pd.DataFrame:
         bucket_post=to_cust_partials,
     )
     # rename right-side key: bucket_post already emitted c_custkey partials
-    sums = _grouped_agg(
+    sums = grouped_agg(
         partials,
         keys=["c_custkey"],
         aggs={"revenue": ("revenue", "sum")},
@@ -2721,10 +2721,10 @@ def large_orders(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
     + one bucketed exchange); the HAVING filter runs inside the combine, so
     only qualifying keys flow into the second ``shuffle_join`` against the
     orders fact table.  Top-10 by (o_totalprice desc, key) on the driver."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    sums = _grouped_agg(
+    sums = grouped_agg(
         li,
         keys=["l_orderkey"],
         aggs={"sum_qty": ("l_quantity", "sum")},
@@ -2902,10 +2902,10 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
     each bucket sees every lineitem of its orders, so the group-wise
     EXISTS / NOT-EXISTS reduces to a vectorized pandas pass (per-(order,
     supplier) any-R combiner runs per batch BEFORE the exchange).  The
-    per-supplier count re-aggregates via ``_grouped_agg``; names attach by
+    per-supplier count re-aggregates via ``grouped_agg``; names attach by
     a pruned point fetch of the ≤ top_n winning keys."""
-    from ..stages.rollup import _grouped_agg
-    from ..functions.hashing import hash_bucket
+    from ..stages.rollup import grouped_agg
+    from ..functions.hashing import bucket_ids_for_column
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
@@ -2923,7 +2923,7 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
         )
         g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("is_r", "max")])
         g = g.rename_columns(["l_orderkey", "l_suppkey", "any_r"])
-        b = hash_bucket([str(v) for v in g["l_orderkey"].to_pylist()], 32)
+        b = bucket_ids_for_column(g["l_orderkey"], 32)
         return g.append_column("_b", pa.array(b))
 
     pairs = li.map_batches(per_pair, batch_format="pyarrow")
@@ -2947,7 +2947,7 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
         )
 
     hits = pairs.groupby("_b").map_groups(offenders, batch_format="pandas")
-    counts = _grouped_agg(
+    counts = grouped_agg(
         hits,
         keys=["l_suppkey"],
         aggs={"n_orders": ("n", "sum")},
@@ -3130,29 +3130,25 @@ def signup_purchase_users(sf_dir: str) -> pd.DataFrame:
     zero-fills.
 
     Both inputs pre-aggregate to one row per (user, side) with combiner
-    partials (``_grouped_agg``), so the full-outer ``shuffle_join`` moves
+    partials (``grouped_agg``), so the full-outer ``shuffle_join`` moves
     only the distinct-user sets; each bucket's Arrow ``full outer`` kernel
     is exact because a user hashes to exactly one bucket."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def side(ev: str, out: str):
-        filt = ds.map_batches(
-            lambda b, e=ev, o=out: pa.table(
+        def prep(b: pa.Table, e=ev, o=out) -> pa.Table:
+            kept = b.filter(pc.equal(b["event_type"], e))
+            return pa.table(
                 {
-                    "user_id": b.filter(pc.equal(b["event_type"], e))[
-                        "user_id"
-                    ],
-                    o: pa.nulls(
-                        len(b.filter(pc.equal(b["event_type"], e))),
-                        type=pa.int64(),
-                    ).fill_null(1),
+                    "user_id": kept["user_id"],
+                    o: pa.array(np.ones(len(kept), dtype="int64")),
                 }
-            ),
-            batch_format="pyarrow",
-        )
-        return _grouped_agg(
+            )
+
+        filt = ds.map_batches(prep, batch_format="pyarrow")
+        return grouped_agg(
             filt,
             keys=["user_id"],
             aggs={out: (out, "sum")},
@@ -3220,7 +3216,7 @@ def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
     user rows).  The oracle rebuilds the register pipeline per group in
     SQL, so the estimate itself — not just the exact side — is
     hash-verified."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     from ..stages.sketch import approx_distinct_grouped
@@ -3232,7 +3228,7 @@ def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
 
     pairs = exact_dedup(ds, ["event_type", "user_id"], n_buckets=16)
     exact = (
-        _grouped_agg(
+        grouped_agg(
             pairs.map_batches(
                 lambda b: b.append_column(
                     "one", pa.array(np.ones(len(b), dtype="int64"))
@@ -3263,7 +3259,7 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     small exchange), then the LAG/pct-change pass over the ≤ n_months
     result rows on the driver (the series is aggregate-sized by
     construction, so driver-side is the right place)."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
@@ -3276,7 +3272,7 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    sums = _grouped_agg(
+    sums = grouped_agg(
         ds.map_batches(keyed, batch_format="pyarrow"),
         keys=["y", "m"],
         aggs={"revenue": ("o_totalprice", "sum")},
@@ -3488,10 +3484,10 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         bucket_post=None,
     )
     # second exchange keyed by component: winners are exact per bucket
-    from ..functions.hashing import hash_bucket
+    from ..functions.hashing import bucket_ids_for_column
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = hash_bucket([str(v) for v in batch["component"].to_pylist()], 16)
+        b = bucket_ids_for_column(batch["component"], 16)
         return batch.append_column("__cb", pa.array(b))
 
     out = (
@@ -3520,7 +3516,7 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
     is a combiner aggregate.  Cardinality never exceeds
     pairs × window_h."""
     from ..stages.dedup import exact_dedup
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 
@@ -3564,7 +3560,7 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
         ["wh", "user_id"],
         n_buckets=16,
     )
-    counts = _grouped_agg(
+    counts = grouped_agg(
         win_pairs.map_batches(
             lambda b: b.append_column(
                 "one", pa.array(np.ones(len(b), dtype="int64"))
@@ -3687,7 +3683,7 @@ def hourly_counts_asof(
     """(user_id, hour, n_events) partial-count table for events ≤ cutoff —
     the mergeable state unit of `events_incremental_hourly` (combiner
     partials + one bucketed exchange; re-aggregable because counts sum)."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     def prep(batch: pa.Table) -> pa.Table:
         kept = batch.filter(
@@ -3700,7 +3696,7 @@ def hourly_counts_asof(
             }
         )
 
-    return _grouped_agg(
+    return grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
@@ -3721,7 +3717,7 @@ def events_incremental_hourly(sf_dir: str) -> pd.DataFrame:
     the full recompute at t2.  The query returns the refreshed table (its
     oracle is the plain full aggregate at t2 — equality IS the
     incremental-correctness claim)."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     t1 = pd.Timestamp("2024-01-15")
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
@@ -3736,14 +3732,14 @@ def events_incremental_hourly(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    delta = _grouped_agg(
+    delta = grouped_agg(
         ds.map_batches(delta_prep, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
         n_buckets=16,
         partial=True,
     )
-    merged = _grouped_agg(
+    merged = grouped_agg(
         state.union(delta),
         keys=["user_id", "hour"],
         aggs={"n_events": ("n_events", "sum")},

@@ -248,10 +248,13 @@ def file_history(
 
     def intervals(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["repo", "path", "commit_ts"], kind="mergesort")
-        # shift() emits float64 (NaN for group tails); route through the
-        # nullable Int64 dtype so the int64-max sentinel survives exactly
+        # cast to nullable Int64 BEFORE the shift: shifting an int64 column
+        # emits float64 (NaN tails), which silently rounds timestamps above
+        # 2^53; the nullable dtype shifts without leaving integer space
         nxt = (
-            g.groupby(["repo", "path"])["commit_ts"].shift(-1).astype("Int64")
+            g["commit_ts"].astype("Int64").groupby(
+                [g["repo"], g["path"]]
+            ).shift(-1)
         )
         out = pd.DataFrame(
             {
@@ -524,7 +527,7 @@ def clone_pairs(
     shared fingerprints per (file_a, file_b) and keeps cross-repo pairs
     with ≥ ``min_shared``.  Content never enters either exchange (only
     (fingerprint, file-id) rows move)."""
-    from ..stages.rollup import _grouped_agg
+    from ..stages.rollup import grouped_agg
 
     snap = latest_snapshot(ds, n_buckets=n_buckets)
 
@@ -574,7 +577,7 @@ def clone_pairs(
         fps.groupby("__bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
-    counts = _grouped_agg(
+    counts = grouped_agg(
         pairs,
         keys=["id_a", "id_b"],
         aggs={"n_shared": ("n", "sum")},

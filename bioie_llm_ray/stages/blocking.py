@@ -127,9 +127,9 @@ def token_blocking_pairs(
     # multi-column groupby(...).aggregate(Count) sort path measured 47.8 s
     # on the 458k-pair set at sf0.1; this path brings the whole operator
     # to 5.6 s
-    from .rollup import _grouped_agg
+    from .rollup import grouped_agg
 
-    weighted = _grouped_agg(
+    weighted = grouped_agg(
         pairs,
         keys=["id_a", "id_b"],
         aggs={"cbs": ("id_a", "count")},

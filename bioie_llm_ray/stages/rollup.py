@@ -46,7 +46,7 @@ def _agg_pairs(aggs: dict, partial: bool) -> tuple[list, list]:
     return pairs, names
 
 
-def _grouped_agg(
+def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     aggs: dict,
@@ -111,41 +111,48 @@ def _grouped_agg(
     )
 
 
-def rollup_aggregate(
+# legacy private name, kept for in-repo callers
+_grouped_agg = grouped_agg
+
+
+def grouping_sets_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],
+    subsets: list[tuple],
     aggs: dict[str, tuple[str, str]],
     n_buckets: int = 32,
     key_types: dict | None = None,
 ) -> ray.data.Dataset:
-    """ROLLUP(keys): aggregate at every prefix level of ``keys`` plus the
-    grand total, rolled-up key columns NULL.
+    """GROUPING SETS core: aggregate at the finest key set plus every
+    listed ``subsets`` entry, absent key columns NULL.
 
     ``aggs``: {out_name: (source_col, fn)} with fn ∈ sum/count/min/max.
-    The input shuffles once (finest level); levels ``keys[:i]`` re-aggregate
-    the finest result, whose size is the finest group count, not the input.
+    The input shuffles ONCE (the finest set, all ``keys``); every subset
+    re-aggregates the finest RESULT with count→sum semantics, so extra
+    sets cost small exchanges over group-count-sized data, never a second
+    input pass.  ``rollup_aggregate`` passes the key prefixes,
+    ``cube_aggregate`` every combination; pass your own list for ad-hoc
+    GROUPING SETS.
 
-    ``key_types`` ({key: pyarrow type}) skips the ``Dataset.schema()`` probe
-    when the caller statically knows key dtypes (used for the NULL columns
-    of rolled-up levels).
-    """
+    ``key_types`` ({key: pyarrow type}) skips the ``Dataset.schema()``
+    probe when the caller statically knows key dtypes (used for the NULL
+    columns of coarser sets)."""
     keys = list(keys)
     if key_types is None:
         s = ds.schema()
-        key_types = {
-            n: t for n, t in zip(s.names, s.types) if n in keys
-        }
+        key_types = {n: t for n, t in zip(s.names, s.types) if n in keys}
 
-    finest = _grouped_agg(ds, keys, aggs, n_buckets, partial=True)
-    # coarser levels re-aggregate the FINEST RESULT with count→sum semantics
+    finest = grouped_agg(ds, keys, aggs, n_buckets, partial=True)
     reagg = {out: (out, fn) for out, (_, fn) in aggs.items()}
 
     levels = [finest]
-    for i in range(len(keys) - 1, -1, -1):
-        lvl_keys = keys[:i]
-        lvl = _grouped_agg(finest, lvl_keys, reagg, n_buckets, partial=False)
+    for subset in subsets:
+        lvl = grouped_agg(finest, list(subset), reagg, n_buckets, partial=False)
 
-        def widen(batch: pa.Table, missing=tuple(keys[i:])) -> pa.Table:
+        def widen(
+            batch: pa.Table,
+            missing=tuple(k for k in keys if k not in subset),
+        ) -> pa.Table:
             for k in missing:
                 batch = batch.append_column(
                     k, pa.nulls(len(batch), type=key_types[k])
@@ -164,6 +171,26 @@ def rollup_aggregate(
     for lvl in ordered[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 32,
+    key_types: dict | None = None,
+) -> ray.data.Dataset:
+    """ROLLUP(keys): every prefix level of ``keys`` plus the grand total
+    (see ``grouping_sets_aggregate`` for the dataflow)."""
+    keys = list(keys)
+    return grouping_sets_aggregate(
+        ds,
+        keys,
+        [tuple(keys[:i]) for i in range(len(keys) - 1, -1, -1)],
+        aggs,
+        n_buckets=n_buckets,
+        key_types=key_types,
+    )
 
 
 def pivot_counts(
@@ -262,51 +289,17 @@ def cube_aggregate(
     n_buckets: int = 32,
     key_types: dict | None = None,
 ) -> ray.data.Dataset:
-    """CUBE(keys): aggregate at EVERY subset of ``keys`` (all 2^n grouping
-    sets), absent key columns NULL — the full generalization of
-    ``rollup_aggregate`` (which emits only prefix sets).
-
-    The input shuffles ONCE (the finest set, all keys); every coarser set
-    re-aggregates the finest RESULT, whose size is the finest group count —
-    so 2^n sets cost 2^n small exchanges over group-count-sized data, never
-    a second input-sized pass.  ``n`` is bounded by the caller (CUBE over
-    many keys explodes by definition)."""
+    """CUBE(keys): EVERY subset of ``keys`` (all 2^n grouping sets); ``n``
+    is bounded by the caller — CUBE over many keys explodes by definition
+    (see ``grouping_sets_aggregate`` for the dataflow)."""
     from itertools import combinations
 
     keys = list(keys)
-    if key_types is None:
-        s = ds.schema()
-        key_types = {n: t for n, t in zip(s.names, s.types) if n in keys}
-
-    finest = _grouped_agg(ds, keys, aggs, n_buckets, partial=True)
-    reagg = {out: (out, fn) for out, (_, fn) in aggs.items()}
-
-    levels = [finest]
-    for r in range(len(keys) - 1, -1, -1):
-        for subset in combinations(keys, r):
-            lvl = _grouped_agg(
-                finest, list(subset), reagg, n_buckets, partial=False
-            )
-
-            def widen(
-                batch: pa.Table,
-                missing=tuple(k for k in keys if k not in subset),
-            ) -> pa.Table:
-                for k in missing:
-                    batch = batch.append_column(
-                        k, pa.nulls(len(batch), type=key_types[k])
-                    )
-                return batch.select(list(keys) + list(reagg))
-
-            levels.append(lvl.map_batches(widen, batch_format="pyarrow"))
-
-    ordered = [
-        lvl.map_batches(
-            lambda b: b.select(keys + list(aggs)), batch_format="pyarrow"
-        )
-        for lvl in levels
+    subsets = [
+        sub
+        for r in range(len(keys) - 1, -1, -1)
+        for sub in combinations(keys, r)
     ]
-    out = ordered[0]
-    for lvl in ordered[1:]:
-        out = out.union(lvl)
-    return out
+    return grouping_sets_aggregate(
+        ds, keys, subsets, aggs, n_buckets=n_buckets, key_types=key_types
+    )

@@ -427,3 +427,30 @@ class TestClonePairsScaleStress:
             ~out["repo_b"].isin(clones) & ~out["repo_a"].isin(clones)
         ]
         assert len(fp) == 0, fp.head()
+
+
+def test_file_history_preserves_above_2pow53_timestamps():
+    """shift() on raw int64 goes through float64 and rounds big
+    timestamps; the Int64-before-shift route must keep them exact."""
+    t = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["f", "f"],
+            "commit": ["c1", "c2"],
+            "commit_ts": pa.array(
+                [1700000000123456789, 1700000000123456790], type=pa.int64()
+            ),
+        }
+    )
+    out = (
+        C.file_history(ray.data.from_arrow(t), n_buckets=2)
+        .to_pandas()
+        .sort_values("valid_from")
+        .reset_index(drop=True)
+    )
+    assert list(out["valid_from"]) == [
+        1700000000123456789,
+        1700000000123456790,
+    ]
+    assert out.loc[0, "valid_to"] == 1700000000123456790
+    assert out.loc[1, "valid_to"] == (1 << 63) - 1

@@ -544,7 +544,7 @@ class TestJoinRekeyTopkScaleStress:
         corpus-sized ever materializes.  Revenue per customer is
         analytic (custkey × 100), so the exact top-20 is checkable."""
         from bioie_llm_ray.stages.join import shuffle_join
-        from bioie_llm_ray.stages.rollup import _grouped_agg
+        from bioie_llm_ray.stages.rollup import grouped_agg
 
         n_rows, n_orders, n_cust = 1_000_000, 100_000, 10_000
         fact = ray.data.range(n_rows).map_batches(
@@ -583,7 +583,7 @@ class TestJoinRekeyTopkScaleStress:
             right_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
             bucket_post=to_cust,
         )
-        sums = _grouped_agg(
+        sums = grouped_agg(
             partials,
             keys=["c_custkey"],
             aggs={"revenue": ("revenue", "sum")},
