@@ -408,6 +408,12 @@ def _code_clone_pairs(sf_dir: str):
     return C.clone_pairs_query(_code_fixture_path())
 
 
+def _code_repo_stats(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.repo_stats_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -542,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_commit_diff": _code_commit_diff,
         "code_file_history": _code_file_history,
         "code_clone_pairs": _code_clone_pairs,
+        "code_repo_stats": _code_repo_stats,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -620,6 +627,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status
             FROM b LEFT JOIN a USING (repo, path)
             ORDER BY repo, path
+        """,
+        "code_repo_stats": f"""
+            WITH snap AS (
+                SELECT repo, path FROM read_parquet('{code_pq}')
+                QUALIFY row_number() OVER (
+                    PARTITION BY repo, path ORDER BY commit_ts DESC) = 1),
+            f AS (SELECT repo, count(*)::BIGINT AS n_files
+                  FROM snap GROUP BY 1),
+            v AS (SELECT repo, count(*)::BIGINT AS n_versions,
+                         max(commit_ts) AS last_commit_ts
+                  FROM read_parquet('{code_pq}') GROUP BY 1),
+            l AS (SELECT repo, count(DISTINCT lang)::BIGINT AS n_langs
+                  FROM read_parquet('{code_pq}') GROUP BY 1)
+            SELECT f.repo, f.n_files, v.n_versions, l.n_langs,
+                   v.last_commit_ts
+            FROM f JOIN v USING (repo) JOIN l USING (repo)
+            ORDER BY repo
         """,
         "code_file_history": f"""
             SELECT repo, path, "commit",

@@ -625,3 +625,59 @@ def clone_pairs_query(code_parquet: str) -> pd.DataFrame:
     return out.sort_values(
         ["repo_a", "path_a", "repo_b", "path_b"]
     ).reset_index(drop=True)
+
+
+def repo_stats(ds: ray.data.Dataset, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-repo catalog row: latest-snapshot file count, total version
+    count, distinct language count, newest commit timestamp.
+
+    Three combiner aggregates (``grouped_agg``) — over the snapshot, the
+    raw version stream, and the exact-deduped (repo, lang) pairs — each
+    one bucketed exchange over repo-cardinality data; merged on the
+    driver where a row per repo is the whole result."""
+    from ..stages.dedup import exact_dedup as _exact_dedup
+    from ..stages.rollup import grouped_agg
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts"]), n_buckets=n_buckets
+    )
+    files = grouped_agg(
+        snap,
+        keys=["repo"],
+        aggs={"n_files": ("path", "count")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
+    versions = grouped_agg(
+        ds.select_columns(["repo", "commit_ts"]),
+        keys=["repo"],
+        aggs={
+            "n_versions": ("commit_ts", "count"),
+            "last_commit_ts": ("commit_ts", "max"),
+        },
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
+    langs = grouped_agg(
+        _exact_dedup(
+            ds.select_columns(["repo", "lang"]), ["repo", "lang"],
+            n_buckets=n_buckets,
+        ),
+        keys=["repo"],
+        aggs={"n_langs": ("lang", "count")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
+    out = files.merge(versions, on="repo").merge(langs, on="repo")
+    for c in ("n_files", "n_versions", "n_langs", "last_commit_ts"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("repo").reset_index(drop=True)[
+        ["repo", "n_files", "n_versions", "n_langs", "last_commit_ts"]
+    ]
+
+
+def repo_stats_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "lang"]
+    )
+    return repo_stats(ds, n_buckets=8)

@@ -102,6 +102,8 @@ SUBSET = [
     "curate_corpus",
     # incremental aggregation: state(t1) + delta == full recompute
     "events_incremental_hourly",
+    # per-repo catalog stats over the code table
+    "code_repo_stats",
 ]
 
 
