@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
+        "events_global_rank": A.events_global_rank,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1501,6 +1502,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "events_global_rank": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rn,
+                   rank() OVER (ORDER BY ts)::BIGINT AS rnk,
+                   dense_rank() OVER (ORDER BY ts)::BIGINT AS drnk,
+                   ntile(7) OVER (ORDER BY ts, event_id)::BIGINT AS tile
+            FROM events
+            ORDER BY event_id
         """,
         "quantity_quantiles": """
             SELECT CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,

@@ -3092,6 +3092,35 @@ def user_event_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_global_rank(sf_dir: str) -> pd.DataFrame:
+    """Global ranking windows over the full events stream: ``row_number`` /
+    ``rank`` / ``dense_rank`` / ``ntile(7)`` over ``ORDER BY ts`` (ties in
+    ``rank``/``dense_rank``; ``event_id`` tie-break pins ``row_number`` and
+    ``ntile`` deterministically).
+
+    Runs on `stages/scan.global_order_ranks` — sampled-splitter range
+    partitioning (all equal keys in one bucket, so per-bucket rank arithmetic
+    is exact), one range exchange + one tiny (rows, distincts)-per-bucket
+    offset fold; never a single-reducer global sort."""
+    from ..stages.scan import global_order_ranks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    ranked = global_order_ranks(
+        ds, "ts", tiebreak=["event_id"], n_buckets=32, ntile=7
+    )
+    out = ranked.to_pandas()[
+        ["event_id", "row_number", "rank", "dense_rank", "ntile"]
+    ].rename(
+        columns={
+            "row_number": "rn",
+            "rank": "rnk",
+            "dense_rank": "drnk",
+            "ntile": "tile",
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def event_props_stats(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull the numeric ``k`` field out of the
     JSON ``props`` string column and aggregate it per event type.

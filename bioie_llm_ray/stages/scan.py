@@ -106,6 +106,159 @@ def ordered_prefix_sum(
     )
 
 
+def global_order_ranks(
+    ds: ray.data.Dataset,
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    n_buckets: int = 64,
+    sample_per_block: int = 32,
+    ntile: int | None = None,
+    out_prefix: str = "",
+) -> ray.data.Dataset:
+    """Global ``row_number`` / ``rank`` / ``dense_rank`` (and optionally
+    ``ntile``) over an arbitrary ORDER BY — the TeraSort-style sampled-splitter
+    range partition, generalized to ranking with ties.
+
+    ``ordered_prefix_sum`` needs an integer, unique order key; this operator
+    takes any comparable ``order_col`` (int, float, string, timestamp), with
+    ties, plus ``tiebreak`` columns that make (order_col, *tiebreak) unique so
+    ``row_number`` is deterministic (SQL ``row_number() OVER (ORDER BY
+    order_col, *tiebreak)``; ``rank``/``dense_rank`` use ``order_col`` alone,
+    exactly like SQL).
+
+    Plan — nothing bigger than ``n_buckets`` scalars ever reaches the driver:
+
+    1. **sample pass**: up to ``sample_per_block`` evenly spaced order-key
+       values per block; the driver sorts the sample and takes ``n_buckets-1``
+       quantile splitters.  Bucketing is ``searchsorted(splitters, key,
+       side='right')`` — all EQUAL keys land in one bucket, which is what
+       makes per-bucket rank/dense_rank exact.
+    2. **one range exchange**: ``groupby(bucket)``, one vectorized pandas pass
+       per bucket (sort, positional row number, first-occurrence rank,
+       cumsum-of-changes dense rank) — local ranks only.
+    3. the ranked dataset is **materialized once** (it is the operator's
+       output size — the barrier every distributed sort pays), then a
+       combiner pass folds per-bucket (rows, distinct-keys) maxima —
+       ``n_buckets`` pairs — whose exclusive prefixes are the global offsets.
+    4. a final streaming ``map_batches`` adds the offsets (and computes
+       ``ntile`` from the global row number + total count: SQL semantics,
+       first ``N % n`` tiles get the extra row).
+
+    Skew: a constant order key degenerates to one bucket — inherent to
+    ranking (every row ties); any non-degenerate distribution is spread by
+    the sampled quantiles regardless of shape.
+    """
+    tiebreak = list(tiebreak or [])
+    sort_cols = [order_col] + tiebreak
+    rn_col = out_prefix + "row_number"
+    rk_col = out_prefix + "rank"
+    dr_col = out_prefix + "dense_rank"
+
+    # --- 1. sampled splitters --------------------------------------------
+    def sample(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        k = min(sample_per_block, m)
+        idx = np.linspace(0, m - 1, k).astype(np.int64) if k else []
+        return pa.table({"v": batch[order_col].take(pa.array(idx))})
+
+    sampled = sorted(
+        r["v"] for r in ds.map_batches(sample, batch_format="pyarrow").take_all()
+    )
+    if not sampled:
+        raise ValueError("global_order_ranks: empty input dataset")
+    pos = [
+        (i + 1) * len(sampled) // n_buckets for i in range(n_buckets - 1)
+    ]
+    splitters = np.array([sampled[min(p, len(sampled) - 1)] for p in pos])
+
+    def bucket_of(col: pa.ChunkedArray) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False)
+        # take_all returns Python scalars (e.g. Timestamp for timestamp
+        # columns) while batches yield numpy dtypes — coerce the tiny
+        # splitter array, never the data column
+        sp = splitters if splitters.dtype == v.dtype else splitters.astype(v.dtype)
+        return np.searchsorted(sp, v, side="right").astype(np.int64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, pa.array(bucket_of(batch[order_col]), type=pa.int64())
+        )
+
+    # --- 2. per-bucket local ranks (one vectorized pass per range) -------
+    def local_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        m = len(g)
+        pos = np.arange(1, m + 1, dtype=np.int64)
+        keys = g[order_col].to_numpy()
+        is_new = np.ones(m, dtype=bool)
+        if m > 1:
+            is_new[1:] = keys[1:] != keys[:-1]
+        g[rn_col] = pos
+        g[rk_col] = np.maximum.accumulate(np.where(is_new, pos, 0))
+        g[dr_col] = np.cumsum(is_new)
+        return g
+
+    ranked = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(local_ranks, batch_format="pandas")
+        .materialize()
+    )
+
+    # --- 3. per-bucket (rows, distincts) maxima -> global offsets --------
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        b = batch[_BUCKET].to_numpy(zero_copy_only=False)
+        rows = np.zeros(n_buckets, dtype=np.int64)
+        dist = np.zeros(n_buckets, dtype=np.int64)
+        np.maximum.at(rows, b, batch[rn_col].to_numpy(zero_copy_only=False))
+        np.maximum.at(dist, b, batch[dr_col].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(rows)
+        return pa.table(
+            {
+                "b": pa.array(nz, type=pa.int64()),
+                "rows": pa.array(rows[nz], type=pa.int64()),
+                "dist": pa.array(dist[nz], type=pa.int64()),
+            }
+        )
+
+    rows = np.zeros(n_buckets, dtype=np.int64)
+    dist = np.zeros(n_buckets, dtype=np.int64)
+    for r in ranked.map_batches(stat_partial, batch_format="pyarrow").take_all():
+        rows[r["b"]] = max(rows[r["b"]], r["rows"])
+        dist[r["b"]] = max(dist[r["b"]], r["dist"])
+    total = int(rows.sum())
+    row_off = np.concatenate([[0], np.cumsum(rows)[:-1]])
+    dist_off = np.concatenate([[0], np.cumsum(dist)[:-1]])
+    offs_ref = ray.put((row_off, dist_off, total))
+
+    # --- 4. streaming offset add (+ SQL-semantics ntile) -----------------
+    def add_offsets(batch: pa.Table) -> pa.Table:
+        r_off, d_off, n_total = ray.get(offs_ref)
+        b = batch[_BUCKET].to_numpy(zero_copy_only=False)
+        rn = batch[rn_col].to_numpy(zero_copy_only=False) + r_off[b]
+        rk = batch[rk_col].to_numpy(zero_copy_only=False) + r_off[b]
+        dr = batch[dr_col].to_numpy(zero_copy_only=False) + d_off[b]
+        batch = batch.drop_columns([_BUCKET, rn_col, rk_col, dr_col])
+        batch = batch.append_column(rn_col, pa.array(rn, type=pa.int64()))
+        batch = batch.append_column(rk_col, pa.array(rk, type=pa.int64()))
+        batch = batch.append_column(dr_col, pa.array(dr, type=pa.int64()))
+        if ntile is not None:
+            q, rem = divmod(n_total, ntile)
+            cut = rem * (q + 1)
+            small = np.maximum(q, 1)  # q==0: first branch covers every row
+            tile = np.where(
+                rn <= cut,
+                (rn - 1) // (q + 1) + 1,
+                rem + (rn - 1 - cut) // small + 1,
+            )
+            batch = batch.append_column(
+                out_prefix + "ntile", pa.array(tile, type=pa.int64())
+            )
+        return batch
+
+    return ranked.map_batches(add_offsets, batch_format="pyarrow")
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     block_size: int,

@@ -72,6 +72,7 @@ SUBSET = [
     "code_file_history",
     # per-row LAG window
     "user_event_gaps",
+    "events_global_rank",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

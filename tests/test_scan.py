@@ -107,3 +107,109 @@ class TestPackSequences:
         assert out["token_start"].iloc[0] == 0
         assert (out["token_start"].to_numpy()[1:] == ends.to_numpy()[:-1]).all()
         assert ends.iloc[-1] == df["n_tokens"].sum()
+
+
+class TestGlobalOrderRanks:
+    """row_number / rank / dense_rank / ntile vs pandas ground truth."""
+
+    @staticmethod
+    def _expected(df: pd.DataFrame, key: str, tie: str, n_tile: int):
+        e = df.sort_values([key, tie]).reset_index(drop=True)
+        n = len(e)
+        e["row_number"] = np.arange(1, n + 1, dtype=np.int64)
+        e["rank"] = e[key].rank(method="min").astype("int64")
+        e["dense_rank"] = e[key].rank(method="dense").astype("int64")
+        q, r = divmod(n, n_tile)
+        rn = e["row_number"].to_numpy()
+        cut = r * (q + 1)
+        e["ntile"] = np.where(
+            rn <= cut,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - 1 - cut) // max(q, 1) + 1,
+        )
+        return e.sort_values(tie).reset_index(drop=True)
+
+    def test_matches_pandas_with_ties(self):
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        rng = np.random.RandomState(7)
+        n = 3000
+        df = pd.DataFrame(
+            {"k": rng.randint(0, 200, n), "id": np.arange(n, dtype=np.int64)}
+        )
+        out = (
+            global_order_ranks(
+                _ds(df, 9), "k", tiebreak=["id"], n_buckets=16, ntile=7
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp = self._expected(df, "k", "id", 7)
+        for c in ("row_number", "rank", "dense_rank", "ntile"):
+            assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_partition_and_bucket_invariant(self):
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {"k": rng.randint(0, 40, 500), "id": np.arange(500, dtype=np.int64)}
+        )
+        a = (
+            global_order_ranks(_ds(df, 2), "k", tiebreak=["id"], n_buckets=4)
+            .to_pandas().sort_values("id")["rank"].to_numpy()
+        )
+        b = (
+            global_order_ranks(_ds(df, 13), "k", tiebreak=["id"], n_buckets=32)
+            .to_pandas().sort_values("id")["rank"].to_numpy()
+        )
+        assert (a == b).all()
+
+    def test_string_keys(self):
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        rng = np.random.RandomState(13)
+        df = pd.DataFrame(
+            {
+                "s": rng.choice(list("zyxwvuts"), 400),
+                "id": np.arange(400, dtype=np.int64),
+            }
+        )
+        out = (
+            global_order_ranks(_ds(df, 5), "s", tiebreak=["id"], n_buckets=8)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        exp = self._expected(df, "s", "id", 4)
+        for c in ("row_number", "rank", "dense_rank"):
+            assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_constant_key_degenerates_to_ties(self):
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        df = pd.DataFrame(
+            {"k": np.zeros(100, dtype=np.int64),
+             "id": np.arange(100, dtype=np.int64)}
+        )
+        out = (
+            global_order_ranks(_ds(df, 3), "k", tiebreak=["id"], n_buckets=8)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert (out["rank"].to_numpy() == 1).all()
+        assert (out["dense_rank"].to_numpy() == 1).all()
+        assert sorted(out["row_number"]) == list(range(1, 101))
+
+    def test_ntile_smaller_than_tiles(self):
+        # n rows < n tiles: SQL gives tiles 1..n one row each
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        df = pd.DataFrame(
+            {"k": [3, 1, 2], "id": np.arange(3, dtype=np.int64)}
+        )
+        out = (
+            global_order_ranks(
+                _ds(df, 1), "k", tiebreak=["id"], n_buckets=4, ntile=5
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["ntile"].tolist() == [1, 2, 3]
