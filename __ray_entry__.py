@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
         "events_global_rank": A.events_global_rank,
+        "user_moving_avg": A.user_moving_avg,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1502,6 +1503,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "user_moving_avg": """
+            SELECT event_id, user_id,
+                   avg(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING
+                                             AND CURRENT ROW) AS moving_avg
+            FROM events
+            ORDER BY event_id
         """,
         "events_global_rank": """
             SELECT event_id,

@@ -3092,6 +3092,54 @@ def user_event_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def user_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing moving average (SQL ``avg(value) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW)``) — the ROWS-frame sliding window, complementing the LAG window
+    (`user_event_gaps`) and the range window (`user_sliding_window`).
+
+    One exchange keyed ``hash(user_id) % B``, one vectorized pandas pass per
+    bucket (sort + ``groupby.rolling(3, min_periods=1).mean()``); output
+    cardinality = input.  The mean is emitted unrounded: sums of
+    double-precision values are order-stable here because the rolling kernel
+    adds at most 3 terms in a fixed (ts, event_id) order — bit-equal to the
+    SQL frame average."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def avg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ma = (
+            g.groupby("user_id")["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"],
+                "moving_avg": ma,
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(avg_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_global_rank(sf_dir: str) -> pd.DataFrame:
     """Global ranking windows over the full events stream: ``row_number`` /
     ``rank`` / ``dense_rank`` / ``ntile(7)`` over ``ORDER BY ts`` (ties in

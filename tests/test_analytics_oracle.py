@@ -73,6 +73,7 @@ SUBSET = [
     # per-row LAG window
     "user_event_gaps",
     "events_global_rank",
+    "user_moving_avg",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table
