@@ -414,6 +414,12 @@ def _code_repo_stats(sf_dir: str):
     return C.repo_stats_query(_code_fixture_path())
 
 
+def _code_secret_scan(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.secret_scan_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -551,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_file_history": _code_file_history,
         "code_clone_pairs": _code_clone_pairs,
         "code_repo_stats": _code_repo_stats,
+        "code_secret_scan": _code_secret_scan,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -670,6 +677,27 @@ def oracle_sql() -> dict[str, str]:
                        content,
                        '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1)) AS module
             FROM snap
+        """,
+        "code_secret_scan": f"""
+            WITH snap AS (
+                SELECT repo, path, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path
+            )
+            SELECT repo, path,
+                   len(regexp_extract_all(content,
+                       'sk_live_[0-9a-f]+'))::BIGINT AS n_secrets,
+                   len(regexp_extract_all(content,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT
+                       AS n_emails,
+                   sha256(
+                       regexp_replace(
+                           regexp_replace(content,
+                               'sk_live_[0-9a-f]+', '[REDACTED]', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g')) AS redacted_sha
+            FROM snap
+            ORDER BY repo, path
         """,
         "code_vendored_files": f"""
             SELECT sha256(content) AS content_sha256,

@@ -319,7 +319,18 @@ def make_code_repo_table(
             body = "".join(f"import {m}\n" for m in imps)
             # decoy that must NOT match the import extractor
             decoy = f"# reimport {modules[int(rng.randint(n_modules))]}x\n"
-            content = body + decoy + f"def fn_{i}_{v}():\n    return {v}\n"
+            # planted leaks for the secret/PII scan: every 5th file carries a
+            # per-VERSION api key (so a rotated key disappears from the
+            # latest snapshot), every 7th a contact email in all versions
+            leak = ""
+            if i % 5 == 0:
+                tok = hashlib.sha1(f"key|{i}|{v}".encode()).hexdigest()[:12]
+                leak += f'API_TOKEN = "sk_live_{tok}"\n'
+            if i % 7 == 0:
+                leak += f"# contact: dev_{i}@example.com\n"
+            content = (
+                body + decoy + leak + f"def fn_{i}_{v}():\n    return {v}\n"
+            )
             # 500k-second version spacing: a global as-of cut then lands
             # BETWEEN versions of ~10% of files, so commit_diff's
             # "modified" class is populated (1-second spacing never was)

@@ -385,6 +385,63 @@ def incremental_code_triples(
 # Query-shaped wrappers over the deterministic fixture parquet.
 
 
+# RE2 on both sides: pyarrow.compute regex kernels and DuckDB's regexp_*
+# are both RE2, so the scan and its SQL oracle share exact semantics
+_SECRET_PAT = r"sk_live_[0-9a-f]+"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def secret_scan(ds: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Secret / PII scan + redaction over the latest snapshot.
+
+    Per latest-version file: counts of embedded API tokens and contact
+    emails, plus the sha256 of the redacted content (secrets →
+    ``[REDACTED]``, emails → ``[EMAIL]``, applied in that order).  The scan
+    is fully vectorized — ``pc.count_substring_regex`` /
+    ``pc.replace_substring_regex`` Arrow kernels over the content column;
+    the only Python-per-row work is the output sha256, which is inherent
+    (same as ``doc_fingerprint``).  Rotated keys vanish: a secret present
+    only in a superseded version never reaches the scan, because
+    ``latest_snapshot`` runs first and drops stale versions before any
+    content is inspected.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    snap = latest_snapshot(ds, n_buckets=n_buckets)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        c = batch["content"]
+        n_sec = pc.count_substring_regex(c, _SECRET_PAT)
+        n_em = pc.count_substring_regex(c, _EMAIL_PAT)
+        red = pc.replace_substring_regex(c, _SECRET_PAT, "[REDACTED]")
+        red = pc.replace_substring_regex(red, _EMAIL_PAT, "[EMAIL]")
+        shas = [
+            hashlib.sha256(s.encode("utf-8")).hexdigest()
+            for s in red.to_pylist()
+        ]
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "n_secrets": pc.cast(n_sec, pa.int64()),
+                "n_emails": pc.cast(n_em, pa.int64()),
+                "redacted_sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return snap.map_batches(scan, batch_format="pyarrow")
+
+
+def secret_scan_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    out = secret_scan(ds).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def latest_snapshot_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit", "commit_ts", "lang"]

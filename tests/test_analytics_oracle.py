@@ -74,6 +74,7 @@ SUBSET = [
     "user_event_gaps",
     "events_global_rank",
     "user_moving_avg",
+    "code_secret_scan",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

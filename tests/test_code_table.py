@@ -454,3 +454,71 @@ def test_file_history_preserves_above_2pow53_timestamps():
     ]
     assert out.loc[0, "valid_to"] == 1700000000123456790
     assert out.loc[1, "valid_to"] == (1 << 63) - 1
+
+
+class TestSecretScan:
+    def test_planted_leaks_found_and_redacted(self, code_parquet):
+        import re
+
+        ds = ray.data.read_parquet(code_parquet)
+        out = C.secret_scan(ds).to_pandas()
+        # the fixture plants sk_live_ tokens in every 5th file and emails in
+        # every 7th — both must surface in the latest snapshot
+        assert out["n_secrets"].sum() > 0
+        assert out["n_emails"].sum() > 0
+        # parity with a serial Python re walk over the latest snapshot
+        df = pq.read_table(code_parquet).to_pandas()
+        snap = (
+            df.sort_values("commit_ts")
+            .groupby(["repo", "path"], as_index=False)
+            .last()
+        )
+        sec_re = re.compile(r"sk_live_[0-9a-f]+")
+        em_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        exp = {
+            (r, p): (len(sec_re.findall(c)), len(em_re.findall(c)))
+            for r, p, c in zip(snap["repo"], snap["path"], snap["content"])
+        }
+        for row in out.itertuples():
+            assert exp[(row.repo, row.path)] == (row.n_secrets, row.n_emails)
+
+    def test_redacted_sha_matches_clean_rescan(self, code_parquet):
+        import re
+
+        ds = ray.data.read_parquet(code_parquet)
+        out = C.secret_scan(ds).to_pandas()
+        df = pq.read_table(code_parquet).to_pandas()
+        snap = (
+            df.sort_values("commit_ts")
+            .groupby(["repo", "path"], as_index=False)
+            .last()
+        )
+        sec_re = re.compile(r"sk_live_[0-9a-f]+")
+        em_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        exp_sha = {}
+        for r, p, c in zip(snap["repo"], snap["path"], snap["content"]):
+            red = em_re.sub("[EMAIL]", sec_re.sub("[REDACTED]", c))
+            # redaction is complete: a rescan of redacted text finds nothing
+            assert not sec_re.search(red) and not em_re.search(red)
+            exp_sha[(r, p)] = hashlib.sha256(red.encode()).hexdigest()
+        for row in out.itertuples():
+            assert exp_sha[(row.repo, row.path)] == row.redacted_sha
+
+    def test_rotated_key_not_in_latest_scan(self):
+        # a secret present only in a superseded version never reaches the scan
+        t = pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["f.py", "f.py"],
+                "commit": ["c0", "c1"],
+                "commit_ts": [100, 200],
+                "lang": ["py", "py"],
+                "content": [
+                    'API = "sk_live_deadbeef0123"\nx = 1\n',
+                    "x = 2\n",
+                ],
+            }
+        )
+        out = C.secret_scan(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_secrets"].iloc[0]) == 0
