@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": A.user_event_gaps,
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
+        "supplier_name_neardup": A.supplier_name_neardup,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1531,6 +1532,13 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "supplier_name_neardup": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "user_moving_avg": """
             SELECT event_id, user_id,

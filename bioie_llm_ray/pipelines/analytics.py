@@ -3092,6 +3092,27 @@ def user_event_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def supplier_name_neardup(sf_dir: str) -> pd.DataFrame:
+    """Exact edit-distance-1 similarity self-join over supplier names —
+    the string-similarity join family's Levenshtein member (the set-based
+    members are `dedup_jaccard` / `dedup_minhash`).
+
+    `stages/editdist.edit_distance_pairs`: SymSpell deletion-neighborhood
+    candidates (complete for Levenshtein ≤ d), one variant-keyed exchange
+    with a vectorized self-merge per bucket, bucketed pair dedup, then a
+    banded-DP verify over re-fetched texts — exact, so the DuckDB
+    ``levenshtein()`` cross-join oracle agrees row-for-row."""
+    from ..stages.editdist import edit_distance_pairs
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = edit_distance_pairs(
+        ds, text_col="s_name", id_col="s_suppkey", max_dist=1, n_buckets=16
+    ).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     """Per-event trailing moving average (SQL ``avg(value) OVER (PARTITION BY
     user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT

@@ -75,6 +75,7 @@ SUBSET = [
     "events_global_rank",
     "user_moving_avg",
     "code_secret_scan",
+    "supplier_name_neardup",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table
