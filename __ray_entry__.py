@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
         "supplier_name_neardup": A.supplier_name_neardup,
+        "price_quantiles_cont": A.price_quantiles_cont,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1532,6 +1533,13 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "price_quantiles_cont": """
+            SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+                   quantile_cont(l_extendedprice, 0.5) AS q50,
+                   quantile_cont(l_extendedprice, 0.75) AS q75,
+                   quantile_cont(l_extendedprice, 0.9) AS q90
+            FROM lineitem
         """,
         "supplier_name_neardup": """
             SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

@@ -725,6 +725,28 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles of l_extendedprice — the
+    ``percentile_cont`` member of the quantile family (discrete:
+    `quantity_quantiles`; sketch: `price_quantiles_hist`; grouped:
+    `quantity_quantiles_by_flag`).  Combiner value→count aggregate, only
+    the distinct-value table reaches the driver."""
+    from ..stages.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = exact_quantiles_cont(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
+    return pd.DataFrame(
+        [
+            {
+                "q25": qs[0.25],
+                "q50": qs[0.5],
+                "q75": qs[0.75],
+                "q90": qs[0.9],
+            }
+        ]
+    )
+
+
 def price_quantiles_hist(sf_dir: str) -> pd.DataFrame:
     """Histogram-sketch quantiles over a continuous column (unbounded
     cardinality — the case ``exact_quantiles_discrete`` cannot take).

@@ -76,6 +76,7 @@ SUBSET = [
     "user_moving_avg",
     "code_secret_scan",
     "supplier_name_neardup",
+    "price_quantiles_cont",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

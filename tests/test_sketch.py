@@ -168,3 +168,48 @@ class TestGroupedQuantiles:
             ray.data.from_pandas(df), "g", "v", [0.5], n_buckets=2
         )
         assert got.set_index("g")["p50"].to_dict() == {"x": 3.0, "y": 9.0}
+
+
+class TestContQuantiles:
+    def test_matches_duckdb_quantile_cont(self):
+        import duckdb
+
+        from bioie_llm_ray.stages.sketch import exact_quantiles_cont
+
+        rng = np.random.RandomState(5)
+        # continuous-ish values with some exact ties
+        vals = np.round(rng.uniform(0, 1000, 15_000), 2)
+        df = pd.DataFrame({"x": vals})
+        qs = [0.0, 0.25, 0.5, 0.613, 0.9, 1.0]
+        got = exact_quantiles_cont(
+            ray.data.from_pandas(df).repartition(9), "x", qs
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        for q in qs:
+            want = con.execute(
+                f"SELECT quantile_cont(x, {q}) FROM t"
+            ).fetchone()[0]
+            assert abs(got[q] - float(want)) < 1e-9, (q, got[q], want)
+
+    def test_matches_numpy_interpolation(self):
+        from bioie_llm_ray.stages.sketch import exact_quantiles_cont
+
+        rng = np.random.RandomState(8)
+        vals = rng.uniform(-5, 5, 999)
+        got = exact_quantiles_cont(
+            ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(4),
+            "x",
+            [0.25, 0.5, 0.75],
+        )
+        for q in (0.25, 0.5, 0.75):
+            want = float(np.quantile(vals, q))  # linear interpolation
+            assert abs(got[q] - want) < 1e-9
+
+    def test_single_row(self):
+        from bioie_llm_ray.stages.sketch import exact_quantiles_cont
+
+        got = exact_quantiles_cont(
+            ray.data.from_pandas(pd.DataFrame({"x": [42.0]})), "x", [0.5]
+        )
+        assert got[0.5] == 42.0
