@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": A.user_moving_avg,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
+        "lineitem_checksum": A.lineitem_checksum,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1533,6 +1534,16 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "lineitem_checksum": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   (sum(
+                        ('0x' || substr(md5(
+                             l_orderkey::VARCHAR || '|' ||
+                             l_linenumber::VARCHAR || '|' ||
+                             l_returnflag), 1, 16))::UBIGINT::HUGEINT
+                    ) % 18446744073709551616::HUGEINT)::VARCHAR AS checksum
+            FROM lineitem
         """,
         "price_quantiles_cont": """
             SELECT quantile_cont(l_extendedprice, 0.25) AS q25,

@@ -725,6 +725,26 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def lineitem_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent distributed table checksum over lineitem's key
+    columns (`stages/profile.table_checksum`) — the migration-verification
+    primitive: each side streams once, zero shuffle, one (count, sum mod
+    2^64 of row hashes) pair per batch.  The oracle rebuilds the identical
+    md5-first-8-bytes row hash and HUGEINT modular sum in SQL, so the
+    checksum itself (not just row counts) is what the gate compares."""
+    from ..stages.profile import table_checksum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+    out = table_checksum(ds, ["l_orderkey", "l_linenumber", "l_returnflag"])
+    return pd.DataFrame(
+        [{"n_rows": int(out["n_rows"]), "checksum": out["checksum"]}]
+    )
+
+
 def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Exact INTERPOLATED quantiles of l_extendedprice — the
     ``percentile_cont`` member of the quantile family (discrete:

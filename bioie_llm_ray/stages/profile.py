@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -128,3 +129,56 @@ def profile_columns(
             "max": pa.array([render(acc[c][3]) for c in cols], type=pa.string()),
         }
     )
+
+
+def table_checksum(
+    ds: ray.data.Dataset, cols: list[str]
+) -> dict[str, object]:
+    """Order-independent distributed table checksum: ``sum mod 2^64`` of a
+    64-bit stable hash (md5 first 8 bytes) of each row's canonical
+    ``'|'``-joined rendering of ``cols``.
+
+    The migration/backfill verification primitive: two tables are compared
+    WITHOUT shuffling or co-locating either — each side streams once, every
+    batch folds to one ``(count, sum)`` pair, and the fold is commutative
+    and mergeable, so the result is a pure function of the table's multiset
+    of rows (duplicate rows count — unlike a set-based check).  Columns
+    must render identically across engines: int64 / string / date columns
+    do (decimal and ISO renderings are canonical); float columns are
+    rejected — their text rendering is engine-specific, which would turn a
+    representation difference into a false alarm.
+
+    Returns ``{"n_rows": int, "checksum": str}`` (checksum as the decimal
+    string of the mod-2^64 sum — exactly what the DuckDB oracle's
+    HUGEINT-sum rendering produces).
+    """
+    from ..functions.hashing import stable_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            arr = batch[c]
+            if pa.types.is_floating(arr.type):
+                raise TypeError(
+                    f"table_checksum: float column {c!r} has no canonical "
+                    "cross-engine rendering; checksum an int/string/date "
+                    "projection instead"
+                )
+            parts.append(pc.cast(arr, pa.string()))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, "|")
+        h = stable_hash_u64(joined.to_pylist())
+        s = int(np.add.reduce(h, dtype=np.uint64))  # wraps mod 2^64 in C
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "s": pa.array([s], type=pa.uint64()),
+            }
+        )
+
+    n_rows, total = 0, 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n_rows += int(row["n"])
+        total = (total + int(row["s"])) % (1 << 64)
+    return {"n_rows": n_rows, "checksum": str(total)}

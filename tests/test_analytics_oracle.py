@@ -77,6 +77,7 @@ SUBSET = [
     "code_secret_scan",
     "supplier_name_neardup",
     "price_quantiles_cont",
+    "lineitem_checksum",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

@@ -30,3 +30,58 @@ def test_profile_all_null_column():
     out = profile_columns(ray.data.from_arrow(t), ["a"]).to_pylist()[0]
     assert out["n"] == 2 and out["n_null"] == 2
     assert out["min"] is None and out["max"] is None
+
+
+class TestTableChecksum:
+    def test_partition_invariant_and_sensitive(self):
+        import hashlib
+
+        import pandas as pd
+
+        from bioie_llm_ray.stages.profile import table_checksum
+
+        df = pd.DataFrame(
+            {"k": [1, 2, 3, 4, 5], "s": ["a", "b", "c", "d", "e"]}
+        )
+        a = table_checksum(ray.data.from_pandas(df).repartition(1), ["k", "s"])
+        b = table_checksum(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=3)
+            ).repartition(4),
+            ["k", "s"],
+        )
+        assert a == b  # order- and partition-independent
+        # matches a serial computation
+        total = sum(
+            int.from_bytes(
+                hashlib.md5(f"{k}|{s}".encode()).digest()[:8], "big"
+            )
+            for k, s in zip(df["k"], df["s"])
+        ) % (1 << 64)
+        assert a == {"n_rows": 5, "checksum": str(total)}
+        # one changed row changes the checksum
+        df2 = df.copy()
+        df2.loc[2, "s"] = "X"
+        c = table_checksum(ray.data.from_pandas(df2), ["k", "s"])
+        assert c["checksum"] != a["checksum"]
+
+    def test_duplicate_rows_counted(self):
+        import pandas as pd
+
+        from bioie_llm_ray.stages.profile import table_checksum
+
+        one = pd.DataFrame({"k": [7], "s": ["x"]})
+        two = pd.DataFrame({"k": [7, 7], "s": ["x", "x"]})
+        a = table_checksum(ray.data.from_pandas(one), ["k", "s"])
+        b = table_checksum(ray.data.from_pandas(two), ["k", "s"])
+        assert b["n_rows"] == 2 and b["checksum"] != a["checksum"]
+
+    def test_float_column_rejected(self):
+        import pandas as pd
+        import pytest
+
+        from bioie_llm_ray.stages.profile import table_checksum
+
+        df = pd.DataFrame({"x": [1.5, 2.5]})
+        with pytest.raises(Exception):
+            table_checksum(ray.data.from_pandas(df), ["x"])
