@@ -34,6 +34,60 @@ _TOKENS = (
     "FROM documents"
 )
 
+# Shared ER pipeline CTEs (blocking -> purge -> CBS weighting -> exact
+# shingle-Jaccard verify -> recursive transitive closure); composed by the
+# er_entity_clusters and er_golden_records oracles with different finals.
+_ER_CTES = r"""arr AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''),
+            tb AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(a[i + 1 : i + 3], ' ') AS key
+                FROM arr, unnest(range(0, GREATEST(len(a) - 2, 0))) AS t(i)
+                WHERE len(a) >= 3),
+            sizes AS (SELECT key, count(*) AS c FROM tb GROUP BY 1),
+            kept AS (
+                SELECT tb.doc_id, tb.key
+                FROM tb JOIN sizes USING (key)
+                WHERE c BETWEEN 2 AND 10),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept a JOIN kept b
+                  ON a.key = b.key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT cd.id_a, cd.id_b, count(*) AS m
+                FROM cand cd
+                JOIN sh x ON x.doc_id = cd.id_a
+                JOIN sh y ON y.doc_id = cd.id_b AND y.s = x.s
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            r(n, x) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x)"""
+
 
 def entry() -> Any:
     """Flagship pipeline: canonical co-occurrence triples at sf0.001."""
@@ -521,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": A.doc_split_assign,
         "er_blocking_pairs": A.er_blocking_pairs,
         "er_entity_clusters": A.er_entity_clusters,
+        "er_golden_records": A.er_golden_records,
         "events_range_pruned": A.events_range_pruned,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
@@ -1737,59 +1792,38 @@ def oracle_sql() -> dict[str, str]:
                    n_members::BIGINT AS n_members
             FROM ranked WHERE rn = 1 ORDER BY component
         """,
-        "er_entity_clusters": r"""
-            WITH RECURSIVE arr AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-                FROM documents WHERE trim(text) <> ''),
-            tb AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(a[i + 1 : i + 3], ' ') AS key
-                FROM arr, unnest(range(0, GREATEST(len(a) - 2, 0))) AS t(i)
-                WHERE len(a) >= 3),
-            sizes AS (SELECT key, count(*) AS c FROM tb GROUP BY 1),
-            kept AS (
-                SELECT tb.doc_id, tb.key
-                FROM tb JOIN sizes USING (key)
-                WHERE c BETWEEN 2 AND 10),
-            cand AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM kept a JOIN kept b
-                  ON a.key = b.key AND a.doc_id < b.doc_id
-                GROUP BY 1, 2 HAVING count(*) >= 2),
-            words AS (
-                SELECT doc_id, w, i
-                FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
-                             generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
-                      FROM documents)
-                WHERE w <> ''),
-            sh AS (
-                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
-                FROM words a
-                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
-            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT cd.id_a, cd.id_b, count(*) AS m
-                FROM cand cd
-                JOIN sh x ON x.doc_id = cd.id_a
-                JOIN sh y ON y.doc_id = cd.id_b AND y.s = x.s
-                GROUP BY 1, 2),
-            pairs AS (
-                SELECT id_a, id_b FROM inter
-                JOIN cnt ca ON ca.doc_id = id_a
-                JOIN cnt cb ON cb.doc_id = id_b
-                WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.5),
-            edges AS (
-                SELECT id_a AS a, id_b AS b FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-            r(n, x) AS (
-                SELECT DISTINCT a, a FROM edges
-                UNION
-                SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x)
+        "er_entity_clusters": f"""
+            WITH RECURSIVE {_ER_CTES}
             SELECT n AS node, min(x) AS component
             FROM r GROUP BY n ORDER BY node
+        """,
+        "er_golden_records": f"""
+            WITH RECURSIVE {_ER_CTES},
+            labels AS (SELECT n AS node, min(x) AS component
+                       FROM r GROUP BY n),
+            memb AS (
+                SELECT l.component, d.lang, d.source, d.n_chars
+                FROM labels l JOIN documents d ON d.doc_id = l.node),
+            lw AS (
+                SELECT component, lang FROM (
+                    SELECT component, lang, count(*) AS c
+                    FROM memb GROUP BY 1, 2)
+                QUALIFY row_number() OVER (
+                    PARTITION BY component ORDER BY c DESC, lang ASC) = 1),
+            sw AS (
+                SELECT component, source FROM (
+                    SELECT component, source, count(*) AS c
+                    FROM memb GROUP BY 1, 2)
+                QUALIFY row_number() OVER (
+                    PARTITION BY component ORDER BY c DESC, source ASC) = 1),
+            agg AS (
+                SELECT component, count(*)::BIGINT AS n_members,
+                       max(n_chars)::BIGINT AS max_chars
+                FROM memb GROUP BY 1)
+            SELECT component, n_members, lw.lang AS lang,
+                   sw.source AS source, max_chars
+            FROM agg JOIN lw USING (component) JOIN sw USING (component)
+            ORDER BY component
         """,
         "kg_graph_nodes": f"""
             WITH m AS (

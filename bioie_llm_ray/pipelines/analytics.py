@@ -3530,14 +3530,10 @@ def kg_bfs_levels(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
-def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """End-to-end entity resolution, composed from three engine operators:
-    token blocking with block purging (``blocking.token_blocking_pairs``)
-    → exact word-shingle Jaccard verification with the text re-fetched by
-    shuffle join, never a driver dict (``neardup.verify_jaccard_pairs_join``)
-    → connected components (``graph.connected_components``) → (node,
-    cluster) labels, cluster = min reachable doc_id.  The oracle replays
-    blocking + verify + a recursive transitive closure in one SQL."""
+def _er_labels(sf_dir: str, threshold: float) -> ray.data.Dataset:
+    """Shared ER composition: token blocking (purged) → exact shingle-Jaccard
+    verify with shuffle-join text re-fetch → connected components →
+    (node, component) labels."""
     from ..stages.blocking import token_blocking_pairs
     from ..stages.graph import connected_components
     from ..stages.neardup import verify_jaccard_pairs_join
@@ -3547,10 +3543,110 @@ def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     verified = verify_jaccard_pairs_join(
         cand, docs, threshold=threshold, n_shingle=3
     )
-    out = connected_components(verified).to_pandas()
+    return connected_components(verified)
+
+
+def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """End-to-end entity resolution, composed from three engine operators:
+    token blocking with block purging (``blocking.token_blocking_pairs``)
+    → exact word-shingle Jaccard verification with the text re-fetched by
+    shuffle join, never a driver dict (``neardup.verify_jaccard_pairs_join``)
+    → connected components (``graph.connected_components``) → (node,
+    cluster) labels, cluster = min reachable doc_id.  The oracle replays
+    blocking + verify + a recursive transitive closure in one SQL."""
+    out = _er_labels(sf_dir, threshold).to_pandas()
     out["node"] = out["node"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def er_golden_records(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Survivorship / golden-record merge per ER cluster: for every resolved
+    entity, one merged record — per-attribute MOST-FREQUENT-non-null value
+    (ties → smallest value: deterministic, the rule the SQL oracle's
+    ``ORDER BY c DESC, value ASC`` row_number replays), plus member count
+    and max n_chars.
+
+    Distributed shape: the (node, component) labels stream out of the ER
+    composition, attributes attach via one bucketed `shuffle_join` (never a
+    driver id→attr dict), and survivorship runs as ONE vectorized pandas
+    pass per hash(component) bucket — value-count → sort → first-per-group,
+    no per-cluster Python calls."""
+    from ..functions.hashing import bucket_ids_for_column
+    from ..stages.join import shuffle_join
+
+    # pin the label schema: empty blocks out of the components fixpoint
+    # carry null-typed columns, which the Arrow join kernel rejects
+    _label_schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+    labels = _er_labels(sf_dir, threshold).map_batches(
+        lambda b: b.cast(_label_schema), batch_format="pyarrow"
+    )
+    attrs = _read(
+        sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["node" if n == "doc_id" else n for n in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    # explicit schemas: skip the Dataset.schema() probes, and a tiny input
+    # whose first label block is empty must not poison the union with a
+    # null-typed component column
+    memb = shuffle_join(
+        labels,
+        attrs,
+        keys="node",
+        n_buckets=16,
+        left_schema={"node": pa.int64(), "component": pa.int64()},
+        right_schema={
+            "node": pa.int64(),
+            "lang": pa.string(),
+            "source": pa.string(),
+            "n_chars": pa.int64(),
+        },
+    )
+    n_buckets = 16
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["component"], n_buckets)),
+        )
+
+    def golden_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("component").agg(
+            n_members=("node", "size"), max_chars=("n_chars", "max")
+        )
+        for col in ("lang", "source"):
+            vc = (
+                g.groupby(["component", col])
+                .size()
+                .reset_index(name="c")
+                .sort_values(
+                    ["component", "c", col], ascending=[True, False, True]
+                )
+                .drop_duplicates("component")
+                .set_index("component")[col]
+            )
+            agg[col] = vc
+        agg = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "component": agg["component"].astype("int64"),
+                "n_members": agg["n_members"].astype("int64"),
+                "lang": agg["lang"],
+                "source": agg["source"],
+                "max_chars": agg["max_chars"].astype("int64"),
+            }
+        )
+
+    out = (
+        memb.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(golden_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("component").reset_index(drop=True)
 
 
 def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:

@@ -120,11 +120,9 @@ def shuffle_join(
     right_t = right.map_batches(tag("r"), batch_format="pyarrow")
 
     if left_schema is None:
-        ls = left.schema()
-        left_schema = dict(zip(ls.names, ls.types))
+        left_schema = _schema_types(left)
     if right_schema is None:
-        rs = right.schema()
-        right_schema = dict(zip(rs.names, rs.types))
+        right_schema = _schema_types(right)
     left_names = list(left_schema)
     right_names = list(right_schema)
     l_only = [c for c in left_names if c not in right_names]
@@ -152,11 +150,24 @@ def shuffle_join(
 
     lcols = [c for c in left_names if c not in keys]
     rcols = [c for c in right_names if c not in keys]
+    # The bucket exchange may unify blocks through pandas: a null-widened
+    # int64 column comes back as double (silent precision loss above 2^53)
+    # and an all-null column in a one-sided bucket comes back null-typed
+    # (which the Arrow join kernel rejects outright).  Cast each side back
+    # to its DECLARED schema before joining — the selected columns are the
+    # side's own, so the cast is exact (integral doubles -> int64, null ->
+    # typed-null), and every bucket emits one consistent schema.
+    l_decl = pa.schema([(c, left_schema[c]) for c in keys + lcols])
+    r_decl = pa.schema([(c, right_schema[c]) for c in keys + rcols])
 
     def join_bucket(group: pa.Table) -> pa.Table:
         mask = pc.equal(group[_TAG], "l")
         l = group.filter(mask).select(keys + lcols)
         r = group.filter(pc.invert(mask)).select(keys + rcols)
+        if l.schema != l_decl:
+            l = l.cast(l_decl)
+        if r.schema != r_decl:
+            r = r.cast(r_decl)
         joined = l.join(r, keys=keys, join_type=join_type)
         return bucket_post(joined) if bucket_post is not None else joined
 

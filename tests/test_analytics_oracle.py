@@ -78,6 +78,7 @@ SUBSET = [
     "supplier_name_neardup",
     "price_quantiles_cont",
     "lineitem_checksum",
+    "er_golden_records",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

@@ -944,3 +944,41 @@ class TestSemanticDedup:
         assert (got["kept"].to_numpy() == want).all()
         assert (~want).sum() > 0, "fixture must exercise at least one drop"
         assert (got["cluster"].to_numpy() == assign).all()
+
+
+class TestShuffleJoinSchemaFidelity:
+    def test_int64_above_2pow53_survives_exchange(self):
+        """Null-widened int64 payloads must not ride through double."""
+        from bioie_llm_ray.stages.join import shuffle_join
+
+        big = (1 << 60) + 12345  # not representable in float64
+        left = pd.DataFrame(
+            {"k": [1, 2], "payload_id": pd.array([big, big + 1], dtype="int64")}
+        )
+        right = pd.DataFrame({"k": [1, 2, 3], "w": ["a", "b", "c"]})
+        out = shuffle_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            keys="k",
+            n_buckets=4,
+        ).to_pandas()
+        assert str(out["payload_id"].dtype) == "int64"
+        assert sorted(out["payload_id"]) == [big, big + 1]
+
+    def test_one_sided_buckets_do_not_crash(self):
+        """Buckets containing only one side's rows join to empty, not a
+        null-typed Arrow error."""
+        from bioie_llm_ray.stages.join import shuffle_join
+
+        left = pd.DataFrame({"k": [100], "v": [7]})
+        right = pd.DataFrame({"k": [200, 300, 400], "w": [1, 2, 3]})
+        out = shuffle_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            keys="k",
+            n_buckets=8,
+        )
+        assert out.count() == 0
+        # every bucket (including one-sided ones) emits the declared schema
+        s = out.schema()
+        assert set(s.names) == {"k", "v", "w"}

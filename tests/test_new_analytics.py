@@ -633,3 +633,67 @@ class TestIncrementalHourly:
         )
         full["n_events"] = full["n_events"].astype("int64")
         pd.testing.assert_frame_equal(inc, full)
+
+
+class TestGoldenRecords:
+    def test_survivorship_rule(self, tmp_path):
+        """Planted 3-member cluster: mode wins, ties break to smallest."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import er_golden_records
+
+        # three near-identical texts (one cluster) + one unrelated doc
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 9], type=pa.int64()),
+                "text": [
+                    base,
+                    base + " one",
+                    base + " two",
+                    "totally different words nothing shared here at all "
+                    "xx yy zz ww vv uu tt ss",
+                ],
+                "lang": ["en", "en", "de", "fr"],      # mode -> en
+                "source": ["s2", "s1", "s2", "s0"],    # mode -> s2
+                "n_chars": pa.array([10, 30, 20, 5], type=pa.int64()),
+            }
+        )
+        d = str(tmp_path)
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = er_golden_records(d, threshold=0.5)
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert int(row.component) == 0
+        assert int(row.n_members) == 3
+        assert row.lang == "en"
+        assert row.source == "s2"
+        assert int(row.max_chars) == 30
+
+    def test_tie_breaks_to_smallest_value(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import er_golden_records
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": [base, base + " one"],
+                "lang": ["fr", "de"],   # 1-1 tie -> 'de'
+                "source": ["s9", "s3"],  # 1-1 tie -> 's3'
+                "n_chars": pa.array([7, 8], type=pa.int64()),
+            }
+        )
+        d = str(tmp_path)
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = er_golden_records(d, threshold=0.5)
+        assert len(out) == 1
+        assert out.iloc[0].lang == "de"
+        assert out.iloc[0].source == "s3"
