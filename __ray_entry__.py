@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
+        "user_final_state": A.user_final_state,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1589,6 +1590,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "user_final_state": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+               AND event_type <> 'click'
+            ORDER BY user_id
         """,
         "lineitem_checksum": """
             SELECT count(*)::BIGINT AS n_rows,

@@ -725,6 +725,35 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def user_final_state(sf_dir: str) -> pd.DataFrame:
+    """CDC-apply over the events stream (`stages/dedup.cdc_apply`): treat
+    each event as a keyed change record — ``click`` is the tombstone, every
+    other type upserts — and compact to each user's surviving final state
+    (last-writer-wins by (ts, event_id), key dropped when the last write is
+    a delete).  The MERGE/log-compaction primitive: one arg-max exchange +
+    a streaming tombstone filter; deletes resolve AFTER the arg-max so a
+    delete→re-insert sequence resurrects the key."""
+    from ..stages.dedup import cdc_apply
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = cdc_apply(
+        ds,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops={"click"},
+        n_buckets=32,
+    ).to_pandas()
+    out = out[["user_id", "event_id", "event_type", "value"]].rename(
+        columns={"event_id": "last_event_id", "event_type": "last_type"}
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["last_event_id"] = out["last_event_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def lineitem_checksum(sf_dir: str) -> pd.DataFrame:
     """Order-independent distributed table checksum over lineitem's key
     columns (`stages/profile.table_checksum`) — the migration-verification

@@ -144,7 +144,7 @@ def batch_local_dedup(ds, key_cols: list[str]):
 def argmax_dedup(
     ds,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     n_buckets: int = 64,
     descending: bool = True,
 ):
@@ -155,23 +155,24 @@ def argmax_dedup(
     Same shuffle shape as ``exact_dedup`` (hash(key) % n_buckets, one
     vectorized pass per bucket, never one Python call per key); the
     per-bucket kernel sorts (key, order desc) and keeps each key's first
-    row.  Ties on ``order_col`` break by first-seen after a stable sort —
-    pass a unique order column for fully deterministic output.
+    row.  ``order_col`` may be a list (lexicographic, e.g. ``(ts,
+    event_id)``); ties on the full order break by first-seen after a
+    stable sort — make the order unique for fully deterministic output.
     """
     import pyarrow.compute as pc
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     keyed = ds.map_batches(
         lambda b: _add_key_and_bucket(b, key_cols, n_buckets),
         batch_format="pyarrow",
     )
 
     def best_per_key(group: pa.Table) -> pa.Table:
+        direction = "descending" if descending else "ascending"
         order = pc.sort_indices(
             group,
-            sort_keys=[
-                (_KEY_COL, "ascending"),
-                (order_col, "descending" if descending else "ascending"),
-            ],
+            sort_keys=[(_KEY_COL, "ascending")]
+            + [(c, direction) for c in order_cols],
         )
         return _first_per_key_in_bucket(group.take(order))
 
@@ -179,3 +180,36 @@ def argmax_dedup(
         best_per_key, batch_format="pyarrow"
     )
     return out.drop_columns([_KEY_COL, _BUCKET_COL])
+
+
+def cdc_apply(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    delete_ops: set[str],
+    n_buckets: int = 64,
+):
+    """Apply a change-data-capture log: last-writer-wins per key with
+    tombstones — the MERGE/compaction primitive of log-structured tables
+    (Hudi/Delta-style upsert streams, Kafka compacted topics).
+
+    Each key's surviving state is its row with the lexicographically
+    greatest ``order_cols``; if that row's ``op_col`` is a delete marker the
+    key is dropped entirely.  One ``argmax_dedup`` exchange (hash(key) %
+    n_buckets, vectorized per-bucket sort) followed by a streaming
+    vectorized tombstone filter — deletes must be resolved AFTER the
+    arg-max, never by pre-filtering (a delete followed by a re-insert must
+    resurrect the key, and an insert followed by a delete must not).
+    """
+    import pyarrow.compute as pc
+
+    latest = argmax_dedup(ds, key_cols, order_cols, n_buckets=n_buckets)
+
+    def drop_tombstones(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(batch[op_col], value_set=pa.array(sorted(delete_ops)))
+        )
+        return batch.filter(keep)
+
+    return latest.map_batches(drop_tombstones, batch_format="pyarrow")

@@ -79,6 +79,7 @@ SUBSET = [
     "price_quantiles_cont",
     "lineitem_checksum",
     "er_golden_records",
+    "user_final_state",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table

@@ -522,3 +522,46 @@ class TestSecretScan:
         out = C.secret_scan(ray.data.from_arrow(t)).to_pandas()
         assert len(out) == 1
         assert int(out["n_secrets"].iloc[0]) == 0
+
+
+class TestCdcApply:
+    def _apply(self, rows):
+        from bioie_llm_ray.stages.dedup import cdc_apply
+
+        t = pa.table(
+            {
+                "k": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+                "seq": pa.array(
+                    list(range(len(rows))), type=pa.int64()
+                ),
+                "op": [r[2] for r in rows],
+                "v": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+        out = cdc_apply(
+            ray.data.from_arrow(t).repartition(3),
+            key_cols=["k"],
+            order_cols=["ts", "seq"],
+            op_col="op",
+            delete_ops={"del"},
+            n_buckets=4,
+        ).to_pandas()
+        return {r.k: (r.op, r.v) for r in out.itertuples()}
+
+    def test_insert_then_delete_drops_key(self):
+        got = self._apply([("a", 1, "up", 10), ("a", 2, "del", 0)])
+        assert got == {}
+
+    def test_delete_then_reinsert_resurrects(self):
+        got = self._apply(
+            [("a", 1, "up", 10), ("a", 2, "del", 0), ("a", 3, "up", 30)]
+        )
+        assert got == {"a": ("up", 30)}
+
+    def test_last_writer_wins_with_seq_tiebreak(self):
+        # equal ts: the higher sequence number wins
+        got = self._apply(
+            [("a", 5, "up", 1), ("a", 5, "up", 2), ("b", 1, "up", 9)]
+        )
+        assert got == {"a": ("up", 2), "b": ("up", 9)}
