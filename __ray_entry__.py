@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
         "user_final_state": A.user_final_state,
+        "user_event_paths": A.user_event_paths,
+        "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -1590,6 +1592,27 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '->'
+                              ORDER BY ts, event_id) AS path,
+                   count(*)::BIGINT AS path_len
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "event_type_transitions": """
+            SELECT prev_type, event_type, count(*)::BIGINT AS n
+            FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       event_type
+                FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type
         """,
         "user_final_state": """
             SELECT user_id, event_id AS last_event_id,

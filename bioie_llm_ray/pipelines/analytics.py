@@ -725,6 +725,93 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def user_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered list rollup (SQL ``string_agg(... ORDER BY ...)``): each
+    user's full event-type sequence as one ``->``-joined path string, plus
+    its length — the collect-list window shape (clickstream path analysis,
+    session journey mining).
+
+    One hash(user_id)-keyed exchange; per bucket a single vectorized sort +
+    ``groupby.agg('->'.join)`` — the concatenation order is pinned by
+    (ts, event_id) so the path string is deterministic."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id")["event_type"].agg(
+            path="->".join, path_len="size"
+        )
+        agg = agg.reset_index()
+        agg["user_id"] = agg["user_id"].astype("int64")
+        agg["path_len"] = agg["path_len"].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(paths_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for every (prev_type → type) bigram (ordered by (ts, event_id) within
+    each user), the global occurrence count.
+
+    One hash(user_id)-keyed exchange for the LAG (vectorized
+    ``groupby.shift`` per bucket, same shape as `user_event_gaps`), then
+    the bigram rollup rides the combiner aggregate — per-batch partial
+    counts, one tiny keyed-by-bigram exchange."""
+    from ..functions.hashing import bucket_ids_for_column
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["event_type"].shift()
+        keep = prev.notna()
+        return pd.DataFrame(
+            {
+                "prev_type": prev[keep],
+                "event_type": g["event_type"][keep],
+            }
+        )
+
+    bigrams = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lag_bucket, batch_format="pandas")
+    )
+    out = grouped_agg(
+        bigrams,
+        keys=["prev_type", "event_type"],
+        aggs={"n": ("event_type", "count")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
 def user_final_state(sf_dir: str) -> pd.DataFrame:
     """CDC-apply over the events stream (`stages/dedup.cdc_apply`): treat
     each event as a keyed change record — ``click`` is the tombstone, every

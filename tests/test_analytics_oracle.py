@@ -80,6 +80,8 @@ SUBSET = [
     "lineitem_checksum",
     "er_golden_records",
     "user_final_state",
+    "user_event_paths",
+    "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
     # winnowing clone detection over the code table
