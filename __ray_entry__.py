@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_checksum": A.lineitem_checksum,
         "user_final_state": A.user_final_state,
         "user_event_paths": A.user_event_paths,
+        "cohort_retention": A.cohort_retention,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1592,6 +1593,19 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id, min(ts::DATE) AS cohort
+                FROM events GROUP BY 1),
+            d AS (
+                SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                   (d.day - f.cohort)::BIGINT AS age_days,
+                   count(*)::BIGINT AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "user_event_paths": """
             SELECT user_id,

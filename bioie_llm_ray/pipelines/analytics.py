@@ -725,6 +725,80 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by first-active day (the
+    cohort), counted as retained on each later day they reappear —
+    (cohort_day, age_days, n_users).
+
+    Distributed shape, nothing user-cardinality-sized on the driver:
+    (user, day) activity pairs dedup through the combiner + bucketed
+    exact-dedup (the distinct-pair set is what shrinks the stream); the
+    per-user cohort day is a combiner min aggregate; pairs and cohorts
+    meet in one bucketed `shuffle_join` keyed by user; the final
+    (cohort, age) rollup rides the combiner again.  Day arithmetic stays
+    int32-days-since-epoch end to end; only the tiny result matrix is
+    rendered to ISO dates (matching the SQL ``strftime``)."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+    from ..stages.join import shuffle_join
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(batch["ts"], pa.date32()), pa.int32())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.cast(d, pa.int64()),
+            }
+        )
+
+    days = ds.map_batches(to_days, batch_format="pyarrow")
+    pairs = exact_dedup(
+        batch_local_dedup(days, ["user_id", "day"]),
+        ["user_id", "day"],
+        n_buckets=16,
+    )
+    cohort = grouped_agg(
+        days,
+        keys=["user_id"],
+        aggs={"cohort": ("day", "min")},
+        n_buckets=16,
+        partial=True,
+    )
+    joined = shuffle_join(
+        pairs,
+        cohort,
+        keys="user_id",
+        n_buckets=16,
+        left_schema={"user_id": pa.int64(), "day": pa.int64()},
+        right_schema={"user_id": pa.int64(), "cohort": pa.int64()},
+    )
+
+    def age(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": batch["cohort"],
+                "age_days": pc.subtract(batch["day"], batch["cohort"]),
+            }
+        )
+
+    out = grouped_agg(
+        joined.map_batches(age, batch_format="pyarrow"),
+        keys=["cohort", "age_days"],
+        aggs={"n_users": ("cohort", "count")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    out["cohort_day"] = np.datetime_as_string(
+        out["cohort"].to_numpy().astype("datetime64[D]"), unit="D"
+    )
+    out = out[["cohort_day", "age_days", "n_users"]]
+    out["age_days"] = out["age_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "age_days"]).reset_index(drop=True)
+
+
 def user_event_paths(sf_dir: str) -> pd.DataFrame:
     """Ordered list rollup (SQL ``string_agg(... ORDER BY ...)``): each
     user's full event-type sequence as one ``->``-joined path string, plus

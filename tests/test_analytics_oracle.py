@@ -81,6 +81,7 @@ SUBSET = [
     "er_golden_records",
     "user_final_state",
     "user_event_paths",
+    "cohort_retention",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
