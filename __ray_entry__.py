@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_final_state": A.user_final_state,
         "user_event_paths": A.user_event_paths,
         "cohort_retention": A.cohort_retention,
+        "word_countmin": A.word_countmin,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -653,6 +654,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": O.kmeans_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
+        "word_countmin": O.countmin_sql(
+            sorted(
+                ("spark", "hash", "join", "merge", "sort", "filter",
+                 "window", "vector", "stream", "batch")
+            )
+        ),
         "distinct_users_hll_by_type": O.hll_grouped_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),

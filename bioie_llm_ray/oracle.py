@@ -982,3 +982,45 @@ SELECT est.event_type,
 FROM est JOIN ex USING (event_type)
 ORDER BY 1
 """
+
+
+def countmin_sql(vocab: list[str], d: int = 4, w: int = 256) -> str:
+    """DuckDB oracle for analytics.word_countmin (Count-Min sketch).
+
+    Rebuilds stages/sketch.count_min bit-equal: value hash u = md5[:8]
+    big-endian; row-r cell = splitmix64((u + r·GOLD) mod 2^64) mod w;
+    sketch cell = occurrence count; estimate = min over the d cells.
+    Deterministic, so the estimates (not just counts) hash-match.
+    """
+    gold = 0x9E3779B97F4A7C15
+
+    def cell(v: str) -> str:
+        u = _MD5_U64.format(v=v)
+        x = (
+            f"((({u})::HUGEINT + (r::HUGEINT * {gold})) "
+            f"% 18446744073709551616)::UBIGINT"
+        )
+        return f"(({splitmix64_sql(x)}) % {w})"
+
+    vocab_values = ", ".join(f"('{v}')" for v in vocab)
+    return f"""
+WITH toks AS (
+  SELECT t.w AS w
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+  WHERE t.w <> ''
+),
+reps AS (SELECT w, r FROM toks CROSS JOIN range(0, {d}) AS t2(r)),
+cells AS (
+  SELECT r, {cell("w")} AS b, count(*)::BIGINT AS n
+  FROM reps GROUP BY 1, 2
+),
+q(word) AS (VALUES {vocab_values}),
+qcell AS (
+  SELECT word, r, {cell("word")} AS b
+  FROM q CROSS JOIN range(0, {d}) AS t3(r)
+)
+SELECT word, min(coalesce(cells.n, 0))::BIGINT AS est
+FROM qcell LEFT JOIN cells USING (r, b)
+GROUP BY word ORDER BY word
+"""

@@ -725,6 +725,36 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def word_countmin(sf_dir: str) -> pd.DataFrame:
+    """Count-Min point-frequency estimates for the pinned vocabulary over
+    the corpus token stream (`stages/sketch.count_min`) — the
+    frequency-sketch member of the sketch family (HLL = distinct,
+    histogram = quantiles, Misra-Gries = heavy hitters, CM = point counts).
+
+    Deterministic md5+splitmix row hashes make the whole d×w sketch (and
+    therefore every estimate) a pure function of the data — the oracle
+    rebuilds sketch AND estimates bit-equal in SQL.  Only (r, b, n) cell
+    partials move; the d·w matrix is the sole driver state."""
+    from ..stages.sketch import count_min, count_min_estimate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+            )
+        )
+        return pa.table({"token": flat.filter(pc.not_equal(flat, ""))})
+
+    sk = count_min(
+        ds.map_batches(toks, batch_format="pyarrow"), "token", d=4, w=256
+    )
+    vocab = sorted(DOC_VOCAB)
+    est = count_min_estimate(sk, vocab)
+    return pd.DataFrame({"word": vocab, "est": est.astype("int64")})
+
+
 def cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention matrix: users grouped by first-active day (the
     cohort), counted as retained on each later day they reappear —

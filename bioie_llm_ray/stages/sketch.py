@@ -428,3 +428,83 @@ def approx_distinct_grouped(
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# odd 64-bit golden-ratio constant; row r's hash = splitmix64(u + r*GOLD)
+_CM_GOLD = 0x9E3779B97F4A7C15
+
+
+def count_min(
+    ds: ray.data.Dataset,
+    col: str,
+    d: int = 4,
+    w: int = 256,
+    n_buckets: int = 8,
+) -> np.ndarray:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) over a
+    value stream: a ``d × w`` int64 count matrix; the estimate of any
+    value's frequency is the MIN over its ``d`` cells — always an
+    OVER-estimate, with error ≤ 2N/w at probability 1−(1/2)^d.
+
+    Row hashes derive from one md5-based 64-bit value hash ``u``:
+    ``h_r = splitmix64((u + r·GOLD) mod 2^64) mod w`` — deterministic, so
+    the sketch (and every estimate) is a pure function of the data and the
+    DuckDB oracle rebuilds it bit-equal.  Shuffle shape: per-batch
+    vectorized partials (≤ d·w nonzero ``(r, b, n)`` triples per batch),
+    one combiner-aggregate exchange keyed by the (r, b) cell, and only the
+    d·w matrix reaches the driver — never value rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import _splitmix64, stable_hash_u64
+    from .rollup import grouped_agg
+
+    salts = np.array(
+        [(r * _CM_GOLD) % (1 << 64) for r in range(d)], dtype=np.uint64
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[col], pa.string()).to_pylist()
+        u = stable_hash_u64(vals)
+        rows_out, cols_out, n_out = [], [], []
+        for r in range(d):
+            idx = (_splitmix64(u + salts[r]) % np.uint64(w)).astype(np.int64)
+            counts = np.bincount(idx, minlength=w)
+            nz = np.flatnonzero(counts)
+            rows_out.append(np.full(len(nz), r, dtype=np.int64))
+            cols_out.append(nz.astype(np.int64))
+            n_out.append(counts[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows_out)),
+                "b": pa.array(np.concatenate(cols_out)),
+                "n": pa.array(np.concatenate(n_out)),
+            }
+        )
+
+    cells = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["r", "b"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    )
+    sketch = np.zeros((d, w), dtype=np.int64)
+    for row in cells.take_all():
+        sketch[int(row["r"]), int(row["b"])] += int(row["n"])
+    return sketch
+
+
+def count_min_estimate(sketch: np.ndarray, values: list[str]) -> np.ndarray:
+    """Point-frequency estimates for ``values`` from a ``count_min`` sketch
+    (min over the d per-row cells)."""
+    from ..functions.hashing import _splitmix64, stable_hash_u64
+
+    d, w = sketch.shape
+    u = stable_hash_u64([str(v) for v in values])
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        salt = np.uint64((r * _CM_GOLD) % (1 << 64))
+        idx = (_splitmix64(u + salt) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, sketch[r, idx])
+    return est

@@ -82,6 +82,7 @@ SUBSET = [
     "user_final_state",
     "user_event_paths",
     "cohort_retention",
+    "word_countmin",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

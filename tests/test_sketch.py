@@ -213,3 +213,41 @@ class TestContQuantiles:
             ray.data.from_pandas(pd.DataFrame({"x": [42.0]})), "x", [0.5]
         )
         assert got[0.5] == 42.0
+
+
+class TestCountMin:
+    def _stream(self, words, parts=5):
+        df = pd.DataFrame({"token": words})
+        return ray.data.from_pandas(
+            df.sample(frac=1.0, random_state=6)
+        ).repartition(parts)
+
+    def test_overestimate_and_accuracy(self):
+        from collections import Counter
+
+        from bioie_llm_ray.stages.sketch import count_min, count_min_estimate
+
+        rng = np.random.RandomState(11)
+        words = [f"w{int(i)}" for i in rng.zipf(1.5, 5000) if i < 500]
+        truth = Counter(words)
+        sk = count_min(self._stream(words), "token", d=4, w=512)
+        keys = sorted(truth)
+        est = count_min_estimate(sk, keys)
+        for k, e in zip(keys, est):
+            assert e >= truth[k]  # CM never under-estimates
+            assert e <= truth[k] + 2 * len(words) // 512 + 8
+
+    def test_sketch_is_mergeable_and_partition_invariant(self):
+        from bioie_llm_ray.stages.sketch import count_min
+
+        words = [f"t{i % 37}" for i in range(700)]
+        a = count_min(self._stream(words, parts=2), "token", d=3, w=64)
+        b = count_min(self._stream(words, parts=11), "token", d=3, w=64)
+        assert (a == b).all()
+        assert a.sum() == 3 * 700  # every occurrence lands once per row
+
+    def test_total_mass_per_row(self):
+        from bioie_llm_ray.stages.sketch import count_min
+
+        sk = count_min(self._stream(["x", "y", "x"]), "token", d=4, w=16)
+        assert (sk.sum(axis=1) == 3).all()
