@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": A.user_event_paths,
         "cohort_retention": A.cohort_retention,
         "word_countmin": A.word_countmin,
+        "peak_concurrency": A.peak_concurrency,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1600,6 +1601,36 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "peak_concurrency": """
+            WITH flags AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            sids AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags),
+            sessions AS (
+                SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts
+                FROM sids GROUP BY 1, 2),
+            pts AS (
+                SELECT epoch_us(start_ts) * 2 AS k, 1 AS delta FROM sessions
+                UNION ALL
+                SELECT epoch_us(end_ts) * 2 + 1, -1 FROM sessions),
+            run AS (
+                SELECT delta,
+                       sum(delta) OVER (ORDER BY k) AS c
+                FROM pts)
+            SELECT max(c) FILTER (WHERE delta = 1)::BIGINT
+                       AS peak_concurrency,
+                   count(*) FILTER (WHERE delta = 1)::BIGINT AS n_sessions
+            FROM run
         """,
         "cohort_retention": """
             WITH f AS (

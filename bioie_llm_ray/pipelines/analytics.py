@@ -725,6 +725,59 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Peak session concurrency: the maximum number of user sessions
+    simultaneously open (closed intervals, 30-min gap sessionization) —
+    the interval sweep-line, run distributedly.
+
+    Composition: `window.sessionize` spans → ±1 boundary points keyed
+    ``µs·2 + (0 start | 1 end)`` (starts order before ends at the same
+    microsecond, so touching sessions count as concurrent) →
+    `scan.ordered_prefix_sum` running sum → global max over +1 rows.
+    Tied order keys are all same-sign by construction, and a maximum is
+    only attained at +1 rows, so the peak is deterministic even though
+    tied rows' intermediate prefix values are order-dependent."""
+    from ..stages.scan import ordered_prefix_sum
+    from ..stages.window import sessionize
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    spans = sessionize(events, key_col="user_id", ts_col="ts")
+
+    def points(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["start_ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = pc.cast(batch["end_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.concatenate([s * 2, e * 2 + 1])
+        delta = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return pa.table({"k": pa.array(k), "delta": pa.array(delta)})
+
+    pts = spans.map_batches(points, batch_format="pyarrow")
+    run = ordered_prefix_sum(pts, "k", "delta", out_col="c", n_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["delta"], 1)
+        c = batch.filter(mask)["c"]
+        peak = pc.max(c).as_py() if len(c) else 0
+        n = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "peak": pa.array([int(peak or 0)], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    peak, n_sessions = 0, 0
+    for row in run.map_batches(partial, batch_format="pyarrow").take_all():
+        peak = max(peak, int(row["peak"]))
+        n_sessions += int(row["n"])
+    return pd.DataFrame(
+        [{"peak_concurrency": peak, "n_sessions": n_sessions}]
+    )
+
+
 def word_countmin(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates for the pinned vocabulary over
     the corpus token stream (`stages/sketch.count_min`) — the

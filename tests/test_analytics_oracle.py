@@ -83,6 +83,7 @@ SUBSET = [
     "user_event_paths",
     "cohort_retention",
     "word_countmin",
+    "peak_concurrency",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

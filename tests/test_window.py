@@ -184,3 +184,39 @@ class TestFunnelCounts:
             {"step": 2, "event_type": "click", "n_users": 2},
             {"step": 3, "event_type": "purchase", "n_users": 2},
         ]
+
+
+class TestPeakConcurrency:
+    def test_planted_intervals(self, tmp_path):
+        """3 users overlapping at one instant; touching counts as 2."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import peak_concurrency
+
+        def ts(minute):
+            return pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=minute)
+
+        # u1: [0, 10]; u2: [5, 15]; u3: [8, 9]  -> peak 3 at t=8..9
+        # u4: [100, 110]; u5 starts exactly at u4's end -> concurrent (2)
+        rows = [
+            (1, ts(0)), (1, ts(10)),
+            (2, ts(5)), (2, ts(15)),
+            (3, ts(8)), (3, ts(9)),
+            (4, ts(100)), (4, ts(110)),
+            (5, ts(110)), (5, ts(120)),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows],
+                               type=pa.timestamp("us")),
+            }
+        )
+        d = str(tmp_path)
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = peak_concurrency(d)
+        assert int(out.peak_concurrency[0]) == 3
+        assert int(out.n_sessions[0]) == 5
