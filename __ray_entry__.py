@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": A.cohort_retention,
         "word_countmin": A.word_countmin,
         "peak_concurrency": A.peak_concurrency,
+        "lineitem_constraints": A.lineitem_constraints,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1601,6 +1602,39 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "lineitem_constraints": """
+            WITH t AS (SELECT count(*)::BIGINT AS n FROM lineitem)
+            SELECT 'accepted_values(l_returnflag)' AS rule,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_returnflag IS NULL
+                       OR l_returnflag NOT IN ('A','N','R'))::BIGINT
+                       AS violations,
+                   n AS n_checked FROM t
+            UNION ALL
+            SELECT 'in_range(l_discount,0,0.1)',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_discount IS NULL
+                       OR l_discount < 0 OR l_discount > 0.1)::BIGINT,
+                   n FROM t
+            UNION ALL
+            SELECT 'in_range(l_quantity,1,40)',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_quantity IS NULL
+                       OR l_quantity < 1 OR l_quantity > 40)::BIGINT,
+                   n FROM t
+            UNION ALL
+            SELECT 'not_null(l_orderkey)',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NULL)::BIGINT,
+                   n FROM t
+            UNION ALL
+            SELECT 'unique(l_orderkey,l_linenumber)',
+                   (SELECT count(*) - count(DISTINCT (l_orderkey,
+                                                      l_linenumber))
+                    FROM lineitem)::BIGINT,
+                   n FROM t
+            ORDER BY rule
         """,
         "peak_concurrency": """
             WITH flags AS (

@@ -725,6 +725,44 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def lineitem_constraints(sf_dir: str) -> pd.DataFrame:
+    """Data-quality constraint validation over lineitem
+    (`stages/profile.validate_constraints`) — the deequ-style "fail before
+    the expensive stages" ingest gate.  Row-local rules fold per-batch
+    vectorized counts (zero shuffle); the uniqueness rule costs one
+    combiner+bucketed dedup count.  The range rule is deliberately tighter
+    than the data (quantity ≤ 40) and the key is deliberately NOT unique
+    in this dataset, so both report real nonzero violation counts — the
+    oracle checks the counts, not just green/red."""
+    from ..stages.profile import validate_constraints
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_returnflag",
+        ],
+    )
+    return validate_constraints(
+        ds,
+        [
+            {"kind": "not_null", "col": "l_orderkey"},
+            {"kind": "in_range", "col": "l_quantity", "lo": 1, "hi": 40},
+            {"kind": "in_range", "col": "l_discount", "lo": 0, "hi": 0.1},
+            {
+                "kind": "accepted_values",
+                "col": "l_returnflag",
+                "values": ["A", "N", "R"],
+            },
+            {"kind": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        ],
+    )
+
+
 def peak_concurrency(sf_dir: str) -> pd.DataFrame:
     """Peak session concurrency: the maximum number of user sessions
     simultaneously open (closed intervals, 30-min gap sessionization) —

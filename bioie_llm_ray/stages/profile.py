@@ -182,3 +182,116 @@ def table_checksum(
         n_rows += int(row["n"])
         total = (total + int(row["s"])) % (1 << 64)
     return {"n_rows": n_rows, "checksum": str(total)}
+
+
+def validate_constraints(
+    ds: ray.data.Dataset, constraints: list[dict], n_buckets: int = 32
+):
+    """Deequ-style distributed data-quality validation: evaluate declared
+    constraints in one streaming pass and report violation counts.
+
+    Supported constraint dicts:
+
+    - ``{"kind": "not_null", "col": c}``
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}`` — closed
+      interval; nulls count as violations
+    - ``{"kind": "accepted_values", "col": c, "values": [...]}``
+    - ``{"kind": "unique", "cols": [...]}`` — violations = rows − distinct
+      key tuples
+
+    Row-local constraints fold per-batch vectorized Arrow counts (zero
+    shuffle, one tiny partial row per batch); each ``unique`` constraint
+    additionally costs one combiner + bucketed dedup count — the only
+    exchange, keyed by the candidate key's hash.  Returns a pandas frame
+    ``(rule, violations, n_checked)`` — the "fail the pipeline before the
+    expensive stages" gate of a 100 TB ingest.
+    """
+    import pandas as pd
+
+    row_cs, uniq_cs = [], []
+    for c in constraints:
+        (uniq_cs if c["kind"] == "unique" else row_cs).append(c)
+
+    def rule_name(c: dict) -> str:
+        if c["kind"] == "not_null":
+            return f"not_null({c['col']})"
+        if c["kind"] == "in_range":
+            return f"in_range({c['col']},{c['lo']},{c['hi']})"
+        if c["kind"] == "accepted_values":
+            return f"accepted_values({c['col']})"
+        return f"unique({','.join(c['cols'])})"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        viols = []
+        for c in row_cs:
+            col = batch[c["col"]]
+            if c["kind"] == "not_null":
+                bad = col.null_count
+            elif c["kind"] == "in_range":
+                ok = pc.and_(
+                    pc.greater_equal(col, c["lo"]), pc.less_equal(col, c["hi"])
+                )
+                good = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+                bad = len(col) - int(good)  # nulls fall out of `ok`
+            else:  # accepted_values
+                ok = pc.is_in(col, value_set=pa.array(c["values"]))
+                good = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+                bad = len(col) - int(good)
+            viols.append(bad)
+        return pa.table(
+            {
+                "i": pa.array(range(len(row_cs)), type=pa.int64()),
+                "v": pa.array(viols, type=pa.int64()),
+                "n": pa.array([len(batch)] * len(row_cs), type=pa.int64()),
+            }
+        )
+
+    totals = [0] * len(row_cs)
+    n_rows = 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        totals[int(row["i"])] += int(row["v"])
+        if int(row["i"]) == 0:
+            n_rows += int(row["n"])
+    if not row_cs:
+        n_rows = ds.count()
+
+    rows = [
+        {"rule": rule_name(c), "violations": totals[i], "n_checked": n_rows}
+        for i, c in enumerate(row_cs)
+    ]
+    if uniq_cs:
+        from ..stages.dedup import batch_local_dedup, exact_dedup
+
+        for c in uniq_cs:
+            cols = c["cols"]
+
+            # canonicalize the key to one string column with an explicit
+            # null sentinel — dirty data has null keys, and the dedup
+            # hash has no null rendering of its own
+            def to_key(batch: pa.Table, cols=cols) -> pa.Table:
+                parts = [
+                    pc.fill_null(pc.cast(batch[k], pa.string()), "\x00null")
+                    for k in cols
+                ]
+                key = parts[0]
+                for p in parts[1:]:
+                    key = pc.binary_join_element_wise(key, p, "\x1f")
+                return pa.table({"__uk": key})
+
+            keyed = ds.select_columns(cols).map_batches(
+                to_key, batch_format="pyarrow"
+            )
+            distinct = exact_dedup(
+                batch_local_dedup(keyed, ["__uk"]),
+                ["__uk"],
+                n_buckets=n_buckets,
+            ).count()
+            rows.append(
+                {
+                    "rule": rule_name(c),
+                    "violations": n_rows - int(distinct),
+                    "n_checked": n_rows,
+                }
+            )
+    out = pd.DataFrame(rows, columns=["rule", "violations", "n_checked"])
+    return out.sort_values("rule").reset_index(drop=True)

@@ -84,6 +84,7 @@ SUBSET = [
     "cohort_retention",
     "word_countmin",
     "peak_concurrency",
+    "lineitem_constraints",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

@@ -85,3 +85,51 @@ class TestTableChecksum:
         df = pd.DataFrame({"x": [1.5, 2.5]})
         with pytest.raises(Exception):
             table_checksum(ray.data.from_pandas(df), ["x"])
+
+
+class TestValidateConstraints:
+    def test_all_kinds_with_planted_violations(self):
+        import pandas as pd
+
+        from bioie_llm_ray.stages.profile import validate_constraints
+
+        df = pd.DataFrame(
+            {
+                "id": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+                "q": [5.0, 100.0, -1.0, 7.0, 8.0],
+                "flag": ["A", "B", "Z", "A", "A"],
+            }
+        )
+        out = validate_constraints(
+            ray.data.from_pandas(df).repartition(3),
+            [
+                {"kind": "not_null", "col": "id"},
+                {"kind": "in_range", "col": "q", "lo": 0, "hi": 50},
+                {"kind": "accepted_values", "col": "flag",
+                 "values": ["A", "B"]},
+                {"kind": "unique", "cols": ["id"]},
+            ],
+        )
+        got = dict(zip(out["rule"], out["violations"]))
+        assert got["not_null(id)"] == 1
+        assert got["in_range(q,0,50)"] == 2      # 100 high, -1 low
+        assert got["accepted_values(flag)"] == 1  # Z
+        # ids: 1,2,2,None,5 -> 4 distinct tuples (None is a value) -> 1 dup
+        assert got["unique(id)"] == 1
+        assert (out["n_checked"] == 5).all()
+
+    def test_clean_table_reports_zero(self):
+        import pandas as pd
+
+        from bioie_llm_ray.stages.profile import validate_constraints
+
+        df = pd.DataFrame({"k": [1, 2, 3], "v": [0.1, 0.2, 0.3]})
+        out = validate_constraints(
+            ray.data.from_pandas(df),
+            [
+                {"kind": "not_null", "col": "k"},
+                {"kind": "in_range", "col": "v", "lo": 0, "hi": 1},
+                {"kind": "unique", "cols": ["k"]},
+            ],
+        )
+        assert (out["violations"] == 0).all()
