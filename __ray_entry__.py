@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_countmin": A.word_countmin,
         "peak_concurrency": A.peak_concurrency,
         "lineitem_constraints": A.lineitem_constraints,
+        "embedding_norms": A.embedding_norms,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1602,6 +1603,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   sqrt(sum((x::DOUBLE) * (x::DOUBLE))) AS l2_norm,
+                   max(abs(x::DOUBLE)) AS max_abs,
+                   count(*)::BIGINT AS dim
+            FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+            GROUP BY vec_id
+            ORDER BY vec_id
         """,
         "lineitem_constraints": """
             WITH t AS (SELECT count(*)::BIGINT AS n FROM lineitem)

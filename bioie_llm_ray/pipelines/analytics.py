@@ -725,6 +725,37 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-vector stats over the list<float> embedding column: L2 norm,
+    max |component|, dimensionality — the vector-column projection shape
+    (normalize-before-ANN preprocessing), fully vectorized: each batch
+    stacks to one (n, dim) float64 matrix, zero shuffle, output
+    cardinality = input."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "l2_norm": pa.array(
+                    np.sqrt((emb * emb).sum(axis=1)), type=pa.float64()
+                ),
+                "max_abs": pa.array(
+                    np.abs(emb).max(axis=1), type=pa.float64()
+                ),
+                "dim": pa.array(
+                    np.full(len(emb), emb.shape[1], dtype=np.int64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def lineitem_constraints(sf_dir: str) -> pd.DataFrame:
     """Data-quality constraint validation over lineitem
     (`stages/profile.validate_constraints`) — the deequ-style "fail before

@@ -85,6 +85,7 @@ SUBSET = [
     "word_countmin",
     "peak_concurrency",
     "lineitem_constraints",
+    "embedding_norms",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
