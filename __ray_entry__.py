@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": A.peak_concurrency,
         "lineitem_constraints": A.lineitem_constraints,
         "embedding_norms": A.embedding_norms,
+        "doc_inverted_index": A.doc_inverted_index,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1603,6 +1604,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "doc_inverted_index": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL})
+            SELECT token AS word, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id)
+                       AS postings
+            FROM m GROUP BY token ORDER BY word
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -725,6 +725,61 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build for the pinned vocabulary: per term, the
+    document-frequency and the full posting list (distinct doc_ids,
+    ascending, ``|``-joined) — the IR-engine primitive behind the mention
+    pipeline's semi-join.
+
+    Vectorized explode (``list_flatten`` + ``list_parent_indices``) →
+    broadcast vocab filter → per-batch combiner dedup + one bucketed
+    exact-dedup of (doc_id, term) → per-term postings assembled in a
+    vectorized pass (term count is the pinned vocab's 10 — the documented
+    small-key ``map_groups`` case; a full-corpus index would shard
+    postings by hash(term) exactly like the band buckets in neardup)."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+
+    vocab = pa.array(sorted(DOC_VOCAB), type=pa.string())
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        doc = batch["doc_id"].take(parents)
+        mask = pc.is_in(flat, value_set=vocab)
+        return pa.table(
+            {"doc_id": doc.filter(mask), "term": flat.filter(mask)}
+        )
+
+    m = exact_dedup(
+        batch_local_dedup(
+            ds.map_batches(pairs, batch_format="pyarrow"),
+            ["doc_id", "term"],
+        ),
+        ["doc_id", "term"],
+        n_buckets=16,
+    )
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"])
+        agg = g.groupby("term")["doc_id"].agg(
+            df="size", postings=lambda s: "|".join(s.astype(str))
+        )
+        agg = agg.reset_index().rename(columns={"term": "word"})
+        agg["df"] = agg["df"].astype("int64")
+        return agg
+
+    out = (
+        m.groupby("term")
+        .map_groups(postings, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("word").reset_index(drop=True)
+
+
 def embedding_norms(sf_dir: str) -> pd.DataFrame:
     """Per-vector stats over the list<float> embedding column: L2 norm,
     max |component|, dimensionality — the vector-column projection shape

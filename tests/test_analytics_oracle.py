@@ -86,6 +86,7 @@ SUBSET = [
     "peak_concurrency",
     "lineitem_constraints",
     "embedding_norms",
+    "doc_inverted_index",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
