@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_constraints": A.lineitem_constraints,
         "embedding_norms": A.embedding_norms,
         "doc_inverted_index": A.doc_inverted_index,
+        "user_value_rank": A.user_value_rank,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1604,6 +1605,21 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "user_value_rank": """
+            SELECT event_id,
+                   user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, event_id)::BIGINT AS rn,
+                   rank() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC)::BIGINT AS rnk,
+                   dense_rank() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC)::BIGINT AS drnk
+            FROM events
+            ORDER BY event_id
         """,
         "doc_inverted_index": f"""
             WITH m AS (

@@ -725,6 +725,30 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def user_value_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-user ranking windows over event values
+    (`stages/window.grouped_ranks`): row_number / rank / dense_rank OVER
+    (PARTITION BY user_id ORDER BY value DESC) — the PARTITION BY
+    counterpart of `events_global_rank`'s single global order."""
+    from ..stages.window import grouped_ranks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = grouped_ranks(
+        ds,
+        group_col="user_id",
+        order_col="value",
+        tiebreak=["event_id"],
+        descending=True,
+        n_buckets=32,
+    ).to_pandas()
+    out = out[["event_id", "user_id", "row_number", "rank", "dense_rank"]]
+    out = out.rename(
+        columns={"row_number": "rn", "rank": "rnk", "dense_rank": "drnk"}
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def doc_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build for the pinned vocabulary: per term, the
     document-frequency and the full posting list (distinct doc_ids,

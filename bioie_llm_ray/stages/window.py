@@ -263,3 +263,66 @@ def funnel_counts(
         n_users=("n_users", "sum")
     )
     return out.sort_values("step").reset_index(drop=True)
+
+
+def grouped_ranks(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    descending: bool = True,
+    n_buckets: int = 32,
+    out_prefix: str = "",
+) -> ray.data.Dataset:
+    """Per-partition ranking windows: ``row_number`` / ``rank`` /
+    ``dense_rank`` OVER (PARTITION BY group ORDER BY order) — the
+    PARTITION BY counterpart of `scan.global_order_ranks` (which ranks over
+    ONE global order and therefore needs range partitioning; here every
+    partition is independent, so plain hash bucketing suffices).
+
+    One ``hash(group) % n_buckets`` exchange; each bucket runs a single
+    vectorized pandas pass: sort by (group, order, *tiebreak), positional
+    numbers per group via ``groupby.cumcount``, ``rank`` / ``dense_rank``
+    from the SQL ``rank(method='min'/'dense')`` kernels on the order column
+    alone (ties share ranks exactly as in SQL; ``tiebreak`` pins
+    ``row_number`` deterministically).
+    """
+    tiebreak = list(tiebreak or [])
+    rn, rk, dr = (
+        out_prefix + "row_number",
+        out_prefix + "rank",
+        out_prefix + "dense_rank",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch[group_col], n_buckets)),
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        asc = [True] + [not descending] + [True] * len(tiebreak)
+        g = g.sort_values(
+            [group_col, order_col] + tiebreak,
+            ascending=asc,
+            kind="mergesort",
+        ).drop(columns=["__bucket"])
+        grp = g.groupby(group_col, sort=False)
+        g[rn] = (grp.cumcount() + 1).astype("int64")
+        g[rk] = (
+            grp[order_col]
+            .rank(method="min", ascending=not descending)
+            .astype("int64")
+        )
+        g[dr] = (
+            grp[order_col]
+            .rank(method="dense", ascending=not descending)
+            .astype("int64")
+        )
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

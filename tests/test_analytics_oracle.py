@@ -87,6 +87,7 @@ SUBSET = [
     "lineitem_constraints",
     "embedding_norms",
     "doc_inverted_index",
+    "user_value_rank",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

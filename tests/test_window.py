@@ -220,3 +220,56 @@ class TestPeakConcurrency:
         out = peak_concurrency(d)
         assert int(out.peak_concurrency[0]) == 3
         assert int(out.n_sessions[0]) == 5
+
+
+class TestGroupedRanks:
+    def test_matches_pandas_with_ties(self):
+        from bioie_llm_ray.stages.window import grouped_ranks
+
+        rng = np.random.RandomState(15)
+        n = 1200
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 40, n),
+                "v": rng.randint(0, 8, n),
+                "id": np.arange(n, dtype=np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(
+            df.sample(frac=1.0, random_state=1)
+        ).repartition(7)
+        out = (
+            grouped_ranks(ds, "g", "v", tiebreak=["id"], n_buckets=8)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        exp["row_number"] = exp.groupby("g").cumcount() + 1
+        exp["rank"] = (
+            df.groupby("g")["v"].rank(method="min", ascending=False)
+            .astype("int64")
+        )
+        exp["dense_rank"] = (
+            df.groupby("g")["v"].rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        exp = exp.sort_values("id").reset_index(drop=True)
+        for c in ("row_number", "rank", "dense_rank"):
+            assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_ascending_order(self):
+        from bioie_llm_ray.stages.window import grouped_ranks
+
+        df = pd.DataFrame(
+            {"g": ["a", "a", "b"], "v": [5, 3, 9],
+             "id": np.arange(3, dtype=np.int64)}
+        )
+        out = (
+            grouped_ranks(
+                ray.data.from_pandas(df), "g", "v",
+                tiebreak=["id"], descending=False, n_buckets=4,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert out["rank"].tolist() == [2, 1, 1]
