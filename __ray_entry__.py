@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": A.embedding_norms,
         "doc_inverted_index": A.doc_inverted_index,
         "user_value_rank": A.user_value_rank,
+        "value_outliers": A.value_outliers,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1605,6 +1606,23 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "value_outliers": """
+            WITH m AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(value) / count(*) AS mu,
+                       sqrt(sum(value * value) / count(*)
+                            - (sum(value) / count(*))^2) AS sd
+                FROM events GROUP BY 1)
+            SELECT e.event_type, any_value(m.n) AS n,
+                   round_even(any_value(m.mu), 6) AS mean_value,
+                   round_even(any_value(m.sd), 6) AS std_value,
+                   count(*) FILTER (
+                       WHERE abs((e.value - m.mu) / m.sd) > 2)::BIGINT
+                       AS n_outliers
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type
+            ORDER BY e.event_type
         """,
         "user_value_rank": """
             SELECT event_id,

@@ -725,6 +725,76 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def value_outliers(sf_dir: str) -> pd.DataFrame:
+    """Two-pass z-score outlier detection per event type: pass 1 folds
+    (sum, sum-of-squares, count) moments through the combiner aggregate;
+    pass 2 streams again with the tiny per-type moment table broadcast
+    (``ray.put`` once) and counts |z| > 2 rows — the classic
+    compute-stats-then-filter shape of anomaly screens, with nothing but
+    the 5-row moment table on the driver."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "v2": pc.multiply(batch["value"], batch["value"]),
+            }
+        )
+
+    m = grouped_agg(
+        ds.map_batches(with_sq, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={
+            "s": ("value", "sum"),
+            "s2": ("v2", "sum"),
+            "n": ("value", "count"),
+        },
+        n_buckets=4,
+        partial=True,
+    ).to_pandas()
+    m["mu"] = m["s"] / m["n"]
+    m["sd"] = np.sqrt(m["s2"] / m["n"] - m["mu"] ** 2)
+    moments_ref = ray.put(
+        {t: (mu, sd) for t, mu, sd in zip(m["event_type"], m["mu"], m["sd"])}
+    )
+
+    def outliers(batch: pa.Table) -> pa.Table:
+        mom = ray.get(moments_ref)
+        types = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mu = np.array([mom[t][0] for t in types])
+        sd = np.array([mom[t][1] for t in types])
+        out = (np.abs((v - mu) / sd) > 2).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "is_out": pa.array(out),
+            }
+        )
+
+    cnt = grouped_agg(
+        ds.map_batches(outliers, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"n_outliers": ("is_out", "sum")},
+        n_buckets=4,
+        partial=True,
+    ).to_pandas()
+    out = m.merge(cnt, on="event_type")
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "mean_value": out["mu"].round(6),
+            "std_value": out["sd"].round(6),
+            "n_outliers": out["n_outliers"].astype("int64"),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
 def user_value_rank(sf_dir: str) -> pd.DataFrame:
     """Per-user ranking windows over event values
     (`stages/window.grouped_ranks`): row_number / rank / dense_rank OVER

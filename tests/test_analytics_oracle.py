@@ -88,6 +88,7 @@ SUBSET = [
     "embedding_norms",
     "doc_inverted_index",
     "user_value_rank",
+    "value_outliers",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
