@@ -1801,6 +1801,8 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rn,
                    rank() OVER (ORDER BY ts)::BIGINT AS rnk,
                    dense_rank() OVER (ORDER BY ts)::BIGINT AS drnk,
+                   percent_rank() OVER (ORDER BY ts) AS pr,
+                   cume_dist() OVER (ORDER BY ts) AS cd,
                    ntile(7) OVER (ORDER BY ts, event_id)::BIGINT AS tile
             FROM events
             ORDER BY event_id

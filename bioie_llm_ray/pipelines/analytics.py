@@ -3711,12 +3711,22 @@ def events_global_rank(sf_dir: str) -> pd.DataFrame:
         ds, "ts", tiebreak=["event_id"], n_buckets=32, ntile=7
     )
     out = ranked.to_pandas()[
-        ["event_id", "row_number", "rank", "dense_rank", "ntile"]
+        [
+            "event_id",
+            "row_number",
+            "rank",
+            "dense_rank",
+            "percent_rank",
+            "cume_dist",
+            "ntile",
+        ]
     ].rename(
         columns={
             "row_number": "rn",
             "rank": "rnk",
             "dense_rank": "drnk",
+            "percent_rank": "pr",
+            "cume_dist": "cd",
             "ntile": "tile",
         }
     )

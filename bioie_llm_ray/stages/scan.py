@@ -115,9 +115,10 @@ def global_order_ranks(
     ntile: int | None = None,
     out_prefix: str = "",
 ) -> ray.data.Dataset:
-    """Global ``row_number`` / ``rank`` / ``dense_rank`` (and optionally
-    ``ntile``) over an arbitrary ORDER BY — the TeraSort-style sampled-splitter
-    range partition, generalized to ranking with ties.
+    """Global ``row_number`` / ``rank`` / ``dense_rank`` / ``percent_rank``
+    / ``cume_dist`` (and optionally ``ntile``) over an arbitrary ORDER BY —
+    the TeraSort-style sampled-splitter range partition, generalized to
+    ranking with ties.
 
     ``ordered_prefix_sum`` needs an integer, unique order key; this operator
     takes any comparable ``order_col`` (int, float, string, timestamp), with
@@ -185,6 +186,8 @@ def global_order_ranks(
         )
 
     # --- 2. per-bucket local ranks (one vectorized pass per range) -------
+    cume_col = out_prefix + "__cume_pos"
+
     def local_ranks(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         m = len(g)
@@ -196,6 +199,10 @@ def global_order_ranks(
         g[rn_col] = pos
         g[rk_col] = np.maximum.accumulate(np.where(is_new, pos, 0))
         g[dr_col] = np.cumsum(is_new)
+        # last peer position per key (for cume_dist): next group start − 1
+        starts = np.flatnonzero(is_new)
+        last = np.append(starts[1:], m)  # 1-based position of each key's
+        g[cume_col] = last[np.cumsum(is_new) - 1]  # last peer
         return g
 
     ranked = (
@@ -238,10 +245,20 @@ def global_order_ranks(
         rn = batch[rn_col].to_numpy(zero_copy_only=False) + r_off[b]
         rk = batch[rk_col].to_numpy(zero_copy_only=False) + r_off[b]
         dr = batch[dr_col].to_numpy(zero_copy_only=False) + d_off[b]
-        batch = batch.drop_columns([_BUCKET, rn_col, rk_col, dr_col])
+        cume = batch[cume_col].to_numpy(zero_copy_only=False) + r_off[b]
+        batch = batch.drop_columns([_BUCKET, rn_col, rk_col, dr_col, cume_col])
         batch = batch.append_column(rn_col, pa.array(rn, type=pa.int64()))
         batch = batch.append_column(rk_col, pa.array(rk, type=pa.int64()))
         batch = batch.append_column(dr_col, pa.array(dr, type=pa.int64()))
+        # SQL percent_rank = (rank−1)/(N−1); cume_dist = last-peer-pos / N
+        pr = (rk - 1) / (n_total - 1) if n_total > 1 else rk * 0.0
+        batch = batch.append_column(
+            out_prefix + "percent_rank", pa.array(pr, type=pa.float64())
+        )
+        batch = batch.append_column(
+            out_prefix + "cume_dist",
+            pa.array(cume / n_total, type=pa.float64()),
+        )
         if ntile is not None:
             q, rem = divmod(n_total, ntile)
             cut = rem * (q + 1)

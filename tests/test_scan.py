@@ -213,3 +213,39 @@ class TestGlobalOrderRanks:
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         assert out["ntile"].tolist() == [1, 2, 3]
+
+
+class TestPercentRankCumeDist:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        rng = np.random.RandomState(21)
+        n = 800
+        df = pd.DataFrame(
+            {"k": rng.randint(0, 60, n), "id": np.arange(n, dtype=np.int64)}
+        )
+        out = (
+            global_order_ranks(_ds(df, 6), "k", tiebreak=["id"], n_buckets=8)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT id, percent_rank() OVER (ORDER BY k) AS pr,"
+            "       cume_dist() OVER (ORDER BY k) AS cd "
+            "FROM t ORDER BY id"
+        ).df()
+        assert np.allclose(out["percent_rank"], want["pr"], atol=1e-12)
+        assert np.allclose(out["cume_dist"], want["cd"], atol=1e-12)
+
+    def test_single_row(self):
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        df = pd.DataFrame({"k": [5], "id": [0]})
+        out = global_order_ranks(
+            _ds(df, 1), "k", tiebreak=["id"], n_buckets=2
+        ).to_pandas()
+        assert out["percent_rank"].iloc[0] == 0.0
+        assert out["cume_dist"].iloc[0] == 1.0
