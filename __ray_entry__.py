@@ -474,6 +474,12 @@ def _code_secret_scan(sf_dir: str):
     return C.secret_scan_query(_code_fixture_path())
 
 
+def _code_lang_loc(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.lang_loc_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -627,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_clone_pairs": _code_clone_pairs,
         "code_repo_stats": _code_repo_stats,
         "code_secret_scan": _code_secret_scan,
+        "code_lang_loc": _code_lang_loc,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -752,6 +759,24 @@ def oracle_sql() -> dict[str, str]:
                        content,
                        '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1)) AS module
             FROM snap
+        """,
+        "code_lang_loc": f"""
+            WITH snap AS (
+                SELECT repo, lang, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path, lang
+            )
+            SELECT repo, lang,
+                   count(*)::BIGINT AS n_files,
+                   sum(length(content)
+                       - length(replace(content, chr(10), ''))
+                       + CASE WHEN content <> ''
+                                   AND NOT ends_with(content, chr(10))
+                              THEN 1 ELSE 0 END)::BIGINT AS n_lines,
+                   sum(strlen(content))::BIGINT AS n_bytes
+            FROM snap
+            GROUP BY repo, lang
+            ORDER BY repo, lang
         """,
         "code_secret_scan": f"""
             WITH snap AS (

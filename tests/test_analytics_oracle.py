@@ -89,6 +89,7 @@ SUBSET = [
     "doc_inverted_index",
     "user_value_rank",
     "value_outliers",
+    "code_lang_loc",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

@@ -565,3 +565,40 @@ class TestCdcApply:
             [("a", 5, "up", 1), ("a", 5, "up", 2), ("b", 1, "up", 9)]
         )
         assert got == {"a": ("up", 2), "b": ("up", 9)}
+
+
+class TestLangLoc:
+    def test_counts_latest_snapshot_lines(self):
+        t = pa.table(
+            {
+                "repo": ["r", "r", "r"],
+                "path": ["a.py", "a.py", "b.py"],
+                "commit": ["c0", "c1", "c2"],
+                "commit_ts": [1, 2, 1],
+                "lang": ["py", "py", "py"],
+                "content": [
+                    "old\nversion\nthree\nlines\n",
+                    "x = 1\ny = 2\n",          # latest for a.py: 2 lines
+                    "no trailing newline",      # 1 unterminated line
+                ],
+            }
+        )
+        out = C.lang_loc(ray.data.from_arrow(t), n_buckets=4)
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row.repo, row.lang) == ("r", "py")
+        assert int(row.n_files) == 2
+        assert int(row.n_lines) == 3
+        assert int(row.n_bytes) == len("x = 1\ny = 2\n") + len(
+            "no trailing newline"
+        )
+
+    def test_empty_content_counts_zero_lines(self):
+        t = pa.table(
+            {
+                "repo": ["r"], "path": ["e.py"], "commit": ["c"],
+                "commit_ts": [1], "lang": ["py"], "content": [""],
+            }
+        )
+        out = C.lang_loc(ray.data.from_arrow(t), n_buckets=2)
+        assert int(out.iloc[0].n_lines) == 0
