@@ -175,3 +175,86 @@ def run_resumable(
         manifests[part_id] = write_partition(root, part_id, make_ds(), lineage)
         done.append(part_id)
     return {"completed": done, "skipped": skipped, "manifests": manifests}
+
+
+def compact_partition(
+    root: str,
+    part_id: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a completed partition into fewer, larger Parquet files —
+    the small-files compaction every long-running checkpointed pipeline
+    needs (many incremental appends / tiny input shards accumulate files
+    far below the efficient scan size; object stores and the parquet
+    footer overhead both punish that).
+
+    The rewrite is atomic exactly like ``write_partition``: data lands in
+    a temp dir that is renamed over the old partition, so a crash
+    mid-compaction leaves the original intact.  The manifest is preserved
+    (lineage untouched — compaction changes layout, never content) and
+    gains a ``compaction`` record: files before/after and a row-count
+    equality assertion — compaction that changes the row count is a bug,
+    and it refuses to swap.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    final = _part_dir(root, part_id)
+    manifest = read_manifest(root, part_id)
+    files = sorted(
+        os.path.join(final, f)
+        for f in os.listdir(final)
+        if f.endswith(".parquet")
+    )
+    n_before = len(files)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, int(np.ceil(total_bytes / target_bytes_per_file)))
+    if n_target >= n_before:
+        return manifest  # nothing to gain; leave the partition untouched
+
+    ds = ray.data.read_parquet(files).repartition(n_target)
+    tmp = os.path.join(root, f"_tmp_compact_{part_id}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+
+    new_files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    n_rows = sum(
+        _count_parquet_rows(os.path.join(tmp, f)) for f in new_files
+    )
+    if n_rows != manifest["n_rows"]:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction of {part_id!r} changed the row count "
+            f"({manifest['n_rows']} -> {n_rows}); original left in place"
+        )
+    manifest = dict(
+        manifest,
+        n_bytes=sum(
+            os.path.getsize(os.path.join(tmp, f)) for f in new_files
+        ),
+        compaction={
+            "files_before": n_before,
+            "files_after": len(new_files),
+            "target_bytes_per_file": target_bytes_per_file,
+        },
+    )
+    with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    old = os.path.join(root, f"_old_{part_id}")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old)
+    return manifest
+
+
+def compact_all(root: str, target_bytes_per_file: int = 128 * 1024 * 1024) -> dict:
+    """Compact every completed partition; returns {part_id: manifest}."""
+    return {
+        p: compact_partition(root, p, target_bytes_per_file)
+        for p in completed_partitions(root)
+    }
