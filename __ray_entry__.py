@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": A.doc_inverted_index,
         "user_value_rank": A.user_value_rank,
         "value_outliers": A.value_outliers,
+        "hll_user_overlap": A.hll_user_overlap,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -667,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": O.kmeans_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
+        "hll_user_overlap": O.hll_overlap_sql(),
         "word_countmin": O.countmin_sql(
             sorted(
                 ("spark", "hash", "join", "merge", "sort", "filter",

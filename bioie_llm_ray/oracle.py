@@ -1024,3 +1024,68 @@ SELECT word, min(coalesce(cells.n, 0))::BIGINT AS est
 FROM qcell LEFT JOIN cells USING (r, b)
 GROUP BY word ORDER BY word
 """
+
+
+def hll_overlap_sql() -> str:
+    """DuckDB oracle for analytics.hll_user_overlap: the p=14 register
+    pipeline per audience ('view' / 'purchase'), the union register set as
+    the elementwise max, estimates for A, B, A∪B and the
+    inclusion–exclusion intersection — every value a deterministic
+    function of the register arrays, so the gate compares estimates."""
+    h = _MD5_U64.format(v="v")
+    est_case = (
+        "CASE WHEN raw <= 2.5 * 16384.0 AND zeros > 0 "
+        "THEN 16384.0 * ln(16384.0 / zeros) ELSE raw END"
+    )
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+  WHERE event_type IN ('view', 'purchase')),
+h AS (SELECT event_type, {h} AS h FROM vals),
+reg AS (
+  SELECT event_type, (h >> 50)::BIGINT AS idx,
+         max(65 - length(bin(((h % 1125899906842624) * 16384 + 16383)::UBIGINT))) AS r
+  FROM h GROUP BY 1, 2
+),
+dom AS (SELECT g.i FROM generate_series(0, 16383) AS g(i)),
+sides AS (
+  SELECT dom.i,
+         coalesce(max(CASE WHEN event_type = 'view' THEN r END), 0) AS ra,
+         coalesce(max(CASE WHEN event_type = 'purchase' THEN r END), 0) AS rb
+  FROM dom LEFT JOIN reg ON reg.idx = dom.i
+  GROUP BY dom.i
+),
+est0 AS (
+  SELECT s.tag, (0.7213 / (1.0 + 1.079/16384.0)) * 16384.0 * 16384.0
+             / sum(power(2.0, -s.r)) AS raw,
+         sum(CASE WHEN s.r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM (
+    SELECT 'a' AS tag, ra AS r FROM sides
+    UNION ALL SELECT 'b', rb FROM sides
+    UNION ALL SELECT 'u', greatest(ra, rb) FROM sides
+  ) s GROUP BY 1
+),
+est AS (SELECT tag, {est_case} AS e FROM est0),
+ex AS (
+  SELECT count(*)::BIGINT AS exact FROM (
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IN ('view', 'purchase'))
+    GROUP BY user_id HAVING count(*) = 2)
+)
+SELECT round_even((SELECT e FROM est WHERE tag = 'a'), 1) AS est_view,
+       round_even((SELECT e FROM est WHERE tag = 'b'), 1) AS est_purchase,
+       round_even((SELECT e FROM est WHERE tag = 'u'), 1) AS est_union,
+       round_even((SELECT e FROM est WHERE tag = 'a')
+                  + (SELECT e FROM est WHERE tag = 'b')
+                  - (SELECT e FROM est WHERE tag = 'u'), 1)
+           AS est_intersection,
+       ex.exact AS exact_intersection,
+       CASE WHEN ex.exact > 0 THEN round_even(abs(
+                (SELECT e FROM est WHERE tag = 'a')
+                + (SELECT e FROM est WHERE tag = 'b')
+                - (SELECT e FROM est WHERE tag = 'u')
+                - ex.exact) / ex.exact, 6)
+            ELSE 0.0 END AS rel_error
+FROM ex
+"""

@@ -725,6 +725,81 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def hll_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """HLL set algebra: distinct-user estimates for 'view' and 'purchase'
+    audiences, their UNION (elementwise register max — the merge that
+    makes HLL mergeable) and their INTERSECTION via inclusion–exclusion
+    (|A∩B| ≈ |A|+|B|−|A∪B|) — the audience-overlap computation that never
+    ships user ids anywhere, plus the exact intersection (one combiner
+    dedup + per-user type count) as the accuracy reference.
+
+    All estimates are deterministic functions of the register arrays, so
+    the oracle (`oracle.hll_overlap_sql`) rebuilds them value-for-value."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+    from ..stages.rollup import grouped_agg
+    from ..stages.sketch import _hll_estimate, approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(t: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b, t=t: b.filter(pc.equal(b["event_type"], t)),
+            batch_format="pyarrow",
+        )
+
+    a = approx_distinct(side("view"), "user_id", p=14)
+    b = approx_distinct(side("purchase"), "user_id", p=14)
+    est_a, est_b = a["estimate"], b["estimate"]
+    est_u = float(
+        _hll_estimate(np.maximum(a["registers"], b["registers"]))
+    )
+    est_i = est_a + est_b - est_u
+
+    # exact intersection: distinct (user, type) pairs -> users with both
+    pairs = exact_dedup(
+        batch_local_dedup(
+            ds.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(
+                        t["event_type"],
+                        value_set=pa.array(["view", "purchase"]),
+                    )
+                ),
+                batch_format="pyarrow",
+            ),
+            ["user_id", "event_type"],
+        ),
+        ["user_id", "event_type"],
+        n_buckets=16,
+    )
+    per_user = grouped_agg(
+        pairs,
+        keys=["user_id"],
+        aggs={"n_types": ("event_type", "count")},
+        n_buckets=16,
+        partial=True,
+    )
+    exact = per_user.map_batches(
+        lambda t: t.filter(pc.equal(t["n_types"], 2)),
+        batch_format="pyarrow",
+    ).count()
+
+    return pd.DataFrame(
+        [
+            {
+                "est_view": np.round(est_a, 1),
+                "est_purchase": np.round(est_b, 1),
+                "est_union": np.round(est_u, 1),
+                "est_intersection": np.round(est_i, 1),
+                "exact_intersection": int(exact),
+                "rel_error": np.round(
+                    abs(est_i - exact) / exact, 6
+                ) if exact else 0.0,
+            }
+        ]
+    )
+
+
 def value_outliers(sf_dir: str) -> pd.DataFrame:
     """Two-pass z-score outlier detection per event type: pass 1 folds
     (sum, sum-of-squares, count) moments through the combiner aggregate;

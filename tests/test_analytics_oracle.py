@@ -90,6 +90,7 @@ SUBSET = [
     "user_value_rank",
     "value_outliers",
     "code_lang_loc",
+    "hll_user_overlap",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

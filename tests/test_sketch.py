@@ -251,3 +251,29 @@ class TestCountMin:
 
         sk = count_min(self._stream(["x", "y", "x"]), "token", d=4, w=16)
         assert (sk.sum(axis=1) == 3).all()
+
+
+class TestHLLSetOps:
+    def test_union_and_intersection_estimates(self):
+        from bioie_llm_ray.stages.sketch import _hll_estimate, approx_distinct
+
+        n_a, n_b, n_both = 4000, 3000, 1000
+        a_vals = [f"a{i}" for i in range(n_a - n_both)] + [
+            f"c{i}" for i in range(n_both)
+        ]
+        b_vals = [f"b{i}" for i in range(n_b - n_both)] + [
+            f"c{i}" for i in range(n_both)
+        ]
+        a = approx_distinct(
+            ray.data.from_pandas(pd.DataFrame({"v": a_vals})).repartition(4),
+            "v",
+        )
+        b = approx_distinct(
+            ray.data.from_pandas(pd.DataFrame({"v": b_vals})).repartition(4),
+            "v",
+        )
+        est_u = _hll_estimate(np.maximum(a["registers"], b["registers"]))
+        est_i = a["estimate"] + b["estimate"] - est_u
+        assert abs(est_u - (n_a + n_b - n_both)) / (n_a + n_b - n_both) < 0.05
+        # inclusion-exclusion error compounds three estimates; stay loose
+        assert abs(est_i - n_both) / n_both < 0.15
