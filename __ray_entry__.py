@@ -480,6 +480,12 @@ def _code_lang_loc(sf_dir: str):
     return C.lang_loc_query(_code_fixture_path())
 
 
+def _code_import_history(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.import_history_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -635,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_repo_stats": _code_repo_stats,
         "code_secret_scan": _code_secret_scan,
         "code_lang_loc": _code_lang_loc,
+        "code_import_history": _code_import_history,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -761,6 +768,38 @@ def oracle_sql() -> dict[str, str]:
                        content,
                        '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1)) AS module
             FROM snap
+        """,
+        "code_import_history": f"""
+            WITH v AS (
+                SELECT repo, path, content, commit_ts AS s,
+                       coalesce(lead(commit_ts) OVER (
+                           PARTITION BY repo, path ORDER BY commit_ts),
+                           9223372036854775807) AS e
+                FROM read_parquet('{code_pq}')),
+            edges AS (
+                SELECT DISTINCT repo, path, s, e,
+                       unnest(regexp_extract_all(content,
+                           '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1))
+                           AS module
+                FROM v),
+            ord AS (
+                SELECT repo, path, module, s, e,
+                       CASE WHEN s = lag(e) OVER (
+                                PARTITION BY repo, path, module
+                                ORDER BY s)
+                            THEN 0 ELSE 1 END AS brk
+                FROM edges),
+            isl AS (
+                SELECT repo, path, module, s, e,
+                       sum(brk) OVER (
+                           PARTITION BY repo, path, module ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM ord)
+            SELECT repo, path, module,
+                   min(s) AS valid_from, max(e) AS valid_to,
+                   max(e) = 9223372036854775807 AS is_current
+            FROM isl GROUP BY repo, path, module, island
+            ORDER BY repo, path, module, valid_from
         """,
         "code_lang_loc": f"""
             WITH snap AS (

@@ -733,6 +733,116 @@ def repo_stats(ds: ray.data.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     ]
 
 
+def import_history(
+    ds: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Temporal KG construction from the versioned code table: each
+    (repo, path, module) import edge gets its VALIDITY INTERVALS
+    ``[valid_from, valid_to)`` — the commit ranges during which the
+    import existed, with adjacent ranges merged (an edge carried across
+    consecutive versions is one interval, not n) and the int64-max open
+    end + ``is_current`` for edges alive at head.
+
+    This is what makes a KG over versioned sources time-travelable: "what
+    did the dependency graph look like at ts?" becomes a BETWEEN filter,
+    and an edge removed then re-added shows two intervals.
+
+    ONE exchange keyed hash(repo|path) — every version of a file lands in
+    one bucket; the per-bucket pass is vectorized except the per-version
+    compiled-regex import scan (inherent, same as `import_edges`):
+    version lead-timestamps via the nullable-Int64 ``groupby.shift(-1)``
+    (the float64 shift corrupts timestamps above 2^53 — see
+    `file_history`), then island-merge per edge via the classic
+    ``start != lag(end)`` group-id cumsum."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}\x1f{p}"
+            for r, p in zip(
+                batch["repo"].to_pylist(), batch["path"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(hash_bucket(keys, n_buckets))
+        )
+
+    out_schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("module", pa.string()),
+            ("valid_from", pa.int64()),
+            ("valid_to", pa.int64()),
+            ("is_current", pa.bool_()),
+        ]
+    )
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["repo", "path", "commit_ts"], kind="mergesort")
+        nxt = (
+            g["commit_ts"]
+            .astype("Int64")
+            .groupby([g["repo"], g["path"]])
+            .shift(-1)
+            .fillna(_CURRENT_TS)
+            .astype("int64")
+        )
+        rows = {
+            "repo": [], "path": [], "module": [], "s": [], "e": []
+        }
+        for repo, path, content, s, e in zip(
+            g["repo"], g["path"], g["content"], g["commit_ts"], nxt
+        ):
+            for m in set(_IMPORT_RE.findall(content)):
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["module"].append(m)
+                rows["s"].append(int(s))
+                rows["e"].append(int(e))
+        df = pd.DataFrame(rows)
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values(["repo", "path", "module", "s"])
+        grp = df.groupby(["repo", "path", "module"], sort=False)
+        new_island = df["s"].ne(grp["e"].shift())
+        df["__island"] = new_island.cumsum()
+        agg = (
+            df.groupby(["repo", "path", "module", "__island"], sort=False)
+            .agg(valid_from=("s", "min"), valid_to=("e", "max"))
+            .reset_index()
+            .drop(columns="__island")
+        )
+        return pa.table(
+            {
+                "repo": pa.array(agg["repo"], type=pa.string()),
+                "path": pa.array(agg["path"], type=pa.string()),
+                "module": pa.array(agg["module"], type=pa.string()),
+                "valid_from": pa.array(agg["valid_from"], type=pa.int64()),
+                "valid_to": pa.array(agg["valid_to"], type=pa.int64()),
+                "is_current": pa.array(
+                    agg["valid_to"] == _CURRENT_TS, type=pa.bool_()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["repo", "path", "commit_ts", "content"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def import_history_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    out = import_history(ds, n_buckets=8).to_pandas()
+    return out.sort_values(
+        ["repo", "path", "module", "valid_from"]
+    ).reset_index(drop=True)
+
+
 def lang_loc(ds: ray.data.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     """Lines-of-code metrics per (repo, lang) over the LATEST snapshot:
     file count, total lines, total bytes.

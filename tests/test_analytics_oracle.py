@@ -91,6 +91,7 @@ SUBSET = [
     "value_outliers",
     "code_lang_loc",
     "hll_user_overlap",
+    "code_import_history",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

@@ -602,3 +602,53 @@ class TestLangLoc:
         )
         out = C.lang_loc(ray.data.from_arrow(t), n_buckets=2)
         assert int(out.iloc[0].n_lines) == 0
+
+
+class TestImportHistory:
+    def _table(self, rows):
+        return pa.table(
+            {
+                "repo": [r[0] for r in rows],
+                "path": [r[1] for r in rows],
+                "commit": [f"c{i}" for i in range(len(rows))],
+                "commit_ts": pa.array([r[2] for r in rows], type=pa.int64()),
+                "lang": ["py"] * len(rows),
+                "content": [r[3] for r in rows],
+            }
+        )
+
+    def test_merge_and_readd_intervals(self):
+        MAXTS = (1 << 63) - 1
+        t = self._table(
+            [
+                # module_a in v1+v2 (merged), gone in v3, back in v4
+                ("r", "f.py", 100, "import module_a\nx=1\n"),
+                ("r", "f.py", 200, "import module_a\nimport module_b\n"),
+                ("r", "f.py", 300, "import module_b\n"),
+                ("r", "f.py", 400, "import module_a\n"),
+            ]
+        )
+        out = (
+            C.import_history(ray.data.from_arrow(t), n_buckets=4)
+            .to_pandas()
+            .sort_values(["module", "valid_from"])
+            .reset_index(drop=True)
+        )
+        a = out[out.module == "module_a"]
+        assert [
+            (int(r.valid_from), int(r.valid_to), bool(r.is_current))
+            for r in a.itertuples()
+        ] == [(100, 300, False), (400, MAXTS, True)]
+        # module_b spans v2+v3 merged, then disappears at v4 (ts 400)
+        b = out[out.module == "module_b"]
+        assert [
+            (int(r.valid_from), int(r.valid_to), bool(r.is_current))
+            for r in b.itertuples()
+        ] == [(200, 400, False)]
+
+    def test_decoy_lines_excluded(self):
+        t = self._table(
+            [("r", "g.py", 100, "# reimport module_ax\nimport module_c\n")]
+        )
+        out = C.import_history(ray.data.from_arrow(t), n_buckets=2).to_pandas()
+        assert out.module.tolist() == ["module_c"]
