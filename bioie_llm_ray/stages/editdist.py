@@ -88,6 +88,21 @@ def banded_levenshtein(a: str, b: str, d: int) -> int:
     return int(min(prev[lb], d + 1))
 
 
+def _segments(length: int, d: int) -> list[tuple[int, int]]:
+    """(start, len) of the ``d + 1`` even segments of a string of
+    ``length`` chars (first ``length mod (d+1)`` segments get the extra
+    char; zero-length segments appear when ``length < d + 1`` and match
+    trivially, which keeps the pigeonhole argument intact)."""
+    n = d + 1
+    base, rem = divmod(length, n)
+    out, p = [], 0
+    for i in range(n):
+        ln = base + (1 if i < rem else 0)
+        out.append((p, ln))
+        p += ln
+    return out
+
+
 def edit_distance_pairs(
     ds: ray.data.Dataset,
     text_col: str,
@@ -95,14 +110,29 @@ def edit_distance_pairs(
     max_dist: int = 1,
     n_buckets: int = 32,
     max_broadcast_ids: int = 2_000_000,
+    method: str = "deletion",
 ) -> ray.data.Dataset:
     """All pairs ``(id_a < id_b, dist)`` with ``levenshtein <= max_dist``.
 
-    Exact: deletion-neighborhood candidates are complete for Levenshtein
-    distance, and every candidate is re-verified with the banded DP.
+    Exact under EITHER candidate scheme — both are complete covers, and
+    every candidate is re-verified with the banded DP:
+
+    - ``method="deletion"`` (default): SymSpell deletion neighborhoods —
+      ``O(l^d)`` keys per string; right for short join keys (names,
+      codes, titles).
+    - ``method="segment"``: PassJoin-style segment partitioning (Li et
+      al., EDBT 2011) — every string indexes its ``d+1`` even segments
+      keyed ``(len, seg_idx, value)``; it also probes each
+      longer-or-equal partner length with the substrings falling in the
+      segment's ±d position window.  The pigeonhole guarantees ≥1 exact
+      aligned segment match for any true pair, and the probe count is
+      ``O(d^3)`` per string INDEPENDENT of string length — the long-string
+      scale path the deletion scheme cannot take.
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
+    if method not in ("deletion", "segment"):
+        raise ValueError(f"unknown method {method!r}")
 
     def variants(batch: pa.Table) -> pa.Table:
         ids_out, var_out = [], []
@@ -129,11 +159,62 @@ def edit_distance_pairs(
             {"id_a": m["id_x"], "id_b": m["id_y"]}
         ).drop_duplicates()
 
-    cand = (
-        ds.map_batches(variants, batch_format="pyarrow")
-        .groupby(_BUCKET)
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
+    def segment_keys(batch: pa.Table) -> pa.Table:
+        ids_out, key_out, role_out = [], [], []
+        for i, s in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            s = s or ""
+            l = len(s)
+            seen: set[tuple[str, str]] = set()
+            for seg_i, (p, ln) in enumerate(_segments(l, max_dist)):
+                seen.add((f"{l}|{seg_i}|{s[p:p + ln]}", "i"))
+            # probe toward longer-or-equal partners only: each unordered
+            # pair is generated by its shorter member's probe
+            for l2 in range(l, l + max_dist + 1):
+                for seg_i, (p, ln) in enumerate(_segments(l2, max_dist)):
+                    lo = max(0, p - max_dist)
+                    hi = min(l - ln, p + max_dist)
+                    for start in range(lo, hi + 1):
+                        seen.add(
+                            (f"{l2}|{seg_i}|{s[start:start + ln]}", "p")
+                        )
+            for key, role in seen:
+                ids_out.append(i)
+                key_out.append(key)
+                role_out.append(role)
+        t = pa.table(
+            {
+                "id": pa.array(ids_out),
+                "key": pa.array(key_out, type=pa.string()),
+                "role": pa.array(role_out, type=pa.string()),
+            }
+        )
+        return t.append_column(
+            _BUCKET, pa.array(hash_bucket(key_out, n_buckets))
+        )
+
+    def seg_pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g[g["role"] == "i"][["key", "id"]]
+        prb = g[g["role"] == "p"][["key", "id"]]
+        m = prb.merge(idx, on="key", suffixes=("_p", "_i"))
+        m = m[m["id_p"] != m["id_i"]]
+        a = np.where(m["id_p"] < m["id_i"], m["id_p"], m["id_i"])
+        b = np.where(m["id_p"] < m["id_i"], m["id_i"], m["id_p"])
+        return pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+
+    if method == "deletion":
+        cand = (
+            ds.map_batches(variants, batch_format="pyarrow")
+            .groupby(_BUCKET)
+            .map_groups(pairs_in_bucket, batch_format="pandas")
+        )
+    else:
+        cand = (
+            ds.map_batches(segment_keys, batch_format="pyarrow")
+            .groupby(_BUCKET)
+            .map_groups(seg_pairs_in_bucket, batch_format="pandas")
+        )
     pairs = exact_dedup(cand, ["id_a", "id_b"], n_buckets=n_buckets)
 
     # --- text re-fetch (broadcast ids when small, shuffle joins when not) --

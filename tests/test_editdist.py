@@ -107,3 +107,47 @@ class TestEditDistancePairs:
         ka = sorted(zip(a.id_a, a.id_b, a.dist))
         kb = sorted(zip(b.id_a, b.id_b, b.dist))
         assert ka == kb and len(ka) > 0
+
+
+class TestSegmentMethod:
+    def test_agrees_with_deletion_method(self):
+        rng = np.random.RandomState(17)
+        strs = [
+            "".join(rng.choice(list("abcd"), rng.randint(3, 11)))
+            for _ in range(150)
+        ]
+        for d in (1, 2):
+            a = _pairs_df(strs, d)
+            b = _pairs_df(strs, d, method="segment")
+            ka = set(zip(a.id_a.astype(int), a.id_b.astype(int),
+                         a.dist.astype(int)))
+            kb = set(zip(b.id_a.astype(int), b.id_b.astype(int),
+                         b.dist.astype(int)))
+            assert ka == kb and len(ka) > 0
+
+    def test_long_strings_planted_edits(self):
+        rng = np.random.RandomState(19)
+        base = "".join(rng.choice(list("abcdefgh"), 300))
+        strs = [
+            base,
+            base[:70] + "X" + base[71:],    # substitution
+            base[:140] + "Q" + base[140:],  # insertion
+            base[:210] + base[211:],        # deletion
+            base[:10] + "ZZ" + base[12:],   # two edits - excluded at d=1
+            "".join(rng.choice(list("abcdefgh"), 300)),  # unrelated
+        ]
+        out = _pairs_df(strs, 1, method="segment")
+        got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+        assert got == {(0, 1), (0, 2), (0, 3)}
+
+    def test_segments_partition_exactly(self):
+        from bioie_llm_ray.stages.editdist import _segments
+
+        for length in (0, 1, 5, 17, 100):
+            for d in (1, 2, 3):
+                segs = _segments(length, d)
+                assert len(segs) == d + 1
+                assert segs[0][0] == 0
+                assert sum(ln for _, ln in segs) == length
+                for (p1, l1), (p2, _) in zip(segs, segs[1:]):
+                    assert p1 + l1 == p2
