@@ -486,6 +486,12 @@ def _code_import_history(sf_dir: str):
     return C.import_history_query(_code_fixture_path())
 
 
+def _code_deps_asof(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.deps_asof_query(_code_fixture_path())
+
+
 def _kg_incremental_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -642,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_secret_scan": _code_secret_scan,
         "code_lang_loc": _code_lang_loc,
         "code_import_history": _code_import_history,
+        "code_deps_asof": _code_deps_asof,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
         "kg_code_triples": _kg_code_triples,
@@ -768,6 +775,19 @@ def oracle_sql() -> dict[str, str]:
                        content,
                        '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1)) AS module
             FROM snap
+        """,
+        "code_deps_asof": f"""
+            WITH snap AS (
+                SELECT repo, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                WHERE commit_ts <= 1605000000
+                GROUP BY repo, path)
+            SELECT DISTINCT repo,
+                   unnest(regexp_extract_all(content,
+                       '(?m)^import ([A-Za-z_][A-Za-z0-9_]*)$', 1))
+                       AS module
+            FROM snap
+            ORDER BY repo, module
         """,
         "code_import_history": f"""
             WITH v AS (

@@ -833,6 +833,43 @@ def import_history(
     )
 
 
+def deps_asof(
+    ds: ray.data.Dataset, ts: int, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Point-in-time dependency graph: the distinct (repo, module) import
+    edges alive at ``ts`` — a BETWEEN filter over `import_history`'s
+    validity intervals (the payoff of materializing the temporal table:
+    no per-query as-of arg-max pass over content).
+
+    The oracle derives the same answer the OTHER way — arg-max snapshot
+    at ``ts`` + fresh import extraction — so the gate cross-validates the
+    interval construction against a direct as-of read."""
+    hist = import_history(ds, n_buckets=n_buckets)
+
+    def alive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.less_equal(batch["valid_from"], ts),
+            pc.greater(batch["valid_to"], ts),
+        )
+        return batch.filter(keep).select(["repo", "module"])
+
+    out = exact_dedup(
+        hist.map_batches(alive, batch_format="pyarrow"),
+        ["repo", "module"],
+        n_buckets=n_buckets,
+    ).to_pandas()
+    return out.sort_values(["repo", "module"]).reset_index(drop=True)
+
+
+def deps_asof_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return deps_asof(ds, ts=DIFF_TS_A, n_buckets=8)
+
+
 def import_history_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]

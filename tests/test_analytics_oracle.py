@@ -92,6 +92,7 @@ SUBSET = [
     "code_lang_loc",
     "hll_user_overlap",
     "code_import_history",
+    "code_deps_asof",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
