@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_rank": A.user_value_rank,
         "value_outliers": A.value_outliers,
         "hll_user_overlap": A.hll_user_overlap,
+        "source_heavy_words": A.source_heavy_words,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -683,6 +684,19 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         "hll_user_overlap": O.hll_overlap_sql(),
+        "source_heavy_words": """
+            WITH toks AS (
+                SELECT source, t.w AS w
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+                WHERE t.w <> ''),
+            n AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
+            SELECT t.source, t.w AS word, count(*)::BIGINT AS cnt
+            FROM toks t JOIN n USING (source)
+            GROUP BY t.source, t.w, n.n
+            HAVING count(*) >= ceil(0.03 * n.n)
+            ORDER BY t.source, word
+        """,
         "word_countmin": O.countmin_sql(
             sorted(
                 ("spark", "hash", "join", "merge", "sort", "filter",

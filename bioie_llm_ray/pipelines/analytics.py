@@ -725,6 +725,40 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def source_heavy_words(sf_dir: str, theta: float = 0.03) -> pd.DataFrame:
+    """Per-source frequent words: within each document source, every token
+    with frequency ≥ 3% of that source's token count, with its exact
+    count (`stages/sketch.heavy_hitters_grouped`) — the grouped
+    Misra-Gries two-pass: per-(batch, group) mergeable summaries, then an
+    exact broadcast re-count of the surviving candidates, provably equal
+    to the per-group GROUP-BY-HAVING answer at O(groups/θ) driver memory."""
+    from ..stages.sketch import heavy_hitters_grouped
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(t)
+        parents = pc.list_parent_indices(t)
+        src = batch["source"].take(parents)
+        mask = pc.not_equal(flat, "")
+        return pa.table(
+            {"source": src.filter(mask), "token": flat.filter(mask)}
+        )
+
+    rows = heavy_hitters_grouped(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        group_col="source",
+        col="token",
+        theta=theta,
+    )
+    return pd.DataFrame(rows, columns=["source", "word", "cnt"]).astype(
+        {"cnt": "int64"}
+    )
+
+
 def hll_user_overlap(sf_dir: str) -> pd.DataFrame:
     """HLL set algebra: distinct-user estimates for 'view' and 'purchase'
     audiences, their UNION (elementwise register max — the merge that

@@ -508,3 +508,109 @@ def count_min_estimate(sketch: np.ndarray, values: list[str]) -> np.ndarray:
         idx = (_splitmix64(u + salt) % np.uint64(w)).astype(np.int64)
         est = np.minimum(est, sketch[r, idx])
     return est
+
+
+def heavy_hitters_grouped(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    theta: float = 0.01,
+) -> "list[tuple]":
+    """EXACT per-group frequent items: within every group, each value with
+    frequency ≥ theta·N_group and its exact count — the grouped form of
+    ``heavy_hitters`` (same two passes, same Misra-Gries completeness
+    guarantee applied per group).
+
+    Pass 1 keeps one capacity-``ceil(2/theta)`` MG summary PER GROUP per
+    batch (driver memory O(groups/theta) — for unbounded group domains
+    shard the fold by hash(group) first, the same move as the grouped-HLL
+    exchange); pass 2 broadcasts the surviving (group, value) candidate
+    set and re-counts exactly.  Returns [(group, value, count)] sorted by
+    (group, value).
+    """
+    import collections
+    import math
+
+    cap = int(math.ceil(2.0 / theta))
+
+    def shrink(counter: "collections.Counter") -> "collections.Counter":
+        if len(counter) <= cap:
+            return counter
+        items = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = items[cap][1]
+        return collections.Counter(
+            {k: c - cut for k, c in items[:cap] if c > cut}
+        )
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        gs = [str(x) for x in batch[group_col].to_pylist()]
+        vs = [str(x) for x in batch[col].to_pylist()]
+        per: dict[str, collections.Counter] = {}
+        n_per: collections.Counter = collections.Counter()
+        for g, v in zip(gs, vs):
+            per.setdefault(g, collections.Counter())[v] += 1
+            n_per[g] += 1
+        g_out, v_out, c_out, n_out = [], [], [], []
+        for g, counter in per.items():
+            kept = shrink(counter)
+            if not kept:
+                # every count hit the cut (all-distinct group-batch): one
+                # zero-count row still carries the group's N to the driver
+                kept = collections.Counter({next(iter(counter)): 0})
+            first = True
+            for v, c in kept.items():
+                g_out.append(g)
+                v_out.append(v)
+                c_out.append(c)
+                n_out.append(n_per[g] if first else 0)
+                first = False
+        return pa.table(
+            {
+                "g": pa.array(g_out, type=pa.string()),
+                "v": pa.array(v_out, type=pa.string()),
+                "c": pa.array(c_out, type=pa.int64()),
+                "n": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+    merged: dict[str, collections.Counter] = {}
+    totals: collections.Counter = collections.Counter()
+    for row in ds.map_batches(mg_partial, batch_format="pyarrow").take_all():
+        g = row["g"]
+        merged.setdefault(g, collections.Counter())[row["v"]] += row["c"]
+        totals[g] += row["n"]
+        if len(merged[g]) > cap:
+            merged[g] = shrink(merged[g])
+
+    candidates = {(g, v) for g, counter in merged.items() for v in counter}
+    if not candidates:
+        return []
+    cand_ref = ray.put(candidates)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        counts: collections.Counter = collections.Counter()
+        for g, v in zip(
+            (str(x) for x in batch[group_col].to_pylist()),
+            (str(x) for x in batch[col].to_pylist()),
+        ):
+            if (g, v) in cs:
+                counts[(g, v)] += 1
+        return pa.table(
+            {
+                "g": pa.array([k[0] for k in counts], type=pa.string()),
+                "v": pa.array([k[1] for k in counts], type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    exact: collections.Counter = collections.Counter()
+    for row in ds.map_batches(count_partial, batch_format="pyarrow").take_all():
+        exact[(row["g"], row["v"])] += row["c"]
+    out = [
+        (g, v, c)
+        for (g, v), c in exact.items()
+        if c >= int(math.ceil(theta * totals[g]))
+    ]
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out

@@ -93,6 +93,7 @@ SUBSET = [
     "hll_user_overlap",
     "code_import_history",
     "code_deps_asof",
+    "source_heavy_words",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",

@@ -277,3 +277,49 @@ class TestHLLSetOps:
         assert abs(est_u - (n_a + n_b - n_both)) / (n_a + n_b - n_both) < 0.05
         # inclusion-exclusion error compounds three estimates; stay loose
         assert abs(est_i - n_both) / n_both < 0.15
+
+
+class TestGroupedHeavyHitters:
+    def test_equals_per_group_counter(self):
+        from collections import Counter
+
+        from bioie_llm_ray.stages.sketch import heavy_hitters_grouped
+
+        rng = np.random.RandomState(23)
+        gs = rng.choice(["g1", "g2", "g3"], 8000)
+        vs = [f"w{int(i)}" for i in rng.zipf(1.3, 8000)]
+        df = pd.DataFrame({"g": gs, "v": vs})
+        theta = 0.02
+        got = heavy_hitters_grouped(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=2)
+            ).repartition(9),
+            "g",
+            "v",
+            theta=theta,
+        )
+        want = []
+        import math
+
+        for g, sub in df.groupby("g"):
+            n = len(sub)
+            for v, c in Counter(sub["v"]).items():
+                if c >= math.ceil(theta * n):
+                    want.append((g, v, c))
+        want.sort()
+        assert got == want and len(want) > 0
+
+    def test_all_distinct_group_survives_n_accounting(self):
+        from bioie_llm_ray.stages.sketch import heavy_hitters_grouped
+
+        # one group all-distinct (no hitters), one with a clear hitter
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 500 + ["b"] * 10,
+                "v": [f"u{i}" for i in range(500)] + ["hot"] * 10,
+            }
+        )
+        got = heavy_hitters_grouped(
+            ray.data.from_pandas(df).repartition(4), "g", "v", theta=0.5
+        )
+        assert got == [("b", "hot", 10)]
