@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": A.value_outliers,
         "hll_user_overlap": A.hll_user_overlap,
         "source_heavy_words": A.source_heavy_words,
+        "top_similar_docs": A.top_similar_docs,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -2210,6 +2211,34 @@ def oracle_sql() -> dict[str, str]:
         # dedup_jaccard is the EXACT prefix-filtered AllPairs similarity
         # self-join, so plain SQL word-3-gram Jaccard is its ground truth
         # (dedup_minhash stays rows-only: LSH chain pairing may miss a pair).
+        "top_similar_docs": r"""
+            WITH words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS m
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round_even(m::DOUBLE / (ca.n + cb.n - m), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE m::DOUBLE / (ca.n + cb.n - m) >= 0.2
+            ORDER BY m::DOUBLE / (ca.n + cb.n - m) DESC, id_a, id_b
+            LIMIT 20
+        """,
         "dedup_jaccard": r"""
             WITH words AS (
                 SELECT doc_id, w, i

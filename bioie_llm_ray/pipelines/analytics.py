@@ -725,6 +725,33 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def top_similar_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """The k most similar document pairs corpus-wide: EXACT AllPairs
+    word-3-gram Jaccard at a low admission threshold (0.2) composed with
+    `sample.distributed_sort_top_k` (ORDER BY jaccard DESC LIMIT k without
+    a global sort — per-block partial top-k, ≤ k rows per block merge).
+    A lower threshold admits more candidate pairs — inherent to the ask
+    (the prefix filter's pruning power IS the threshold); the top-k
+    consumption keeps the driver at O(k · blocks) regardless."""
+    from ..stages.neardup import ngram_jaccard_pairs
+    from ..stages.sample import distributed_sort_top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=0.2, id_col="doc_id", text_col="text"
+    )
+    out = distributed_sort_top_k(
+        pairs,
+        sort_cols=["jaccard", "id_a", "id_b"],
+        ascending=[False, True, True],
+        k=k,
+    )
+    out["jaccard"] = out["jaccard"].round(6)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out[["id_a", "id_b", "jaccard"]]
+
+
 def source_heavy_words(sf_dir: str, theta: float = 0.03) -> pd.DataFrame:
     """Per-source frequent words: within each document source, every token
     with frequency ≥ 3% of that source's token count, with its exact

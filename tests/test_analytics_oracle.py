@@ -94,6 +94,7 @@ SUBSET = [
     "code_import_history",
     "code_deps_asof",
     "source_heavy_words",
+    "top_similar_docs",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
