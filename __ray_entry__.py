@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_overlap": A.hll_user_overlap,
         "source_heavy_words": A.source_heavy_words,
         "top_similar_docs": A.top_similar_docs,
+        "value_winsorized": A.value_winsorized,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1707,6 +1708,24 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "value_winsorized": """
+            WITH q AS (
+                SELECT quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   count(*) FILTER (
+                       WHERE value < (SELECT lo FROM q))::BIGINT
+                       AS n_clipped_low,
+                   count(*) FILTER (
+                       WHERE value > (SELECT hi FROM q))::BIGINT
+                       AS n_clipped_high,
+                   round_even(
+                       sum(greatest((SELECT lo FROM q),
+                                    least((SELECT hi FROM q), value)))
+                       / count(*), 6) AS avg_winsorized
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "value_outliers": """
             WITH m AS (

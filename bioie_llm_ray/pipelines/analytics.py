@@ -725,6 +725,54 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def value_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Winsorization: clip event values to the exact global [p05, p95]
+    (interpolated `exact_quantiles_cont` — one value→count combiner
+    exchange) and report per-type clip counts + winsorized mean — the
+    outlier-robust preprocessing transform, composed as
+    quantile-pass → broadcast thresholds → streaming clip + combiner
+    rollup."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    qs = exact_quantiles_cont(ds, "value", [0.05, 0.95])
+    lo, hi = qs[0.05], qs[0.95]
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "w": pa.array(np.clip(v, lo, hi), type=pa.float64()),
+                "is_lo": pa.array((v < lo).astype(np.int64)),
+                "is_hi": pa.array((v > hi).astype(np.int64)),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(clip, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={
+            "n": ("w", "count"),
+            "n_clipped_low": ("is_lo", "sum"),
+            "n_clipped_high": ("is_hi", "sum"),
+            "s": ("w", "sum"),
+        },
+        n_buckets=4,
+        partial=True,
+    ).to_pandas()
+    out["avg_winsorized"] = (out["s"] / out["n"]).round(6)
+    for c in ("n", "n_clipped_low", "n_clipped_high"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n", "n_clipped_low", "n_clipped_high",
+             "avg_winsorized"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def top_similar_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """The k most similar document pairs corpus-wide: EXACT AllPairs
     word-3-gram Jaccard at a low admission threshold (0.2) composed with

@@ -95,6 +95,7 @@ SUBSET = [
     "code_deps_asof",
     "source_heavy_words",
     "top_similar_docs",
+    "value_winsorized",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
