@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_heavy_words": A.source_heavy_words,
         "top_similar_docs": A.top_similar_docs,
         "value_winsorized": A.value_winsorized,
+        "forecast_revenue": A.forecast_revenue,
+        "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
@@ -1708,6 +1710,28 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "forecast_revenue": """
+            SELECT round_even(sum(l_extendedprice * l_discount), 2)
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       round_even(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT l_suppkey, total_revenue FROM r
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY l_suppkey
         """,
         "value_winsorized": """
             WITH q AS (

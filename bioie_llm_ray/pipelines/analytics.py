@@ -725,6 +725,93 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q6 shape: pure predicate aggregate — one year of shipments,
+    a discount band, a quantity cap, revenue = Σ price·discount.  Zero
+    shuffle: the read prunes to four columns, every batch folds to one
+    partial sum, the driver adds a handful of doubles (sum order pinned by
+    rounding both sides to 2)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], 0.05),
+                    pc.less_equal(batch["l_discount"], 0.07),
+                ),
+                pc.less(batch["l_quantity"], 24),
+            ),
+        )
+        f = batch.filter(keep)
+        rev = pc.sum(
+            pc.multiply(f["l_extendedprice"], f["l_discount"])
+        ).as_py()
+        return pa.table(
+            {"r": pa.array([float(rev or 0.0)], type=pa.float64())}
+        )
+
+    total = sum(
+        r["r"]
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    return pd.DataFrame([{"revenue": round(total, 2)}])
+
+
+def top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q15 shape: aggregate → global max → equality filter.  Per-
+    supplier revenue over a ship-date quarter folds through the combiner
+    aggregate; the global maximum is a driver fold over the small
+    per-supplier table; the winners (all suppliers tying the max) filter
+    from that same table — no second pass over the fact."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1997-04-01")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        f = batch.filter(keep)
+        rev = pc.multiply(
+            f["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), f["l_discount"]),
+        )
+        return pa.table({"l_suppkey": f["l_suppkey"], "rev": rev})
+
+    per_supp = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_suppkey"],
+        aggs={"total_revenue": ("rev", "sum")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    per_supp["total_revenue"] = per_supp["total_revenue"].round(2)
+    best = per_supp["total_revenue"].max()
+    out = per_supp[per_supp["total_revenue"] == best].copy()
+    out["l_suppkey"] = out["l_suppkey"].astype("int64")
+    return out.sort_values("l_suppkey").reset_index(drop=True)[
+        ["l_suppkey", "total_revenue"]
+    ]
+
+
 def value_winsorized(sf_dir: str) -> pd.DataFrame:
     """Winsorization: clip event values to the exact global [p05, p95]
     (interpolated `exact_quantiles_cont` — one value→count combiner

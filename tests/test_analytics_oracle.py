@@ -96,6 +96,8 @@ SUBSET = [
     "source_heavy_words",
     "top_similar_docs",
     "value_winsorized",
+    "forecast_revenue",
+    "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction
     "event_props_stats",
