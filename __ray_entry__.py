@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_similar_docs": A.top_similar_docs,
         "value_winsorized": A.value_winsorized,
         "forecast_revenue": A.forecast_revenue,
+        "value_quantiles_cont_by_type": A.value_quantiles_cont_by_type,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1710,6 +1711,15 @@ def oracle_sql() -> dict[str, str]:
                            ts),
                        -1)::BIGINT AS gap_us
             FROM events
+        """,
+        "value_quantiles_cont_by_type": """
+            SELECT event_type,
+                   round_even(quantile_cont(value, 0.25), 9) AS p25,
+                   round_even(quantile_cont(value, 0.5), 9) AS p50,
+                   round_even(quantile_cont(value, 0.75), 9) AS p75
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "forecast_revenue": """
             SELECT round_even(sum(l_extendedprice * l_discount), 2)

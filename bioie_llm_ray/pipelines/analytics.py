@@ -725,6 +725,21 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def value_quantiles_cont_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type exact interpolated quantiles of event value
+    (`stages/sketch.grouped_quantiles_cont`) — completes the quantile
+    matrix: {global, grouped} × {discrete, interpolated, sketch}."""
+    from ..stages.sketch import grouped_quantiles_cont
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantiles_cont(
+        ds, "event_type", "value", [0.25, 0.5, 0.75], n_buckets=8
+    )
+    for c in ("p25", "p50", "p75"):
+        out[c] = out[c].round(9)
+    return out
+
+
 def forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H q6 shape: pure predicate aggregate — one year of shipments,
     a discount band, a quantity cap, revenue = Σ price·discount.  Zero

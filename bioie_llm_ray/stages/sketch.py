@@ -386,6 +386,82 @@ def grouped_quantiles_discrete(
     return parts.sort_values(group_col).reset_index(drop=True)
 
 
+def grouped_quantiles_cont(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+    n_buckets: int = 32,
+) -> "pd.DataFrame":
+    """Exact per-group INTERPOLATED quantiles (``quantile_cont`` /
+    ``percentile_cont`` per group) — the grouped form of
+    ``exact_quantiles_cont``, same shuffle shape as
+    ``grouped_quantiles_discrete``: the exchange carries the distinct
+    (group, value) count pairs, the per-bucket read-off is vectorized
+    (grouped cumsum + per-group target mapping), and interpolation mirrors
+    SQL's ``v_lo + frac·(v_hi − v_lo)`` with per-group ``frac =
+    q·(N_g−1) − floor``."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([group_col, col])
+            .group_by([group_col, col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([group_col, col, "__n"])
+        return g.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(g[group_col], n_buckets)),
+        )
+
+    qnames = [f"p{int(round(q * 100))}" for q in quantiles]
+
+    def read_off(group: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            group.groupby([group_col, col], as_index=False)["__n"]
+            .sum()
+            .sort_values([group_col, col], kind="stable")
+        )
+        cum = df.groupby(group_col)["__n"].cumsum()
+        totals = df.groupby(group_col)["__n"].sum()  # per-group N
+        out = pd.DataFrame({group_col: totals.index})
+        for q, name in zip(quantiles, qnames):
+            p = q * (totals - 1)
+            lo_t = np.floor(p).astype("int64") + 1  # 1-based rank of v_lo
+            frac = (p - np.floor(p)).rename("f")
+            hi_t = np.minimum(lo_t + 1, totals)
+            row_lo = df[group_col].map(lo_t)
+            row_hi = df[group_col].map(hi_t)
+            v_lo = (
+                df[cum >= row_lo]
+                .groupby(group_col)[col]
+                .first()
+                .astype("float64")
+            )
+            v_hi = (
+                df[cum >= row_hi]
+                .groupby(group_col)[col]
+                .first()
+                .astype("float64")
+            )
+            res = v_lo + frac * (v_hi - v_lo)
+            res = res.where(frac > 0, v_lo)  # frac == 0: exact element
+            out[name] = out[group_col].map(res)
+        return out
+
+    parts = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(read_off, batch_format="pandas")
+        .to_pandas()
+    )
+    return parts.sort_values(group_col).reset_index(drop=True)
+
+
 def approx_distinct_grouped(
     ds: ray.data.Dataset, col: str, group_col: str, p: int = 14
 ) -> ray.data.Dataset:

@@ -97,6 +97,7 @@ SUBSET = [
     "top_similar_docs",
     "value_winsorized",
     "forecast_revenue",
+    "value_quantiles_cont_by_type",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction

@@ -323,3 +323,45 @@ class TestGroupedHeavyHitters:
             ray.data.from_pandas(df).repartition(4), "g", "v", theta=0.5
         )
         assert got == [("b", "hot", 10)]
+
+
+class TestGroupedContQuantiles:
+    def test_matches_duckdb_per_group(self):
+        import duckdb
+
+        from bioie_llm_ray.stages.sketch import grouped_quantiles_cont
+
+        rng = np.random.RandomState(29)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 4000),
+                "x": np.round(rng.uniform(0, 100, 4000), 3),
+            }
+        )
+        got = grouped_quantiles_cont(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=3)
+            ).repartition(7),
+            "g",
+            "x",
+            [0.25, 0.5, 0.9],
+            n_buckets=4,
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT g, quantile_cont(x, 0.25) p25, quantile_cont(x, 0.5) p50,"
+            " quantile_cont(x, 0.9) p90 FROM t GROUP BY g ORDER BY g"
+        ).df()
+        for c in ("p25", "p50", "p90"):
+            assert np.allclose(got[c], want[c], atol=1e-9), c
+
+    def test_single_element_group(self):
+        from bioie_llm_ray.stages.sketch import grouped_quantiles_cont
+
+        df = pd.DataFrame({"g": ["a", "b", "b"], "x": [5.0, 1.0, 2.0]})
+        got = grouped_quantiles_cont(
+            ray.data.from_pandas(df), "g", "x", [0.5], n_buckets=2
+        )
+        assert got[got.g == "a"].p50.iloc[0] == 5.0
+        assert got[got.g == "b"].p50.iloc[0] == 1.5
