@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized": A.value_winsorized,
         "forecast_revenue": A.forecast_revenue,
         "value_quantiles_cont_by_type": A.value_quantiles_cont_by_type,
+        "supplier_name_clusters": A.supplier_name_clusters,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1933,6 +1934,22 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.75) AS q75,
                    quantile_cont(l_extendedprice, 0.9) AS q90
             FROM lineitem
+        """,
+        "supplier_name_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+                FROM supplier a JOIN supplier b
+                  ON a.s_suppkey < b.s_suppkey
+                WHERE levenshtein(a.s_name, b.s_name) <= 1),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            r(n, x) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x)
+            SELECT n AS node, min(x)::BIGINT AS component
+            FROM r GROUP BY n ORDER BY node
         """,
         "supplier_name_neardup": """
             SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

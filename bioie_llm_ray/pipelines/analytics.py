@@ -725,6 +725,26 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def supplier_name_clusters(sf_dir: str) -> pd.DataFrame:
+    """Typo clustering: connected components over the exact Levenshtein-1
+    similarity graph of supplier names — `editdist.edit_distance_pairs` →
+    `graph.connected_components` (cluster = min reachable s_suppkey), the
+    string-similarity twin of `er_entity_clusters`' set-similarity
+    clustering.  The oracle replays the levenshtein join + a recursive
+    transitive closure in SQL."""
+    from ..stages.editdist import edit_distance_pairs
+    from ..stages.graph import connected_components
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    pairs = edit_distance_pairs(
+        ds, text_col="s_name", id_col="s_suppkey", max_dist=1, n_buckets=16
+    )
+    out = connected_components(pairs).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def value_quantiles_cont_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-type exact interpolated quantiles of event value
     (`stages/sketch.grouped_quantiles_cont`) — completes the quantile

@@ -98,6 +98,7 @@ SUBSET = [
     "value_winsorized",
     "forecast_revenue",
     "value_quantiles_cont_by_type",
+    "supplier_name_clusters",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction
