@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": A.forecast_revenue,
         "value_quantiles_cont_by_type": A.value_quantiles_cont_by_type,
         "supplier_name_clusters": A.supplier_name_clusters,
+        "doc_containment": A.doc_containment,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -2281,6 +2282,33 @@ def oracle_sql() -> dict[str, str]:
         # dedup_jaccard is the EXACT prefix-filtered AllPairs similarity
         # self-join, so plain SQL word-3-gram Jaccard is its ground truth
         # (dedup_minhash stays rows-only: LSH chain pairing may miss a pair).
+        "doc_containment": r"""
+            WITH words AS (
+                SELECT doc_id, w, i
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             generate_subscripts(
+                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                      FROM documents)
+                WHERE w <> ''),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS id_sub, y.doc_id AS id_super,
+                       count(*) AS m
+                FROM sh x JOIN sh y
+                  ON x.s = y.s AND x.doc_id <> y.doc_id
+                GROUP BY 1, 2)
+            SELECT id_sub, id_super,
+                   round_even(m::DOUBLE / ca.n, 6) AS containment
+            FROM inter JOIN cnt ca ON ca.doc_id = id_sub
+            WHERE m::DOUBLE / ca.n >= 0.6
+            ORDER BY id_sub, id_super
+        """,
         "top_similar_docs": r"""
             WITH words AS (
                 SELECT doc_id, w, i

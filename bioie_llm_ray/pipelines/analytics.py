@@ -725,6 +725,24 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_containment(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """EXACT asymmetric containment pairs over the corpus
+    (`neardup.ngram_containment_pairs`): ordered (id_sub, id_super) with
+    ≥ 60% of the sub-document's word-3-shingles present in the super
+    document — the quote/boilerplate/subsumption detector that symmetric
+    Jaccard misses when sizes differ."""
+    from ..stages.neardup import ngram_containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_containment_pairs(
+        ds, threshold=threshold, id_col="doc_id", text_col="text"
+    ).to_pandas()
+    out["containment"] = out["containment"].round(6)
+    out["id_sub"] = out["id_sub"].astype("int64")
+    out["id_super"] = out["id_super"].astype("int64")
+    return out.sort_values(["id_sub", "id_super"]).reset_index(drop=True)
+
+
 def supplier_name_clusters(sf_dir: str) -> pd.DataFrame:
     """Typo clustering: connected components over the exact Levenshtein-1
     similarity graph of supplier names — `editdist.edit_distance_pairs` →

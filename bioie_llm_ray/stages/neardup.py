@@ -977,3 +977,204 @@ def ngram_jaccard_pairs(
         id_type=id_type,
         n_buckets=n_buckets,
     )
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_type: pa.DataType | None = None,
+    n_hash_buckets: int = 64,
+    n_buckets: int = 32,
+    max_broadcast_ids: int = 2_000_000,
+) -> ray.data.Dataset:
+    """EXACT n-gram containment join: all ORDERED pairs (id_sub, id_super)
+    with ``|S_sub ∩ S_super| / |S_sub| ≥ threshold`` — the asymmetric
+    sibling of ``ngram_jaccard_pairs``, detecting quotes, boilerplate and
+    near-subsumption where symmetric Jaccard stays low because the texts'
+    sizes differ.
+
+    Prefix filter for containment: only the CONTAINED side is
+    threshold-bound, so the probe side indexes its first
+    ``floor((1−t)·n)+1`` shingles (ascending hash order: if ≥ t·n of a
+    doc's shingles appear in the super-doc, at most (1−t)·n are missing,
+    so one of the first floor((1−t)·n)+1 must be shared) while the super
+    side must index ALL its shingles — the inherent asymmetry of a
+    containment join.  Candidates apply the length filter
+    ``n_super ≥ t·n_sub``; verification computes exact containment over
+    re-fetched texts (broadcast semi-filter when the candidate id set is
+    small, two shuffle joins when not)."""
+    from ..functions.hashing import hash_bucket
+    from .dedup import exact_dedup
+
+    if id_type is None:
+        id_type = pa.int64()
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_sh, out_idx, out_n, out_role = [], [], [], []
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            u = np.unique(_token_hashes(text, n_shingle))
+            n = len(u)
+            out_sh.append(u)
+            out_idx.append(np.full(n, i, dtype=np.int64))
+            out_n.append(np.full(n, n, dtype=np.int64))
+            out_role.append(np.zeros(n, dtype=np.int8))  # 0 = index/super
+            plen = int(np.floor((1 - threshold) * n)) + 1
+            pref = u[:plen]
+            out_sh.append(pref)
+            out_idx.append(np.full(len(pref), i, dtype=np.int64))
+            out_n.append(np.full(len(pref), n, dtype=np.int64))
+            out_role.append(np.ones(len(pref), dtype=np.int8))  # 1 = probe
+        idx = np.concatenate(out_idx) if out_idx else np.array([], dtype=np.int64)
+        ids = batch[id_col].take(pa.array(idx, type=pa.int64()))
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(out_sh) if out_sh else [],
+                    type=pa.uint64(),
+                ),
+                id_col: ids,
+                "n_sh": pa.array(
+                    np.concatenate(out_n) if out_n else [], type=pa.int64()
+                ),
+                "role": pa.array(
+                    np.concatenate(out_role) if out_role else [],
+                    type=pa.int8(),
+                ),
+            }
+        )
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_bucket(
+            [str(s) for s in batch["shingle"].to_pylist()], n_hash_buckets
+        )
+        return batch.append_column("__bucket", pa.array(ids))
+
+    empty = pa.table(
+        {
+            "id_sub": pa.array([], type=id_type),
+            "id_super": pa.array([], type=id_type),
+        }
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "s": group["shingle"].to_numpy(zero_copy_only=False),
+                "i": group[id_col].to_pylist(),
+                "n": group["n_sh"].to_numpy(zero_copy_only=False),
+                "r": group["role"].to_numpy(zero_copy_only=False),
+            }
+        )
+        prb = df[df["r"] == 1]
+        idxs = df[df["r"] == 0]
+        m = prb.merge(idxs, on="s", suffixes=("_p", "_i"))
+        m = m[m["i_p"] != m["i_i"]]
+        m = m[m["n_i"] >= threshold * m["n_p"]]
+        if m.empty:
+            return empty
+        m = m[["i_p", "i_i"]].drop_duplicates()
+        return pa.table(
+            {
+                "id_sub": pa.array(m["i_p"].to_numpy(), type=id_type),
+                "id_super": pa.array(m["i_i"].to_numpy(), type=id_type),
+            }
+        )
+
+    pairs = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    cand = exact_dedup(pairs, ["id_sub", "id_super"], n_buckets=n_buckets)
+
+    # --- verify over re-fetched texts ------------------------------------
+    cand = cand.materialize()
+
+    def containment_batch(batch, texts_a, texts_b):
+        cache: dict = {}
+
+        def sset(i, text):
+            s = cache.get(i)
+            if s is None:
+                s = set(map(int, _token_hashes(text, n_shingle)))
+                cache[i] = s
+            return s
+
+        cs = []
+        for ia, ib, a, b in zip(
+            batch["id_sub"].to_pylist(),
+            batch["id_super"].to_pylist(),
+            texts_a,
+            texts_b,
+        ):
+            sa, sb = sset(ia, a), sset(ib, b)
+            cs.append(1.0 if not sa else len(sa & sb) / len(sa))
+        out = pa.table(
+            {
+                "id_sub": batch["id_sub"],
+                "id_super": batch["id_super"],
+                "containment": pa.array(cs, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["containment"], threshold))
+
+    if cand.count() * 2 <= max_broadcast_ids:
+        from .join import anti_semi_filter
+
+        id_rows = cand.select_columns(["id_sub", "id_super"]).take_all()
+        id_set = {str(r["id_sub"]) for r in id_rows} | {
+            str(r["id_super"]) for r in id_rows
+        }
+        texts_ref = ray.put(
+            {
+                r[id_col]: r[text_col]
+                for r in anti_semi_filter(ds, id_set, keys=id_col)
+                .select_columns([id_col, text_col])
+                .take_all()
+            }
+        )
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            ta = [texts[i] for i in batch["id_sub"].to_pylist()]
+            tb = [texts[i] for i in batch["id_super"].to_pylist()]
+            return containment_batch(batch, ta, tb)
+
+        return cand.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    from .join import shuffle_join
+
+    def side(col_id: str, col_text: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch[id_col], col_text: batch[text_col]})
+
+        return ds.map_batches(rename, batch_format="pyarrow")
+
+    j1 = shuffle_join(
+        cand, side("id_sub", "text_a"), keys="id_sub", n_buckets=n_buckets,
+        left_schema={"id_sub": id_type, "id_super": id_type},
+        right_schema={"id_sub": id_type, "text_a": pa.string()},
+    )
+    j2 = shuffle_join(
+        j1, side("id_super", "text_b"), keys="id_super", n_buckets=n_buckets,
+        left_schema={
+            "id_super": id_type, "id_sub": id_type, "text_a": pa.string()
+        },
+        right_schema={"id_super": id_type, "text_b": pa.string()},
+    )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        return containment_batch(
+            batch,
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        )
+
+    return j2.map_batches(verify_join, batch_format="pyarrow")

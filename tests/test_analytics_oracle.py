@@ -99,6 +99,7 @@ SUBSET = [
     "forecast_revenue",
     "value_quantiles_cont_by_type",
     "supplier_name_clusters",
+    "doc_containment",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction

@@ -982,3 +982,57 @@ class TestShuffleJoinSchemaFidelity:
         # every bucket (including one-sided ones) emits the declared schema
         s = out.schema()
         assert set(s.names) == {"k", "v", "w"}
+
+
+class TestContainmentPairs:
+    def test_matches_brute_force_and_finds_planted(self):
+        from bioie_llm_ray.stages.neardup import (
+            _token_hashes,
+            ngram_containment_pairs,
+        )
+
+        rng = np.random.RandomState(31)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [
+            " ".join(rng.choice(vocab, rng.randint(5, 25)))
+            for _ in range(80)
+        ]
+        docs.append(docs[0] + " tail words appended beyond the base")
+        docs.append(" ".join(docs[1].split()[:8]))
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+        t = 0.8
+        out = ngram_containment_pairs(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=4)
+            ).repartition(5),
+            threshold=t,
+        ).to_pandas()
+        got = set(zip(out.id_sub.astype(int), out.id_super.astype(int)))
+        sets = [set(map(int, _token_hashes(s, 3))) for s in docs]
+        want = {
+            (a, b)
+            for a in range(len(docs))
+            for b in range(len(docs))
+            if a != b and sets[a]
+            and len(sets[a] & sets[b]) / len(sets[a]) >= t
+        }
+        assert got == want
+        assert (0, len(docs) - 2) in got  # base contained in extended
+        assert (len(docs) - 1, 1) in got  # prefix contained in original
+
+    def test_asymmetry(self):
+        from bioie_llm_ray.stages.neardup import ngram_containment_pairs
+
+        short = "alpha beta gamma delta epsilon"
+        long = short + " " + " ".join(f"x{i}" for i in range(30))
+        df = pd.DataFrame(
+            {"doc_id": np.array([0, 1], dtype=np.int64),
+             "text": [short, long]}
+        )
+        out = ngram_containment_pairs(
+            ray.data.from_pandas(df), threshold=0.9
+        ).to_pandas()
+        got = set(zip(out.id_sub.astype(int), out.id_super.astype(int)))
+        assert got == {(0, 1)}  # short in long, NOT long in short
