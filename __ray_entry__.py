@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont_by_type": A.value_quantiles_cont_by_type,
         "supplier_name_clusters": A.supplier_name_clusters,
         "doc_containment": A.doc_containment,
+        "embedding_covariance": A.embedding_covariance,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1803,6 +1804,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id)
                        AS postings
             FROM m GROUP BY token ORDER BY word
+        """,
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+            SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+                   round_even(
+                       sum(a.x * b.x) / count(*)
+                       - (sum(a.x) / count(*)) * (sum(b.x) / count(*)),
+                       9) AS cov
+            FROM e a JOIN e b USING (vec_id)
+            GROUP BY a.i, b.i
+            ORDER BY i, j
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -725,6 +725,27 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance matrix of the embedding corpus
+    (`similarity.embedding_covariance`): one Gram-matrix partial per batch
+    (a single float64 matmul), O(dim²) driver fold, zero shuffle — the PCA
+    / Mahalanobis preprocessing step.  Emitted as (i, j, cov) long-form
+    rows so the SQL double-unnest oracle can check every cell."""
+    from ..stages.similarity import embedding_covariance as _cov
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    cov, _, _ = _cov(ds, "embedding")
+    d = cov.shape[0]
+    i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return pd.DataFrame(
+        {
+            "i": (i.ravel() + 1).astype("int64"),  # 1-based, matching SQL
+            "j": (j.ravel() + 1).astype("int64"),  # generate_subscripts
+            "cov": np.round(cov.ravel(), 9),
+        }
+    )
+
+
 def doc_containment(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     """EXACT asymmetric containment pairs over the corpus
     (`neardup.ngram_containment_pairs`): ordered (id_sub, id_super) with

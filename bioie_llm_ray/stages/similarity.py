@@ -614,3 +614,53 @@ def semantic_dedup_flags(
     return assigned.groupby("cluster").map_groups(
         cluster_pass, batch_format="pyarrow"
     )
+
+
+def embedding_covariance(
+    ds: "ray.data.Dataset", emb_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed covariance matrix of a ``list<float>`` column: returns
+    ``(cov, mean, n)`` where ``cov[i, j] = E[x_i x_j] − E[x_i]E[x_j]``
+    (population covariance).
+
+    The streaming-moments shape of distributed linear algebra: each batch
+    folds to ONE ``(dim×dim` Gram partial, dim sum vector, count)`` triple
+    via a single float64 matmul; the driver adds partials — O(dim²)
+    driver state, zero shuffle, never a row materialized.  This is the
+    preprocessing step of PCA whitening / Mahalanobis scoring over
+    embedding corpora."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        g = emb.T @ emb
+        s = emb.sum(axis=0)
+        return pa.table(
+            {
+                "g": pa.array([g.tobytes()], type=pa.binary()),
+                "s": pa.array([s.tobytes()], type=pa.binary()),
+                "n": pa.array([len(emb)], type=pa.int64()),
+                "d": pa.array([emb.shape[1]], type=pa.int64()),
+            }
+        )
+
+    gram = None
+    vsum = None
+    n = 0
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        d = int(row["d"])
+        g = np.frombuffer(row["g"], dtype=np.float64).reshape(d, d)
+        s = np.frombuffer(row["s"], dtype=np.float64)
+        if gram is None:
+            gram, vsum = g.copy(), s.copy()
+        else:
+            gram += g
+            vsum += s
+        n += int(row["n"])
+    if gram is None:
+        raise ValueError("embedding_covariance: empty input")
+    mean = vsum / n
+    cov = gram / n - np.outer(mean, mean)
+    return cov, mean, n

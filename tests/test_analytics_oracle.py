@@ -100,6 +100,7 @@ SUBSET = [
     "value_quantiles_cont_by_type",
     "supplier_name_clusters",
     "doc_containment",
+    "embedding_covariance",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction

@@ -1036,3 +1036,26 @@ class TestContainmentPairs:
         ).to_pandas()
         got = set(zip(out.id_sub.astype(int), out.id_super.astype(int)))
         assert got == {(0, 1)}  # short in long, NOT long in short
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_and_partition_invariant(self):
+        from bioie_llm_ray.stages.similarity import embedding_covariance
+
+        rng = np.random.RandomState(33)
+        x = rng.randn(300, 8)
+        df = pd.DataFrame({"embedding": [row for row in x]})
+        cov_a, mean_a, n_a = embedding_covariance(
+            ray.data.from_pandas(df).repartition(1)
+        )
+        cov_b, mean_b, n_b = embedding_covariance(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=5)
+            ).repartition(9)
+        )
+        want_cov = np.cov(x, rowvar=False, bias=True)
+        want_mean = x.mean(axis=0)
+        assert n_a == n_b == 300
+        assert np.allclose(cov_a, want_cov, atol=1e-12)
+        assert np.allclose(cov_b, want_cov, atol=1e-12)
+        assert np.allclose(mean_a, want_mean, atol=1e-12)
