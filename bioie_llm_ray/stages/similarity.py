@@ -664,3 +664,53 @@ def embedding_covariance(
     mean = vsum / n
     cov = gram / n - np.outer(mean, mean)
     return cov, mean, n
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple["ray.data.Dataset", np.ndarray, np.ndarray]:
+    """Distributed PCA projection: top-``k`` principal components from the
+    streaming covariance (`embedding_covariance`), then one broadcast
+    matmul pass projecting every vector — returns ``(projected, components,
+    explained_variance)`` where projected rows are (id, ``pc`` list<float>).
+
+    The eigendecomposition runs on the driver over the dim×dim covariance
+    (dim ≪ corpus size — the whole point of the moments fold); components
+    follow a deterministic sign convention (largest-|coordinate| entry
+    positive) so results are reproducible across runs and partitionings.
+    """
+    import pyarrow as pa
+
+    cov, mean, _ = embedding_covariance(ds, emb_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, dim)
+    # sign convention: flip each component so its max-|x| coordinate is +
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    explained = vals[order]
+    state = ray.put((comps, mean))
+
+    def project(batch: pa.Table) -> pa.Table:
+        c, mu = ray.get(state)
+        emb = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        proj = (emb - mu) @ c.T
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pc": pa.array(list(proj), type=pa.list_(pa.float64())),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow"),
+        comps,
+        explained,
+    )

@@ -1059,3 +1059,55 @@ class TestEmbeddingCovariance:
         assert np.allclose(cov_a, want_cov, atol=1e-12)
         assert np.allclose(cov_b, want_cov, atol=1e-12)
         assert np.allclose(mean_a, want_mean, atol=1e-12)
+
+
+class TestPCAProject:
+    def test_matches_numpy_pca(self):
+        from bioie_llm_ray.stages.similarity import pca_project
+
+        rng = np.random.RandomState(41)
+        # anisotropic cloud: variance concentrated in one direction
+        base = rng.randn(400, 6) * np.array([10, 3, 1, 0.5, 0.2, 0.1])
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(400, dtype=np.int64),
+                "embedding": [row for row in base],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(7)
+        proj_ds, comps, ev = pca_project(ds, k=2)
+        assert comps.shape == (2, 6)
+        assert ev[0] >= ev[1] > 0
+        # explained variance of PC1 dominates (the 10x axis)
+        assert ev[0] > 5 * ev[1]
+        # projection matches a serial numpy computation up to the same
+        # sign convention
+        x = base - base.mean(axis=0)
+        want_cov = np.cov(base, rowvar=False, bias=True)
+        vals, vecs = np.linalg.eigh(want_cov)
+        order = np.argsort(vals)[::-1][:2]
+        c = vecs[:, order].T
+        for r in range(2):
+            j = int(np.argmax(np.abs(c[r])))
+            if c[r, j] < 0:
+                c[r] = -c[r]
+        want = x @ c.T
+        got = (
+            proj_ds.to_pandas().sort_values("vec_id")["pc"].tolist()
+        )
+        got = np.array([np.asarray(g) for g in got])
+        assert np.allclose(got, want, atol=1e-8)
+
+    def test_projection_reduces_dim(self):
+        from bioie_llm_ray.stages.similarity import pca_project
+
+        rng = np.random.RandomState(43)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(50, dtype=np.int64),
+                "embedding": [row for row in rng.randn(50, 12)],
+            }
+        )
+        proj_ds, comps, _ = pca_project(ray.data.from_pandas(df), k=3)
+        row = proj_ds.take(1)[0]
+        assert len(row["pc"]) == 3
