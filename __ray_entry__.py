@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_name_clusters": A.supplier_name_clusters,
         "doc_containment": A.doc_containment,
         "embedding_covariance": A.embedding_covariance,
+        "nation_revenue_share": A.nation_revenue_share,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1804,6 +1805,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id)
                        AS postings
             FROM m GROUP BY token ORDER BY word
+        """,
+        "nation_revenue_share": """
+            WITH per AS (
+                SELECT n.n_name, sum(o.o_totalprice) AS revenue
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                GROUP BY 1)
+            SELECT n_name, round_even(revenue, 2) AS revenue,
+                   round_even(revenue / sum(revenue) OVER (), 9) AS share
+            FROM per
+            ORDER BY n_name
         """,
         "embedding_covariance": """
             WITH e AS (

@@ -725,6 +725,45 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report window: each nation's order revenue and its share
+    of the global total (SQL ``sum(rev) OVER ()`` denominator).  Two
+    broadcast dims attach customer→nation to the streaming orders fact,
+    the per-nation rollup rides the combiner, and the global denominator
+    is the sum of the tiny per-nation table — no second fact pass, no
+    window shuffle."""
+    from ..stages.join import broadcast_join
+    from ..stages.rollup import grouped_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+
+    joined = broadcast_join(orders, pa.Table.from_pandas(dim), keys="o_custkey")
+    per_nation = grouped_agg(
+        joined,
+        keys=["n_name"],
+        aggs={"revenue": ("o_totalprice", "sum")},
+        n_buckets=4,
+        partial=True,
+    ).to_pandas()
+    total = per_nation["revenue"].sum()
+    out = pd.DataFrame(
+        {
+            "n_name": per_nation["n_name"],
+            "revenue": per_nation["revenue"].round(2),
+            "share": (per_nation["revenue"] / total).round(9),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def embedding_covariance(sf_dir: str) -> pd.DataFrame:
     """Distributed covariance matrix of the embedding corpus
     (`similarity.embedding_covariance`): one Gram-matrix partial per batch

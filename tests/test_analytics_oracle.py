@@ -101,6 +101,7 @@ SUBSET = [
     "supplier_name_clusters",
     "doc_containment",
     "embedding_covariance",
+    "nation_revenue_share",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction
