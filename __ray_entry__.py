@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": A.doc_containment,
         "embedding_covariance": A.embedding_covariance,
         "nation_revenue_share": A.nation_revenue_share,
+        "customer_pareto": A.customer_pareto,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1805,6 +1806,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id)
                        AS postings
             FROM m GROUP BY token ORDER BY word
+        """,
+        "customer_pareto": """
+            WITH c AS (
+                SELECT o_custkey,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (
+                           ORDER BY cents DESC, o_custkey) AS rn
+                FROM c),
+            cum AS (
+                SELECT rn, sum(cents) OVER (ORDER BY rn) AS cum FROM r),
+            t AS (SELECT sum(cents) AS total, count(*) AS n FROM c)
+            SELECT (SELECT min(rn) FROM cum, t
+                    WHERE 5 * cum >= 4 * t.total)::BIGINT AS n_customers_80,
+                   t.n::BIGINT AS n_customers,
+                   round_even(t.total / 100.0, 2) AS revenue_total
+            FROM t
         """,
         "nation_revenue_share": """
             WITH per AS (

@@ -725,6 +725,98 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def customer_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration: the smallest number of top customers whose
+    orders cover ≥ 80% of total revenue — a three-operator composition:
+    per-customer revenue (combiner, exact int64 cents) →
+    `scan.global_order_ranks` (revenue-descending global rank, customer
+    tie-break) → `scan.ordered_prefix_sum` over the rank (integer, unique
+    — exactly its contract) → the first rank crossing the 80% line via a
+    streaming min fold.  All arithmetic integer (cents, and the threshold
+    test ``5·cum ≥ 4·total``), so the answer hash-matches SQL exactly."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.scan import global_order_ranks, ordered_prefix_sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": pa.array(c)}
+        )
+
+    per_cust = grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"cents": ("cents", "sum")},
+        n_buckets=16,
+        partial=True,
+    )
+
+    def negate(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_cents",
+            pc.negate(pc.cast(batch["cents"], pa.int64())),
+        )
+
+    ranked = global_order_ranks(
+        per_cust.map_batches(negate, batch_format="pyarrow"),
+        "neg_cents",
+        tiebreak=["o_custkey"],
+        n_buckets=16,
+    )
+    run = ordered_prefix_sum(
+        ranked.select_columns(["row_number", "cents"]),
+        "row_number",
+        "cents",
+        out_col="cum",
+        n_buckets=16,
+    )
+
+    totals = [0, 0]  # [total cents, n customers]
+    for row in run.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pa.array(
+                    [int(pc.sum(b["cents"]).as_py() or 0)], type=pa.int64()
+                ),
+                "n": pa.array([len(b)], type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        totals[0] += int(row["s"])
+        totals[1] += int(row["n"])
+    total_cents, n_cust = totals
+
+    def first_crossing(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(
+            pc.multiply(batch["cum"], pa.scalar(5, type=pa.int64())),
+            pa.scalar(4 * total_cents, type=pa.int64()),
+        )
+        f = batch.filter(mask)
+        m = pc.min(f["row_number"]).as_py() if len(f) else None
+        return pa.table({"m": pa.array([m], type=pa.int64())})
+
+    best = None
+    for row in run.map_batches(
+        first_crossing, batch_format="pyarrow"
+    ).take_all():
+        if row["m"] is not None:
+            best = row["m"] if best is None else min(best, row["m"])
+    return pd.DataFrame(
+        [
+            {
+                "n_customers_80": int(best),
+                "n_customers": int(n_cust),
+                "revenue_total": round(total_cents / 100.0, 2),
+            }
+        ]
+    )
+
+
 def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
     """Ratio-to-report window: each nation's order revenue and its share
     of the global total (SQL ``sum(rev) OVER ()`` denominator).  Two

@@ -102,6 +102,7 @@ SUBSET = [
     "doc_containment",
     "embedding_covariance",
     "nation_revenue_share",
+    "customer_pareto",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction
