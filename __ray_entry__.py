@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": A.embedding_covariance,
         "nation_revenue_share": A.nation_revenue_share,
         "customer_pareto": A.customer_pareto,
+        "daily_top_users": A.daily_top_users,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
         "rolling_active_users": A.rolling_active_users,
@@ -1806,6 +1807,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id)
                        AS postings
             FROM m GROUP BY token ORDER BY word
+        """,
+        "daily_top_users": """
+            WITH c AS (
+                SELECT ts::DATE AS day, user_id,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2)
+            SELECT strftime(day, '%Y-%m-%d') AS date,
+                   row_number() OVER (
+                       PARTITION BY day
+                       ORDER BY n_events DESC, user_id)::BIGINT AS rank,
+                   user_id, n_events
+            FROM c
+            QUALIFY rank <= 3
+            ORDER BY date, rank
         """,
         "customer_pareto": """
             WITH c AS (

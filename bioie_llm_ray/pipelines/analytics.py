@@ -725,6 +725,51 @@ def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def daily_top_users(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Daily leaderboard: the top-k most active users per calendar day
+    (ties → smallest user id) — per-(day, user) counts through the
+    combiner aggregate, then `window.grouped_top_k` keyed by the day.
+    Day stays int32-days-since-epoch through the exchanges; only the
+    result renders ISO dates."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.window import grouped_top_k
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(batch["ts"], pa.date32()), pa.int32())
+        return pa.table(
+            {
+                "day": pc.cast(d, pa.int64()),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        keys=["day", "user_id"],
+        aggs={"n_events": ("user_id", "count")},
+        n_buckets=16,
+        partial=True,
+    )
+    top = grouped_top_k(
+        counts,
+        group_cols="day",
+        order_col="n_events",
+        k=k,
+        descending=True,
+        tie_cols=["user_id"],
+        n_buckets=16,
+    ).to_pandas()
+    top["date"] = np.datetime_as_string(
+        top["day"].to_numpy().astype("datetime64[D]"), unit="D"
+    )
+    out = top[["date", "rank", "user_id", "n_events"]].copy()
+    for c in ("rank", "user_id", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["date", "rank"]).reset_index(drop=True)
+
+
 def customer_pareto(sf_dir: str) -> pd.DataFrame:
     """Pareto concentration: the smallest number of top customers whose
     orders cover ≥ 80% of total revenue — a three-operator composition:

@@ -103,6 +103,7 @@ SUBSET = [
     "embedding_covariance",
     "nation_revenue_share",
     "customer_pareto",
+    "daily_top_users",
     "top_supplier_revenue",
     "event_type_transitions",
     # semi-structured JSON field extraction

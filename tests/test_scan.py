@@ -249,3 +249,43 @@ class TestPercentRankCumeDist:
         ).to_pandas()
         assert out["percent_rank"].iloc[0] == 0.0
         assert out["cume_dist"].iloc[0] == 1.0
+
+
+class TestGlobalRanksScaleStress:
+    def test_500k_rows_and_invariants(self):
+        """The ranking operator at 500k rows: driver state stays at B
+        scalars, output invariants hold (bijective row_number, rank within
+        [1, N], dense_rank contiguous)."""
+        from bioie_llm_ray.stages.scan import global_order_ranks
+
+        n = 500_000
+        ds = ray.data.range(n, override_num_blocks=32).map_batches(
+            lambda b: pd.DataFrame(
+                {"k": b["id"] % 1000, "id": b["id"]}
+            ),
+            batch_format="pandas",
+        )
+        out = global_order_ranks(ds, "k", tiebreak=["id"], n_buckets=32)
+
+        def check(batch):
+            rn = batch["row_number"].to_numpy(zero_copy_only=False)
+            rk = batch["rank"].to_numpy(zero_copy_only=False)
+            dr = batch["dense_rank"].to_numpy(zero_copy_only=False)
+            k = batch["k"].to_numpy(zero_copy_only=False)
+            assert (rn >= 1).all() and (rn <= n).all()
+            assert (rk >= 1).all() and (rk <= n).all()
+            # k in [0, 1000): dense rank IS k+1 (every value present)
+            assert (dr == k + 1).all()
+            # rank = 500*k + 1 (each of 1000 values has 500 rows)
+            assert (rk == 500 * k + 1).all()
+            import pyarrow as pa_
+
+            return pa_.table({"n": pa_.array([len(batch)])})
+
+        total = sum(
+            r["n"]
+            for r in out.map_batches(
+                check, batch_format="pyarrow"
+            ).take_all()
+        )
+        assert total == n
