@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": A.doc_inverted_index,
         "user_value_rank": A.user_value_rank,
         "value_outliers": A.value_outliers,
+        "lineitem_regression": A.lineitem_regression,
         "hll_user_overlap": A.hll_user_overlap,
         "source_heavy_words": A.source_heavy_words,
         "top_similar_docs": A.top_similar_docs,
@@ -1783,6 +1784,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type
             ORDER BY e.event_type
+        """,
+        "lineitem_regression": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       count(*)::BIGINT AS n,
+                       sum(l_quantity) AS sx,
+                       sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_extendedprice * l_extendedprice) AS syy,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY 1),
+            d AS (
+                SELECT l_returnflag, n,
+                       sxy / n - (sx / n) * (sy / n) AS cov,
+                       sxx / n - (sx / n) ^ 2 AS var_x,
+                       syy / n - (sy / n) ^ 2 AS var_y,
+                       sx / n AS mux, sy / n AS muy
+                FROM m)
+            SELECT l_returnflag, n,
+                   round_even(cov / sqrt(var_x * var_y), 6) AS corr_qty_price,
+                   round_even(cov, 6) AS covar_pop,
+                   round_even(cov / var_x, 6) AS regr_slope,
+                   round_even(muy - (cov / var_x) * mux, 6) AS regr_intercept
+            FROM d ORDER BY l_returnflag
         """,
         "user_value_rank": """
             SELECT event_id,

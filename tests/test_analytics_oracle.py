@@ -138,6 +138,8 @@ SUBSET = [
     "events_incremental_hourly",
     # per-repo catalog stats over the code table
     "code_repo_stats",
+    # grouped bivariate regression/correlation from one moment pass
+    "lineitem_regression",
 ]
 
 
