@@ -509,6 +509,34 @@ def _kg_code_triples(sf_dir: str):
     )
 
 
+def _bpe_docs(sf_dir: str):
+    import ray
+
+    base = _kg_fixture_dir(sf_dir)
+    return ray.data.read_parquet(
+        os.path.join(base, "docs", "docs.parquet"), columns=["content"]
+    )
+
+
+def _bpe_merges(sf_dir: str):
+    """Distributed BPE training over the fixture corpus (20 merges)."""
+    from bioie_llm_ray.stages import tokenizer as T
+
+    return T.train_bpe(_bpe_docs(sf_dir), "content", n_merges=20)
+
+
+def _bpe_token_counts(sf_dir: str):
+    """Train, then tokenize the corpus with the learned table: top-50."""
+    from bioie_llm_ray.stages import tokenizer as T
+
+    docs = _bpe_docs(sf_dir)
+    merges = T.train_bpe(docs, "content", n_merges=20)
+    out = T.bpe_token_counts(docs, "content", merges).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "token"], ascending=[False, True], kind="stable")
+    return out.head(50).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bioie_llm_ray.pipelines import analytics as A
 
@@ -650,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_types": _kg_entity_types,
         "kg_entity_extraction": _kg_entity_extraction,
         "kg_chain_agreement": _kg_chain_agreement,
+        "bpe_merges": _bpe_merges,
+        "bpe_token_counts": _bpe_token_counts,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
         # source-code repository table (north-rule input_hint shape)
@@ -686,6 +716,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_types": O.values_sql(O.expected_kg_entity_types()),
         "kg_entity_extraction": O.values_sql(O.expected_kg_entity_extraction()),
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),
+        # distributed BPE training vs the textbook serial Sennrich loop
+        "bpe_merges": O.values_sql(O.expected_bpe_merges()),
+        "bpe_token_counts": O.values_sql(O.expected_bpe_token_counts()),
         "doc_language_id": O.language_id_sql(),
         # independent SQL reimplementations of the md5-derived kernels
         # (splitmix64 decomposed into 32-bit HUGEINT mulmods) — see

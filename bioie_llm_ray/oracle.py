@@ -1089,3 +1089,98 @@ SELECT round_even((SELECT e FROM est WHERE tag = 'a'), 1) AS est_view,
             ELSE 0.0 END AS rel_error
 FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — independent serial walk (textbook Sennrich loop)
+
+
+def _bpe_word_counts(n_docs: int = 200) -> dict[str, int]:
+    """Distinct-word counts over the fixture docs, tokenized with the SAME
+    RE2 kernel the distributed side uses (serial driver-side Arrow calls,
+    no Ray) so the tokenization contract is pinned once."""
+    import pyarrow.compute as pc
+
+    kb = fixtures.make_kb()
+    docs, _ = fixtures.make_docs_table(kb, n_rows=n_docs)
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(docs["content"]), pattern=r"\s+"
+    )
+    counts: dict[str, int] = {}
+    for t in pc.list_flatten(toks).to_pylist():
+        if t:
+            counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def _bpe_merge_seq(syms: tuple, left: str, right: str) -> tuple:
+    # independent re-statement of the left-to-right non-overlap merge rule
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def expected_bpe_merges(
+    n_merges: int = 20, n_docs: int = 200, min_pair_count: int = 2
+) -> pd.DataFrame:
+    """Serial BPE training (Sennrich et al. 2016 get_stats/merge loop)."""
+    wc = _bpe_word_counts(n_docs)
+    vocab = {w: (tuple(w) + ("</w>",)) for w in wc}
+    rows = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, n in wc.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pairs[k] = pairs.get(k, 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        rows.append((rank, left, right, cnt))
+        vocab = {w: _bpe_merge_seq(s, left, right) for w, s in vocab.items()}
+    return pd.DataFrame(
+        rows, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def expected_bpe_token_counts(
+    n_merges: int = 20, n_docs: int = 200, top_n: int = 50
+) -> pd.DataFrame:
+    """Serial greedy encode with the trained table (lowest rank first)."""
+    merges = expected_bpe_merges(n_merges, n_docs)
+    ranks = {
+        (l, r): k
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    wc = _bpe_word_counts(n_docs)
+    counts: dict[str, int] = {}
+    for w, n in wc.items():
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+        for t in syms:
+            counts[t] = counts.get(t, 0) + n
+    df = pd.DataFrame(
+        {"token": list(counts.keys()), "n": list(counts.values())}
+    ).astype({"n": "int64"})
+    df = df.sort_values(["n", "token"], ascending=[False, True], kind="stable")
+    return df.head(top_n).reset_index(drop=True)

@@ -140,6 +140,9 @@ SUBSET = [
     "code_repo_stats",
     # grouped bivariate regression/correlation from one moment pass
     "lineitem_regression",
+    # distributed BPE training vs the textbook serial Sennrich loop
+    "bpe_merges",
+    "bpe_token_counts",
 ]
 
 
