@@ -657,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": A.kg_triangles,
         "kg_bfs_levels": A.kg_bfs_levels,
         "triples_canonical": A.triples_canonical,
+        "kg_negative_samples": A.kg_negative_samples,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
@@ -2132,6 +2133,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.token AS subj, b.token AS obj, count(*) AS n_docs
             FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY 1, 2
+        """,
+        "kg_negative_samples": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            e AS (
+                SELECT a.token AS subj, b.token AS obj
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+                HAVING count(*) >= 325),
+            ents AS (
+                SELECT entity,
+                       row_number() OVER (ORDER BY entity) - 1 AS idx
+                FROM (SELECT subj AS entity FROM e
+                      UNION SELECT obj FROM e)),
+            n AS (SELECT count(*)::UBIGINT AS c FROM ents),
+            cand AS (
+                SELECT e.subj, t.j::BIGINT AS slot,
+                       CAST(('0x' || substr(md5(
+                           e.subj || '|cooccurs_with|' || e.obj
+                                  || '|' || t.j::VARCHAR), 1, 16))::UBIGINT
+                            % n.c AS BIGINT) AS idx
+                FROM e, range(3) t(j), n),
+            neg AS (
+                SELECT c.subj, en.entity AS neg_obj, c.slot
+                FROM cand c JOIN ents en USING (idx))
+            SELECT subj, 'cooccurs_with' AS pred, neg_obj, slot
+            FROM neg
+            WHERE neg_obj <> subj
+              AND NOT EXISTS (
+                  SELECT 1 FROM e
+                  WHERE (e.subj = neg.subj AND e.obj = neg.neg_obj)
+                     OR (e.subj = neg.neg_obj AND e.obj = neg.subj))
+            ORDER BY subj, neg_obj, slot
         """,
         "kg_bfs_levels": f"""
             WITH RECURSIVE m AS (

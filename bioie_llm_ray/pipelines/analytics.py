@@ -5072,3 +5072,37 @@ def lineitem_regression(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def kg_negative_samples(
+    sf_dir: str, k: int = 3, min_support: int = 325
+) -> pd.DataFrame:
+    """Training negatives for the co-occurrence KG: deterministic TransE-style
+    tail corruption (``stages/sample.negative_sample_triples``, filtered
+    setting, symmetric edges).  Positives are the STRONG co-occurring vocab
+    pairs (support ≥ ``min_support`` — the unthresholded 10-token graph is
+    complete, leaving no room for negatives); each yields k hash-indexed
+    corruption candidates, minus self-loops and candidates that are
+    themselves true edges (distributed anti join — the positive set never
+    lands on the driver)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sample import negative_sample_triples
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    edges = (
+        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(
+            expr=f"n_docs >= {min_support}"
+        )
+    )
+
+    out = negative_sample_triples(
+        edges, pred="cooccurs_with", k=k, symmetric=True, n_buckets=8
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["subj", "pred", "neg_obj", "slot"])
+    return out.sort_values(["subj", "neg_obj", "slot"]).reset_index(drop=True)

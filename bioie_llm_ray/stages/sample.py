@@ -173,3 +173,111 @@ def distributed_sort_top_k(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def negative_sample_triples(
+    triples: ray.data.Dataset,
+    pred: str,
+    k: int,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    n_buckets: int = 16,
+    entities: list[str] | None = None,
+    symmetric: bool = False,
+) -> ray.data.Dataset:
+    """Deterministic tail-corruption negatives for KG-embedding training
+    (the Bordes et al. NIPS'13 TransE scheme, filtered setting).
+
+    For each positive (s, pred, o) and slot j ∈ [0, k): the candidate tail
+    is ``entities[stable_hash(s|pred|o|j) % n_entities]`` — RNG-free, so
+    the sample is partition-count invariant and resumable.  Candidates
+    that are self-loops (neg == s) or that collide with a TRUE positive
+    (s, neg) — either orientation when ``symmetric`` marks the KG
+    undirected — are dropped; the collision filter is a distributed anti join
+    (``shuffle_semi_join(anti=True)``), never a driver set, because at KG
+    scale the positive set is itself a fact table.
+
+    ``entities`` is the ENTITY VOCABULARY (sorted); like every broadcast
+    side in this repo it is bounded by the vocab, not the corpus — pass it
+    precomputed, or it is derived here via a distributed distinct over
+    both endpoint columns with only the distinct entities reaching the
+    driver.  Output: (subj, pred, neg_obj, slot) with slot the corruption
+    index, so callers can trace sampling lineage.
+    """
+    from .join import shuffle_semi_join
+    from .rollup import grouped_agg
+
+    if entities is None:
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            ents = pa.concat_arrays(
+                [
+                    batch[subj_col].combine_chunks().cast(pa.string()),
+                    batch[obj_col].combine_chunks().cast(pa.string()),
+                ]
+            )
+            return pa.table({"entity": ents.unique()})
+
+        ent_tbl = grouped_agg(
+            triples.map_batches(endpoints, batch_format="pyarrow"),
+            keys=["entity"],
+            aggs={"n": ("entity", "count")},
+            n_buckets=max(4, n_buckets // 4),
+            partial=True,
+        ).to_pandas()
+        entities = sorted(ent_tbl["entity"])
+    ents_arr = np.array(entities, dtype=object)
+    ents_ref = ray.put(ents_arr)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ents = ray.get(ents_ref)
+        n_ents = np.uint64(len(ents))
+        subs = batch[subj_col].to_pylist()
+        objs = batch[obj_col].to_pylist()
+        keys = [
+            f"{s}|{pred}|{o}|{j}"
+            for s, o in zip(subs, objs)
+            for j in range(k)
+        ]
+        idx = (stable_hash_u64(keys) % n_ents).astype(np.int64)
+        neg = ents[idx]
+        out_s = np.repeat(np.array(subs, dtype=object), k)
+        slots = np.tile(np.arange(k, dtype=np.int64), len(subs))
+        keep = neg != out_s  # self-loop corruption is never a usable negative
+        return pa.table(
+            {
+                "subj": pa.array(out_s[keep], type=pa.string()),
+                "pred": pa.array([pred] * int(keep.sum()), type=pa.string()),
+                "neg_obj": pa.array(neg[keep], type=pa.string()),
+                "slot": pa.array(slots[keep], type=pa.int64()),
+            }
+        )
+
+    cand = triples.map_batches(corrupt, batch_format="pyarrow")
+
+    def pos_key_rows(batch: pa.Table) -> pa.Table:
+        s = batch[subj_col].combine_chunks().cast(pa.string())
+        o = batch[obj_col].combine_chunks().cast(pa.string())
+        if symmetric:  # undirected KG: (o, s) is equally a true edge
+            return pa.table(
+                {
+                    "subj": pa.concat_arrays([s, o]),
+                    "neg_obj": pa.concat_arrays([o, s]),
+                }
+            )
+        return pa.table({"subj": s, "neg_obj": o})
+
+    pos_keys = triples.map_batches(pos_key_rows, batch_format="pyarrow")
+    return shuffle_semi_join(
+        cand,
+        pos_keys,
+        keys=["subj", "neg_obj"],
+        anti=True,
+        n_buckets=n_buckets,
+        left_schema={
+            "subj": pa.string(),
+            "pred": pa.string(),
+            "neg_obj": pa.string(),
+            "slot": pa.int64(),
+        },
+    )

@@ -143,6 +143,8 @@ SUBSET = [
     # distributed BPE training vs the textbook serial Sennrich loop
     "bpe_merges",
     "bpe_token_counts",
+    # deterministic TransE-style tail-corruption negatives (filtered)
+    "kg_negative_samples",
 ]
 
 

@@ -171,3 +171,74 @@ class TestHashTopN:
         # deterministic across runs
         out2 = distributed_hash_top_n(ds, ["p1", "p2"], 100)
         assert sorted(out["p2"].to_pylist()) == sorted(out2["p2"].to_pylist())
+
+
+class TestNegativeSampleTriples:
+    """Deterministic TransE-style tail corruption (filtered setting)."""
+
+    @staticmethod
+    def _triples(pairs, n_blocks=3):
+        rows = [{"subj": s, "obj": o} for s, o in pairs]
+        return ray.data.from_items(rows).repartition(n_blocks)
+
+    PAIRS = [("a", "b"), ("b", "c"), ("c", "d")]  # path graph over a-e
+    ENTS = ["a", "b", "c", "d", "e"]
+
+    def test_filtered_setting_properties(self):
+        from bioie_llm_ray.stages.sample import negative_sample_triples
+
+        out = negative_sample_triples(
+            self._triples(self.PAIRS), pred="r", k=4, symmetric=True,
+            entities=self.ENTS, n_buckets=4,
+        ).to_pandas()
+        assert len(out) > 0
+        pos = {frozenset(p) for p in self.PAIRS}
+        for _, r in out.iterrows():
+            assert r["neg_obj"] != r["subj"]  # no self loops
+            assert frozenset((r["subj"], r["neg_obj"])) not in pos
+            assert 0 <= r["slot"] < 4
+            assert r["pred"] == "r"
+
+    def test_directed_keeps_reverse_of_positive(self):
+        from bioie_llm_ray.stages.sample import negative_sample_triples
+
+        # directed: (b, a) is a legal negative even though (a, b) is positive
+        sym = negative_sample_triples(
+            self._triples(self.PAIRS), pred="r", k=8, symmetric=True,
+            entities=self.ENTS, n_buckets=4,
+        ).to_pandas()
+        asym = negative_sample_triples(
+            self._triples(self.PAIRS), pred="r", k=8, symmetric=False,
+            entities=self.ENTS, n_buckets=4,
+        ).to_pandas()
+        sym_keys = set(zip(sym["subj"], sym["neg_obj"], sym["slot"]))
+        asym_keys = set(zip(asym["subj"], asym["neg_obj"], asym["slot"]))
+        assert sym_keys <= asym_keys
+        extra = asym_keys - sym_keys
+        assert all((o, s) in {tuple(p) for p in self.PAIRS} for s, o, _ in extra)
+
+    def test_partition_count_invariant(self):
+        from bioie_llm_ray.stages.sample import negative_sample_triples
+
+        outs = []
+        for nb in (1, 7):
+            df = negative_sample_triples(
+                self._triples(self.PAIRS, n_blocks=nb), pred="r", k=3,
+                symmetric=True, entities=self.ENTS, n_buckets=4,
+            ).to_pandas().sort_values(["subj", "neg_obj", "slot"])
+            outs.append(df.reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_derived_entity_vocab_matches_explicit(self):
+        from bioie_llm_ray.stages.sample import negative_sample_triples
+
+        ds = self._triples(self.PAIRS)
+        # endpoints only: a-d; explicit list must match the derived one
+        explicit = negative_sample_triples(
+            ds, pred="r", k=3, symmetric=True,
+            entities=["a", "b", "c", "d"], n_buckets=4,
+        ).to_pandas().sort_values(["subj", "neg_obj", "slot"]).reset_index(drop=True)
+        derived = negative_sample_triples(
+            ds, pred="r", k=3, symmetric=True, n_buckets=4,
+        ).to_pandas().sort_values(["subj", "neg_obj", "slot"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(explicit, derived)
