@@ -658,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_levels": A.kg_bfs_levels,
         "triples_canonical": A.triples_canonical,
         "kg_negative_samples": A.kg_negative_samples,
+        "kg_communities": A.kg_communities,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
@@ -752,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll_by_type": O.hll_grouped_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
+        # synchronous weighted LPA unrolled the same way
+        "kg_communities": O.lpa_sql(),
         "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),
         "kg_incremental_triples": O.values_sql(
             O.expected_kg_incremental_triples()

@@ -1184,3 +1184,53 @@ def expected_bpe_token_counts(
     ).astype({"n": "int64"})
     df = df.sort_values(["n", "token"], ascending=[False, True], kind="stable")
     return df.head(top_n).reset_index(drop=True)
+
+
+def lpa_sql(n_iters: int = 4, min_support: int = 326) -> str:
+    """DuckDB oracle for analytics.kg_communities: synchronous weighted
+    label propagation unrolled as ``n_iters`` chained CTE rounds (the same
+    unrolling trick as ``pagerank_sql``).  Each round: votes = incoming
+    edge-weight per (node, sender-label); argmax per node with ties to the
+    smallest label; nodes without votes keep their label (LEFT JOIN +
+    COALESCE).  Integer-valued float64 vote sums are exact, so the match
+    is bit-for-bit, not tolerance-based."""
+    steps = []
+    prev = "l0"
+    for i in range(1, n_iters + 1):
+        steps.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT e.o AS node, p.label, sum(e.w) AS w
+  FROM edges e JOIN {prev} p ON p.node = e.s
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY w DESC, label) AS rn
+    FROM v{i})
+  WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT l.node, COALESCE(b.label, l.label) AS label
+  FROM {prev} l LEFT JOIN b{i} b ON b.node = l.node)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH m AS MATERIALIZED (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ('spark','hash','join','merge','sort','filter','window',
+                    'vector','stream','batch')),
+und AS MATERIALIZED (
+    SELECT a.token AS s, b.token AS o, count(*)::DOUBLE AS w
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_support}),
+edges AS MATERIALIZED (SELECT s, o, w FROM und UNION ALL SELECT o, s, w FROM und),
+l0 AS MATERIALIZED (
+    SELECT node, node AS label
+    FROM (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
+{chain}
+SELECT node, label AS community FROM {prev} ORDER BY node
+"""

@@ -5106,3 +5106,48 @@ def kg_negative_samples(
     if out.empty:
         out = pd.DataFrame(columns=["subj", "pred", "neg_obj", "slot"])
     return out.sort_values(["subj", "neg_obj", "slot"]).reset_index(drop=True)
+
+
+def kg_communities(
+    sf_dir: str, n_iters: int = 4, min_support: int = 326
+) -> pd.DataFrame:
+    """Community detection over the co-occurrence KG: synchronous weighted
+    label propagation (``stages/graph.label_propagation``, broadcast-
+    iteration like ``kg_pagerank``) over the strong-edge subgraph
+    (support ≥ ``min_support``; the unthresholded 10-token graph is
+    complete and collapses to one community immediately)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import label_propagation
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    und = (
+        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(expr=f"n_docs >= {min_support}")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "subj": b["subj"],
+                    "obj": b["obj"],
+                    "w": pc.cast(b["n_docs"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # undirected: both orientations (contract shared with kg_pagerank)
+    edges = und.union(
+        und.map_batches(
+            lambda b: pa.table(
+                {"subj": b["obj"], "obj": b["subj"], "w": b["w"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = label_propagation(
+        edges, src="subj", dst="obj", weight="w", n_iters=n_iters
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

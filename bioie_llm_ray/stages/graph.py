@@ -549,3 +549,109 @@ def bfs_levels(
             }
         )
     )
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str | None = None,
+    n_iters: int = 4,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Synchronous weighted label propagation → (node, community).
+
+    Community detection over the materialized KG (Raghavan et al. 2007,
+    made deterministic): every node starts as its own label; each round,
+    node v adopts the label with the largest incoming edge-weight vote —
+    ties break to the smallest label — and all nodes update TOGETHER
+    (synchronous), so the result is a pure function of the topology, with
+    no RNG and no visit order.  Fixed ``n_iters`` rounds keep it
+    SQL-mirrorable (the oracle unrolls the same rounds as chained CTEs,
+    like ``oracle.pagerank_sql``).
+
+    Same broadcast-iteration shape as ``pagerank``: labels (node-table
+    bounded, ≪ edge count in a KG) broadcast via ``ray.put`` per round;
+    edge batches pre-aggregate votes per (dst, label) — one partial row
+    per distinct pair per batch — and the driver folds O(|V|) state.  For
+    node tables beyond driver memory, the documented swap is identical to
+    pagerank's: bucketed groupby-sum on (dst, label) + a shuffle join of
+    labels onto edges, two wide ops per round, same votes.
+
+    Undirected graphs should pass both edge orientations (as with
+    ``pagerank``); a node with no incoming edges keeps its label.
+    """
+    edges = edges.materialize()  # consumed n_iters times
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        s = {str(x) for x in batch[src].to_pylist()}
+        d = {str(x) for x in batch[dst].to_pylist()}
+        return pa.table({"node": pa.array(sorted(s | d), type=pa.string())})
+
+    nodes: set = set()
+    for row in edges.map_batches(node_partial, batch_format="pyarrow").take_all():
+        nodes.add(row["node"])
+    labels = {v: v for v in sorted(nodes)}
+    if not nodes:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "community": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    for _ in range(n_iters):
+        lref = ray.put(labels)
+
+        def vote_partial(batch: pa.Table, _l=lref) -> pa.Table:
+            lab = ray.get(_l)
+            s = [str(x) for x in batch[src].to_pylist()]
+            d = [str(x) for x in batch[dst].to_pylist()]
+            if weight is None:
+                w = np.ones(len(s), dtype=np.float64)
+            else:
+                w = batch[weight].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+            acc: dict = {}
+            for si, di, wi in zip(s, d, w):
+                k = (di, lab[si])
+                acc[k] = acc.get(k, 0.0) + wi
+            ks = list(acc.keys())
+            return pa.table(
+                {
+                    "node": pa.array([k[0] for k in ks], type=pa.string()),
+                    "label": pa.array([k[1] for k in ks], type=pa.string()),
+                    "w": pa.array(list(acc.values()), type=pa.float64()),
+                }
+            )
+
+        votes: dict = {}
+        for row in edges.map_batches(
+            vote_partial, batch_format="pyarrow"
+        ).take_all():
+            k = (row["node"], row["label"])
+            votes[k] = votes.get(k, 0.0) + row["w"]
+        best: dict = {}
+        for (node, label), w in votes.items():
+            cur = best.get(node)
+            if cur is None or (-w, label) < (-cur[0], cur[1]):
+                best[node] = (w, label)
+        labels = {
+            v: (best[v][1] if v in best else old)
+            for v, old in labels.items()
+        }
+
+    ordered = sorted(labels)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(ordered, type=pa.string()),
+                "community": pa.array(
+                    [labels[v] for v in ordered], type=pa.string()
+                ),
+            }
+        )
+    )

@@ -145,6 +145,8 @@ SUBSET = [
     "bpe_token_counts",
     # deterministic TransE-style tail-corruption negatives (filtered)
     "kg_negative_samples",
+    # synchronous weighted label propagation (unrolled-CTE oracle)
+    "kg_communities",
 ]
 
 

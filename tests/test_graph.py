@@ -252,3 +252,100 @@ class TestBfsLevels:
         )
         out = bfs_levels(ds, seed="z").to_pandas()
         assert dict(zip(out["node"], out["dist"])) == {"z": 0}
+
+
+def _lpa_serial(edges, n_iters=4):
+    """Serial synchronous weighted LPA with the same deterministic rules."""
+    nodes = sorted({n for e in edges for n in e[:2]})
+    labels = {v: v for v in nodes}
+    for _ in range(n_iters):
+        votes = {}
+        for s, d, w in edges:
+            k = (d, labels[s])
+            votes[k] = votes.get(k, 0.0) + w
+        best = {}
+        for (node, label), w in votes.items():
+            cur = best.get(node)
+            if cur is None or (-w, label) < (-cur[0], cur[1]):
+                best[node] = (w, label)
+        labels = {v: best[v][1] if v in best else l for v, l in labels.items()}
+    return labels
+
+
+def _edges_ds(edges):
+    rows = [{"subj": s, "obj": d, "w": float(w)} for s, d, w in edges]
+    return ray.data.from_items(rows).repartition(3)
+
+
+class TestLabelPropagation:
+    # two triangles bridged by one weak edge (both orientations listed)
+    TRI = [
+        ("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+        ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+        ("c", "x", 1),
+    ]
+
+    @staticmethod
+    def _undirected(weighted):
+        return [(s, d, w) for s, d, w in weighted] + [
+            (d, s, w) for s, d, w in weighted
+        ]
+
+    def test_two_clusters_resolved(self):
+        from bioie_llm_ray.stages.graph import label_propagation
+
+        edges = self._undirected(self.TRI)
+        out = label_propagation(
+            _edges_ds(edges), weight="w", n_iters=4
+        ).to_pandas()
+        comm = dict(zip(out["node"], out["community"]))
+        assert comm["a"] == comm["b"] == comm["c"]
+        assert comm["x"] == comm["y"] == comm["z"]
+        assert comm["a"] != comm["x"]
+
+    def test_matches_serial_reference(self):
+        from bioie_llm_ray.stages.graph import label_propagation
+
+        edges = self._undirected(self.TRI) + self._undirected(
+            [("p", "q", 2), ("q", "r", 3)]
+        )
+        out = label_propagation(
+            _edges_ds(edges), weight="w", n_iters=4
+        ).to_pandas()
+        want = _lpa_serial(edges, n_iters=4)
+        got = dict(zip(out["node"], out["community"]))
+        assert got == want
+
+    def test_tie_breaks_to_smallest_label(self):
+        from bioie_llm_ray.stages.graph import label_propagation
+
+        # node m receives equal-weight votes from 'a' and 'b' -> 'a' wins
+        edges = [("a", "m", 1.0), ("b", "m", 1.0)]
+        out = label_propagation(
+            _edges_ds(edges), weight="w", n_iters=1
+        ).to_pandas()
+        comm = dict(zip(out["node"], out["community"]))
+        assert comm["m"] == "a"
+
+    def test_unweighted_defaults_to_one(self):
+        from bioie_llm_ray.stages.graph import label_propagation
+
+        edges = self._undirected(self.TRI)
+        ds = ray.data.from_items(
+            [{"subj": s, "obj": d} for s, d, _ in edges]
+        ).repartition(2)
+        out = label_propagation(ds, n_iters=4).to_pandas()
+        want = _lpa_serial([(s, d, 1.0) for s, d, _ in edges], n_iters=4)
+        assert dict(zip(out["node"], out["community"])) == want
+
+    def test_empty_graph(self):
+        from bioie_llm_ray.stages.graph import label_propagation
+
+        ds = ray.data.from_items([{"subj": "a", "obj": "b"}]).filter(
+            lambda r: False
+        )
+        out = label_propagation(ds, n_iters=2)
+        # Dataset keeps the declared schema; to_pandas() of an empty
+        # dataset drops columns (Ray quirk), so assert on the schema
+        assert out.schema().names == ["node", "community"]
+        assert out.count() == 0
