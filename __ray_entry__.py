@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_entity_clusters": A.er_entity_clusters,
         "er_golden_records": A.er_golden_records,
         "events_range_pruned": A.events_range_pruned,
+        "events_box_pruned": A.events_box_pruned,
         # KG construction over documents
         "doc_mentions": A.doc_mentions,
         "cooccur_edges": A.cooccur_edges,
@@ -1414,6 +1415,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                          AND TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "events_box_pruned": """
+            SELECT count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            WHERE user_id BETWEEN 3 AND 7
+              AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                         AND TIMESTAMP '2024-01-16 00:00:00'
         """,
         "user_cumulative_value": """
             SELECT event_id, user_id, ts,

@@ -5151,3 +5151,58 @@ def kg_communities(
         edges, src="subj", dst="obj", weight="w", n_iters=n_iters
     ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def events_box_pruned(sf_dir: str) -> pd.DataFrame:
+    """2-D box query over a Z-ORDERED zone-mapped events store
+    (state/zorder_store): files are clustered on the Morton curve of
+    (user_id, ts), so BOTH box predicates prune — a linearly sorted store
+    prunes only its sort column.  The store is built once per scale under
+    /tmp (the one paid sort); the query is a doubly-pruned read + per-batch
+    partial sum.  ``test_zorder_store`` asserts the 2-D layout actually
+    out-prunes a 1-D sort on the same box."""
+    import ray
+
+    from .. import __version__
+    from ..state import zorder_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    store = os.path.join("/tmp", f"bioie_ray_zorder_v{__version__}", tag, "events")
+    marker = os.path.join(store, "_ZONES2D.json")
+    if not os.path.exists(marker):
+        ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+        def to_int(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "ts_us": pc.cast(batch["ts"], pa.int64()),
+                    "value": batch["value"],
+                }
+            )
+
+        zorder_store.write_zordered(
+            ds.map_batches(to_int, batch_format="pyarrow"),
+            store,
+            x_col="user_id",
+            y_col="ts_us",
+            n_files=16,
+        )
+
+    t0 = int(pd.Timestamp("2024-01-08 00:00:00").value // 1000)
+    t1 = int(pd.Timestamp("2024-01-16 00:00:00").value // 1000)
+    ds = zorder_store.read_box(store, (3, 7), (t0, t1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch["value"]).as_py() or 0.0
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "s": pa.array([float(s)], type=pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in parts))
+    s = float(sum(r["s"] for r in parts))
+    return pd.DataFrame({"n_events": [n], "total_value": [round(s, 2)]})

@@ -147,6 +147,8 @@ SUBSET = [
     "kg_negative_samples",
     # synchronous weighted label propagation (unrolled-CTE oracle)
     "kg_communities",
+    # 2-D box query over the z-ordered store
+    "events_box_pruned",
 ]
 
 
