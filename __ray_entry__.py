@@ -558,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
         "user_event_gaps": A.user_event_gaps,
+        "user_first_last_event": A.user_first_last_event,
+        "lang_token_set_ops": A.lang_token_set_ops,
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
         "supplier_name_neardup": A.supplier_name_neardup,
@@ -1415,6 +1417,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                          AND TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "user_first_last_event": """
+            WITH r AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn_d,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+                   max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+                   max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts,
+                   any_value(n)::BIGINT AS n_events
+            FROM r GROUP BY user_id ORDER BY user_id
+        """,
+        "lang_token_set_ops": r"""
+            WITH toks AS (
+                SELECT DISTINCT lang, t.w AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                WHERE t.w <> '' AND lang IN ('en', 'fr')),
+            m AS (
+                SELECT token,
+                       max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS in_b
+                FROM toks GROUP BY token)
+            SELECT count(*)::BIGINT AS n_union,
+                   count(*) FILTER (WHERE in_a = 1 AND in_b = 1)::BIGINT
+                       AS n_intersect,
+                   count(*) FILTER (WHERE in_a = 1 AND in_b = 0)::BIGINT
+                       AS n_a_only,
+                   count(*) FILTER (WHERE in_a = 0 AND in_b = 1)::BIGINT
+                       AS n_b_only
+            FROM m
         """,
         "events_box_pruned": """
             SELECT count(*) AS n_events,

@@ -5206,3 +5206,104 @@ def events_box_pruned(sf_dir: str) -> pd.DataFrame:
     n = int(sum(r["n"] for r in parts))
     s = float(sum(r["s"] for r in parts))
     return pd.DataFrame({"n_events": [n], "total_value": [round(s, 2)]})
+
+
+def user_first_last_event(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE window shape: each user's first and last
+    event (type + timestamp, ordered by (ts, event_id)) plus event count,
+    in ONE ``hash(user_id) % B`` exchange — per-bucket vectorized sort +
+    ``groupby.agg(first/last/size)``, never a per-user Python call.  The
+    arg-min/arg-max rollup complement of the per-row LAG window
+    (``user_event_gaps``)."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def first_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id").agg(
+            first_type=("event_type", "first"),
+            first_ts=("ts", "first"),
+            last_type=("event_type", "last"),
+            last_ts=("ts", "last"),
+            n_events=("event_id", "size"),
+        )
+        return agg.reset_index().astype({"n_events": "int64"})
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first_last, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def lang_token_set_ops(sf_dir: str, lang_a: str = "en", lang_b: str = "fr") -> pd.DataFrame:
+    """Distinct set operations (INTERSECT / EXCEPT / UNION) over the token
+    vocabularies of two language slices, in ONE exchange: per-batch combiner
+    dedups (token, side-flag) pairs, one bucketed dedup-with-OR fold gives
+    each distinct token its membership bitmask, and the three set
+    cardinalities are a combiner count over the mask — token rows never
+    reach the driver."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def sides(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["lang"], value_set=pa.array([lang_a, lang_b]))
+        kept = batch.filter(mask)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(kept["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        langs = pc.list_parent_indices(toks)
+        lang_vals = kept["lang"].take(langs)
+        in_a = pc.cast(pc.equal(lang_vals, lang_a), pa.int64())
+        in_b = pc.cast(pc.equal(lang_vals, lang_b), pa.int64())
+        t = pa.table({"token": flat, "in_a": in_a, "in_b": in_b}).filter(
+            pc.not_equal(flat, "")
+        )
+        # batch-local combine: one row per distinct token with OR'd flags
+        return pa.TableGroupBy(t, "token").aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        ).rename_columns(["token", "in_a", "in_b"])
+
+    per_token = grouped_agg(
+        ds.map_batches(sides, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"in_a": ("in_a", "max"), "in_b": ("in_b", "max")},
+        n_buckets=8,
+        partial=True,
+    )
+
+    def count_masks(batch: pa.Table) -> pa.Table:
+        a = batch["in_a"].to_numpy(zero_copy_only=False)
+        b = batch["in_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_union": pa.array([len(batch)], type=pa.int64()),
+                "n_intersect": pa.array([int(((a == 1) & (b == 1)).sum())]),
+                "n_a_only": pa.array([int(((a == 1) & (b == 0)).sum())]),
+                "n_b_only": pa.array([int(((a == 0) & (b == 1)).sum())]),
+            }
+        )
+
+    parts = per_token.map_batches(count_masks, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_union": [int(parts["n_union"].sum())],
+            "n_intersect": [int(parts["n_intersect"].sum())],
+            "n_a_only": [int(parts["n_a_only"].sum())],
+            "n_b_only": [int(parts["n_b_only"].sum())],
+        }
+    )

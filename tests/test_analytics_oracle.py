@@ -149,6 +149,9 @@ SUBSET = [
     "kg_communities",
     # 2-D box query over the z-ordered store
     "events_box_pruned",
+    # FIRST_VALUE/LAST_VALUE rollup window + distinct set operations
+    "user_first_last_event",
+    "lang_token_set_ops",
 ]
 
 
