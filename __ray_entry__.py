@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": A.user_event_gaps,
         "user_first_last_event": A.user_first_last_event,
         "lang_token_set_ops": A.lang_token_set_ops,
+        "lang_token_association": A.lang_token_association,
+        "label_centroids": A.label_centroids,
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
         "supplier_name_neardup": A.supplier_name_neardup,
@@ -702,6 +704,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
     }
+
+
+def _g2_sql(lang: str = "en", top_n: int = 25, min_count: int = 50) -> str:
+    """Dunning G² keyness oracle — the IDENTICAL xlogx expressions the Ray
+    side evaluates (term order preserved so float arithmetic agrees)."""
+
+    def xlogx(e: str) -> str:
+        return f"(CASE WHEN ({e}) > 0 THEN ({e}) * ln({e}) ELSE 0 END)"
+
+    g2 = (
+        f"2.0 * ({xlogx('a')} + {xlogx('b')} + {xlogx('c')} + {xlogx('d')}"
+        f" - {xlogx('a + b')} - {xlogx('c + d')}"
+        f" - {xlogx('a + c')} - {xlogx('b + d')} + n * ln(n))"
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS il,
+                   t.w AS token
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+            WHERE t.w <> ''),
+        ct AS (
+            SELECT token, sum(il)::BIGINT AS k_in,
+                   sum(1 - il)::BIGINT AS k_out
+            FROM toks GROUP BY 1),
+        tot AS (SELECT sum(k_in)::BIGINT AS n_in,
+                       sum(k_out)::BIGINT AS n_out FROM ct),
+        f AS (
+            SELECT token, k_in, k_out,
+                   k_in::DOUBLE AS a, k_out::DOUBLE AS b,
+                   (n_in - k_in)::DOUBLE AS c, (n_out - k_out)::DOUBLE AS d,
+                   (n_in + n_out)::DOUBLE AS n, n_in::DOUBLE AS n_in_f
+            FROM ct, tot
+            WHERE k_in + k_out >= {min_count})
+        SELECT token, k_in, k_out,
+               round_even(CASE WHEN a >= (a + b) * (n_in_f / n)
+                               THEN {g2} ELSE -({g2}) END, 6) AS g2
+        FROM f
+        ORDER BY g2 DESC, token
+        LIMIT {top_n}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1417,6 +1460,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                          AND TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "lang_token_association": _g2_sql(),
+        "label_centroids": """
+            SELECT label::BIGINT AS label, u.i::BIGINT AS i,
+                   round_even(sum(u.v) / count(*), 9) AS mean
+            FROM (SELECT label,
+                         unnest(embedding)::DOUBLE AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings) u
+            GROUP BY label, u.i
+            ORDER BY label, u.i
         """,
         "user_first_last_event": """
             WITH r AS (

@@ -5307,3 +5307,118 @@ def lang_token_set_ops(sf_dir: str, lang_a: str = "en", lang_b: str = "fr") -> p
             "n_b_only": [int(parts["n_b_only"].sum())],
         }
     )
+
+
+def lang_token_association(
+    sf_dir: str, lang: str = "en", top_n: int = 25, min_count: int = 50
+) -> pd.DataFrame:
+    """Feature selection for corpus classifiers: the tokens most associated
+    with one language slice by the Dunning G² log-likelihood ratio
+    (Dunning, CL 1993 — the standard keyness statistic; robust where χ²
+    breaks on rare tokens).  One combiner exchange produces per-token
+    (in-slice, out-slice) counts; G² is closed-form arithmetic over that
+    table plus two scalars, so the operator costs one corpus pass.
+
+    The SQL oracle computes the IDENTICAL xlogx expressions; counts are
+    integers so the only float work is the final ln() arithmetic, rounded
+    round_even(6) on both sides."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        in_lang = pc.cast(
+            pc.equal(batch["lang"].take(pc.list_parent_indices(toks)), lang),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "token": flat,
+                "k_in": in_lang,
+                "k_out": pc.subtract(pa.scalar(1, type=pa.int64()), in_lang),
+            }
+        ).filter(pc.not_equal(flat, ""))
+        return (
+            pa.TableGroupBy(t, "token")
+            .aggregate([("k_in", "sum"), ("k_out", "sum")])
+            .rename_columns(["token", "k_in", "k_out"])
+        )
+
+    per_token = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"k_in": ("k_in", "sum"), "k_out": ("k_out", "sum")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+
+    n_in = int(per_token["k_in"].sum())
+    n_out = int(per_token["k_out"].sum())
+    df = per_token[(per_token["k_in"] + per_token["k_out"]) >= min_count].copy()
+
+    def xlogx(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.float64)
+        out = np.zeros_like(v)
+        nz = v > 0
+        out[nz] = v[nz] * np.log(v[nz])
+        return out
+
+    a = df["k_in"].to_numpy(np.float64)
+    b = df["k_out"].to_numpy(np.float64)
+    c = n_in - a
+    d = n_out - b
+    n = float(n_in + n_out)
+    g2 = 2.0 * (
+        xlogx(a) + xlogx(b) + xlogx(c) + xlogx(d)
+        - xlogx(a + b) - xlogx(c + d) - xlogx(a + c) - xlogx(b + d)
+        + n * np.log(n)
+    )
+    # signed keyness: positive when over-represented IN the slice
+    expected_in = (a + b) * (n_in / n)
+    df["g2"] = np.round(np.where(a >= expected_in, g2, -g2), 6)
+    df = df.sort_values(["g2", "token"], ascending=[False, True]).head(top_n)
+    return df[["token", "k_in", "k_out", "g2"]].reset_index(drop=True)
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids (class prototypes — the supervised
+    counterpart of the k-means codebook): one (k_labels × dim) float64 sum
+    partial per batch via index_add, labels-cardinality driver fold, zero
+    shuffle.  Output long-form (label, i, mean) so the SQL double-unnest
+    oracle checks every cell."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(cnt),
+                "sums": pa.array(list(sums)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:
+        s, n = acc.get(r["label"], (None, 0))
+        v = np.asarray(r["sums"], dtype=np.float64)
+        acc[r["label"]] = (v if s is None else s + v, n + r["n"])
+    rows = []
+    for label in sorted(acc):
+        s, n = acc[label]
+        mean = s / n
+        for i, m in enumerate(mean):
+            rows.append((int(label), i + 1, round(float(m), 9)))
+    return pd.DataFrame(rows, columns=["label", "i", "mean"]).astype(
+        {"label": "int64", "i": "int64"}
+    )

@@ -152,6 +152,9 @@ SUBSET = [
     # FIRST_VALUE/LAST_VALUE rollup window + distinct set operations
     "user_first_last_event",
     "lang_token_set_ops",
+    # Dunning G² keyness + per-label embedding centroids
+    "lang_token_association",
+    "label_centroids",
 ]
 
 
