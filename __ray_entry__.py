@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles_by_flag": A.quantity_quantiles_by_flag,
         "user_event_unpivot": A.user_event_unpivot,
         "embedding_clusters": A.embedding_clusters,
+        "embedding_pq_codes": A.embedding_pq_codes,
         "semantic_dedup": A.semantic_dedup,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
@@ -774,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": O.simhash_sql(),
         "dedup_minhash": O.minhash_sql(),
         "embedding_clusters": O.kmeans_sql(),
+        "embedding_pq_codes": O.pq_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         "hll_user_overlap": O.hll_overlap_sql(),

@@ -1234,3 +1234,68 @@ l0 AS MATERIALIZED (
 {chain}
 SELECT node, label AS community FROM {prev} ORDER BY node
 """
+
+
+def _pq_chain_sql(pfx: str, k: int, n_iters: int, j_lo: int, j_hi: int) -> str:
+    """One subspace's Lloyd chain over dims j ∈ [j_lo, j_hi] (1-based),
+    same step structure as ``_kmeans_chain_sql``; produces ``{pfx}afin``
+    (vec_id → cid)."""
+    steps = []
+    prev = f"{pfx}c0"
+    for t in range(1, n_iters + 1):
+        steps.append(f"""
+{pfx}d{t} AS (
+    SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
+    FROM {pfx}ve ve JOIN {prev} c USING (j)
+    GROUP BY 1, 2),
+{pfx}a{t} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM {pfx}d{t}) WHERE rn = 1),
+{pfx}c{t} AS (
+    SELECT a.cid, ve.j, avg(ve.x) AS v
+    FROM {pfx}a{t} a JOIN {pfx}ve ve ON ve.vec_id = a.vec_id
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT p.cid, p.j, p.v FROM {prev} p
+    WHERE p.cid NOT IN (SELECT DISTINCT cid FROM {pfx}a{t}))""")
+        prev = f"{pfx}c{t}"
+    chain = ",".join(steps)
+    return f"""{pfx}ve AS (
+    SELECT vec_id, i AS j, embedding[i]::DOUBLE AS x
+    FROM embeddings, unnest(range({j_lo}, {j_hi} + 1)) AS t(i)),
+{pfx}c0 AS (
+    SELECT vec_id AS cid, i AS j, embedding[i]::DOUBLE AS v
+    FROM embeddings, unnest(range({j_lo}, {j_hi} + 1)) AS t(i)
+    WHERE vec_id < {k}),{chain},
+{pfx}dfin AS (
+    SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
+    FROM {pfx}ve ve JOIN {prev} c USING (j)
+    GROUP BY 1, 2),
+{pfx}afin AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM {pfx}dfin) WHERE rn = 1)"""
+
+
+def pq_sql(m: int = 4, k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """DuckDB oracle for analytics.embedding_pq_codes: ``m`` independent
+    subspace Lloyd chains (each the ``kmeans_sql`` recurrence restricted to
+    its dim slice) and the final per-vector code per subspace.  Same float
+    caveat as ``kmeans_sql``; assignments sit far from the knife-edge."""
+    dsub = dim // m
+    chains = ",\n".join(
+        _pq_chain_sql(f"s{s}_", k, n_iters, s * dsub + 1, (s + 1) * dsub)
+        for s in range(m)
+    )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s}::BIGINT AS sub, cid::BIGINT AS code FROM s{s}_afin"
+        for s in range(m)
+    )
+    return f"""
+WITH {chains}
+SELECT * FROM ({finals})
+ORDER BY vec_id, sub
+"""

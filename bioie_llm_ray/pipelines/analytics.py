@@ -5422,3 +5422,16 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["label", "i", "mean"]).astype(
         {"label": "int64", "i": "int64"}
     )
+
+
+def embedding_pq_codes(sf_dir: str, m: int = 4, k: int = 8) -> pd.DataFrame:
+    """Product-quantization compression of the embedding corpus
+    (``similarity.train_pq`` fused Lloyd + ``pq_encode``): every vector
+    becomes m sub-codes — the (vec_id, sub, code) long form the SQL
+    per-subspace Lloyd oracle checks cell by cell."""
+    from ..stages.similarity import pq_encode, train_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = train_pq(ds, m=m, k=k, n_iters=3)
+    out = pq_encode(ds, books).to_pandas()
+    return out.sort_values(["vec_id", "sub"]).reset_index(drop=True)

@@ -714,3 +714,110 @@ def pca_project(
         comps,
         explained,
     )
+
+
+def train_pq(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    dim into ``m`` contiguous subspaces and run Lloyd's k-means in each —
+    the (m × k × dsub) codebook replaces every vector with m uint8 codes,
+    the memory move that makes billion-vector ANN fit in RAM.
+
+    FUSED training: per round, ONE corpus pass updates all m codebooks
+    (per batch: m vectorized argmin assignments over the subspace slices,
+    folded into an (m, k, dsub) sum + (m, k) count partial) — m× fewer
+    passes than m independent ``distributed_kmeans`` calls, bit-identical
+    results because subspace assignments only read their own dims (pinned
+    by a parity test).  Same deterministic contract as
+    ``distributed_kmeans``: init from the k smallest ids, ties to the
+    lowest centroid, empty cells keep their previous centroid.
+    """
+    init_rows = sorted(
+        ds.filter(expr=f"{id_col} < {k}").take_all(), key=lambda r: r[id_col]
+    )
+    full = np.stack(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]
+    )
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack(
+        [full[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, k, dsub)
+
+    for _ in range(n_iters):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table, _r=ref) -> pa.Table:
+            bks = ray.get(_r)
+            x = np.stack(
+                batch[emb_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            sums = np.zeros_like(bks)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d2, axis=1)  # ties to lowest id
+                np.add.at(sums[s], a, xs)
+                cnts[s] += np.bincount(a, minlength=k)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()]),
+                    "cnts": pa.array([cnts.ravel().tolist()]),
+                }
+            )
+
+        tot_s = np.zeros_like(books)
+        tot_c = np.zeros((m, k), dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            tot_s += np.asarray(row["sums"], dtype=np.float64).reshape(
+                books.shape
+            )
+            tot_c += np.asarray(row["cnts"], dtype=np.int64).reshape((m, k))
+        nz = tot_c > 0
+        for s in range(m):
+            books[s][nz[s]] = tot_s[s][nz[s]] / tot_c[s][nz[s], None]
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Streaming PQ encode → (id, sub, code) long-form rows; the embedding
+    column is dropped after the argmin (project early, same as
+    ``assign_clusters``)."""
+    m, k, dsub = codebooks.shape
+    ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        x = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, m)),
+                "sub": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+                "code": pa.array(codes.ravel()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -155,6 +155,8 @@ SUBSET = [
     # Dunning G² keyness + per-label embedding centroids
     "lang_token_association",
     "label_centroids",
+    # product quantization: per-subspace Lloyd chains in SQL
+    "embedding_pq_codes",
 ]
 
 

@@ -1111,3 +1111,71 @@ class TestPCAProject:
         proj_ds, comps, _ = pca_project(ray.data.from_pandas(df), k=3)
         row = proj_ds.take(1)[0]
         assert len(row["pc"]) == 3
+
+
+class TestProductQuantization:
+    """Fused PQ training == per-subspace distributed_kmeans (bit parity)."""
+
+    @staticmethod
+    def _blob_ds(n=120, dim=16, seed=19):
+        rng = np.random.RandomState(seed)
+        X = (rng.randn(n, dim) * 3).astype(np.float32)
+        return (
+            ray.data.from_items(
+                [{"vec_id": i, "embedding": X[i].tolist()} for i in range(n)]
+            ).repartition(4),
+            X,
+        )
+
+    def test_fused_equals_per_subspace_kmeans(self):
+        from bioie_llm_ray.stages.similarity import (
+            distributed_kmeans,
+            train_pq,
+        )
+
+        ds, X = self._blob_ds()
+        m, k, iters = 4, 3, 2
+        books = train_pq(ds, m=m, k=k, n_iters=iters)
+        dsub = X.shape[1] // m
+        for s in range(m):
+            sliced = ds.map_batches(
+                lambda b, s=s: pa.table(
+                    {
+                        "vec_id": b["vec_id"],
+                        "embedding": pa.array(
+                            [
+                                v[s * dsub : (s + 1) * dsub]
+                                for v in b["embedding"].to_pylist()
+                            ]
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            want = distributed_kmeans(sliced, k=k, n_iters=iters)
+            np.testing.assert_allclose(books[s], want, rtol=0, atol=0)
+
+    def test_encode_matches_brute_argmin(self):
+        from bioie_llm_ray.stages.similarity import pq_encode, train_pq
+
+        ds, X = self._blob_ds(n=60)
+        books = train_pq(ds, m=4, k=4, n_iters=2)
+        got = (
+            pq_encode(ds, books)
+            .to_pandas()
+            .sort_values(["vec_id", "sub"])["code"]
+            .to_numpy()
+            .reshape(60, 4)
+        )
+        dsub = X.shape[1] // 4
+        for s in range(4):
+            xs = X[:, s * dsub : (s + 1) * dsub].astype(np.float64)
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            assert (got[:, s] == np.argmin(d2, axis=1)).all()
+
+    def test_indivisible_dim_raises(self):
+        from bioie_llm_ray.stages.similarity import train_pq
+
+        ds, _ = self._blob_ds(dim=10)
+        with pytest.raises(ValueError):
+            train_pq(ds, m=4, k=2, n_iters=1)
