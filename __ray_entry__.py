@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_unpivot": A.user_event_unpivot,
         "embedding_clusters": A.embedding_clusters,
         "embedding_pq_codes": A.embedding_pq_codes,
+        "knn_pq": A.knn_pq,
         "semantic_dedup": A.semantic_dedup,
         "small_quantity_revenue": A.small_quantity_revenue,
         "customers_without_orders": A.customers_without_orders,
@@ -776,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": O.minhash_sql(),
         "embedding_clusters": O.kmeans_sql(),
         "embedding_pq_codes": O.pq_sql(),
+        "knn_pq": O.pq_adc_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
         "hll_user_overlap": O.hll_overlap_sql(),

@@ -1299,3 +1299,52 @@ WITH {chains}
 SELECT * FROM ({finals})
 ORDER BY vec_id, sub
 """
+
+
+def pq_adc_sql(
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 3,
+    dim: int = 64,
+    n_queries: int = 5,
+    topk: int = 5,
+) -> str:
+    """DuckDB oracle for analytics.knn_pq: the per-subspace Lloyd chains
+    (shared recurrence with ``pq_sql``) plus the SAME asymmetric distance —
+    each corpus vector scored through its subspace assignment's FINAL
+    centroid against raw query dims — ranked per query (d2 asc, id asc),
+    self excluded.  This verifies the approximation itself: codes,
+    codebooks and ADC arithmetic all recomputed independently."""
+    dsub = dim // m
+    chains = ",\n".join(
+        _pq_chain_sql(f"s{s}_", k, n_iters, s * dsub + 1, (s + 1) * dsub)
+        for s in range(m)
+    )
+    # per-subspace (query, corpus) partial distances against the FINAL
+    # centroid table c{n_iters}
+    parts = "\nUNION ALL\n".join(
+        f"""SELECT q.qid, a.vec_id AS nid,
+           sum((q.x - c.v) * (q.x - c.v)) AS d2
+    FROM qve q
+    JOIN s{s}_c{n_iters} c USING (j)
+    JOIN s{s}_afin a ON a.cid = c.cid
+    GROUP BY 1, 2"""
+        for s in range(m)
+    )
+    return f"""
+WITH {chains},
+qve AS (
+    SELECT vec_id AS qid, i AS j, embedding[i]::DOUBLE AS x
+    FROM embeddings, unnest(range(1, {dim} + 1)) AS t(i)
+    WHERE vec_id < {n_queries}),
+parts AS (
+{parts}),
+tot AS (SELECT qid, nid, sum(d2) AS d2 FROM parts GROUP BY 1, 2),
+ranked AS (
+    SELECT qid AS query_id, nid AS neighbor_id, d2,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+    FROM tot WHERE nid <> qid)
+SELECT query_id, neighbor_id, rank, round_even(d2, 6) AS d2
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""

@@ -5435,3 +5435,24 @@ def embedding_pq_codes(sf_dir: str, m: int = 4, k: int = 8) -> pd.DataFrame:
     books = train_pq(ds, m=m, k=k, n_iters=3)
     out = pq_encode(ds, books).to_pandas()
     return out.sort_values(["vec_id", "sub"]).reset_index(drop=True)
+
+
+def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    """PQ-compressed ANN: train codebooks (`similarity.train_pq`), then
+    ADC top-k (`similarity.pq_topk`) — corpus vectors scored through their
+    m codes against per-query lookup tables.  The SQL oracle recomputes
+    codes via the per-subspace Lloyd chains and the SAME ADC distance, so
+    the approximation itself is verified, not just exercised."""
+    from ..stages.similarity import pq_topk, train_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = train_pq(ds, m=4, k=8, n_iters=3)
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = pq_topk(ds, books, queries, qids, k=k).to_pandas()
+    out["d2"] = out["d2"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -821,3 +821,99 @@ def pq_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    product quantization: each corpus vector is scored through its m codes
+    against a per-query (m × k_cent) lookup table, so a batch costs one
+    LUT build (m·k_cent·dsub flops per query) plus pure gathers, never a
+    full-dim distance per pair.  Same partial-top-k-per-batch + driver
+    merge shape as ``brute_force_topk``; distances ascend, ties break to
+    the smaller neighbor id.  Returns (query_id, neighbor_id, rank, d2).
+    """
+    m, kc, dsub = codebooks.shape
+    qm = np.asarray(queries, dtype=np.float64)
+    # (nq, m, kc) LUT: squared distance from each query subvector to each
+    # centroid — built ONCE on the driver, broadcast to every batch
+    lut = np.stack(
+        [
+            (
+                (
+                    qm[:, s * dsub : (s + 1) * dsub][:, None, :]
+                    - codebooks[s][None, :, :]
+                )
+                ** 2
+            ).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    lut_ref = ray.put(lut)
+    bk_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    kk = k + (1 if exclude_self else 0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        bks = ray.get(bk_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        x = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        codes = np.empty((len(ids), m), dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = np.argmin(
+                ((xs[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1), axis=1
+            )
+        # (nq, n_batch): sum LUT gathers over subspaces
+        d2 = np.zeros((lt.shape[0], len(ids)), dtype=np.float64)
+        for s in range(m):
+            d2 += lt[:, s, :][:, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(d2.shape[0]):
+            row = d2[qi]
+            kq = min(kk, len(row))
+            if kq < len(row):
+                seed = np.argpartition(row, kq - 1)[:kq]
+                idx = np.flatnonzero(row <= row[seed].max())
+            else:
+                idx = np.arange(len(row))
+            order = idx[np.lexsort((ids[idx], row[idx]))][:kq]
+            out_q.extend([qi] * len(order))
+            out_n.extend(ids[order])
+            out_d.extend(row[order])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "d2": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        g = cand[cand["qi"] == qi]
+        if exclude_self:
+            g = g[g["nid"] != qid]
+        g = g.sort_values(["d2", "nid"], kind="stable").head(k)
+        for r, (_, rec) in enumerate(g.iterrows(), start=1):
+            rows.append((qid, int(rec["nid"]), r, float(rec["d2"])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+            "d2": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )

@@ -157,6 +157,7 @@ SUBSET = [
     "label_centroids",
     # product quantization: per-subspace Lloyd chains in SQL
     "embedding_pq_codes",
+    "knn_pq",
 ]
 
 
