@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": A.doc_fingerprint,
         "word_frequency": A.word_frequency,
         "doc_tfidf": A.doc_tfidf,
+        "doc_bm25": A.doc_bm25,
+        "word_zipf_fit": A.word_zipf_fit,
         "word_pmi_bigrams": A.word_pmi_bigrams,
         "doc_quality": A.doc_quality,
         "q6_discount_revenue": A.q6_discount_revenue,
@@ -1464,6 +1466,55 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                          AND TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "doc_bm25": r"""
+            WITH toks AS (
+                SELECT doc_id, t.w AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            len AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             sum(dl) / count(*) AS avgdl FROM len),
+            tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+                   FROM toks WHERE token IN ('spark', 'join', 'stream')
+                   GROUP BY 1, 2),
+            dft AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            sc AS (
+                SELECT tf.doc_id,
+                       sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                           AS score
+                FROM tf JOIN dft USING (token) JOIN len USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY 1)
+            SELECT doc_id, round_even(score, 6) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "word_zipf_fit": r"""
+            WITH toks AS (
+                SELECT t.w AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            wc AS (SELECT token, count(*)::BIGINT AS n
+                   FROM toks GROUP BY 1
+                   ORDER BY n DESC, token LIMIT 100),
+            r AS (SELECT ln(row_number() OVER (ORDER BY n DESC, token))
+                         AS x,
+                         ln(n::DOUBLE) AS y
+                  FROM wc),
+            mo AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(x * x) AS sxx, sum(x * y) AS sxy
+                   FROM r)
+            SELECT n::BIGINT AS n_words,
+                   round_even((sxy / n - (sx / n) * (sy / n))
+                              / (sxx / n - (sx / n) ^ 2), 6) AS slope,
+                   round_even(sy / n - ((sxy / n - (sx / n) * (sy / n))
+                              / (sxx / n - (sx / n) ^ 2)) * (sx / n), 6)
+                       AS intercept
+            FROM mo
         """,
         "lang_token_association": _g2_sql(),
         "label_centroids": """

@@ -5456,3 +5456,137 @@ def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     out = pq_topk(ds, books, queries, qids, k=k).to_pandas()
     out["d2"] = out["d2"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def doc_bm25(
+    sf_dir: str,
+    terms: tuple = ("spark", "join", "stream"),
+    top_n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25 retrieval (Robertson–Spärck Jones idf, Lucene's +1 form) for a
+    pinned query-term set: two streaming passes — (1) one combiner fold for
+    N, avg doc length and per-term document frequency (only len(terms)+2
+    scalars reach the driver), (2) per-batch vectorized tf + scoring with
+    the tiny stats broadcast, then the distributed ORDER BY score LIMIT k
+    primitive.  The length-normalization denominator is what separates
+    this from `doc_tfidf`."""
+    from ..stages.sample import distributed_sort_top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    term_list = list(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        doc_idx = pc.list_parent_indices(toks)
+        cols = {
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "n_toks": pa.array(
+                [pc.sum(pc.cast(nonempty, pa.int64())).as_py() or 0],
+                type=pa.int64(),
+            ),
+        }
+        for t in term_list:
+            hit = pc.and_(pc.equal(flat, t), nonempty)
+            n_df = len(np.unique(doc_idx.filter(hit).to_numpy(zero_copy_only=False)))
+            cols[f"df_{t}"] = pa.array([n_df], type=pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    avgdl = float(st["n_toks"].sum()) / n_docs
+    dfs = {t: int(st[f"df_{t}"].sum()) for t in term_list}
+    idf = {
+        t: float(np.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0))
+        for t in term_list
+    }
+    stats_ref = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_b, avg_b = ray.get(stats_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        doc_idx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(batch), dtype=np.float64)
+        np.add.at(
+            dl, doc_idx, pc.cast(nonempty, pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        total = np.zeros(len(batch), dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avg_b)
+        for t in term_list:
+            hits = pc.and_(pc.equal(flat, t), nonempty).to_numpy(
+                zero_copy_only=False
+            )
+            tf = np.zeros(len(batch), dtype=np.float64)
+            np.add.at(tf, doc_idx, hits.astype(np.float64))
+            total += idf_b[t] * tf * (k1 + 1.0) / (tf + norm)
+        keep = total > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "score": pa.array(total[keep], type=pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    out = distributed_sort_top_k(
+        scored, sort_cols=["score", "doc_id"], ascending=[False, True], k=top_n
+    )
+    out["score"] = out["score"].round(6)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
+def word_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Zipf-law diagnostic: OLS fit of ln(count) on ln(rank) over the
+    corpus's top-``top_n`` words — slope ≈ −1 is the classic signature and
+    a cheap corpus-health check (synthetic or templated corpora flatten
+    it).  Composes the distributed word-count combiner with the
+    one-moment-pass regression — driver arithmetic touches top_n scalars.
+    The SQL oracle reuses the identical raw-moment expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        counts = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    wc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="stable")
+        .head(top_n)
+    )
+    x = np.log(np.arange(1, len(wc) + 1, dtype=np.float64))
+    y = np.log(wc["n"].to_numpy(np.float64))
+    n = float(len(wc))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) ** 2)
+    intercept = sy / n - slope * (sx / n)
+    return pd.DataFrame(
+        {
+            "n_words": [int(len(wc))],
+            "slope": [round(float(slope), 6)],
+            "intercept": [round(float(intercept), 6)],
+        }
+    )

@@ -158,6 +158,9 @@ SUBSET = [
     # product quantization: per-subspace Lloyd chains in SQL
     "embedding_pq_codes",
     "knn_pq",
+    # BM25 retrieval + Zipf-law OLS fit
+    "doc_bm25",
+    "word_zipf_fit",
 ]
 
 
