@@ -1488,9 +1488,15 @@ def oracle_sql() -> dict[str, str]:
                            AS score
                 FROM tf JOIN dft USING (token) JOIN len USING (doc_id)
                 CROSS JOIN stats
-                GROUP BY 1)
+                GROUP BY 1),
+            top AS (
+                -- top-20 membership on the RAW score (matches the Ray
+                -- side); round only for display, then re-order on the
+                -- rounded value so both sides sort identically
+                SELECT doc_id, score FROM sc
+                ORDER BY score DESC, doc_id LIMIT 20)
             SELECT doc_id, round_even(score, 6) AS score
-            FROM sc ORDER BY score DESC, doc_id LIMIT 20
+            FROM top ORDER BY round_even(score, 6) DESC, doc_id
         """,
         "word_zipf_fit": r"""
             WITH toks AS (

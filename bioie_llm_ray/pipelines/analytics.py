@@ -2125,22 +2125,35 @@ def _emit_pairs(batch: pa.Table, vocab: tuple) -> pa.Table:
     )
 
 
+def _cooccur_edge_counts(
+    sf_dir: str, alias: str = "n_docs", min_support: int | None = None
+):
+    """Shared KG edge extraction: distinct co-occurring vocab pairs per doc
+    (fused inside the read task — no per-doc shuffle), counted corpus-wide
+    by the one wide (subj, obj) groupby, with an optional support
+    threshold.  Single home for the pairing contract that cooccur_edges /
+    kg_graph_nodes / kg_pagerank / kg_two_hop_paths / kg_bfs_levels /
+    kg_negative_samples / kg_communities and their shared SQL CTEs
+    (``m``/``und``) all depend on."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = tuple(DOC_VOCAB)
+    edges = (
+        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
+        .groupby(["subj", "obj"])
+        .aggregate(Count(alias_name=alias))
+    )
+    if min_support is not None:
+        edges = edges.filter(expr=f"{alias} >= {min_support}")
+    return edges
+
+
 def cooccur_edges(sf_dir: str) -> pd.DataFrame:
     """KG edge extraction: distinct co-occurring vocab pairs per doc, counted
     corpus-wide.  The per-doc pairing happens inside the extraction task (no
     per-doc shuffle); the only wide op is the final (subj, obj) groupby."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    pairs = ds.map_batches(
-        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Count
-
-    out = (
-        pairs.groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="n_docs"))
-        .to_pandas()
-    )
+    out = _cooccur_edge_counts(sf_dir).to_pandas()
     return out.sort_values(["subj", "obj"]).reset_index(drop=True)
 
 
@@ -2151,18 +2164,9 @@ def kg_graph_nodes(sf_dir: str) -> pd.DataFrame:
     edges (weight = doc count) → ``stages/graph.node_degrees`` (bucketed
     bidirectional explode, vectorized per-bucket rollup).
     """
-    from ray.data.aggregate import Count
-
     from ..stages.graph import node_degrees
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    pairs = ds.map_batches(
-        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
-    )
-    edges = pairs.groupby(["subj", "obj"]).aggregate(
-        Count(alias_name="n_docs")
-    )
+    edges = _cooccur_edge_counts(sf_dir)
     out = node_degrees(edges, src="subj", dst="obj", weight="n_docs").to_pandas()
     return out.sort_values("entity").reset_index(drop=True)
 
@@ -2175,16 +2179,9 @@ def kg_pagerank(sf_dir: str, n_iters: int = 20) -> pd.DataFrame:
     output a pure function of the topology (float-stable to well past the
     6-decimal rounding used for the oracle comparison).
     """
-    from ray.data.aggregate import Count
-
     from ..stages.graph import pagerank
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    pairs = ds.map_batches(
-        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
-    )
-    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -3404,12 +3401,7 @@ def kg_two_hop_paths(sf_dir: str) -> pd.DataFrame:
     """
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    pairs = ds.map_batches(
-        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
-    )
-    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
 
     def bidir(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -4523,16 +4515,9 @@ def kg_bfs_levels(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
     stream — the reachability member of the iterative family alongside
     pagerank / connected components / k-means).  Undirected: both edge
     orientations feed the walk."""
-    from ray.data.aggregate import Count
-
     from ..stages.graph import bfs_levels
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    pairs = ds.map_batches(
-        lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"
-    )
-    edges = pairs.groupby(["subj", "obj"]).aggregate(Count(alias_name="w"))
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -5085,21 +5070,9 @@ def kg_negative_samples(
     corruption candidates, minus self-loops and candidates that are
     themselves true edges (distributed anti join — the positive set never
     lands on the driver)."""
-    from ray.data.aggregate import Count
-
     from ..stages.sample import negative_sample_triples
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
-    edges = (
-        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
-        .groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="n_docs"))
-        .filter(
-            expr=f"n_docs >= {min_support}"
-        )
-    )
-
+    edges = _cooccur_edge_counts(sf_dir, min_support=min_support)
     out = negative_sample_triples(
         edges, pred="cooccurs_with", k=k, symmetric=True, n_buckets=8
     ).to_pandas()
@@ -5116,17 +5089,10 @@ def kg_communities(
     iteration like ``kg_pagerank``) over the strong-edge subgraph
     (support ≥ ``min_support``; the unthresholded 10-token graph is
     complete and collapses to one community immediately)."""
-    from ray.data.aggregate import Count
-
     from ..stages.graph import label_propagation
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    vocab = tuple(DOC_VOCAB)
     und = (
-        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
-        .groupby(["subj", "obj"])
-        .aggregate(Count(alias_name="n_docs"))
-        .filter(expr=f"n_docs >= {min_support}")
+        _cooccur_edge_counts(sf_dir, min_support=min_support)
         .map_batches(
             lambda b: pa.table(
                 {
@@ -5168,7 +5134,7 @@ def events_box_pruned(sf_dir: str) -> pd.DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     store = os.path.join("/tmp", f"bioie_ray_zorder_v{__version__}", tag, "events")
-    marker = os.path.join(store, "_ZONES2D.json")
+    marker = os.path.join(store, zorder_store._META)
     if not os.path.exists(marker):
         ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
@@ -5230,14 +5196,24 @@ def user_first_last_event(sf_dir: str) -> pd.DataFrame:
 
     def first_last(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        agg = g.groupby("user_id").agg(
-            first_type=("event_type", "first"),
-            first_ts=("ts", "first"),
-            last_type=("event_type", "last"),
-            last_ts=("ts", "last"),
-            n_events=("event_id", "size"),
+        # Row-positional head/tail per user, NOT groupby.first/last: those
+        # skip nulls, while the SQL oracle's row_number()=1 takes the
+        # actual first row's value even when event_type is NULL.
+        head = g.drop_duplicates("user_id", keep="first")
+        tail = g.drop_duplicates("user_id", keep="last")
+        counts = g.groupby("user_id").size()
+        return pd.DataFrame(
+            {
+                "user_id": head["user_id"].to_numpy(),
+                "first_type": head["event_type"].to_numpy(),
+                "first_ts": head["ts"].to_numpy(),
+                "last_type": tail["event_type"].to_numpy(),
+                "last_ts": tail["ts"].to_numpy(),
+                "n_events": counts.loc[head["user_id"]]
+                .to_numpy()
+                .astype("int64"),
+            }
         )
-        return agg.reset_index().astype({"n_events": "int64"})
 
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -5484,12 +5460,18 @@ def doc_bm25(
         flat = pc.list_flatten(toks)
         nonempty = pc.not_equal(flat, "")
         doc_idx = pc.list_parent_indices(toks)
+        # Per-doc token counts: a doc with ZERO tokens (empty/whitespace
+        # text) is excluded from n_docs/avgdl, matching the oracle's
+        # len CTE which only yields rows for docs with >=1 token.
+        dl = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(
+            dl,
+            doc_idx.to_numpy(zero_copy_only=False),
+            pc.cast(nonempty, pa.int64()).to_numpy(zero_copy_only=False),
+        )
         cols = {
-            "n_docs": pa.array([len(batch)], type=pa.int64()),
-            "n_toks": pa.array(
-                [pc.sum(pc.cast(nonempty, pa.int64())).as_py() or 0],
-                type=pa.int64(),
-            ),
+            "n_docs": pa.array([int((dl > 0).sum())], type=pa.int64()),
+            "n_toks": pa.array([int(dl.sum())], type=pa.int64()),
         }
         for t in term_list:
             hit = pc.and_(pc.equal(flat, t), nonempty)
@@ -5540,7 +5522,13 @@ def doc_bm25(
     out = distributed_sort_top_k(
         scored, sort_cols=["score", "doc_id"], ascending=[False, True], k=top_n
     )
+    # Membership is decided on the RAW score; display rounds to 6 dp and
+    # re-sorts on the rounded value so the row order is deterministic and
+    # identical to the oracle even when raw scores collide at 6 dp.
     out["score"] = out["score"].round(6)
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
     return out[["doc_id", "score"]].reset_index(drop=True)
 
 

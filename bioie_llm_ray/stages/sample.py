@@ -226,6 +226,19 @@ def negative_sample_triples(
             partial=True,
         ).to_pandas()
         entities = sorted(ent_tbl["entity"])
+    if len(entities) == 0:
+        # No entity vocabulary (every edge filtered out upstream): the
+        # modulo below would divide by zero — return a schemaed empty.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([], type=pa.string()),
+                    "pred": pa.array([], type=pa.string()),
+                    "neg_obj": pa.array([], type=pa.string()),
+                    "slot": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     ents_arr = np.array(entities, dtype=object)
     ents_ref = ray.put(ents_arr)
 

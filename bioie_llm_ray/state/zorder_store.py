@@ -72,6 +72,12 @@ def write_zordered(
 ) -> dict:
     """Cluster by the Morton curve of (x_col, y_col); write zone maps."""
     os.makedirs(path, exist_ok=True)
+    # Idempotent on retry: a crashed run may have left data files but no
+    # _META marker; the zone-map sweep below reads EVERY *.parquet in the
+    # dir, so stale files from a partial write would double-count rows.
+    for stale in os.listdir(path):
+        if stale.endswith(".parquet") or stale == _META:
+            os.remove(os.path.join(path, stale))
 
     # pass 1: global [min, max] per dimension — one streaming fold,
     # two scalars per block reach the driver

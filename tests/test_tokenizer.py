@@ -57,13 +57,11 @@ class TestTrainBPE:
         dist = T.train_bpe(ds, "text", n_merges=6, driver_bound_bytes=0)
         pd.testing.assert_frame_equal(fast, dist)
 
-    def test_matches_serial_oracle_on_fixture(self):
+    def test_matches_serial_oracle_on_fixture(self, sf_dir):
         # the full pipeline over the fixture corpus == textbook serial loop
-        import os
-
         import __ray_entry__ as entrymod
 
-        got = entrymod.queries()["bpe_merges"]("/root/testdata/sf0.001")
+        got = entrymod.queries()["bpe_merges"](sf_dir)
         want = oracle.expected_bpe_merges()
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
 
