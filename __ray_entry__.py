@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": A.knn_self_join_exact,
         "knn_join_split": A.knn_join_split,
         "knn_ivf": A.knn_ivf,
+        "knn_ivf_probed": A.knn_ivf_probed,
         "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_jaccard": A.dedup_jaccard,
@@ -2759,5 +2760,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, sum(byte) / 2048.0 AS feat_mean
             FROM b GROUP BY 1
         """,
-        # knn_ivf (approximate probing): rows-only check by nature.
+        # knn_ivf_probed: the approximate IVF with the deterministic Lloyd
+        # quantizer — probe sets, list assignments and within-list cosine
+        # ranking all recomputed independently in SQL.
+        "knn_ivf_probed": O.ivf_probed_sql(),
+        # knn_ivf (sampled RNG-seeded quantizer): rows-only check by nature.
     }

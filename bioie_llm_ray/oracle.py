@@ -1348,3 +1348,58 @@ SELECT query_id, neighbor_id, rank, round_even(d2, 6) AS d2
 FROM ranked WHERE rank <= {topk}
 ORDER BY query_id, rank
 """
+
+
+def ivf_probed_sql(
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for analytics.knn_ivf_probed: the APPROXIMATE IVF
+    search recomputed independently end-to-end — the full-dim Lloyd chain
+    (shared ``_kmeans_chain_sql`` recurrence: deterministic lowest-id init,
+    d2-argmin ties to the lowest centroid id, empty cells keep their
+    previous centroid), each query's ``n_probe`` nearest FINAL centroids
+    (d2 asc, cid asc), candidate lists via the final assignment ``afin``,
+    exact cosine within probed lists, rank by (cosine desc, id asc) with
+    self excluded.  This verifies the approximation itself, not just the
+    machinery: a probe set or assignment that differs in one list changes
+    the value hash.  Same float caveat as ``kmeans_sql``."""
+    return f"""
+WITH {_kmeans_chain_sql(n_centroids, n_iters)},
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM ve GROUP BY 1),
+qd AS (
+    SELECT ve.vec_id AS qid, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
+    FROM ve JOIN c{n_iters} c USING (j)
+    WHERE ve.vec_id < {n_queries}
+    GROUP BY 1, 2),
+probe AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+        FROM qd) WHERE rn <= {n_probe}),
+cand AS (
+    SELECT p.qid, a.vec_id AS nid
+    FROM probe p JOIN afin a USING (cid)
+    WHERE a.vec_id <> p.qid),
+dots AS (
+    SELECT c.qid, c.nid, sum(vq.x * vn.x) AS dp
+    FROM cand c
+    JOIN ve vq ON vq.vec_id = c.qid
+    JOIN ve vn ON vn.vec_id = c.nid AND vn.j = vq.j
+    GROUP BY 1, 2),
+ranked AS (
+    SELECT d.qid AS query_id, d.nid AS neighbor_id,
+           d.dp / (nq.nv * nn.nv) AS cosine,
+           row_number() OVER (
+               PARTITION BY d.qid
+               ORDER BY d.dp / (nq.nv * nn.nv) DESC, d.nid) AS rank
+    FROM dots d
+    JOIN nrm nq ON nq.vec_id = d.qid
+    JOIN nrm nn ON nn.vec_id = d.nid)
+SELECT query_id, neighbor_id, rank, round_even(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

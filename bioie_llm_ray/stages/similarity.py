@@ -24,6 +24,40 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _merge_topk(
+    partials: list, query_ids: list, k: int, exclude_self: bool
+) -> pa.Table:
+    """Driver merge of per-batch partial top-ks (≤ k(+1) rows per query per
+    batch reach here): global sort by (-cosine, neighbor_id), self dropped,
+    rank assigned.  Shared by every top-k searcher in this module."""
+    best: dict[int, list] = {}
+    for r in partials:
+        best.setdefault(r["qi"], []).append((-r["cosine"], r["neighbor_id"]))
+    out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+    for qi, qid in enumerate(query_ids):
+        cand = best.get(qi, [])
+        cand.sort()
+        rank = 0
+        for negs, nid in cand:
+            if exclude_self and nid == qid:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(nid)
+            out["rank"].append(rank)
+            out["cosine"].append(-negs)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+        }
+    )
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -78,34 +112,7 @@ def brute_force_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
-
-    # merge partial top-ks on the driver (≤ k rows per query per batch)
-    best: dict[int, list] = {}
-    for r in partials:
-        best.setdefault(r["qi"], []).append((-r["cosine"], r["neighbor_id"]))
-    out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-    for qi, qid in enumerate(query_ids):
-        cand = best.get(qi, [])
-        cand.sort()
-        rank = 0
-        for negs, nid in cand:
-            if exclude_self and nid == qid:
-                continue
-            rank += 1
-            if rank > k:
-                break
-            out["query_id"].append(qid)
-            out["neighbor_id"].append(nid)
-            out["rank"].append(rank)
-            out["cosine"].append(-negs)
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "cosine": pa.array(out["cosine"], type=pa.float64()),
-        }
-    )
+    return _merge_topk(partials, query_ids, k, exclude_self)
 
 
 def train_centroids(
@@ -431,32 +438,86 @@ def ivf_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list] = {}
-    for r in partials:
-        best.setdefault(r["qi"], []).append((-r["cosine"], r["neighbor_id"]))
-    out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-    for qi, qid in enumerate(query_ids):
-        cand = best.get(qi, [])
-        cand.sort()
-        rank = 0
-        for negs, nid in cand:
-            if exclude_self and nid == qid:
-                continue
-            rank += 1
-            if rank > k:
-                break
-            out["query_id"].append(qid)
-            out["neighbor_id"].append(nid)
-            out["rank"].append(rank)
-            out["cosine"].append(-negs)
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "cosine": pa.array(out["cosine"], type=pa.float64()),
-        }
+    return _merge_topk(partials, query_ids, k, exclude_self)
+
+
+def ivf_probed_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate IVF top-k whose EVERY step is deterministic and hence
+    SQL-expressible — the oracle-checkable counterpart of ``ivf_topk``
+    (whose driver-sampled quantizer is RNG-seeded and stays rows-only).
+
+    Quantizer: ``distributed_kmeans`` (RNG-free init = embeddings of the
+    ``n_centroids`` smallest ids, squared-euclidean argmin with ties to the
+    lowest centroid id — exactly the ``oracle._kmeans_chain_sql`` Lloyd
+    recurrence).  Probing: each query searches only the lists of its
+    ``n_probe`` nearest final centroids (d2 asc, centroid id asc); scoring
+    within probed lists is exact cosine with the brute-force tie-break.
+    The corpus streams throughout — centroids and the (n_q × n_probe)
+    probe matrix broadcast once; per batch one assignment distance matrix
+    plus one query matmul over the probed subset.
+    """
+    cent = distributed_kmeans(
+        ds, k=n_centroids, n_iters=n_iters, emb_col=emb_col, id_col=id_col
     )
+    q = np.asarray(queries, dtype=np.float64)
+    d2q = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+    # stable argsort → equal-distance ties resolve to the lowest centroid id
+    probes = np.argsort(d2q, axis=1, kind="stable")[:, :n_probe]
+    qn = _normalize(q)
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probes)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        pr = ray.get(probe_ref)
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        raw = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d2 = ((raw[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        assign = np.argmin(d2, axis=1)  # ties → lowest centroid id
+        emb = _normalize(raw)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            row = qm[qi] @ emb[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + (1 if exclude_self else 0), len(row))
+            if kk < len(row):
+                seed_idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed_idx].min())
+                idx = idx[np.lexsort((sub_ids[idx], -row[idx]))][:kk]
+            else:
+                idx = np.arange(len(row))
+            for j in idx:
+                out_q.append(qi)
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int32()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, query_ids, k, exclude_self)
 
 
 def distributed_kmeans(

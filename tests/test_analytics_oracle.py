@@ -161,6 +161,9 @@ SUBSET = [
     # BM25 retrieval + Zipf-law OLS fit
     "doc_bm25",
     "word_zipf_fit",
+    # approximate IVF with the deterministic Lloyd quantizer: probe sets,
+    # list assignments and within-list ranking recomputed in SQL
+    "knn_ivf_probed",
 ]
 
 

@@ -350,6 +350,38 @@ class TestSimilarity:
             hits += len(e & a)
         assert hits / 25 >= 0.5
 
+    def test_ivf_probed_recall_and_full_probe_exact(self, emb_ds):
+        from bioie_llm_ray.stages.similarity import ivf_probed_topk
+
+        ds, emb = emb_ds
+        q = emb[:5].astype(np.float64)
+        exact = brute_force_topk(ds, q, list(range(5)), k=5).to_pandas()
+        # probing EVERY list must reproduce the exact ranking
+        full = (
+            ivf_probed_topk(
+                ds, q, list(range(5)), k=5, n_centroids=8, n_probe=8
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            full[["query_id", "neighbor_id", "rank"]],
+            exact.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+                ["query_id", "neighbor_id", "rank"]
+            ],
+        )
+        # partial probing keeps reasonable recall
+        approx = ivf_probed_topk(
+            ds, q, list(range(5)), k=5, n_centroids=8, n_probe=4
+        ).to_pandas()
+        hits = 0
+        for qi in range(5):
+            e = set(exact[exact.query_id == qi]["neighbor_id"])
+            a = set(approx[approx.query_id == qi]["neighbor_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.5
+
 
 class TestMultimodal:
     def test_stub_raises_without_fake(self):
