@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": A.label_centroids,
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
+        "user_range_window": A.user_range_window,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2258,6 +2259,16 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS BETWEEN 2 PRECEDING
                                              AND CURRENT ROW) AS moving_avg
             FROM events
+            ORDER BY event_id
+        """,
+        "user_range_window": """
+            SELECT event_id, user_id,
+                   round_even(sum(value) OVER w, 4) AS range_sum,
+                   count(*) OVER w AS n_in_range
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
             ORDER BY event_id
         """,
         "events_global_rank": """

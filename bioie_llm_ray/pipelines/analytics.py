@@ -4232,6 +4232,72 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def user_range_window(sf_dir: str) -> pd.DataFrame:
+    """Time-based RANGE-frame window (SQL ``sum(value) / count(*) OVER
+    (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW)``) — the interval-window complement of the
+    ROWS frame (`user_moving_avg`): the frame is defined by VALUE distance
+    on ts, so it includes every peer row with the same timestamp
+    (preceding or following) and its width varies per row.
+
+    One ``hash(user_id) % B`` exchange; per bucket ONE vectorized pass for
+    every user at once: each user's timestamps are shifted onto a disjoint
+    int64 segment (offset > per-user ts span + window), after which two
+    global ``np.searchsorted`` calls find each row's frame bounds and a
+    prefix-sum difference reads off the frame aggregate — no per-user
+    Python loop, exactly the no-per-key-map_groups rule the repo's dedup
+    docstring sets.  Peer-inclusive tie semantics come from the
+    ``side="right"`` upper bound (pandas ``rolling('1h')`` can NOT express
+    this: it cuts the frame at the current row position, excluding equal-ts
+    followers)."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+    window_us = 3_600_000_000  # 1 hour
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        rank = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        rel = ts - np.repeat(ts[starts], counts)  # >= 0 within each user
+        # disjoint segments: a frame can never cross a user boundary
+        # because consecutive segments are > window_us apart
+        off = np.int64(int(rel.max(initial=0)) + window_us + 1)
+        key = rank * off + rel
+        lo = np.searchsorted(key, key - window_us, side="left")
+        hi = np.searchsorted(key, key, side="right")  # peers included
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": uid,
+                # round_even convention: numpy half-even == SQL round_even
+                "range_sum": np.round(csum[hi] - csum[lo], 4),
+                "n_in_range": (hi - lo).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(range_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_global_rank(sf_dir: str) -> pd.DataFrame:
     """Global ranking windows over the full events stream: ``row_number`` /
     ``rank`` / ``dense_rank`` / ``ntile(7)`` over ``ORDER BY ts`` (ties in

@@ -164,6 +164,8 @@ SUBSET = [
     # approximate IVF with the deterministic Lloyd quantizer: probe sets,
     # list assignments and within-list ranking recomputed in SQL
     "knn_ivf_probed",
+    # interval RANGE-frame window (peer-inclusive, varying width)
+    "user_range_window",
 ]
 
 

@@ -273,3 +273,63 @@ class TestGroupedRanks:
             .to_pandas().sort_values("id").reset_index(drop=True)
         )
         assert out["rank"].tolist() == [2, 1, 1]
+
+
+class TestRangeWindow:
+    def test_peer_inclusive_interval_frame(self, tmp_path):
+        """RANGE frame includes equal-ts FOLLOWERS (peers) — the semantics
+        pandas rolling('1h') cannot express — and never crosses users."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import user_range_window
+
+        base = pd.Timestamp("2024-03-01 12:00:00")
+        rows = [
+            # user 1: three rows at the SAME ts (peers), one 30 min later,
+            # one 2 h later (outside the 1 h frame of the first cluster)
+            (1, 1, base, 1.0),
+            (2, 1, base, 2.0),
+            (3, 1, base, 4.0),
+            (4, 1, base + pd.Timedelta("30min"), 8.0),
+            (5, 1, base + pd.Timedelta("2h"), 16.0),
+            # user 2: same timestamps — frames must not leak across users
+            (6, 2, base, 100.0),
+            (7, 2, base + pd.Timedelta("59min"), 200.0),
+            (8, 2, base + pd.Timedelta("60min"), 400.0),  # exactly 1 h: in
+        ]
+        df = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        got = user_range_window(str(tmp_path))
+        # peers: each of events 1-3 sees all three (sum 7)
+        assert got.set_index("event_id")["range_sum"].loc[[1, 2, 3]].tolist() == [
+            7.0,
+            7.0,
+            7.0,
+        ]
+        assert got.set_index("event_id")["n_in_range"].loc[5] == 1  # 2 h gap
+        # exactly-1h-preceding row is INSIDE the closed frame
+        assert got.set_index("event_id")["range_sum"].loc[8] == 700.0
+        con = duckdb.connect()
+        con.register("events", df)
+        want = con.sql(
+            """
+            SELECT event_id, user_id,
+                   round_even(sum(value) OVER w, 4) AS range_sum,
+                   count(*) OVER w AS n_in_range
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
+            ORDER BY event_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
