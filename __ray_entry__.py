@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_hist": A.price_quantiles_hist,
         "word_heavy_hitters": A.word_heavy_hitters,
         "doc_chunks": A.doc_chunks,
+        "rag_retrieval": A.rag_retrieval,
         "doc_decontaminate": A.doc_decontaminate,
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
@@ -1660,6 +1661,69 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM exploded
             ORDER BY doc_id, chunk_id
+        """,
+        # composed RAG pipeline: the doc_chunks CTE chain + the md5-byte
+        # embedding (multimodal_features hex trick) + exact cosine top-k,
+        # all recomputed independently
+        "rag_retrieval": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''),
+            sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
+            chunks AS (
+                SELECT doc_id, arr,
+                       unnest(range(0, GREATEST((n - 16 + 47) // 48, 1)))
+                           AS chunk_id
+                FROM sized),
+            ctext AS (
+                SELECT doc_id * 100000 + chunk_id AS chunk_key,
+                       md5(array_to_string(
+                           arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+                           AS hx
+                FROM chunks),
+            cvec AS (
+                SELECT chunk_key, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM ctext, unnest(range(0, 8)) AS t(i)),
+            q AS (SELECT qid, md5(qt) AS hx FROM (VALUES
+                    (0, 'spark join stream'),
+                    (1, 'hash table scan'),
+                    (2, 'window batch merge')) AS v(qid, qt)),
+            qvec AS (
+                SELECT qid, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM q, unnest(range(0, 8)) AS t(i)),
+            cn AS (SELECT chunk_key, sqrt(sum(x * x)) AS nv
+                   FROM cvec GROUP BY 1),
+            qn AS (SELECT qid, sqrt(sum(x * x)) AS nv FROM qvec GROUP BY 1),
+            dots AS (
+                SELECT q.qid, c.chunk_key, sum(q.x * c.x) AS dp
+                FROM qvec q JOIN cvec c USING (i)
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT d.qid, d.chunk_key,
+                       d.dp / (qn.nv * cn.nv) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY d.qid
+                           ORDER BY d.dp / (qn.nv * cn.nv) DESC,
+                                    d.chunk_key) AS rnk
+                FROM dots d JOIN qn ON qn.qid = d.qid
+                            JOIN cn ON cn.chunk_key = d.chunk_key)
+            SELECT qid::BIGINT AS query_id,
+                   (chunk_key // 100000)::BIGINT AS doc_id,
+                   (chunk_key % 100000)::BIGINT AS chunk_id,
+                   rnk AS rank, round_even(cosine, 6) AS cosine
+            FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
         """,
         # benchmark slice = doc_id % 10 == 0; a doc is contaminated when it
         # shares >= 1 distinct word 5-gram with that slice

@@ -1819,6 +1819,72 @@ def doc_chunks(
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+RAG_QUERY_TEXTS = ("spark join stream", "hash table scan", "window batch merge")
+
+
+def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Composed RAG ingestion + retrieval — the end-to-end index-build
+    pipeline a retrieval corpus needs, as ONE streaming composition:
+
+      documents → overlapping token chunks (``chunk_documents`` flat-map,
+      zero shuffle) → per-chunk embedding via the ACTOR-POOL stage
+      (``stages/embed.HashEmbedder``: model-load-in-__init__ contract,
+      deterministic md5 embedding so the whole pipeline stays
+      value-hash-checkable) → early projection to (chunk_key, embedding)
+      → exact cosine top-k of the broadcast query matrix
+      (``brute_force_topk``: corpus streams, k×batches partials merge).
+
+    The scale path swaps ``brute_force_topk`` for ``ivf_probed_topk`` over
+    the same embedded dataset — nothing else changes.  ``chunk_key =
+    doc_id·100000 + chunk_id`` (chunk counts are bounded by doc length /
+    stride, far under 100000 for any real document)."""
+    from ..functions.text import chunk_documents
+    from ..stages.embed import HashEmbedder, embed_texts
+    from ..stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda b: chunk_documents(b), batch_format="pyarrow"
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(
+                pc.cast(batch["doc_id"], pa.int64()),
+                pa.scalar(100000, type=pa.int64()),
+            ),
+            batch["chunk_id"],
+        )
+        return batch.append_column("chunk_key", key)
+
+    embedded = (
+        chunks.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(
+            HashEmbedder,
+            fn_constructor_kwargs={"text_col": "chunk_text", "dim": 8},
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .select_columns(["chunk_key", "embedding"])
+    )
+    queries = embed_texts(list(RAG_QUERY_TEXTS), dim=8)
+    out = brute_force_topk(
+        embedded,
+        queries,
+        query_ids=list(range(len(RAG_QUERY_TEXTS))),
+        k=k,
+        emb_col="embedding",
+        id_col="chunk_key",
+        # queries are NOT corpus members; chunk_key 0 must stay eligible
+        exclude_self=False,
+    ).to_pandas()
+    out["doc_id"] = out["neighbor_id"] // 100000
+    out["chunk_id"] = out["neighbor_id"] % 100000
+    out["cosine"] = out["cosine"].round(6)
+    out = out[["query_id", "doc_id", "chunk_id", "rank", "cosine"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def word_heavy_hitters(sf_dir: str, theta: float = 0.005) -> pd.DataFrame:
     """Exact frequent tokens (freq ≥ theta·N) via the two-pass Misra-Gries
     composition — O(1/theta) driver memory, no distinct-token shuffle."""

@@ -166,6 +166,8 @@ SUBSET = [
     "knn_ivf_probed",
     # interval RANGE-frame window (peer-inclusive, varying width)
     "user_range_window",
+    # composed RAG pipeline: chunk -> actor-pool embed -> cosine top-k
+    "rag_retrieval",
 ]
 
 

@@ -1211,3 +1211,38 @@ class TestProductQuantization:
         ds, _ = self._blob_ds(dim=10)
         with pytest.raises(ValueError):
             train_pq(ds, m=4, k=2, n_iters=1)
+
+
+class TestHashEmbedder:
+    def test_actor_pool_stage_matches_driver_twin(self):
+        import pyarrow as pa
+
+        from bioie_llm_ray.stages.embed import HashEmbedder, embed_texts
+
+        texts = ["spark join stream", "", "hash table scan"]
+        ds = ray.data.from_arrow(
+            pa.table({"chunk_text": texts, "chunk_key": [0, 1, 2]})
+        )
+        out = (
+            ds.map_batches(
+                HashEmbedder,
+                fn_constructor_kwargs={"text_col": "chunk_text", "dim": 8},
+                concurrency=1,
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("chunk_key")
+        )
+        got = np.stack(out["embedding"].to_numpy())
+        want = embed_texts(texts, dim=8)
+        np.testing.assert_array_equal(got, want)
+        # every component is a digest byte / 256 — bounded in [0, 1)
+        assert (got >= 0).all() and (got < 1).all()
+
+    def test_dim_cap(self):
+        import pytest as _pytest
+
+        from bioie_llm_ray.stages.embed import HashEmbedder
+
+        with _pytest.raises(ValueError):
+            HashEmbedder(dim=17)
