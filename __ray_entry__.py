@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
         "user_range_window": A.user_range_window,
+        "events_score_auc": A.events_score_auc,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -617,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_heavy_hitters": A.word_heavy_hitters,
         "doc_chunks": A.doc_chunks,
         "rag_retrieval": A.rag_retrieval,
+        "rag_retrieval_eval": A.rag_retrieval_eval,
         "doc_decontaminate": A.doc_decontaminate,
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
@@ -1725,6 +1727,103 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
         """,
+        # retrieval metrics: the full rag_retrieval CTE chain + AND-semantics
+        # term relevance + MRR / NDCG@5 / P@5 recomputed independently
+        "rag_retrieval_eval": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''),
+            sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
+            chunks AS (
+                SELECT doc_id, arr,
+                       unnest(range(0, GREATEST((n - 16 + 47) // 48, 1)))
+                           AS chunk_id
+                FROM sized),
+            ctext AS (
+                SELECT doc_id * 100000 + chunk_id AS chunk_key,
+                       array_to_string(
+                           arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                           AS chunk_text
+                FROM chunks),
+            cemb AS (SELECT chunk_key, md5(chunk_text) AS hx FROM ctext),
+            cvec AS (
+                SELECT chunk_key, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM cemb, unnest(range(0, 8)) AS t(i)),
+            q AS (SELECT qid, md5(qt) AS hx FROM (VALUES
+                    (0, 'spark join stream'),
+                    (1, 'hash table scan'),
+                    (2, 'window batch merge')) AS v(qid, qt)),
+            qvec AS (
+                SELECT qid, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM q, unnest(range(0, 8)) AS t(i)),
+            cn AS (SELECT chunk_key, sqrt(sum(x * x)) AS nv
+                   FROM cvec GROUP BY 1),
+            qn AS (SELECT qid, sqrt(sum(x * x)) AS nv FROM qvec GROUP BY 1),
+            dots AS (
+                SELECT qv.qid, c.chunk_key, sum(qv.x * c.x) AS dp
+                FROM qvec qv JOIN cvec c USING (i)
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT d.qid, d.chunk_key,
+                       row_number() OVER (
+                           PARTITION BY d.qid
+                           ORDER BY d.dp / (qn.nv * cn.nv) DESC,
+                                    d.chunk_key) AS rnk
+                FROM dots d JOIN qn ON qn.qid = d.qid
+                            JOIN cn ON cn.chunk_key = d.chunk_key),
+            qterms AS (SELECT qid, unnest(ts) AS term FROM (VALUES
+                    (0, ['spark', 'join', 'stream']),
+                    (1, ['hash', 'table', 'scan']),
+                    (2, ['window', 'batch', 'merge'])) AS v(qid, ts)),
+            nq AS (SELECT qid, count(*) AS ntq FROM qterms GROUP BY 1),
+            crelcnt AS (
+                SELECT c.chunk_key, t.qid, count(*) AS m
+                FROM ctext c JOIN qterms t
+                  ON contains(' ' || c.chunk_text || ' ',
+                              ' ' || t.term || ' ')
+                GROUP BY 1, 2),
+            crel AS (
+                SELECT chunk_key, qid
+                FROM crelcnt JOIN nq USING (qid) WHERE m = ntq),
+            rcnt AS (SELECT qid, count(*) AS r FROM crel GROUP BY 1),
+            retr AS (
+                SELECT rk.qid, rk.rnk,
+                       CASE WHEN c.chunk_key IS NOT NULL THEN 1 ELSE 0 END
+                           AS rel
+                FROM ranked rk
+                LEFT JOIN crel c
+                  ON c.chunk_key = rk.chunk_key AND c.qid = rk.qid
+                WHERE rk.rnk <= 5),
+            met AS (
+                SELECT qid,
+                       coalesce(max(CASE WHEN rel = 1
+                                         THEN 1.0 / rnk END), 0) AS mrr,
+                       sum(rel * 1.0 / log2(rnk + 1)) AS dcg,
+                       sum(rel)::DOUBLE / 5 AS p_raw
+                FROM retr GROUP BY 1),
+            idcg AS (
+                SELECT qid, sum(1.0 / log2(i + 1)) AS idcg
+                FROM rcnt, unnest(range(1, LEAST(5, r) + 1)) AS t(i)
+                GROUP BY 1)
+            SELECT m.qid AS query_id,
+                   round_even(m.mrr, 6) AS mrr,
+                   round_even(CASE WHEN i.idcg > 0 THEN m.dcg / i.idcg
+                                   ELSE 0 END, 6) AS ndcg,
+                   round_even(m.p_raw, 6) AS p_at_k
+            FROM met m LEFT JOIN idcg i USING (qid)
+            ORDER BY query_id
+        """,
         # benchmark slice = doc_id % 10 == 0; a doc is contaminated when it
         # shares >= 1 distinct word 5-gram with that slice
         "doc_decontaminate": r"""
@@ -2324,6 +2423,26 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) AS moving_avg
             FROM events
             ORDER BY event_id
+        """,
+        "events_score_auc": """
+            WITH t AS (
+                SELECT value AS s,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events),
+            g AS (SELECT s, sum(y)::DOUBLE AS np,
+                         (count(*) - sum(y))::DOUBLE AS nn
+                  FROM t GROUP BY 1),
+            o AS (SELECT s, np, nn,
+                         coalesce(sum(nn) OVER (ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cneg
+                  FROM g),
+            tot AS (SELECT sum(np) AS p, sum(nn) AS n FROM g)
+            SELECT p::BIGINT AS n_pos, n::BIGINT AS n_neg,
+                   round_even(sum(np * (cneg + 0.5 * nn)) / (p * n), 6)
+                       AS auc
+            FROM o CROSS JOIN tot GROUP BY p, n
         """,
         "user_range_window": """
             SELECT event_id, user_id,

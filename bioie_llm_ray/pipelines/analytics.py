@@ -1885,6 +1885,105 @@ def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def rag_retrieval_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Retrieval-quality metrics (MRR, NDCG@k, P@k) for ``rag_retrieval``
+    under a deterministic relevance rule: a chunk is relevant to a query
+    iff it contains EVERY query term as a whitespace token (the standard
+    AND-semantics binary judgment).
+
+    Scale shape: the ranked lists are k × n_queries rows (driver-tiny);
+    the two corpus-scale facts stream — (1) the per-query relevant-chunk
+    COUNT (for the NDCG ideal) folds through a per-batch vectorized
+    combiner (``pc.match_substring`` on space-padded text, no Python row
+    loop), (2) the retrieved chunks' own relevance comes from a
+    broadcast-key-set filter pass, never a driver fetch of the corpus.
+    NDCG normalizes by the ideal DCG of min(k, R) ones — the corpus-wide
+    R, not the retrieved count."""
+    from ..functions.text import chunk_documents
+
+    res = rag_retrieval(sf_dir, k=k)
+    terms = [q.split() for q in RAG_QUERY_TEXTS]
+    n_q = len(terms)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda b: chunk_documents(b), batch_format="pyarrow"
+    )
+
+    retrieved_keys = np.sort(
+        (res["doc_id"] * 100000 + res["chunk_id"]).to_numpy().astype(np.int64)
+    )
+    keys_ref = ray.put(retrieved_keys)
+    terms_ref = ray.put(terms)
+
+    def rel_pass(batch: pa.Table) -> pa.Table:
+        tm = ray.get(terms_ref)
+        keys = ray.get(keys_ref)
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), batch["chunk_text"], pa.scalar(" "), ""
+        )
+        rel = np.ones((n_q, len(batch)), dtype=bool)
+        for qi, ts in enumerate(tm):
+            for t in ts:
+                rel[qi] &= pc.match_substring(padded, f" {t} ").to_numpy(
+                    zero_copy_only=False
+                )
+        ck = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * 100000
+            + batch["chunk_id"].to_numpy(zero_copy_only=False)
+        )
+        hit = np.isin(ck, keys)
+        out_q, out_k, out_r = [], [], []
+        # corpus-wide relevant counts ride as qid rows with chunk_key = -1
+        for qi in range(n_q):
+            out_q.append(qi)
+            out_k.append(-1)
+            out_r.append(int(rel[qi].sum()))
+            for j in np.flatnonzero(hit):
+                out_q.append(qi)
+                out_k.append(int(ck[j]))
+                out_r.append(int(rel[qi, j]))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "chunk_key": pa.array(out_k, type=pa.int64()),
+                "rel": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    rows = chunks.map_batches(rel_pass, batch_format="pyarrow").to_pandas()
+    r_total = (
+        rows[rows.chunk_key == -1].groupby("qid")["rel"].sum().to_dict()
+    )
+    rel_of = {
+        (int(r.qid), int(r.chunk_key)): int(r.rel)
+        for r in rows[rows.chunk_key != -1].itertuples()
+    }
+
+    out = {"query_id": [], "mrr": [], "ndcg": [], "p_at_k": []}
+    for qi in range(n_q):
+        sub = res[res.query_id == qi].sort_values("rank")
+        keys = (sub["doc_id"] * 100000 + sub["chunk_id"]).to_numpy()
+        rels = np.array(
+            [rel_of.get((qi, int(ckey)), 0) for ckey in keys], dtype=np.float64
+        )
+        ranks = sub["rank"].to_numpy().astype(np.float64)
+        hitranks = ranks[rels > 0]
+        mrr = float(1.0 / hitranks.min()) if len(hitranks) else 0.0
+        dcg = float((rels / np.log2(ranks + 1)).sum())
+        n_ideal = min(k, int(r_total.get(qi, 0)))
+        idcg = float(
+            (1.0 / np.log2(np.arange(1, n_ideal + 1) + 1)).sum()
+        )
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        out["query_id"].append(qi)
+        out["mrr"].append(round(mrr, 6))
+        out["ndcg"].append(round(ndcg, 6))
+        out["p_at_k"].append(round(float(rels.sum()) / k, 6))
+    return pd.DataFrame(out)
+
+
 def word_heavy_hitters(sf_dir: str, theta: float = 0.005) -> pd.DataFrame:
     """Exact frequent tokens (freq ≥ theta·N) via the two-pass Misra-Gries
     composition — O(1/theta) driver memory, no distinct-token shuffle."""
@@ -4296,6 +4395,116 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
+    """Exact distributed ROC-AUC: does ``value`` separate ``pos_type``
+    events from the rest?  The Mann-Whitney pair-counting form with the
+    standard 0.5 credit for score ties:
+
+        AUC = Σ_v np(v) · (cum_nn(<v) + 0.5·nn(v)) / (N_pos · N_neg)
+
+    Scale shape: (1) one hash exchange collapses the corpus to the
+    distinct-score table (score, n_pos, n_neg) — the same corpus→vocab
+    reduction BPE training uses; (2) a range-bucketed ordered scan over
+    that table (sampled splitters, per-bucket negative-count totals →
+    driver exclusive prefix — only B int64s) yields each distinct score's
+    exact cumulative-negatives-below; (3) per-bucket contributions fold to
+    three scalars.  Every term is an integer exactly representable in a
+    double, so the two sides agree bit-for-bit before the final round."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_sy(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch["event_type"], pos_type), pa.int64())
+        return pa.table(
+            {
+                "s": pc.cast(batch["value"], pa.float64()),
+                "y": y,
+                "ny": pc.subtract(pa.scalar(1, type=pa.int64()), y),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(to_sy, batch_format="pyarrow"),
+        keys=["s"],
+        aggs={"np": ("y", "sum"), "nn": ("ny", "sum")},
+        n_buckets=32,
+        partial=True,
+    )
+
+    n_buckets = 32
+    samp = np.array(
+        [r["s"] for r in g.limit(2048).take_all()], dtype=np.float64
+    )
+    splitters = (
+        np.unique(np.quantile(samp, np.linspace(0, 1, n_buckets)[1:]))
+        if len(samp)
+        else np.array([], dtype=np.float64)
+    )
+    spl_ref = ray.put(splitters)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        b = np.searchsorted(
+            spl, batch["s"].to_numpy(zero_copy_only=False), side="right"
+        )
+        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+
+    # the distinct-score table is consumed twice (totals pass + scan pass);
+    # it is corpus-independent in size, so materializing it is bounded
+    tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
+
+    nb = len(splitters) + 1
+
+    def btot(batch: pa.Table) -> pa.Table:
+        b = batch["__b"].to_numpy(zero_copy_only=False)
+        nn = batch["nn"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(nb, dtype=np.int64)
+        np.add.at(tot, b, nn)
+        nz = np.flatnonzero(tot)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "t": pa.array(tot[nz], type=pa.int64()),
+            }
+        )
+
+    totals = np.zeros(nb, dtype=np.int64)
+    for r in tagged.map_batches(btot, batch_format="pyarrow").take_all():
+        totals[r["b"]] += r["t"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def contrib(gdf: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        gdf = gdf.sort_values("s", kind="mergesort")
+        nn = gdf["nn"].to_numpy(dtype=np.float64)
+        npos = gdf["np"].to_numpy(dtype=np.float64)
+        cneg = np.cumsum(nn) - nn + off[int(gdf["__b"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "c": [(npos * (cneg + 0.5 * nn)).sum()],
+                "p": [npos.sum()],
+                "n": [nn.sum()],
+            }
+        )
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(contrib, batch_format="pandas")
+        .to_pandas()
+    )
+    n_pos, n_neg = parts["p"].sum(), parts["n"].sum()
+    auc = parts["c"].sum() / (n_pos * n_neg)
+    return pd.DataFrame(
+        {
+            "n_pos": [int(n_pos)],
+            "n_neg": [int(n_neg)],
+            "auc": [round(auc, 6)],
+        }
+    )
 
 
 def user_range_window(sf_dir: str) -> pd.DataFrame:

@@ -168,6 +168,9 @@ SUBSET = [
     "user_range_window",
     # composed RAG pipeline: chunk -> actor-pool embed -> cosine top-k
     "rag_retrieval",
+    # retrieval metrics (MRR / NDCG@5 / P@5) + exact distributed ROC-AUC
+    "rag_retrieval_eval",
+    "events_score_auc",
 ]
 
 
