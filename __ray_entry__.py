@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": A.doc_chunks,
         "rag_retrieval": A.rag_retrieval,
         "rag_retrieval_eval": A.rag_retrieval_eval,
+        "rag_rerank": A.rag_rerank,
         "doc_decontaminate": A.doc_decontaminate,
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
@@ -1725,6 +1726,88 @@ def oracle_sql() -> dict[str, str]:
                    (chunk_key % 100000)::BIGINT AS chunk_id,
                    rnk AS rank, round_even(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
+        """,
+        # two-stage retrieval: the rag_retrieval chain proposes top-20, the
+        # cross-encoder md5 score (exact dyadic arithmetic) reranks to top-5
+        "rag_rerank": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''),
+            sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
+            chunks AS (
+                SELECT doc_id, arr,
+                       unnest(range(0, GREATEST((n - 16 + 47) // 48, 1)))
+                           AS chunk_id
+                FROM sized),
+            ctext AS (
+                SELECT doc_id * 100000 + chunk_id AS chunk_key,
+                       array_to_string(
+                           arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                           AS chunk_text
+                FROM chunks),
+            cemb AS (SELECT chunk_key, md5(chunk_text) AS hx FROM ctext),
+            cvec AS (
+                SELECT chunk_key, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM cemb, unnest(range(0, 8)) AS t(i)),
+            q AS (SELECT qid, qt, md5(qt) AS hx FROM (VALUES
+                    (0, 'spark join stream'),
+                    (1, 'hash table scan'),
+                    (2, 'window batch merge')) AS v(qid, qt)),
+            qvec AS (
+                SELECT qid, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM q, unnest(range(0, 8)) AS t(i)),
+            cn AS (SELECT chunk_key, sqrt(sum(x * x)) AS nv
+                   FROM cvec GROUP BY 1),
+            qn AS (SELECT qid, sqrt(sum(x * x)) AS nv FROM qvec GROUP BY 1),
+            dots AS (
+                SELECT qv.qid, c.chunk_key, sum(qv.x * c.x) AS dp
+                FROM qvec qv JOIN cvec c USING (i)
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT d.qid, d.chunk_key,
+                       row_number() OVER (
+                           PARTITION BY d.qid
+                           ORDER BY d.dp / (qn.nv * cn.nv) DESC,
+                                    d.chunk_key) AS rnk
+                FROM dots d JOIN qn ON qn.qid = d.qid
+                            JOIN cn ON cn.chunk_key = d.chunk_key),
+            cand AS (
+                SELECT r.qid, r.chunk_key,
+                       md5(q.qt || '|' || ct.chunk_text) AS shx
+                FROM ranked r
+                JOIN q ON q.qid = r.qid
+                JOIN ctext ct ON ct.chunk_key = r.chunk_key
+                WHERE r.rnk <= 20),
+            ceval AS (
+                SELECT qid, chunk_key,
+                       sum((strpos('0123456789abcdef',
+                                   substring(shx, i + 1, 1)) - 1)
+                           * power(16, 7 - i)) / 4294967296.0 AS ce_score
+                FROM cand, unnest(range(0, 8)) AS t(i)
+                GROUP BY 1, 2),
+            rr AS (
+                SELECT qid, chunk_key, ce_score,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY ce_score DESC,
+                                                   chunk_key) AS rnk2
+                FROM ceval)
+            SELECT qid::BIGINT AS query_id,
+                   (chunk_key // 100000)::BIGINT AS doc_id,
+                   (chunk_key % 100000)::BIGINT AS chunk_id,
+                   rnk2 AS rank, round_even(ce_score, 6) AS ce_score
+            FROM rr WHERE rnk2 <= 5
             ORDER BY query_id, rank
         """,
         # retrieval metrics: the full rag_retrieval CTE chain + AND-semantics

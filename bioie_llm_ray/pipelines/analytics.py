@@ -1885,6 +1885,91 @@ def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def rag_rerank(sf_dir: str, k: int = 5, k0: int = 20) -> pd.DataFrame:
+    """Two-stage retrieval (retrieve-then-rerank): the bi-encoder stage
+    (``rag_retrieval``) proposes ``k0`` candidates per query from the
+    streamed corpus, then the cross-encoder ACTOR-POOL stage
+    (``stages/embed.CrossEncoderStub``: checkpoint-load-in-__init__
+    contract, deterministic md5 score so the composition stays
+    value-hash-checkable) re-scores only the k0 × n_queries candidate
+    (query, chunk) pairs — the standard accuracy/cost split where the
+    expensive pairwise model never sees more than the candidate set.
+
+    Candidate texts come back via a broadcast-key-set filter pass over the
+    streamed chunk set (never a driver fetch of the corpus); the final
+    top-k cut is over k0 × n_queries rows."""
+    from ..functions.text import chunk_documents
+    from ..stages.embed import CrossEncoderStub
+
+    first = rag_retrieval(sf_dir, k=k0)
+    keys = (first["doc_id"] * 100000 + first["chunk_id"]).to_numpy().astype(
+        np.int64
+    )
+    qid_of: dict[int, list[int]] = {}
+    for ckey, qid in zip(keys, first["query_id"].to_numpy()):
+        qid_of.setdefault(int(ckey), []).append(int(qid))
+    keys_ref = ray.put(np.sort(np.unique(keys)))
+    qmap_ref = ray.put(qid_of)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda b: chunk_documents(b), batch_format="pyarrow"
+    )
+
+    def fetch_candidates(batch: pa.Table) -> pa.Table:
+        kset = ray.get(keys_ref)
+        qmap = ray.get(qmap_ref)
+        ck = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * 100000
+            + batch["chunk_id"].to_numpy(zero_copy_only=False)
+        )
+        hit = np.flatnonzero(np.isin(ck, kset))
+        out_q, out_k, out_t = [], [], []
+        texts = batch["chunk_text"]
+        for j in hit:
+            for qid in qmap[int(ck[j])]:
+                out_q.append(qid)
+                out_k.append(int(ck[j]))
+                out_t.append(texts[int(j)].as_py())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "chunk_key": pa.array(out_k, type=pa.int64()),
+                "chunk_text": pa.array(out_t, type=pa.string()),
+            }
+        )
+
+    scored = (
+        chunks.map_batches(fetch_candidates, batch_format="pyarrow")
+        .map_batches(
+            CrossEncoderStub,
+            fn_constructor_kwargs={
+                "query_texts": list(RAG_QUERY_TEXTS),
+                "text_col": "chunk_text",
+            },
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .select_columns(["qid", "chunk_key", "ce_score"])
+        .to_pandas()
+    )
+    scored = scored.sort_values(
+        ["qid", "ce_score", "chunk_key"], ascending=[True, False, True]
+    )
+    top = scored.groupby("qid", sort=True).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "query_id": top["qid"].to_numpy(),
+            "doc_id": (top["chunk_key"] // 100000).to_numpy(),
+            "chunk_id": (top["chunk_key"] % 100000).to_numpy(),
+            "rank": top["rank"].to_numpy().astype(np.int64),
+            "ce_score": top["ce_score"].round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def rag_retrieval_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Retrieval-quality metrics (MRR, NDCG@k, P@k) for ``rag_retrieval``
     under a deterministic relevance rule: a chunk is relevant to a query

@@ -57,3 +57,31 @@ def embed_texts(texts: list[str], dim: int = 8) -> np.ndarray:
             hashlib.md5(t.encode("utf-8")).digest()[:dim], dtype=np.uint8
         )
     return out / 256.0
+
+
+class CrossEncoderStub:
+    """Deterministic (query, passage) relevance scorer — the RERANK stage
+    of two-stage retrieval (retrieve-k0-with-bi-encoder, rerank-with-
+    cross-encoder).  A real cross-encoder checkpoint would load in
+    ``__init__`` (once per actor); scoring batches (query, text) pairs is
+    ``__call__``.  The stand-in score is the first 4 md5 digest bytes of
+    ``"<query>|<text>"`` scaled to [0, 1) — exactly reproducible in SQL
+    via hex parsing, keeping the composed pipeline value-hash-checkable.
+    """
+
+    def __init__(self, query_texts: list[str], text_col: str = "chunk_text"):
+        self.queries = list(query_texts)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = np.empty(len(batch), dtype=np.float64)
+        for i, (qid, text) in enumerate(
+            zip(batch["qid"].to_pylist(), batch[self.text_col].to_pylist())
+        ):
+            digest = hashlib.md5(
+                f"{self.queries[qid]}|{text}".encode("utf-8")
+            ).digest()
+            scores[i] = int.from_bytes(digest[:4], "big") / 2**32
+        return batch.append_column(
+            "ce_score", pa.array(scores, type=pa.float64())
+        )

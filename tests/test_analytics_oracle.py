@@ -171,6 +171,8 @@ SUBSET = [
     # retrieval metrics (MRR / NDCG@5 / P@5) + exact distributed ROC-AUC
     "rag_retrieval_eval",
     "events_score_auc",
+    # two-stage retrieve-then-rerank (cross-encoder actor-pool stage)
+    "rag_rerank",
 ]
 
 
