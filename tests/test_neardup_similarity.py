@@ -1246,3 +1246,68 @@ class TestHashEmbedder:
 
         with _pytest.raises(ValueError):
             HashEmbedder(dim=17)
+
+
+class TestRagScaleStress:
+    def test_200k_doc_retrieval_planted_hit(self):
+        """200k documents stream through chunk -> actor-pool embed ->
+        broadcast-query top-k: nothing corpus-sized reaches the driver
+        (the merge sees <= (k+1) rows per block), and the planted doc whose
+        chunk text equals the query ranks first at cosine 1.0."""
+        import pyarrow.compute as pc_
+
+        from bioie_llm_ray.functions.text import chunk_documents
+        from bioie_llm_ray.stages.embed import HashEmbedder, embed_texts
+        from bioie_llm_ray.stages.similarity import brute_force_topk
+
+        n_docs, planted = 200_000, 123_457
+
+        def make(batch):
+            ids = np.asarray(batch["id"], dtype=np.int64)
+            texts = [
+                "spark join stream"
+                if i == planted
+                else f"w{i} x{i % 97} y{i % 31} z{i % 7}"
+                for i in ids
+            ]
+            return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+        docs = ray.data.range(n_docs).map_batches(make, batch_format="numpy")
+        chunks = docs.map_batches(
+            lambda b: chunk_documents(b), batch_format="pyarrow"
+        )
+
+        def add_key(b: pa.Table) -> pa.Table:
+            key = pc_.add(
+                pc_.multiply(
+                    pc_.cast(b["doc_id"], pa.int64()),
+                    pa.scalar(100000, type=pa.int64()),
+                ),
+                b["chunk_id"],
+            )
+            return b.append_column("chunk_key", key)
+
+        embedded = (
+            chunks.map_batches(add_key, batch_format="pyarrow")
+            .map_batches(
+                HashEmbedder,
+                fn_constructor_kwargs={"text_col": "chunk_text", "dim": 8},
+                concurrency=2,
+                batch_format="pyarrow",
+            )
+            .select_columns(["chunk_key", "embedding"])
+        )
+        q = embed_texts(["spark join stream"], dim=8)
+        out = brute_force_topk(
+            embedded,
+            q,
+            [0],
+            k=3,
+            emb_col="embedding",
+            id_col="chunk_key",
+            exclude_self=False,
+        ).to_pandas()
+        assert len(out) == 3
+        top = out[out["rank"] == 1].iloc[0]
+        assert top["neighbor_id"] == planted * 100000
+        assert abs(top["cosine"] - 1.0) < 1e-12
