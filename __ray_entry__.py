@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": A.user_moving_avg,
         "user_range_window": A.user_range_window,
         "events_score_auc": A.events_score_auc,
+        "sample_join_weighted": A.sample_join_weighted,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2506,6 +2507,29 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) AS moving_avg
             FROM events
             ORDER BY event_id
+        """,
+        # E-S weighted sample pushed into the join: u from the md5 key hash
+        # (weighted_hash_top_n parity), score u^(1/revenue), top-n
+        "sample_join_weighted": r"""
+            WITH j AS (
+                SELECT o.o_custkey, l.l_orderkey, l.l_linenumber,
+                       l.l_extendedprice * (1 - l.l_discount) AS revenue
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            sc AS (
+                SELECT *,
+                       power(
+                           ((('0x' || substr(md5(
+                               l_orderkey::VARCHAR || chr(31)
+                               || l_linenumber::VARCHAR), 1, 16))::UBIGINT
+                             ::DOUBLE) + 0.5)
+                           / 18446744073709551616.0,
+                           1.0 / revenue) AS s
+                FROM j WHERE revenue > 0)
+            SELECT o_custkey, l_orderkey, l_linenumber,
+                   round_even(revenue, 2) AS revenue
+            FROM (SELECT * FROM sc
+                  ORDER BY s DESC, l_orderkey, l_linenumber LIMIT 25)
+            ORDER BY l_orderkey, l_linenumber
         """,
         "events_score_auc": """
             WITH t AS (

@@ -4482,6 +4482,75 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def sample_join_weighted(sf_dir: str, n: int = 25) -> pd.DataFrame:
+    """Weighted sample over a JOIN's output without materializing the join
+    (streaming weighted sampling over join queries, EDBT'23): lineitem ⋈
+    orders through the bucketed ``shuffle_join``, revenue computed in the
+    bucket kernel, and the Efraimidis–Spirakis reservoir
+    (``stages/sample.weighted_hash_top_n``) folds each streamed join block
+    to ≤ n candidate rows — the joined relation never exists anywhere;
+    only n-row partials move.  Deterministic: u comes from the stable
+    md5 key hash, so the sample is partition-invariant and
+    SQL-recomputable."""
+    from ..stages.join import shuffle_join
+    from ..stages.sample import weighted_hash_top_n
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def revenue_post(joined: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            joined["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), joined["l_discount"]),
+        )
+        return pa.table(
+            {
+                "o_custkey": joined["o_custkey"],
+                "l_orderkey": joined["l_orderkey"],
+                "l_linenumber": joined["l_linenumber"],
+                "revenue": pc.cast(rev, pa.float64()),
+            }
+        )
+
+    joined = shuffle_join(
+        li,
+        orders,
+        keys="l_orderkey",
+        n_buckets=16,
+        left_schema={
+            "l_orderkey": pa.int64(),
+            "l_linenumber": pa.int64(),
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+        },
+        right_schema={"l_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        bucket_post=revenue_post,
+    )
+    out = weighted_hash_top_n(
+        joined, ["l_orderkey", "l_linenumber"], "revenue", n=n
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return (
+        out[["o_custkey", "l_orderkey", "l_linenumber", "revenue"]]
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+
+
 def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
     """Exact distributed ROC-AUC: does ``value`` separate ``pos_type``
     events from the rest?  The Mann-Whitney pair-counting form with the

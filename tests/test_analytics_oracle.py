@@ -173,6 +173,8 @@ SUBSET = [
     "events_score_auc",
     # two-stage retrieve-then-rerank (cross-encoder actor-pool stage)
     "rag_rerank",
+    # E-S weighted sample pushed into the shuffle join (EDBT'23 shape)
+    "sample_join_weighted",
 ]
 
 
