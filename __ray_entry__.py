@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_range_window": A.user_range_window,
         "events_score_auc": A.events_score_auc,
         "sample_join_weighted": A.sample_join_weighted,
+        "events_late_arrivals": A.events_late_arrivals,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2507,6 +2508,32 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) AS moving_avg
             FROM events
             ORDER BY event_id
+        """,
+        # streaming watermark accounting: running event-time max over the
+        # arrival order (event_id), late = below watermark - 10 min
+        "events_late_arrivals": """
+            WITH w AS (
+                SELECT event_type, ts,
+                       max(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS wm
+                FROM events),
+            f AS (
+                SELECT event_type,
+                       CASE WHEN wm IS NOT NULL
+                                 AND ts < wm - INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS late,
+                       CASE WHEN wm IS NOT NULL
+                                 AND ts < wm - INTERVAL 10 MINUTE
+                            THEN (date_diff('microsecond', ts, wm)
+                                  - 600000000) // 1000000
+                            ELSE 0 END AS lateness_s
+                FROM w)
+            SELECT event_type,
+                   sum(late)::BIGINT AS n_late,
+                   count(*)::BIGINT AS n_total,
+                   max(lateness_s)::BIGINT AS max_lateness_s
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # E-S weighted sample pushed into the join: u from the md5 key hash
         # (weighted_hash_top_n parity), score u^(1/revenue), top-n

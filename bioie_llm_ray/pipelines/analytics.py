@@ -4482,6 +4482,120 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_late_arrivals(
+    sf_dir: str, delay_min: int = 10, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Streaming watermark semantics over a replayed log: with events
+    arriving in ``event_id`` order, the WATERMARK before each event is the
+    running max of event-time seen so far minus ``delay_min`` minutes; an
+    event is LATE when its own event-time falls below that watermark (it
+    would have missed its window in a streaming engine).  Output: per
+    event_type, late and total counts and the worst lateness in seconds —
+    the accounting a backfill/replay pipeline needs to size its allowed
+    lateness.
+
+    Scale shape: a distributed PREFIX-MAX scan, the extremum sibling of
+    ``stages/scan.ordered_prefix_sum`` — (1) one streaming pass folds
+    per-range-bucket event-time maxima (B int64s to the driver, exclusive
+    running max gives each bucket's incoming high-water mark); (2) one
+    bucket-keyed exchange, per bucket ONE vectorized pass: sort by
+    event_id, exclusive cummax seeded with the bucket offset, compare,
+    and fold to per-type partial counts.  Nothing row-scale reaches the
+    driver."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    mm = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(mm["min(event_id)"]), int(mm["max(event_id)"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+    delay_us = delay_min * 60_000_000
+
+    def with_cols(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "eid": pa.array(eid),
+                "tus": pa.array(ts),
+                "event_type": batch["event_type"],
+                "__b": pa.array((eid - lo) // width),
+            }
+        )
+
+    tagged = ds.map_batches(with_cols, batch_format="pyarrow").materialize()
+
+    # sentinel: far below any epoch-us yet safe under "- delay_us"
+    # arithmetic (int64 min would wrap)
+    sentinel = -(2**62)
+
+    def bmax(batch: pa.Table) -> pa.Table:
+        b = batch["__b"].to_numpy(zero_copy_only=False)
+        t = batch["tus"].to_numpy(zero_copy_only=False)
+        mx = np.full(n_buckets, sentinel, dtype=np.int64)
+        np.maximum.at(mx, b, t)
+        nz = np.flatnonzero(mx > sentinel)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "m": pa.array(mx[nz], type=pa.int64()),
+            }
+        )
+
+    maxima = np.full(n_buckets, sentinel, dtype=np.int64)
+    for r in tagged.map_batches(bmax, batch_format="pyarrow").take_all():
+        maxima[r["b"]] = max(maxima[r["b"]], r["m"])
+    # exclusive running max: the high-water mark ENTERING each bucket
+    incoming = np.concatenate(
+        [[sentinel], np.maximum.accumulate(maxima)[:-1]]
+    )
+    inc_ref = ray.put(incoming)
+
+    def late_partial(g: pd.DataFrame) -> pd.DataFrame:
+        inc = ray.get(inc_ref)
+        g = g.sort_values("eid", kind="mergesort")
+        t = g["tus"].to_numpy()
+        seed = inc[int(g["__b"].iloc[0])]
+        # exclusive cummax: watermark BEFORE each event
+        prev = np.concatenate([[seed], np.maximum.accumulate(t)[:-1]])
+        prev = np.maximum(prev, seed)
+        late = t < prev - delay_us
+        lateness = np.where(late, (prev - delay_us - t) // 1_000_000, 0)
+        df = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "late": late.astype(np.int64),
+                "lateness": lateness.astype(np.int64),
+            }
+        )
+        agg = df.groupby("event_type").agg(
+            n_late=("late", "sum"),
+            n_total=("late", "size"),
+            max_lateness_s=("lateness", "max"),
+        )
+        return agg.reset_index()
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(late_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("event_type")
+        .agg(
+            n_late=("n_late", "sum"),
+            n_total=("n_total", "sum"),
+            max_lateness_s=("max_lateness_s", "max"),
+        )
+        .reset_index()
+        .astype(
+            {"n_late": "int64", "n_total": "int64", "max_lateness_s": "int64"}
+        )
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def sample_join_weighted(sf_dir: str, n: int = 25) -> pd.DataFrame:
     """Weighted sample over a JOIN's output without materializing the join
     (streaming weighted sampling over join queries, EDBT'23): lineitem ⋈

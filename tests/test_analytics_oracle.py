@@ -175,6 +175,8 @@ SUBSET = [
     "rag_rerank",
     # E-S weighted sample pushed into the shuffle join (EDBT'23 shape)
     "sample_join_weighted",
+    # watermark late-arrival accounting via the distributed prefix-max scan
+    "events_late_arrivals",
 ]
 
 

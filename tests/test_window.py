@@ -333,3 +333,47 @@ class TestRangeWindow:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False
         )
+
+
+class TestLateArrivals:
+    def test_planted_late_events(self, tmp_path):
+        """Watermark = running event-time max over arrival order; an event
+        is late when its event-time is > 10 min behind it."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import events_late_arrivals
+
+        base = pd.Timestamp("2024-02-01 00:00:00")
+        m = pd.Timedelta("1min")
+        rows = [
+            # arrival order = event_id; watermark rises to base+30min,
+            # then two stragglers arrive far behind it
+            (0, base, "view"),
+            (1, base + 30 * m, "view"),
+            (2, base + 5 * m, "click"),   # 25 min late -> 15 min past wm
+            (3, base + 29 * m, "click"),  # within allowed lateness
+            (4, base + 31 * m, "view"),
+            (5, base + 10 * m, "error"),  # 21 min behind wm, 11 past cutoff
+        ]
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        got = events_late_arrivals(str(tmp_path), n_buckets=3)
+        by = got.set_index("event_type")
+        assert by.loc["click", "n_late"] == 1
+        assert by.loc["click", "max_lateness_s"] == 15 * 60
+        assert by.loc["error", "n_late"] == 1
+        assert by.loc["error", "max_lateness_s"] == 11 * 60
+        assert by.loc["view", "n_late"] == 0
+        con = duckdb.connect()
+        con.register("events", df)
+        import __ray_entry__ as entrymod
+
+        want = con.sql(entrymod.oracle_sql()["events_late_arrivals"]).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
