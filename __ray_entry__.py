@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples_canonical": A.triples_canonical,
         "kg_negative_samples": A.kg_negative_samples,
         "kg_communities": A.kg_communities,
+        "kg_kcore": A.kg_kcore,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
@@ -815,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": O.pagerank_sql(),
         # synchronous weighted LPA unrolled the same way
         "kg_communities": O.lpa_sql(),
+        "kg_kcore": O.kcore_sql(),
         "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),
         "kg_incremental_triples": O.values_sql(
             O.expected_kg_incremental_triples()

@@ -1403,3 +1403,51 @@ SELECT query_id, neighbor_id, rank, round_even(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def kcore_sql(k: int = 3, min_support: int = 326, n_rounds: int = 6) -> str:
+    """DuckDB oracle for analytics.kg_kcore: the synchronous peeling
+    recurrence unrolled as ``n_rounds`` chained CTE rounds over the same
+    strong-edge graph CTEs as ``lpa_sql`` — round i keeps nodes whose
+    degree within the round-(i-1) survivors is >= k; the final SELECT
+    reports survivors with their induced degree.  Integer counts, so the
+    match is exact."""
+    steps = []
+    prev = "a0"
+    for i in range(1, n_rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT e.s AS node, count(*) AS deg
+  FROM edges e
+  JOIN {prev} x ON x.node = e.s
+  JOIN {prev} y ON y.node = e.o
+  GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+        prev = f"a{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH m AS MATERIALIZED (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ('spark','hash','join','merge','sort','filter','window',
+                    'vector','stream','batch')),
+und AS MATERIALIZED (
+    SELECT a.token AS s, b.token AS o
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_support}),
+edges AS MATERIALIZED (SELECT s, o FROM und UNION ALL SELECT o, s FROM und),
+a0 AS MATERIALIZED (
+    SELECT node FROM (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
+{chain},
+dfin AS (
+  SELECT e.s AS node, count(*) AS deg
+  FROM edges e
+  JOIN {prev} x ON x.node = e.s
+  JOIN {prev} y ON y.node = e.o
+  GROUP BY 1)
+SELECT node AS entity, deg FROM dfin ORDER BY entity
+"""

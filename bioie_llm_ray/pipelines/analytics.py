@@ -5753,6 +5753,22 @@ def kg_communities(
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_kcore(
+    sf_dir: str, k: int = 3, min_support: int = 326, n_rounds: int = 6
+) -> pd.DataFrame:
+    """k-core decomposition of the strong-edge co-occurrence KG
+    (``stages/graph.k_core``): the maximal subgraph where every surviving
+    entity keeps ≥ k strong neighbors — the standard densest-region
+    extractor for KG pruning (hub backbone vs peripheral mentions).
+    Same fixed-round broadcast-iteration contract as kg_pagerank /
+    kg_communities; the oracle unrolls the identical peeling recurrence."""
+    from ..stages.graph import k_core
+
+    edges = _cooccur_edge_counts(sf_dir, min_support=min_support)
+    out = k_core(edges, k=k, n_rounds=n_rounds).to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
 def events_box_pruned(sf_dir: str) -> pd.DataFrame:
     """2-D box query over a Z-ORDERED zone-mapped events store
     (state/zorder_store): files are clustered on the Morton curve of

@@ -655,3 +655,78 @@ def label_propagation(
             }
         )
     )
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    k: int = 3,
+    n_rounds: int = 6,
+) -> pa.Table:
+    """Synchronous k-core peeling: each round drops every node whose degree
+    in the surviving induced subgraph is < ``k``; survivors after
+    ``n_rounds`` come back with their final induced degree.
+
+    Same broadcast-iteration contract as ``pagerank`` / ``bfs_levels`` /
+    ``label_propagation``: the ALIVE SET is node-vocabulary-bounded and
+    broadcasts once per round; the edge stream is touched once per round
+    with a vectorized isin mask + unique-count fold — only (node, deg)
+    partials bounded by the vocabulary reach the driver.  The round count
+    is FIXED (fixpoint typically arrives earlier) so the output is a pure
+    function of the topology and the SQL oracle can unroll the identical
+    recurrence; non-converged inputs produce the same t-round answer on
+    both sides.  Edges must be given in ONE orientation (src < dst);
+    degrees count both endpoints.
+    """
+
+    def degree_fold(alive_arr: np.ndarray | None) -> dict:
+        ref = ray.put(alive_arr)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            alive = ray.get(ref)
+            s = np.asarray(batch[src].to_pylist(), dtype=object)
+            o = np.asarray(batch[dst].to_pylist(), dtype=object)
+            if alive is not None:
+                m = np.isin(s, alive) & np.isin(o, alive)
+                s, o = s[m], o[m]
+            nodes, counts = np.unique(
+                np.concatenate([s, o]), return_counts=True
+            )
+            # explicit types: an all-filtered batch must not emit a
+            # null-typed empty column (block schema unification)
+            return pa.table(
+                {
+                    "node": pa.array(
+                        [str(x) for x in nodes], type=pa.string()
+                    ),
+                    "deg": pa.array(
+                        counts.astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        folded: dict = {}
+        for r in edges.map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all():
+            folded[r["node"]] = folded.get(r["node"], 0) + r["deg"]
+        return folded
+
+    deg = degree_fold(None)
+    alive = np.array(sorted(deg), dtype=object)
+    for _ in range(n_rounds):
+        deg = degree_fold(alive)
+        alive = np.array(
+            sorted(n for n, d in deg.items() if d >= k), dtype=object
+        )
+    final = degree_fold(alive)
+    nodes = sorted(final)
+    return pa.table(
+        {
+            "entity": pa.array([str(n) for n in nodes], type=pa.string()),
+            "deg": pa.array(
+                [int(final[n]) for n in nodes], type=pa.int64()
+            ),
+        }
+    )

@@ -177,6 +177,8 @@ SUBSET = [
     "sample_join_weighted",
     # watermark late-arrival accounting via the distributed prefix-max scan
     "events_late_arrivals",
+    # k-core peeling over the strong-edge KG (unrolled-CTE oracle)
+    "kg_kcore",
 ]
 
 

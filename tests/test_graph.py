@@ -349,3 +349,25 @@ class TestLabelPropagation:
         # dataset drops columns (Ray quirk), so assert on the schema
         assert out.schema().names == ["node", "community"]
         assert out.count() == 0
+
+
+class TestKCore:
+    def test_hand_built_peeling(self):
+        """A triangle (core-3 fails, core-2 survives) plus a pendant chain
+        that peels away round by round."""
+        from bioie_llm_ray.stages.graph import k_core
+
+        # triangle a-b-c; chain c-d, d-e (d,e peel at k=2)
+        edges = pd.DataFrame(
+            {
+                "subj": ["a", "a", "b", "c", "d"],
+                "obj": ["b", "c", "c", "d", "e"],
+            }
+        )
+        ds = ray.data.from_pandas(edges)
+        out = k_core(ds, k=2, n_rounds=4).to_pandas()
+        assert list(out["entity"]) == ["a", "b", "c"]
+        assert list(out["deg"]) == [2, 2, 2]
+        # k=3: even the triangle dies (degree 2 < 3)
+        out3 = k_core(ds, k=3, n_rounds=4).to_pandas()
+        assert len(out3) == 0
