@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_score_auc": A.events_score_auc,
         "sample_join_weighted": A.sample_join_weighted,
         "events_late_arrivals": A.events_late_arrivals,
+        "events_drift_psi": A.events_drift_psi,
+        "events_value_ks": A.events_value_ks,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2510,6 +2512,59 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) AS moving_avg
             FROM events
             ORDER BY event_id
+        """,
+        # PSI drift monitor: equal-width bins of the global value range,
+        # reference = ts < cutoff, identical bin/ratio/ln arithmetic
+        "events_drift_psi": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi
+                        FROM events),
+            b AS (SELECT LEAST(CAST(floor((value - lo)
+                                          / ((hi - lo) / 10.0)) AS BIGINT),
+                               9) AS bin,
+                         CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                              THEN 1 ELSE 0 END AS cur
+                  FROM events, mm),
+            cc AS (SELECT bin, sum(1 - cur)::DOUBLE AS n_ref,
+                          sum(cur)::DOUBLE AS n_cur
+                   FROM b GROUP BY 1),
+            -- all 10 bins present even when a bin is empty in both slices
+            c AS (SELECT i AS bin, coalesce(cc.n_ref, 0) AS n_ref,
+                         coalesce(cc.n_cur, 0) AS n_cur
+                  FROM range(0, 10) t(i) LEFT JOIN cc ON cc.bin = t.i),
+            t AS (SELECT sum(n_ref) AS sr, sum(n_cur) AS sc FROM c),
+            -- Laplace smoothing (+0.5 per bin), matching the Ray side
+            p AS (SELECT bin, (n_ref + 0.5) / (sr + 5.0) AS p_ref,
+                         (n_cur + 0.5) / (sc + 5.0) AS p_cur
+                  FROM c, t),
+            pt AS (SELECT bin, p_ref, p_cur,
+                          (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term
+                   FROM p),
+            tot AS (SELECT sum(psi_term) AS s FROM pt)
+            SELECT bin, round_even(p_ref, 6) AS p_ref,
+                   round_even(p_cur, 6) AS p_cur,
+                   round_even(psi_term, 6) AS psi_term,
+                   round_even(s, 6) AS psi_total
+            FROM pt, tot ORDER BY bin
+        """,
+        # exact two-sample KS over the distinct-value cumulative fractions
+        "events_value_ks": """
+            WITH t AS (
+                SELECT value AS s,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS a,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS b
+                FROM events
+                WHERE event_type IN ('purchase', 'click')),
+            g AS (SELECT s, sum(a)::DOUBLE AS na, sum(b)::DOUBLE AS nb
+                  FROM t GROUP BY 1),
+            tot AS (SELECT sum(na) AS sa, sum(nb) AS sb FROM g),
+            c AS (SELECT s, sum(na) OVER (ORDER BY s) AS ca,
+                         sum(nb) OVER (ORDER BY s) AS cb
+                  FROM g)
+            SELECT sa::BIGINT AS n_a, sb::BIGINT AS n_b,
+                   round_even(max(abs(ca / sa - cb / sb)), 6) AS ks_d
+            FROM c, tot GROUP BY sa, sb
         """,
         # streaming watermark accounting: running event-time max over the
         # arrival order (event_id), late = below watermark - 10 min

@@ -4482,6 +4482,183 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_drift_psi(
+    sf_dir: str, cutoff: str = "2024-01-15", n_bins: int = 10
+) -> pd.DataFrame:
+    """Population-stability-index drift monitor: does the ``value``
+    distribution shift between the reference period (ts < cutoff) and the
+    current one?  PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref) over
+    ``n_bins`` equal-width bins of the global [min, max] — the standard
+    production gate for "retrain / investigate" decisions on streaming
+    ingest.
+
+    Scale shape: one streaming min/max fold (two scalars), then ONE
+    combiner pass folds per-(slice, bin) counts — 2·n_bins int64s reach
+    the driver; the PSI arithmetic is driver-side over those scalars.
+    Output: one row per bin (ref/cur shares, PSI term) plus the total in
+    every row — drill-down and headline in one table."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    cut_us = int(pd.Timestamp(cutoff).value // 1000)
+
+    mm = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": [pc.min(b["value"]).as_py()],
+                "hi": [pc.max(b["value"]).as_py()],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        b = np.minimum(
+            ((v - lo) / width).astype(np.int64), n_bins - 1
+        )
+        cur = (t >= cut_us).astype(np.int64)
+        ref_cnt = np.zeros(n_bins, dtype=np.int64)
+        cur_cnt = np.zeros(n_bins, dtype=np.int64)
+        np.add.at(ref_cnt, b, 1 - cur)
+        np.add.at(cur_cnt, b, cur)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n_ref": pa.array(ref_cnt, type=pa.int64()),
+                "n_cur": pa.array(cur_cnt, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(bin_counts, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bin")[["n_ref", "n_cur"]].sum()
+    n_ref = agg["n_ref"].to_numpy(dtype=np.float64)
+    n_cur = agg["n_cur"].to_numpy(dtype=np.float64)
+    # Laplace-smoothed shares (+0.5 per bin): an empty bin in one slice
+    # must not blow up the logarithm — the standard PSI guard
+    p_ref = (n_ref + 0.5) / (n_ref.sum() + 0.5 * n_bins)
+    p_cur = (n_cur + 0.5) / (n_cur.sum() + 0.5 * n_bins)
+    term = (p_cur - p_ref) * np.log(p_cur / p_ref)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "p_ref": np.round(p_ref, 6),
+            "p_cur": np.round(p_cur, 6),
+            "psi_term": np.round(term, 6),
+            "psi_total": np.round(np.full(n_bins, term.sum()), 6),
+        }
+    )
+
+
+def events_value_ks(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "click"
+) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of two event types — the drift/difference test for
+    continuous columns (PSI's binned complement, no binning error).
+
+    D = max over distinct values v of |F_a(v) − F_b(v)|.  Scale shape is
+    the AUC machinery: one exchange collapses the corpus to the
+    distinct-value table (v, n_a, n_b); a range-bucketed ordered scan
+    (sampled splitters, exclusive per-slice offsets — 2·B int64s) gives
+    exact cumulative counts; each bucket folds to ONE candidate max."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_sv(batch: pa.Table) -> pa.Table:
+        a = pc.cast(pc.equal(batch["event_type"], type_a), pa.int64())
+        b = pc.cast(pc.equal(batch["event_type"], type_b), pa.int64())
+        keep = pc.or_(pc.equal(a, 1), pc.equal(b, 1))
+        t = pa.table(
+            {
+                "s": pc.cast(batch["value"], pa.float64()),
+                "a": a,
+                "b": b,
+            }
+        )
+        return t.filter(keep)
+
+    g = grouped_agg(
+        ds.map_batches(to_sv, batch_format="pyarrow"),
+        keys=["s"],
+        aggs={"na": ("a", "sum"), "nb": ("b", "sum")},
+        n_buckets=32,
+        partial=True,
+    )
+
+    n_buckets = 32
+    samp = np.array(
+        [r["s"] for r in g.limit(2048).take_all()], dtype=np.float64
+    )
+    splitters = (
+        np.unique(np.quantile(samp, np.linspace(0, 1, n_buckets)[1:]))
+        if len(samp)
+        else np.array([], dtype=np.float64)
+    )
+    spl_ref = ray.put(splitters)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        b = np.searchsorted(
+            spl, batch["s"].to_numpy(zero_copy_only=False), side="right"
+        )
+        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+
+    tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
+    nb = len(splitters) + 1
+
+    def btot(batch: pa.Table) -> pa.Table:
+        bk = batch["__b"].to_numpy(zero_copy_only=False)
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        nbv = batch["nb"].to_numpy(zero_copy_only=False)
+        ta = np.zeros(nb, dtype=np.int64)
+        tb = np.zeros(nb, dtype=np.int64)
+        np.add.at(ta, bk, na)
+        np.add.at(tb, bk, nbv)
+        nz = np.flatnonzero((ta > 0) | (tb > 0))
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "ta": pa.array(ta[nz], type=pa.int64()),
+                "tb": pa.array(tb[nz], type=pa.int64()),
+            }
+        )
+
+    tot_a = np.zeros(nb, dtype=np.int64)
+    tot_b = np.zeros(nb, dtype=np.int64)
+    for r in tagged.map_batches(btot, batch_format="pyarrow").take_all():
+        tot_a[r["b"]] += r["ta"]
+        tot_b[r["b"]] += r["tb"]
+    off_a = np.concatenate([[0], np.cumsum(tot_a)[:-1]])
+    off_b = np.concatenate([[0], np.cumsum(tot_b)[:-1]])
+    n_a, n_b_tot = int(tot_a.sum()), int(tot_b.sum())
+    off_ref = ray.put((off_a, off_b, n_a, n_b_tot))
+
+    def bucket_max(gdf: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, na_t, nb_t = ray.get(off_ref)
+        gdf = gdf.sort_values("s", kind="mergesort")
+        bk = int(gdf["__b"].iloc[0])
+        ca = np.cumsum(gdf["na"].to_numpy(dtype=np.float64)) + oa[bk]
+        cb = np.cumsum(gdf["nb"].to_numpy(dtype=np.float64)) + ob[bk]
+        d = np.abs(ca / na_t - cb / nb_t)
+        return pd.DataFrame({"d": [float(d.max())]})
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(bucket_max, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "n_b": [n_b_tot],
+            "ks_d": [round(float(parts["d"].max()), 6)],
+        }
+    )
+
+
 def events_late_arrivals(
     sf_dir: str, delay_min: int = 10, n_buckets: int = 64
 ) -> pd.DataFrame:

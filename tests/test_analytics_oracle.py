@@ -179,6 +179,9 @@ SUBSET = [
     "events_late_arrivals",
     # k-core peeling over the strong-edge KG (unrolled-CTE oracle)
     "kg_kcore",
+    # drift monitoring: smoothed PSI bins + exact two-sample KS
+    "events_drift_psi",
+    "events_value_ks",
 ]
 
 
