@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": A.events_late_arrivals,
         "events_drift_psi": A.events_drift_psi,
         "events_value_ks": A.events_value_ks,
+        "events_type_dow_chi2": A.events_type_dow_chi2,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2545,6 +2546,30 @@ def oracle_sql() -> dict[str, str]:
                    round_even(psi_term, 6) AS psi_term,
                    round_even(s, 6) AS psi_total
             FROM pt, tot ORDER BY bin
+        """,
+        # chi-square independence: contingency grid with zero cells kept
+        "events_type_dow_chi2": """
+            WITH o AS (SELECT event_type, isodow(ts) AS dow,
+                              count(*)::DOUBLE AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, sum(n) AS rn FROM o GROUP BY 1),
+            c AS (SELECT dow, sum(n) AS cn FROM o GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM o),
+            grid AS (SELECT r.event_type, c.dow, r.rn, c.cn
+                     FROM r CROSS JOIN c),
+            cells AS (
+                SELECT g.event_type, g.dow, coalesce(o.n, 0) AS n,
+                       g.rn * g.cn / tot AS e
+                FROM grid g
+                LEFT JOIN o ON o.event_type = g.event_type
+                           AND o.dow = g.dow, t),
+            s AS (SELECT sum((n - e) * (n - e) / e) AS chi2 FROM cells),
+            dims AS (SELECT (SELECT count(*) FROM r) AS nr,
+                            (SELECT count(*) FROM c) AS nc)
+            SELECT round_even(s.chi2, 6) AS chi2,
+                   ((nr - 1) * (nc - 1))::BIGINT AS dof,
+                   (SELECT tot FROM t)::BIGINT AS n
+            FROM s, dims
         """,
         # exact two-sample KS over the distinct-value cumulative fractions
         "events_value_ks": """

@@ -4551,6 +4551,53 @@ def events_drift_psi(
     )
 
 
+def events_type_dow_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test between event_type and ISO weekday —
+    the categorical-drift sibling of PSI/KS (is behaviour day-of-week
+    dependent?).  One combiner pass folds the contingency table
+    (|types| × 7 int64 cells reach the driver); expected counts and the
+    χ² sum are driver arithmetic over those scalars.  Output: χ², degrees
+    of freedom, N."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": batch["event_type"], "ts": batch["ts"]}
+        ).to_pandas()
+        df["dow"] = df["ts"].dt.dayofweek + 1  # ISO: Monday=1
+        c = (
+            df.groupby(["event_type", "dow"])
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(c["event_type"], type=pa.string()),
+                "dow": pa.array(c["dow"].astype("int64")),
+                "n": pa.array(c["n"].astype("int64")),
+            }
+        )
+
+    parts = ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+    obs = (
+        parts.groupby(["event_type", "dow"])["n"].sum().unstack(fill_value=0)
+    )
+    o = obs.to_numpy(dtype=np.float64)
+    row = o.sum(axis=1, keepdims=True)
+    col = o.sum(axis=0, keepdims=True)
+    n = o.sum()
+    e = row @ col / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    df_ = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame(
+        {
+            "chi2": [round(chi2, 6)],
+            "dof": [int(df_)],
+            "n": [int(n)],
+        }
+    )
+
+
 def events_value_ks(
     sf_dir: str, type_a: str = "purchase", type_b: str = "click"
 ) -> pd.DataFrame:

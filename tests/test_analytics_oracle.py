@@ -179,9 +179,10 @@ SUBSET = [
     "events_late_arrivals",
     # k-core peeling over the strong-edge KG (unrolled-CTE oracle)
     "kg_kcore",
-    # drift monitoring: smoothed PSI bins + exact two-sample KS
+    # drift monitoring: smoothed PSI bins + exact two-sample KS + chi2
     "events_drift_psi",
     "events_value_ks",
+    "events_type_dow_chi2",
 ]
 
 
