@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_psi": A.events_drift_psi,
         "events_value_ks": A.events_value_ks,
         "events_type_dow_chi2": A.events_type_dow_chi2,
+        "events_key_skew": A.events_key_skew,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2546,6 +2547,19 @@ def oracle_sql() -> dict[str, str]:
                    round_even(psi_term, 6) AS psi_term,
                    round_even(s, 6) AS psi_total
             FROM pt, tot ORDER BY bin
+        """,
+        # shuffle-key skew diagnostics: sum-decomposable statistics only
+        "events_key_skew": """
+            WITH c AS (SELECT user_id, count(*)::DOUBLE AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS keys, sum(n) AS rows_, max(n) AS mx,
+                         sum(n * n) AS sq, sum(n * ln(n)) AS nlogn
+                  FROM c)
+            SELECT keys::BIGINT AS n_keys, rows_::BIGINT AS n_rows,
+                   round_even(mx / rows_, 6) AS top_share,
+                   round_even(sq / (rows_ * rows_), 6) AS hhi,
+                   round_even(ln(rows_) - nlogn / rows_, 6) AS entropy
+            FROM t
         """,
         # chi-square independence: contingency grid with zero cells kept
         "events_type_dow_chi2": """

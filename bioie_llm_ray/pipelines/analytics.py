@@ -4551,6 +4551,67 @@ def events_drift_psi(
     )
 
 
+def events_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-key skew diagnostics for the user_id partitioning key: the
+    numbers an engine needs BEFORE choosing a join/groupby strategy (salt
+    hot keys? broadcast instead?).  Reports distinct keys, the hottest
+    key's row share, the Herfindahl concentration index Σ p², and Shannon
+    entropy in nats — all computable WITHOUT any global sort: one exchange
+    collapses rows to per-key counts, a second combiner pass folds the
+    three moments (every statistic here is a sum over keys, unlike Gini,
+    which would need a rank exchange)."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(one, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"n": ("c", "sum")},
+        n_buckets=32,
+        partial=True,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "keys": pa.array([len(n)], type=pa.int64()),
+                "rows": pa.array([int(n.sum())], type=pa.int64()),
+                "maxn": pa.array([int(n.max()) if len(n) else 0], type=pa.int64()),
+                "sq": pa.array([float((n**2).sum())], type=pa.float64()),
+                "nlogn": pa.array(
+                    [float((n * np.log(n)).sum())], type=pa.float64()
+                ),
+            }
+        )
+
+    m = counts.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n_keys = int(m["keys"].sum())
+    n_rows = int(m["rows"].sum())
+    top = int(m["maxn"].max())
+    hhi = float(m["sq"].sum()) / (n_rows**2)
+    # H = ln N - (1/N) Σ n ln n  (exact decomposition of -Σ p ln p)
+    entropy = float(np.log(n_rows) - m["nlogn"].sum() / n_rows)
+    return pd.DataFrame(
+        {
+            "n_keys": [n_keys],
+            "n_rows": [n_rows],
+            "top_share": [round(top / n_rows, 6)],
+            "hhi": [round(hhi, 6)],
+            "entropy": [round(entropy, 6)],
+        }
+    )
+
+
 def events_type_dow_chi2(sf_dir: str) -> pd.DataFrame:
     """Chi-square independence test between event_type and ISO weekday —
     the categorical-drift sibling of PSI/KS (is behaviour day-of-week

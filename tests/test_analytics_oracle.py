@@ -183,6 +183,8 @@ SUBSET = [
     "events_drift_psi",
     "events_value_ks",
     "events_type_dow_chi2",
+    # shuffle-key skew diagnostics (sum-decomposable statistics)
+    "events_key_skew",
 ]
 
 
