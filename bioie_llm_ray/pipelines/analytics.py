@@ -1821,6 +1821,29 @@ def doc_chunks(
 
 RAG_QUERY_TEXTS = ("spark join stream", "hash table scan", "window batch merge")
 
+# chunk_key = doc_id * CHUNK_KEY_BASE + chunk_id — the single home of the
+# cross-stage key contract shared by rag_retrieval / rag_rerank /
+# rag_retrieval_eval and their SQL oracles (chunk counts are bounded by
+# doc length / stride, far under the base for any real document)
+CHUNK_KEY_BASE = 100000
+
+
+def _chunked_docs(sf_dir: str):
+    """documents → overlapping token chunks (shared first stage of the
+    retrieval family): zero-shuffle flat-map."""
+    from ..functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents(b), batch_format="pyarrow"
+    )
+
+
+def _chunk_keys(doc_ids: np.ndarray, chunk_ids: np.ndarray) -> np.ndarray:
+    return doc_ids.astype(np.int64) * CHUNK_KEY_BASE + chunk_ids.astype(
+        np.int64
+    )
+
 
 def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Composed RAG ingestion + retrieval — the end-to-end index-build
@@ -1838,20 +1861,16 @@ def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     the same embedded dataset — nothing else changes.  ``chunk_key =
     doc_id·100000 + chunk_id`` (chunk counts are bounded by doc length /
     stride, far under 100000 for any real document)."""
-    from ..functions.text import chunk_documents
     from ..stages.embed import HashEmbedder, embed_texts
     from ..stages.similarity import brute_force_topk
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    chunks = ds.map_batches(
-        lambda b: chunk_documents(b), batch_format="pyarrow"
-    )
+    chunks = _chunked_docs(sf_dir)
 
     def add_key(batch: pa.Table) -> pa.Table:
         key = pc.add(
             pc.multiply(
                 pc.cast(batch["doc_id"], pa.int64()),
-                pa.scalar(100000, type=pa.int64()),
+                pa.scalar(CHUNK_KEY_BASE, type=pa.int64()),
             ),
             batch["chunk_id"],
         )
@@ -1878,8 +1897,8 @@ def rag_retrieval(sf_dir: str, k: int = 5) -> pd.DataFrame:
         # queries are NOT corpus members; chunk_key 0 must stay eligible
         exclude_self=False,
     ).to_pandas()
-    out["doc_id"] = out["neighbor_id"] // 100000
-    out["chunk_id"] = out["neighbor_id"] % 100000
+    out["doc_id"] = out["neighbor_id"] // CHUNK_KEY_BASE
+    out["chunk_id"] = out["neighbor_id"] % CHUNK_KEY_BASE
     out["cosine"] = out["cosine"].round(6)
     out = out[["query_id", "doc_id", "chunk_id", "rank", "cosine"]]
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
@@ -1898,12 +1917,11 @@ def rag_rerank(sf_dir: str, k: int = 5, k0: int = 20) -> pd.DataFrame:
     Candidate texts come back via a broadcast-key-set filter pass over the
     streamed chunk set (never a driver fetch of the corpus); the final
     top-k cut is over k0 × n_queries rows."""
-    from ..functions.text import chunk_documents
     from ..stages.embed import CrossEncoderStub
 
     first = rag_retrieval(sf_dir, k=k0)
-    keys = (first["doc_id"] * 100000 + first["chunk_id"]).to_numpy().astype(
-        np.int64
+    keys = _chunk_keys(
+        first["doc_id"].to_numpy(), first["chunk_id"].to_numpy()
     )
     qid_of: dict[int, list[int]] = {}
     for ckey, qid in zip(keys, first["query_id"].to_numpy()):
@@ -1911,18 +1929,14 @@ def rag_rerank(sf_dir: str, k: int = 5, k0: int = 20) -> pd.DataFrame:
     keys_ref = ray.put(np.sort(np.unique(keys)))
     qmap_ref = ray.put(qid_of)
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    chunks = ds.map_batches(
-        lambda b: chunk_documents(b), batch_format="pyarrow"
-    )
+    chunks = _chunked_docs(sf_dir)
 
     def fetch_candidates(batch: pa.Table) -> pa.Table:
         kset = ray.get(keys_ref)
         qmap = ray.get(qmap_ref)
-        ck = (
-            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            * 100000
-            + batch["chunk_id"].to_numpy(zero_copy_only=False)
+        ck = _chunk_keys(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["chunk_id"].to_numpy(zero_copy_only=False),
         )
         hit = np.flatnonzero(np.isin(ck, kset))
         out_q, out_k, out_t = [], [], []
@@ -1962,8 +1976,8 @@ def rag_rerank(sf_dir: str, k: int = 5, k0: int = 20) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "query_id": top["qid"].to_numpy(),
-            "doc_id": (top["chunk_key"] // 100000).to_numpy(),
-            "chunk_id": (top["chunk_key"] % 100000).to_numpy(),
+            "doc_id": (top["chunk_key"] // CHUNK_KEY_BASE).to_numpy(),
+            "chunk_id": (top["chunk_key"] % CHUNK_KEY_BASE).to_numpy(),
             "rank": top["rank"].to_numpy().astype(np.int64),
             "ce_score": top["ce_score"].round(6).to_numpy(),
         }
@@ -1984,19 +1998,14 @@ def rag_retrieval_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     broadcast-key-set filter pass, never a driver fetch of the corpus.
     NDCG normalizes by the ideal DCG of min(k, R) ones — the corpus-wide
     R, not the retrieved count."""
-    from ..functions.text import chunk_documents
-
     res = rag_retrieval(sf_dir, k=k)
     terms = [q.split() for q in RAG_QUERY_TEXTS]
     n_q = len(terms)
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    chunks = ds.map_batches(
-        lambda b: chunk_documents(b), batch_format="pyarrow"
-    )
+    chunks = _chunked_docs(sf_dir)
 
     retrieved_keys = np.sort(
-        (res["doc_id"] * 100000 + res["chunk_id"]).to_numpy().astype(np.int64)
+        _chunk_keys(res["doc_id"].to_numpy(), res["chunk_id"].to_numpy())
     )
     keys_ref = ray.put(retrieved_keys)
     terms_ref = ray.put(terms)
@@ -2013,10 +2022,9 @@ def rag_retrieval_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
                 rel[qi] &= pc.match_substring(padded, f" {t} ").to_numpy(
                     zero_copy_only=False
                 )
-        ck = (
-            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            * 100000
-            + batch["chunk_id"].to_numpy(zero_copy_only=False)
+        ck = _chunk_keys(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["chunk_id"].to_numpy(zero_copy_only=False),
         )
         hit = np.isin(ck, keys)
         out_q, out_k, out_r = [], [], []
@@ -2049,7 +2057,7 @@ def rag_retrieval_eval(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = {"query_id": [], "mrr": [], "ndcg": [], "p_at_k": []}
     for qi in range(n_q):
         sub = res[res.query_id == qi].sort_values("rank")
-        keys = (sub["doc_id"] * 100000 + sub["chunk_id"]).to_numpy()
+        keys = _chunk_keys(sub["doc_id"].to_numpy(), sub["chunk_id"].to_numpy())
         rels = np.array(
             [rel_of.get((qi, int(ckey)), 0) for ckey in keys], dtype=np.float64
         )
@@ -4497,19 +4505,13 @@ def events_drift_psi(
     the driver; the PSI arithmetic is driver-side over those scalars.
     Output: one row per bin (ref/cur shares, PSI term) plus the total in
     every row — drill-down and headline in one table."""
+    from ray.data.aggregate import Max, Min
+
     ds = _read(sf_dir, "events", columns=["ts", "value"])
     cut_us = int(pd.Timestamp(cutoff).value // 1000)
 
-    mm = ds.map_batches(
-        lambda b: pa.table(
-            {
-                "lo": [pc.min(b["value"]).as_py()],
-                "hi": [pc.max(b["value"]).as_py()],
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
     width = (hi - lo) / n_bins if hi > lo else 1.0
 
     def bin_counts(batch: pa.Table) -> pa.Table:
@@ -4688,6 +4690,8 @@ def events_value_ks(
         )
         return t.filter(keep)
 
+    from ..stages.scan import ordered_count_scan
+
     g = grouped_agg(
         ds.map_batches(to_sv, batch_format="pyarrow"),
         keys=["s"],
@@ -4695,54 +4699,9 @@ def events_value_ks(
         n_buckets=32,
         partial=True,
     )
-
-    n_buckets = 32
-    samp = np.array(
-        [r["s"] for r in g.limit(2048).take_all()], dtype=np.float64
-    )
-    splitters = (
-        np.unique(np.quantile(samp, np.linspace(0, 1, n_buckets)[1:]))
-        if len(samp)
-        else np.array([], dtype=np.float64)
-    )
-    spl_ref = ray.put(splitters)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        spl = ray.get(spl_ref)
-        b = np.searchsorted(
-            spl, batch["s"].to_numpy(zero_copy_only=False), side="right"
-        )
-        return batch.append_column("__b", pa.array(b.astype(np.int64)))
-
-    tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
-    nb = len(splitters) + 1
-
-    def btot(batch: pa.Table) -> pa.Table:
-        bk = batch["__b"].to_numpy(zero_copy_only=False)
-        na = batch["na"].to_numpy(zero_copy_only=False)
-        nbv = batch["nb"].to_numpy(zero_copy_only=False)
-        ta = np.zeros(nb, dtype=np.int64)
-        tb = np.zeros(nb, dtype=np.int64)
-        np.add.at(ta, bk, na)
-        np.add.at(tb, bk, nbv)
-        nz = np.flatnonzero((ta > 0) | (tb > 0))
-        return pa.table(
-            {
-                "b": pa.array(nz.astype(np.int64)),
-                "ta": pa.array(ta[nz], type=pa.int64()),
-                "tb": pa.array(tb[nz], type=pa.int64()),
-            }
-        )
-
-    tot_a = np.zeros(nb, dtype=np.int64)
-    tot_b = np.zeros(nb, dtype=np.int64)
-    for r in tagged.map_batches(btot, batch_format="pyarrow").take_all():
-        tot_a[r["b"]] += r["ta"]
-        tot_b[r["b"]] += r["tb"]
-    off_a = np.concatenate([[0], np.cumsum(tot_a)[:-1]])
-    off_b = np.concatenate([[0], np.cumsum(tot_b)[:-1]])
-    n_a, n_b_tot = int(tot_a.sum()), int(tot_b.sum())
-    off_ref = ray.put((off_a, off_b, n_a, n_b_tot))
+    tagged, offsets, totals = ordered_count_scan(g, "s", ["na", "nb"])
+    n_a, n_b_tot = totals["na"], totals["nb"]
+    off_ref = ray.put((offsets["na"], offsets["nb"], n_a, n_b_tot))
 
     def bucket_max(gdf: pd.DataFrame) -> pd.DataFrame:
         oa, ob, na_t, nb_t = ray.get(off_ref)
@@ -4979,6 +4938,8 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
             }
         )
 
+    from ..stages.scan import ordered_count_scan
+
     g = grouped_agg(
         ds.map_batches(to_sy, batch_format="pyarrow"),
         keys=["s"],
@@ -4986,49 +4947,8 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
         n_buckets=32,
         partial=True,
     )
-
-    n_buckets = 32
-    samp = np.array(
-        [r["s"] for r in g.limit(2048).take_all()], dtype=np.float64
-    )
-    splitters = (
-        np.unique(np.quantile(samp, np.linspace(0, 1, n_buckets)[1:]))
-        if len(samp)
-        else np.array([], dtype=np.float64)
-    )
-    spl_ref = ray.put(splitters)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        spl = ray.get(spl_ref)
-        b = np.searchsorted(
-            spl, batch["s"].to_numpy(zero_copy_only=False), side="right"
-        )
-        return batch.append_column("__b", pa.array(b.astype(np.int64)))
-
-    # the distinct-score table is consumed twice (totals pass + scan pass);
-    # it is corpus-independent in size, so materializing it is bounded
-    tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
-
-    nb = len(splitters) + 1
-
-    def btot(batch: pa.Table) -> pa.Table:
-        b = batch["__b"].to_numpy(zero_copy_only=False)
-        nn = batch["nn"].to_numpy(zero_copy_only=False)
-        tot = np.zeros(nb, dtype=np.int64)
-        np.add.at(tot, b, nn)
-        nz = np.flatnonzero(tot)
-        return pa.table(
-            {
-                "b": pa.array(nz.astype(np.int64)),
-                "t": pa.array(tot[nz], type=pa.int64()),
-            }
-        )
-
-    totals = np.zeros(nb, dtype=np.int64)
-    for r in tagged.map_batches(btot, batch_format="pyarrow").take_all():
-        totals[r["b"]] += r["t"]
-    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
-    off_ref = ray.put(offsets)
+    tagged, offsets, totals = ordered_count_scan(g, "s", ["nn"])
+    off_ref = ray.put(offsets["nn"])
 
     def contrib(gdf: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
@@ -5040,7 +4960,6 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
             {
                 "c": [(npos * (cneg + 0.5 * nn)).sum()],
                 "p": [npos.sum()],
-                "n": [nn.sum()],
             }
         )
 
@@ -5049,7 +4968,7 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
         .map_groups(contrib, batch_format="pandas")
         .to_pandas()
     )
-    n_pos, n_neg = parts["p"].sum(), parts["n"].sum()
+    n_pos, n_neg = parts["p"].sum(), float(totals["nn"])
     auc = parts["c"].sum() / (n_pos * n_neg)
     return pd.DataFrame(
         {
@@ -5058,6 +4977,13 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
             "auc": [round(auc, 6)],
         }
     )
+
+
+# cumulative segment-width budget per searchsorted chunk in
+# user_range_window: far under int64 yet large enough that real buckets
+# almost always fit in one chunk (tests shrink it to force the multi-
+# chunk path)
+_RANGE_SEG_CHUNK = 4.0e18
 
 
 def user_range_window(sf_dir: str) -> pd.DataFrame:
@@ -5098,22 +5024,43 @@ def user_range_window(sf_dir: str) -> pd.DataFrame:
         n = len(g)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         counts = np.diff(np.r_[starts, n])
-        rank = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
         rel = ts - np.repeat(ts[starts], counts)  # >= 0 within each user
-        # disjoint segments: a frame can never cross a user boundary
-        # because consecutive segments are > window_us apart
-        off = np.int64(int(rel.max(initial=0)) + window_us + 1)
-        key = rank * off + rel
-        lo = np.searchsorted(key, key - window_us, side="left")
-        hi = np.searchsorted(key, key, side="right")  # peers included
-        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        # Per-user segment widths (span + window + 1): packing segments
+        # back-to-back keeps keys minimal, and chunking users whenever the
+        # cumulative width would approach int64 keeps the arithmetic exact
+        # at ANY user count per bucket (a global rank*max_span key would
+        # silently wrap at ~10^5 wide-span users).
+        spans = rel[np.r_[starts[1:] - 1, n - 1]]
+        seg = spans + window_us + 1
+        chunk_of_user = (
+            np.cumsum(seg.astype(np.float64)) / _RANGE_SEG_CHUNK
+        ).astype(np.int64)
+        row_user = np.repeat(
+            np.arange(len(starts), dtype=np.int64), counts
+        )
+        out_sum = np.empty(n, dtype=np.float64)
+        out_n = np.empty(n, dtype=np.int64)
+        local_rank = np.empty(len(starts), dtype=np.int64)
+        for ch in np.unique(chunk_of_user):
+            um = chunk_of_user == ch
+            rm = um[row_user]
+            base = np.concatenate(
+                [[0], np.cumsum(seg[um])[:-1]]
+            ).astype(np.int64)
+            local_rank[um] = np.arange(int(um.sum()), dtype=np.int64)
+            key = base[local_rank[row_user[rm]]] + rel[rm]
+            lo = np.searchsorted(key, key - window_us, side="left")
+            hi = np.searchsorted(key, key, side="right")  # peers included
+            csum = np.concatenate([[0.0], np.cumsum(vals[rm])])
+            out_sum[rm] = csum[hi] - csum[lo]
+            out_n[rm] = hi - lo
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy().astype(np.int64),
                 "user_id": uid,
                 # round_even convention: numpy half-even == SQL round_even
-                "range_sum": np.round(csum[hi] - csum[lo], 4),
-                "n_in_range": (hi - lo).astype(np.int64),
+                "range_sum": np.round(out_sum, 4),
+                "n_in_range": out_n,
             }
         )
 

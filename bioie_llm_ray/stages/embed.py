@@ -69,14 +69,23 @@ class CrossEncoderStub:
     via hex parsing, keeping the composed pipeline value-hash-checkable.
     """
 
-    def __init__(self, query_texts: list[str], text_col: str = "chunk_text"):
+    def __init__(
+        self,
+        query_texts: list[str],
+        text_col: str = "chunk_text",
+        qid_col: str = "qid",
+    ):
         self.queries = list(query_texts)
         self.text_col = text_col
+        self.qid_col = qid_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         scores = np.empty(len(batch), dtype=np.float64)
         for i, (qid, text) in enumerate(
-            zip(batch["qid"].to_pylist(), batch[self.text_col].to_pylist())
+            zip(
+                batch[self.qid_col].to_pylist(),
+                batch[self.text_col].to_pylist(),
+            )
         ):
             digest = hashlib.md5(
                 f"{self.queries[qid]}|{text}".encode("utf-8")

@@ -679,6 +679,7 @@ def k_core(
     both sides.  Edges must be given in ONE orientation (src < dst);
     degrees count both endpoints.
     """
+    edges = edges.materialize()  # consumed n_rounds + 1 times
 
     def degree_fold(alive_arr: np.ndarray | None) -> dict:
         ref = ray.put(alive_arr)
@@ -713,9 +714,13 @@ def k_core(
             folded[r["node"]] = folded.get(r["node"], 0) + r["deg"]
         return folded
 
+    # round 1's degrees over the all-nodes alive set equal the unfiltered
+    # fold, so the first pass doubles as node discovery
     deg = degree_fold(None)
-    alive = np.array(sorted(deg), dtype=object)
-    for _ in range(n_rounds):
+    alive = np.array(
+        sorted(n for n, d in deg.items() if d >= k), dtype=object
+    )
+    for _ in range(n_rounds - 1):
         deg = degree_fold(alive)
         alive = np.array(
             sorted(n for n, d in deg.items() if d >= k), dtype=object

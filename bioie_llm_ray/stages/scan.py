@@ -313,3 +313,68 @@ def pack_sequences(
         )
 
     return scanned.map_batches(spans, batch_format="pyarrow")
+
+
+def ordered_count_scan(
+    g: ray.data.Dataset,
+    s_col: str,
+    count_cols: list[str],
+    n_buckets: int = 32,
+    sample_n: int = 2048,
+):
+    """Range-bucketed ordered-scan scaffolding over a DISTINCT-KEY count
+    table (s, c1, c2, ...): sampled splitters on the float key, bucket
+    tags, per-bucket totals of every count column folded to B int64s on
+    the driver, and each column's EXCLUSIVE prefix (the cumulative count
+    entering each bucket).  The caller finishes with one vectorized pass
+    per bucket (groupby on the returned tag column) seeded by the offsets
+    — this is the shared machinery of the exact AUC and two-sample-KS
+    pipelines, factored so the two stay in sync.
+
+    Returns ``(tagged, offsets, totals)``: the MATERIALIZED tagged table
+    (the input is consumed twice — sampling and scanning — and is
+    distinct-key-bounded, so materializing is bounded), ``offsets[col]``
+    a length-B exclusive-prefix array, ``totals[col]`` the grand total.
+    The bucket tag column is ``"__b"``.
+    """
+    g = g.materialize()  # consumed by the sampler AND the scan passes
+    samp = np.array(
+        [r[s_col] for r in g.limit(sample_n).take_all()], dtype=np.float64
+    )
+    splitters = (
+        np.unique(np.quantile(samp, np.linspace(0, 1, n_buckets)[1:]))
+        if len(samp)
+        else np.array([], dtype=np.float64)
+    )
+    spl_ref = ray.put(splitters)
+    nb = len(splitters) + 1
+
+    def tag(batch: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        b = np.searchsorted(
+            spl, batch[s_col].to_numpy(zero_copy_only=False), side="right"
+        )
+        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+
+    tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def btot(batch: pa.Table) -> pa.Table:
+        bk = batch["__b"].to_numpy(zero_copy_only=False)
+        cols = {"b": pa.array(np.arange(nb, dtype=np.int64))}
+        for c in count_cols:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            tot = np.zeros(nb, dtype=np.int64)
+            np.add.at(tot, bk, v)
+            cols[c] = pa.array(tot, type=pa.int64())
+        return pa.table(cols)
+
+    totals = {c: np.zeros(nb, dtype=np.int64) for c in count_cols}
+    for r in tagged.map_batches(btot, batch_format="pyarrow").take_all():
+        for c in count_cols:
+            totals[c][r["b"]] += r[c]
+    offsets = {
+        c: np.concatenate([[0], np.cumsum(totals[c])[:-1]])
+        for c in count_cols
+    }
+    grand = {c: int(totals[c].sum()) for c in count_cols}
+    return tagged, offsets, grand

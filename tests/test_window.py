@@ -377,3 +377,37 @@ class TestLateArrivals:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False
         )
+
+
+class TestRangeWindowChunking:
+    def test_multi_chunk_path_matches_single_chunk(self, tmp_path, monkeypatch):
+        """Shrinking the per-chunk segment budget forces every user into
+        its own searchsorted chunk; results must be identical to the
+        single-chunk fast path (the int64-overflow guard is pure
+        partitioning, never semantics)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines import analytics
+
+        rng = np.random.RandomState(7)
+        base = pd.Timestamp("2024-04-01").value // 1000
+        n = 400
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 12, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    base + rng.randint(0, 3 * 3600 * 1_000_000, n), unit="us"
+                ),
+                "value": rng.randn(n).round(3),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        fast = analytics.user_range_window(str(tmp_path))
+        monkeypatch.setattr(analytics, "_RANGE_SEG_CHUNK", 1.0)
+        chunked = analytics.user_range_window(str(tmp_path))
+        pd.testing.assert_frame_equal(fast, chunked)
