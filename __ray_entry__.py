@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ks": A.events_value_ks,
         "events_type_dow_chi2": A.events_type_dow_chi2,
         "events_key_skew": A.events_key_skew,
+        "user_value_resampled": A.user_value_resampled,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2547,6 +2548,24 @@ def oracle_sql() -> dict[str, str]:
                    round_even(psi_term, 6) AS psi_term,
                    round_even(s, 6) AS psi_total
             FROM pt, tot ORDER BY bin
+        """,
+        # time-grid densification with forward-fill (as-of inner semantics,
+        # ties at one ts resolve to the highest event_id)
+        "user_value_resampled": """
+            WITH mm AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                               max(ts) AS hi FROM events),
+            grid AS (SELECT unnest(generate_series(lo, hi,
+                                   INTERVAL 6 HOUR)) AS grid_ts FROM mm),
+            users AS (SELECT DISTINCT user_id FROM events),
+            g AS (SELECT user_id, grid_ts FROM users CROSS JOIN grid),
+            j AS (SELECT g.user_id, g.grid_ts, e.value,
+                         row_number() OVER (
+                             PARTITION BY g.user_id, g.grid_ts
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                  FROM g JOIN events e
+                    ON e.user_id = g.user_id AND e.ts <= g.grid_ts)
+            SELECT user_id, grid_ts, value FROM j WHERE rn = 1
+            ORDER BY user_id, grid_ts
         """,
         # shuffle-key skew diagnostics: sum-decomposable statistics only
         "events_key_skew": """

@@ -4553,6 +4553,77 @@ def events_drift_psi(
     )
 
 
+def user_value_resampled(
+    sf_dir: str, step_hours: int = 6
+) -> pd.DataFrame:
+    """Time-grid densification with forward-fill: resample each user's
+    irregular event stream onto a regular ``step_hours`` grid, carrying
+    the last observation at-or-before each grid point — the gap-fill /
+    regularization step every metrics or feature pipeline needs before
+    windowed models (an as-of join of a GENERATED grid against the fact
+    stream).
+
+    Scale shape: the grid is generated (never stored), the fact stream
+    moves through ONE hash(user) exchange, and each bucket runs a single
+    vectorized pass for all its users — sort by (user, ts, event_id),
+    then one ``np.searchsorted`` of the shared grid per user slice via
+    the same disjoint-segment trick as ``user_range_window``... here the
+    per-user slice loop is over grid LOOKUPS (G ints per user), so a
+    simple per-user ``searchsorted`` is already vectorized in its hot
+    dimension.  Grid points before a user's first event emit nothing
+    (as-of inner semantics).  Ties at one timestamp resolve to the
+    highest event_id — the row sort order pins it."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(mm["min(ts)"]).floor("h").value // 1000
+    hi = pd.Timestamp(mm["max(ts)"]).value // 1000
+    step_us = step_hours * 3_600_000_000
+    grid = np.arange(lo, hi + 1, step_us, dtype=np.int64)
+    grid_ref = ray.put(grid)
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def resample(g: pd.DataFrame) -> pd.DataFrame:
+        gr = ray.get(grid_ref)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        out_u, out_t, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            idx = np.searchsorted(ts[s:e], gr, side="right") - 1
+            keep = idx >= 0
+            out_u.append(np.full(int(keep.sum()), uid[s], dtype=np.int64))
+            out_t.append(gr[keep])
+            out_v.append(vals[s:e][idx[keep]])
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "grid_ts": pd.to_datetime(np.concatenate(out_t), unit="us"),
+                "value": np.concatenate(out_v),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resample, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+
 def events_key_skew(sf_dir: str) -> pd.DataFrame:
     """Shuffle-key skew diagnostics for the user_id partitioning key: the
     numbers an engine needs BEFORE choosing a join/groupby strategy (salt

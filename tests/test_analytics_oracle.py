@@ -185,6 +185,8 @@ SUBSET = [
     "events_type_dow_chi2",
     # shuffle-key skew diagnostics (sum-decomposable statistics)
     "events_key_skew",
+    # time-grid densification with forward-fill (generated-grid as-of)
+    "user_value_resampled",
 ]
 
 
