@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_dow_chi2": A.events_type_dow_chi2,
         "events_key_skew": A.events_key_skew,
         "user_value_resampled": A.user_value_resampled,
+        "part_copurchase": A.part_copurchase,
         "supplier_name_neardup": A.supplier_name_neardup,
         "price_quantiles_cont": A.price_quantiles_cont,
         "lineitem_checksum": A.lineitem_checksum,
@@ -2548,6 +2549,18 @@ def oracle_sql() -> dict[str, str]:
                    round_even(psi_term, 6) AS psi_term,
                    round_even(s, 6) AS psi_total
             FROM pt, tot ORDER BY bin
+        """,
+        # market-basket pair mining: distinct part pairs per order basket,
+        # support-count threshold
+        "part_copurchase": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+                   count(*)::BIGINT AS n_orders
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey
+             AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY part_a, part_b
         """,
         # time-grid densification with forward-fill (as-of inner semantics,
         # ties at one ts resolve to the highest event_id)

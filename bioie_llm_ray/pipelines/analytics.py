@@ -4553,6 +4553,59 @@ def events_drift_psi(
     )
 
 
+def part_copurchase(sf_dir: str, min_support: int = 3) -> pd.DataFrame:
+    """Market-basket pair mining over order baskets: part pairs that appear
+    together in ≥ ``min_support`` orders (the A-priori support-count step;
+    the fact-table sibling of the document-vocabulary `cooccur_edges`).
+
+    Scale shape: baskets are bounded (a TPC-H order has ≤ 7 lines), so
+    the per-basket pair expansion is safe to fuse into the bucket kernel
+    — ONE hash(orderkey) exchange groups each basket, a vectorized
+    per-bucket pass emits sorted distinct pairs, and the (a, b) support
+    count is a second combiner exchange.  An unbounded-basket variant
+    would cap or salt the hot baskets first (the ER-blocking size-class
+    trick)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["l_orderkey"], n_buckets)),
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair expansion: distinct (order, part) rows
+        # self-merged on the basket key, upper triangle kept — one hash
+        # merge per bucket, never a per-basket Python loop (safe because
+        # baskets are bounded, so the merge blowup is ≤ 7×)
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        j = g.merge(g, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "part_a": j["l_partkey_x"].to_numpy(),
+                "part_b": j["l_partkey_y"].to_numpy(),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Count(alias_name="n_orders"))
+        .filter(expr=f"n_orders >= {min_support}")
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
 def user_value_resampled(
     sf_dir: str, step_hours: int = 6
 ) -> pd.DataFrame:

@@ -187,6 +187,8 @@ SUBSET = [
     "events_key_skew",
     # time-grid densification with forward-fill (generated-grid as-of)
     "user_value_resampled",
+    # market-basket pair mining over bounded order baskets
+    "part_copurchase",
 ]
 
 
