@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": A.kg_negative_samples,
         "kg_communities": A.kg_communities,
         "kg_kcore": A.kg_kcore,
+        "kg_link_prediction": A.kg_link_prediction,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
@@ -823,6 +824,42 @@ def oracle_sql() -> dict[str, str]:
         # synchronous weighted LPA unrolled the same way
         "kg_communities": O.lpa_sql(),
         "kg_kcore": O.kcore_sql(),
+        # Adamic-Adar link prediction: wedges via the shared strong-edge
+        # CTEs, scores rounded BEFORE ranking on both sides
+        "kg_link_prediction": r"""
+            WITH m AS MATERIALIZED (
+                SELECT DISTINCT doc_id, token
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                                 AS token
+                      FROM documents)
+                WHERE token IN ('spark','hash','join','merge','sort',
+                                'filter','window','vector','stream','batch')),
+            und AS MATERIALIZED (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+                HAVING count(*) >= 326),
+            half AS (SELECT o AS mid, s AS endpoint FROM und
+                     UNION ALL SELECT s, o FROM und),
+            deg AS (SELECT mid AS node, count(*) AS d FROM half GROUP BY 1),
+            wedge AS (
+                SELECT h1.endpoint AS src, h2.endpoint AS dst, h1.mid
+                FROM half h1 JOIN half h2 USING (mid)
+                WHERE h1.endpoint < h2.endpoint),
+            aa AS (
+                SELECT src, dst, count(*) AS cn,
+                       round_even(sum(1.0 / ln(d)), 6) AS adamic_adar
+                FROM wedge JOIN deg ON deg.node = wedge.mid
+                GROUP BY 1, 2),
+            cand AS (
+                SELECT * FROM aa
+                WHERE NOT EXISTS (SELECT 1 FROM und
+                                  WHERE und.s = aa.src AND und.o = aa.dst))
+            SELECT src, dst, cn::BIGINT AS common_neighbors, adamic_adar
+            FROM cand
+            ORDER BY adamic_adar DESC, src, dst LIMIT 20
+        """,
         "kg_code_triples": O.values_sql(O.expected_kg_code_triples()),
         "kg_incremental_triples": O.values_sql(
             O.expected_kg_incremental_triples()

@@ -6125,6 +6125,132 @@ def kg_kcore(
     return out.sort_values("entity").reset_index(drop=True)
 
 
+def kg_link_prediction(
+    sf_dir: str, min_support: int = 326, top_n: int = 20
+) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the strong-edge KG: rank
+    NON-adjacent entity pairs by Σ_mid 1/ln(deg(mid)) over their common
+    neighbors — the classic KG-completion candidate generator (which
+    missing edges should extraction look for next?).
+
+    Scale shape: degrees are vocabulary-bounded and broadcast; wedges form
+    in ONE exchange keyed on the middle node (the kg_two_hop_paths
+    partitioning) with the Adamic-Adar contribution folded inside the
+    bucket kernel; per-pair partials combine in a second bucketed
+    exchange; existing edges drop via the DISTRIBUTED anti join (the edge
+    set is itself fact-sized at web scale, never a driver set); the final
+    cut is the ORDER BY ... LIMIT primitive.  Scores round to 6 dp BEFORE
+    ranking on both sides so summation-order ulps cannot flip the cut."""
+    from ..stages.graph import node_degrees
+    from ..stages.join import shuffle_join, shuffle_semi_join
+    from ..stages.rollup import grouped_agg
+    from ..stages.sample import distributed_sort_top_k
+
+    edges = _cooccur_edge_counts(
+        sf_dir, min_support=min_support
+    ).materialize()  # consumed by degrees, wedges, and the anti join
+    deg = {
+        r["entity"]: int(r["degree"])
+        for r in node_degrees(edges).take_all()
+    }
+    deg_ref = ray.put(deg)
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        s = batch["subj"].combine_chunks().cast(pa.string())
+        o = batch["obj"].combine_chunks().cast(pa.string())
+        return pa.table(
+            {
+                "mid": pa.concat_arrays([o, s]),
+                "endpoint": pa.concat_arrays([s, o]),
+            }
+        )
+
+    half = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    right = half.map_batches(
+        lambda b: b.rename_columns(["mid", "endpoint_b"]),
+        batch_format="pyarrow",
+    )
+
+    def aa_post(joined: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        mask = pc.less(joined["endpoint"], joined["endpoint_b"])
+        j = joined.filter(mask)
+        inv = np.array(
+            [1.0 / np.log(d[m]) for m in j["mid"].to_pylist()],
+            dtype=np.float64,
+        )
+        df = pd.DataFrame(
+            {
+                "src": j["endpoint"].to_pylist(),
+                "dst": j["endpoint_b"].to_pylist(),
+                "aa": inv,
+            }
+        )
+        agg = df.groupby(["src", "dst"]).agg(
+            aa=("aa", "sum"), cn=("aa", "size")
+        )
+        return pa.Table.from_pandas(
+            agg.reset_index(), preserve_index=False
+        )
+
+    wedges = shuffle_join(
+        half,
+        right,
+        keys="mid",
+        n_buckets=16,
+        left_schema={"mid": pa.string(), "endpoint": pa.string()},
+        right_schema={"mid": pa.string(), "endpoint_b": pa.string()},
+        bucket_post=aa_post,
+    )
+    scores = grouped_agg(
+        wedges,
+        keys=["src", "dst"],
+        aggs={"aa": ("aa", "sum"), "cn": ("cn", "sum")},
+        n_buckets=16,
+        partial=True,
+    )
+    existing = edges.map_batches(
+        lambda b: pa.table({"src": b["subj"], "dst": b["obj"]}),
+        batch_format="pyarrow",
+    )
+    cand = shuffle_semi_join(
+        scores,
+        existing,
+        keys=["src", "dst"],
+        anti=True,
+        n_buckets=16,
+        left_schema={
+            "src": pa.string(),
+            "dst": pa.string(),
+            "aa": pa.float64(),
+            "cn": pa.int64(),
+        },
+    ).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("aa"),
+            "aa",
+            pa.array(
+                np.round(
+                    b["aa"].to_numpy(zero_copy_only=False), 6
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    top = distributed_sort_top_k(
+        cand,
+        sort_cols=["aa", "src", "dst"],
+        ascending=[False, True, True],
+        k=top_n,
+    )
+    top["cn"] = top["cn"].astype("int64")
+    return top.rename(
+        columns={"cn": "common_neighbors", "aa": "adamic_adar"}
+    )[["src", "dst", "common_neighbors", "adamic_adar"]].reset_index(
+        drop=True
+    )
+
+
 def events_box_pruned(sf_dir: str) -> pd.DataFrame:
     """2-D box query over a Z-ORDERED zone-mapped events store
     (state/zorder_store): files are clustered on the Morton curve of

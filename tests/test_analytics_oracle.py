@@ -189,6 +189,8 @@ SUBSET = [
     "user_value_resampled",
     # market-basket pair mining over bounded order baskets
     "part_copurchase",
+    # Adamic-Adar link prediction over non-adjacent strong-edge pairs
+    "kg_link_prediction",
 ]
 
 
