@@ -110,8 +110,19 @@ def _count_parquet_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
-def read_checkpoint(root: str, columns=None) -> "ray.data.Dataset":
-    """Read every completed partition back as one Dataset."""
+def read_checkpoint(
+    root: str, columns=None, evolve_schema: "pa.Schema | None" = None
+) -> "ray.data.Dataset":
+    """Read every completed partition back as one Dataset.
+
+    ``evolve_schema``: schema-evolution-tolerant read for long-lived
+    checkpoints — partitions written BEFORE a column was added come back
+    with that column null-filled (and cast to the declared type), so a
+    backfill job can union old and new partitions without a rewrite.
+    Columns present on disk but absent from the schema are dropped.
+    The conform step is a per-batch Arrow projection — zero shuffle.
+    """
+    import pyarrow as pa
     import ray.data
 
     paths = [
@@ -124,7 +135,22 @@ def read_checkpoint(root: str, columns=None) -> "ray.data.Dataset":
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
-    return ray.data.read_parquet(files, columns=columns)
+    ds = ray.data.read_parquet(files, columns=columns)
+    if evolve_schema is None:
+        return ds
+
+    target = evolve_schema
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for field in target:
+            if field.name in batch.column_names:
+                cols.append(batch[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(len(batch), type=field.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    return ds.map_batches(conform, batch_format="pyarrow")
 
 
 def read_manifest(root: str, part_id: str) -> dict:

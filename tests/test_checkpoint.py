@@ -190,3 +190,27 @@ class TestCompaction:
         cp.write_partition(root, "p0", ds)
         man = cp.compact_partition(root, "p0")
         assert "compaction" not in man
+
+
+class TestSchemaEvolution:
+    def test_old_partitions_null_fill_new_columns(self, tmp_path):
+        """Partitions written before a column existed read back with it
+        null-filled and typed; extra on-disk columns drop; values cast."""
+        import pyarrow as pa
+
+        root = str(tmp_path / "ck")
+        old = ray.data.from_items([{"x": i, "legacy": "old"} for i in range(3)])
+        new = ray.data.from_items(
+            [{"x": 10 + i, "score": float(i)} for i in range(2)]
+        )
+        checkpoint.write_partition(root, "p0", old, {"v": 1})
+        checkpoint.write_partition(root, "p1", new, {"v": 2})
+        target = pa.schema(
+            [("x", pa.int64()), ("score", pa.float64())]
+        )
+        out = checkpoint.read_checkpoint(root, evolve_schema=target)
+        df = out.to_pandas().sort_values("x").reset_index(drop=True)
+        assert list(df.columns) == ["x", "score"]
+        assert df["score"].isna().sum() == 3  # old partition null-filled
+        assert df["score"].dropna().tolist() == [0.0, 1.0]
+        assert "legacy" not in df.columns
