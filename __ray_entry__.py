@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": A.kg_communities,
         "kg_kcore": A.kg_kcore,
         "kg_link_prediction": A.kg_link_prediction,
+        "kg_graph_stats": A.kg_graph_stats,
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
@@ -824,6 +825,53 @@ def oracle_sql() -> dict[str, str]:
         # synchronous weighted LPA unrolled the same way
         "kg_communities": O.lpa_sql(),
         "kg_kcore": O.kcore_sql(),
+        # graph-health diagnostics: CSN power-law alpha + assortativity,
+        # every statistic a sum decomposition over the shared edge CTEs
+        "kg_graph_stats": r"""
+            WITH m AS MATERIALIZED (
+                SELECT DISTINCT doc_id, token
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                                 AS token
+                      FROM documents)
+                WHERE token IN ('spark','hash','join','merge','sort',
+                                'filter','window','vector','stream','batch')),
+            und AS MATERIALIZED (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+                HAVING count(*) >= 326),
+            half AS (SELECT o AS mid, s AS endpoint FROM und
+                     UNION ALL SELECT s, o FROM und),
+            deg AS (SELECT mid AS node, count(*)::DOUBLE AS d
+                    FROM half GROUP BY 1),
+            dstat AS (SELECT count(*)::DOUBLE AS n, sum(ln(d)) AS sln,
+                             min(d) AS dmin, max(d) AS dmax
+                      FROM deg),
+            es AS (SELECT count(*)::DOUBLE AS ne FROM und),
+            pairs AS (
+                SELECT da.d AS x, db.d AS y
+                FROM und JOIN deg da ON da.node = und.s
+                         JOIN deg db ON db.node = und.o
+                UNION ALL
+                SELECT db.d, da.d
+                FROM und JOIN deg da ON da.node = und.s
+                         JOIN deg db ON db.node = und.o),
+            mo AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx,
+                          sum(x * x) AS sxx, sum(x * y) AS sxy
+                   FROM pairs)
+            SELECT n::BIGINT AS n_nodes, ne::BIGINT AS n_edges,
+                   round_even(2.0 * ne / n, 6) AS avg_degree,
+                   dmax::BIGINT AS max_degree,
+                   round_even(CASE WHEN sln - n * ln(dmin) > 0
+                                   THEN 1.0 + n / (sln - n * ln(dmin))
+                                   ELSE 0 END, 6) AS powerlaw_alpha,
+                   round_even(CASE WHEN sxx / mo.m - (sx / mo.m) ^ 2 > 0
+                                   THEN (sxy / mo.m - (sx / mo.m) ^ 2)
+                                        / (sxx / mo.m - (sx / mo.m) ^ 2)
+                                   ELSE 0 END, 6) AS assortativity
+            FROM dstat, es, mo
+        """,
         # Adamic-Adar link prediction: wedges via the shared strong-edge
         # CTEs, scores rounded BEFORE ranking on both sides
         "kg_link_prediction": r"""

@@ -6125,6 +6125,81 @@ def kg_kcore(
     return out.sort_values("entity").reset_index(drop=True)
 
 
+def kg_graph_stats(sf_dir: str, min_support: int = 326) -> pd.DataFrame:
+    """One-row graph-health diagnostics for the strong-edge KG: node/edge
+    counts, average and max degree, the continuous power-law MLE exponent
+    α = 1 + n / (Σ ln d − n·ln d_min) (Clauset-Shalizi-Newman form — the
+    "is this a scale-free mention graph or a templated artifact" check),
+    and degree assortativity (Pearson r of endpoint degrees over both
+    edge orientations).
+
+    Scale shape: the degree table folds through ONE combiner pass (n,
+    Σ ln d, min, max — four scalars per block, never the table on the
+    driver); assortativity folds edge-level moments with the
+    vocabulary-bounded degree map broadcast.  Every statistic is a sum
+    decomposition, no sort anywhere."""
+    from ..stages.graph import node_degrees
+
+    edges = _cooccur_edge_counts(sf_dir, min_support=min_support).materialize()
+    deg_tbl = node_degrees(edges).materialize()
+
+    def deg_moments(batch: pa.Table) -> pa.Table:
+        d = batch["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], type=pa.int64()),
+                "sln": pa.array([float(np.log(d).sum())]),
+                "dmin": pa.array([int(d.min())], type=pa.int64()),
+                "dmax": pa.array([int(d.max())], type=pa.int64()),
+            }
+        )
+
+    dm = deg_tbl.map_batches(deg_moments, batch_format="pyarrow").to_pandas()
+    n_nodes = int(dm["n"].sum())
+    sln, dmin, dmax = float(dm["sln"].sum()), int(dm["dmin"].min()), int(dm["dmax"].max())
+    denom = sln - n_nodes * np.log(dmin)
+    alpha = 1.0 + n_nodes / denom if denom > 0 else 0.0
+
+    deg = {
+        r["entity"]: float(r["degree"]) for r in deg_tbl.take_all()
+    }
+    deg_ref = ray.put(deg)
+    n_edges = edges.count()
+
+    def edge_moments(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        x = np.array([d[s] for s in batch["subj"].to_pylist()])
+        y = np.array([d[o] for o in batch["obj"].to_pylist()])
+        # both orientations: symmetrize so x/y marginals match
+        xs = np.concatenate([x, y])
+        ys = np.concatenate([y, x])
+        return pa.table(
+            {
+                "m": pa.array([len(xs)], type=pa.int64()),
+                "sx": pa.array([float(xs.sum())]),
+                "sxx": pa.array([float((xs**2).sum())]),
+                "sxy": pa.array([float((xs * ys).sum())]),
+            }
+        )
+
+    em = edges.map_batches(edge_moments, batch_format="pyarrow").to_pandas()
+    m = float(em["m"].sum())
+    mx = em["sx"].sum() / m
+    var = em["sxx"].sum() / m - mx**2
+    cov = em["sxy"].sum() / m - mx**2
+    assort = cov / var if var > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_nodes": [n_nodes],
+            "n_edges": [int(n_edges)],
+            "avg_degree": [round(2.0 * n_edges / n_nodes, 6)],
+            "max_degree": [dmax],
+            "powerlaw_alpha": [round(float(alpha), 6)],
+            "assortativity": [round(float(assort), 6)],
+        }
+    )
+
+
 def kg_link_prediction(
     sf_dir: str, min_support: int = 326, top_n: int = 20
 ) -> pd.DataFrame:

@@ -191,6 +191,8 @@ SUBSET = [
     "part_copurchase",
     # Adamic-Adar link prediction over non-adjacent strong-edge pairs
     "kg_link_prediction",
+    # graph-health diagnostics (power-law alpha, assortativity)
+    "kg_graph_stats",
 ]
 
 
