@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_activity": A.user_hourly_activity,
         "user_sessions": A.user_sessions,
         "user_session_spans": A.user_session_spans,
+        "user_sessions_incremental": A.user_sessions_incremental,
         "purchase_in_session": A.purchase_in_session,
         "top_events_per_user": A.top_events_per_user,
         "user_sliding_window": A.user_sliding_window,
@@ -1186,6 +1187,28 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    count(*) AS n_events
             FROM sids GROUP BY 1, 2
+        """,
+        # incremental sessionize: the oracle IS the full recompute — the
+        # gate proves the delta-driven path equals rebuilding from scratch
+        "user_sessions_incremental": """
+            WITH flags AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            sids AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags)
+            SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_idx,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   count(*) AS n_events
+            FROM sids GROUP BY 1, 2
+            ORDER BY user_id, session_idx
         """,
         "purchase_in_session": """
             WITH flags AS (

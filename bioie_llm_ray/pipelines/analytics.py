@@ -461,6 +461,68 @@ def user_session_spans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def user_sessions_incremental(sf_dir: str, delta_mod: int = 10) -> pd.DataFrame:
+    """Incremental sessionization: a late-arriving delta batch (simulated
+    as ``event_id % delta_mod == 0``) triggers recomputation ONLY for the
+    users it touches; everyone else's session spans are reused verbatim
+    from the base run — the incremental-processing counterpart of
+    ``user_session_spans``, and the oracle IS the full recompute, so the
+    gate proves incremental == full.
+
+    Scale shape: the delta's touched-user set stays distributed — both
+    the full event stream (for the recompute input) and the base spans
+    (for the reuse side) are filtered with ``shuffle_semi_join`` on
+    user_id (semi for touched, anti for untouched); the union streams.
+    Per-touched-user cost is one sessionize over that user's events only."""
+    from ..stages.join import shuffle_semi_join
+    from ..stages.window import sessionize
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def split(batch: pa.Table, want_delta: bool) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        m = (eid % delta_mod == 0) == want_delta
+        return batch.filter(pa.array(m))
+
+    base = events.map_batches(
+        lambda b: split(b, want_delta=False), batch_format="pyarrow"
+    )
+    delta_users = events.map_batches(
+        lambda b: split(b, want_delta=True), batch_format="pyarrow"
+    ).select_columns(["user_id"])
+
+    base_spans = sessionize(
+        base.select_columns(["user_id", "ts"]), key_col="user_id", ts_col="ts"
+    ).materialize()  # "yesterday's output", reused on the untouched side
+
+    span_schema = {
+        "user_id": pa.int64(),
+        "session_idx": pa.int64(),
+        "start_ts": pa.timestamp("us"),
+        "end_ts": pa.timestamp("us"),
+        "n_events": pa.int64(),
+    }
+    untouched = shuffle_semi_join(
+        base_spans,
+        delta_users,
+        keys="user_id",
+        anti=True,
+        left_schema=span_schema,
+    )
+    touched_events = shuffle_semi_join(
+        events.select_columns(["user_id", "ts"]),
+        delta_users,
+        keys="user_id",
+        left_schema={"user_id": pa.int64(), "ts": pa.timestamp("us")},
+    )
+    recomputed = sessionize(touched_events, key_col="user_id", ts_col="ts")
+
+    out = untouched.union(recomputed).to_pandas()
+    out["session_idx"] = out["session_idx"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 def purchase_in_session(sf_dir: str) -> pd.DataFrame:
     """Each purchase event joined to the session span that contains it.
 

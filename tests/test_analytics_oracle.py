@@ -193,6 +193,8 @@ SUBSET = [
     "kg_link_prediction",
     # graph-health diagnostics (power-law alpha, assortativity)
     "kg_graph_stats",
+    # incremental sessionize: oracle is the full recompute
+    "user_sessions_incremental",
 ]
 
 
