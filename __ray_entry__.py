@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
         "doc_language_id": A.doc_language_id,
         "doc_unigram_lm": A.doc_unigram_lm,
+        "doc_bigram_perplexity": A.doc_bigram_perplexity,
         "customer_order_counts": A.customer_order_counts,
         "orders_with_returns": A.orders_with_returns,
         "lineitem_rollup": A.lineitem_rollup,
@@ -1312,6 +1313,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        # bigram LM: add-0.5 smoothing, rounded-rank top-15 weird tail
+        "doc_bigram_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''),
+            big AS (
+                SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+                FROM toks, unnest(range(1, len(arr))) AS t(i)),
+            bc AS (SELECT w1, w2, count(*)::DOUBLE AS c12
+                   FROM big GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+            v AS (SELECT count(DISTINCT w)::DOUBLE AS vsz
+                  FROM (SELECT unnest(arr) AS w FROM toks)),
+            sc AS (
+                SELECT b.doc_id,
+                       sum(-log2((bc.c12 + 0.5) / (ctx.c1 + 0.5 * vsz)))
+                           AS bits,
+                       count(*) AS n
+                FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+                CROSS JOIN v
+                GROUP BY 1)
+            SELECT doc_id,
+                   round_even(bits / n, 6) AS bits_per_bigram,
+                   n::BIGINT AS n_bigrams
+            FROM sc
+            ORDER BY round_even(bits / n, 6) DESC, doc_id LIMIT 15
         """,
         "doc_unigram_lm": f"""
             WITH tok AS ({_TOKENS}),

@@ -3156,6 +3156,163 @@ def purchase_since_signup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_bigram_perplexity(
+    sf_dir: str, k_smooth: float = 0.5, top_n: int = 15
+) -> pd.DataFrame:
+    """Bigram LM perplexity per document (bits/bigram, add-k smoothing) —
+    the conditional-probability upgrade of ``doc_unigram_lm``, and a
+    different SCALE SHAPE: a web-corpus bigram table cannot broadcast, so
+    scoring is a distributed FACT-FACT join — doc-bigram emissions ⋈ the
+    bigram-stat table on (w1, w2), both sides streaming through one
+    bucketed exchange, per-doc partial log-sums folding inside the join
+    buckets.  p(w2|w1) = (c12 + k) / (c1 + k·V); every scored bigram was
+    counted from this corpus, so the join never misses.
+
+    Output: the ``top_n`` most-perplexing documents (rounded bits/bigram
+    rank, doc_id tie-break) — the CCNet-style 'weird tail' surfacing."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import shuffle_join
+    from ..stages.rollup import grouped_agg
+    from ..stages.sample import distributed_sort_top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        arr = flat.to_numpy(zero_copy_only=False)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # adjacent flat tokens with the same parent form a bigram —
+        # fully vectorized, no per-doc loop
+        same = par[1:] == par[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    dids[par[:-1][same]], type=pa.int64()
+                ),
+                "w1": pa.array(arr[:-1][same], type=pa.string()),
+                "w2": pa.array(arr[1:][same], type=pa.string()),
+            }
+        )
+
+    emis = ds.map_batches(bigrams, batch_format="pyarrow").materialize()
+
+    bc = grouped_agg(
+        emis.map_batches(
+            lambda b: b.drop_columns(["doc_id"]), batch_format="pyarrow"
+        ).map_batches(
+            lambda b: b.append_column(
+                "c", pa.array(np.ones(len(b), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["w1", "w2"],
+        aggs={"c12": ("c", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).materialize()
+    ctx = grouped_agg(
+        bc,
+        keys=["w1"],
+        aggs={"c1": ("c12", "sum")},
+        n_buckets=16,
+        partial=True,
+    )
+
+    # exact distinct-token count (the smoothing V)
+    def uni(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        return pa.table({"token": flat.filter(pc.not_equal(flat, "")).unique()})
+
+    vsz = float(
+        ds.map_batches(uni, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count())
+        .count()
+    )
+
+    stats = shuffle_join(
+        bc,
+        ctx,
+        keys="w1",
+        n_buckets=16,
+        left_schema={
+            "w1": pa.string(),
+            "w2": pa.string(),
+            "c12": pa.int64(),
+        },
+        right_schema={"w1": pa.string(), "c1": pa.int64()},
+    )
+
+    def score_post(joined: pa.Table) -> pa.Table:
+        c12 = joined["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = joined["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bits = -np.log2((c12 + k_smooth) / (c1 + k_smooth * vsz))
+        df = pd.DataFrame(
+            {"doc_id": joined["doc_id"].to_numpy(zero_copy_only=False), "bits": bits}
+        )
+        agg = df.groupby("doc_id").agg(bits=("bits", "sum"), n=("bits", "size"))
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    scored = shuffle_join(
+        emis,
+        stats,
+        keys=["w1", "w2"],
+        n_buckets=16,
+        left_schema={
+            "doc_id": pa.int64(),
+            "w1": pa.string(),
+            "w2": pa.string(),
+        },
+        right_schema={
+            "w1": pa.string(),
+            "w2": pa.string(),
+            "c12": pa.int64(),
+            "c1": pa.int64(),
+        },
+        bucket_post=score_post,
+    )
+    per_doc = grouped_agg(
+        scored,
+        keys=["doc_id"],
+        aggs={"bits": ("bits", "sum"), "n": ("n", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bits_per_bigram": pa.array(
+                    np.round(
+                        b["bits"].to_numpy(zero_copy_only=False)
+                        / b["n"].to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+                "n_bigrams": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = distributed_sort_top_k(
+        per_doc,
+        sort_cols=["bits_per_bigram", "doc_id"],
+        ascending=[False, True],
+        k=top_n,
+    )
+    top["n_bigrams"] = top["n_bigrams"].astype("int64")
+    return top[["doc_id", "bits_per_bigram", "n_bigrams"]].reset_index(
+        drop=True
+    )
+
+
 def doc_unigram_lm(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
     """Unigram language-model perplexity score per document (bits/token).
 

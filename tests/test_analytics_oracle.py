@@ -195,6 +195,8 @@ SUBSET = [
     "kg_graph_stats",
     # incremental sessionize: oracle is the full recompute
     "user_sessions_incremental",
+    # bigram LM scored via a distributed fact-fact join
+    "doc_bigram_perplexity",
 ]
 
 
