@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ks": A.events_value_ks,
         "events_type_dow_chi2": A.events_type_dow_chi2,
         "events_key_skew": A.events_key_skew,
+        "price_weighted_median": A.price_weighted_median,
         "user_value_resampled": A.user_value_resampled,
         "part_copurchase": A.part_copurchase,
         "supplier_name_neardup": A.supplier_name_neardup,
@@ -2716,6 +2717,17 @@ def oracle_sql() -> dict[str, str]:
                     ON e.user_id = g.user_id AND e.ts <= g.grid_ts)
             SELECT user_id, grid_ts, value FROM j WHERE rn = 1
             ORDER BY user_id, grid_ts
+        """,
+        # quantity-weighted exact median (lower-median convention)
+        "price_weighted_median": """
+            WITH g AS (SELECT l_extendedprice AS s,
+                              sum(l_quantity)::DOUBLE AS w
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(w) AS tw FROM g),
+            c AS (SELECT s, sum(w) OVER (ORDER BY s) AS cum FROM g)
+            SELECT round_even(min(s), 2) AS weighted_median,
+                   (SELECT tw FROM t)::BIGINT AS total_weight
+            FROM c, t WHERE cum >= tw / 2.0
         """,
         # shuffle-key skew diagnostics: sum-decomposable statistics only
         "events_key_skew": """

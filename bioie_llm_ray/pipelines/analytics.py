@@ -4896,6 +4896,64 @@ def user_value_resampled(
     return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
 
 
+def price_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Exact QUANTITY-WEIGHTED median of extended price — the weighted
+    percentile operator (lower-weighted-median convention: the smallest
+    price whose cumulative quantity reaches half the total).  Third
+    consumer of ``stages/scan.ordered_count_scan``: one exchange collapses
+    lineitem to the distinct-price weight table, the range-bucketed scan
+    gives each bucket its incoming cumulative weight, and only the ONE
+    bucket straddling W/2 reads off the answer (every other bucket folds
+    to nothing)."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.scan import ordered_count_scan
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def to_sw(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pc.cast(batch["l_extendedprice"], pa.float64()),
+                "w": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(to_sw, batch_format="pyarrow"),
+        keys=["s"],
+        aggs={"w": ("w", "sum")},
+        n_buckets=32,
+        partial=True,
+    )
+    tagged, offsets, totals = ordered_count_scan(g, "s", ["w"])
+    total_w = totals["w"]
+    half = total_w / 2.0
+    off_ref = ray.put(offsets["w"])
+
+    def pick(gdf: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        gdf = gdf.sort_values("s", kind="mergesort")
+        w = gdf["w"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(w) + off[int(gdf["__b"].iloc[0])]
+        hit = np.flatnonzero(cum >= half)
+        if len(hit) == 0 or (cum[hit[0]] - w[hit[0]]) >= half:
+            # the straddle happens in another bucket
+            return pd.DataFrame({"median": pd.Series(dtype="float64")})
+        return pd.DataFrame({"median": [float(gdf["s"].iloc[hit[0]])]})
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "weighted_median": [round(float(parts["median"].min()), 2)],
+            "total_weight": [int(total_w)],
+        }
+    )
+
+
 def events_key_skew(sf_dir: str) -> pd.DataFrame:
     """Shuffle-key skew diagnostics for the user_id partitioning key: the
     numbers an engine needs BEFORE choosing a join/groupby strategy (salt

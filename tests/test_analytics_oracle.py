@@ -197,6 +197,8 @@ SUBSET = [
     "user_sessions_incremental",
     # bigram LM scored via a distributed fact-fact join
     "doc_bigram_perplexity",
+    # exact weighted median via the shared ordered-count scan
+    "price_weighted_median",
 ]
 
 
