@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_score_auc": A.events_score_auc,
         "sample_join_weighted": A.sample_join_weighted,
         "events_late_arrivals": A.events_late_arrivals,
+        "error_click_correlation": A.error_click_correlation,
         "events_drift_psi": A.events_drift_psi,
         "events_value_ks": A.events_value_ks,
         "events_type_dow_chi2": A.events_type_dow_chi2,
@@ -2785,6 +2786,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT sa::BIGINT AS n_a, sb::BIGINT AS n_b,
                    round_even(max(abs(ca / sa - cb / sb)), 6) AS ks_d
             FROM c, tot GROUP BY sa, sb
+        """,
+        # stream-stream windowed join: (error, click) pairs within ±5 min
+        # per user, inclusive band edges
+        "error_click_correlation": """
+            WITH e AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'error'),
+            c AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            p AS (SELECT e.user_id, count(*) AS n_pairs
+                  FROM e JOIN c ON c.user_id = e.user_id
+                               AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+                                            AND e.ts + INTERVAL 5 MINUTE
+                  GROUP BY 1),
+            ec AS (SELECT user_id, count(*) AS n_errors FROM e GROUP BY 1),
+            cc AS (SELECT user_id, count(*) AS n_clicks FROM c GROUP BY 1)
+            SELECT ec.user_id, ec.n_errors::BIGINT AS n_errors,
+                   coalesce(cc.n_clicks, 0)::BIGINT AS n_clicks,
+                   coalesce(p.n_pairs, 0)::BIGINT AS n_pairs
+            FROM ec LEFT JOIN cc USING (user_id)
+                    LEFT JOIN p USING (user_id)
+            ORDER BY user_id
         """,
         # streaming watermark accounting: running event-time max over the
         # arrival order (event_id), late = below watermark - 10 min

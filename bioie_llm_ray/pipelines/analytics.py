@@ -5127,6 +5127,97 @@ def events_value_ks(
     )
 
 
+def error_click_correlation(
+    sf_dir: str, band_min: int = 5
+) -> pd.DataFrame:
+    """Stream-stream WINDOWED JOIN: for each user, how many (error, click)
+    event pairs fall within ±``band_min`` minutes of each other — the
+    time-band equi-join every streaming engine special-cases (Flink
+    interval join), here as ONE hash(user) exchange + a per-bucket sorted
+    two-pointer: clicks sorted once per bucket, each error's band
+    resolved by two ``np.searchsorted`` calls against its user's click
+    slice (the disjoint-segment trick from ``user_range_window`` makes
+    that a single vectorized call for ALL users in the bucket).  Output
+    per user: error count, click count, and correlated-pair count."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    band_us = band_min * 60_000_000
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_type": batch["event_type"],
+            }
+        ).filter(
+            pc.or_(
+                pc.equal(batch["event_type"], "error"),
+                pc.equal(batch["event_type"], "click"),
+            )
+        )
+        return t.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(t["user_id"], n_buckets)),
+        )
+
+    def correlate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_err = (g["event_type"] == "error").to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        rel = ts - np.repeat(ts[starts], counts)
+        # disjoint per-user segments packed back-to-back with the SAME
+        # int64-headroom chunking as user_range_window — a global
+        # rank*max_span key would wrap at scale
+        spans = rel[np.r_[starts[1:] - 1, n - 1]]
+        seg = spans + 2 * band_us + 2
+        chunk_of_user = (
+            np.cumsum(seg.astype(np.float64)) / _RANGE_SEG_CHUNK
+        ).astype(np.int64)
+        row_user = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        pairs = np.empty(int(is_err.sum()), dtype=np.int64)
+        err_pos = np.cumsum(is_err) - 1  # error row -> output slot
+        local_rank = np.empty(len(starts), dtype=np.int64)
+        for ch in np.unique(chunk_of_user):
+            um = chunk_of_user == ch
+            rm = um[row_user]
+            base = np.concatenate(
+                [[0], np.cumsum(seg[um] + 2 * band_us)[:-1]]
+            ).astype(np.int64)
+            local_rank[um] = np.arange(int(um.sum()), dtype=np.int64)
+            key = base[local_rank[row_user[rm]]] + rel[rm] + band_us
+            em = is_err[rm]
+            ck = key[~em]
+            ek = key[em]
+            lo = np.searchsorted(ck, ek - band_us, side="left")
+            hi = np.searchsorted(ck, ek + band_us, side="right")
+            pairs[err_pos[rm][em]] = hi - lo
+        e_uid = uid[is_err]
+        df = pd.DataFrame({"user_id": e_uid, "pairs": pairs})
+        agg = df.groupby("user_id").agg(
+            n_errors=("pairs", "size"), n_pairs=("pairs", "sum")
+        )
+        clicks = pd.Series(uid[~is_err]).value_counts()
+        agg["n_clicks"] = clicks.reindex(agg.index).fillna(0).astype(np.int64)
+        return agg.reset_index().astype(
+            {"n_errors": "int64", "n_pairs": "int64"}
+        )[["user_id", "n_errors", "n_clicks", "n_pairs"]]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(correlate, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def events_late_arrivals(
     sf_dir: str, delay_min: int = 10, n_buckets: int = 64
 ) -> pd.DataFrame:

@@ -199,6 +199,8 @@ SUBSET = [
     "doc_bigram_perplexity",
     # exact weighted median via the shared ordered-count scan
     "price_weighted_median",
+    # stream-stream windowed join (time-band equi-join per user)
+    "error_click_correlation",
 ]
 
 

@@ -411,3 +411,37 @@ class TestRangeWindowChunking:
         monkeypatch.setattr(analytics, "_RANGE_SEG_CHUNK", 1.0)
         chunked = analytics.user_range_window(str(tmp_path))
         pd.testing.assert_frame_equal(fast, chunked)
+
+
+class TestStreamStreamJoin:
+    def test_chunked_band_join_matches_fast_path(self, tmp_path, monkeypatch):
+        """Forcing one searchsorted chunk per user must not change the
+        (error, click) pair counts."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines import analytics
+
+        rng = np.random.RandomState(3)
+        base = pd.Timestamp("2024-05-01").value // 1000
+        n = 300
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 8, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    base + rng.randint(0, 2 * 3600 * 1_000_000, n), unit="us"
+                ),
+                "event_type": rng.choice(["error", "click", "view"], n),
+                "value": np.zeros(n),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(tmp_path / "events.parquet"),
+        )
+        fast = analytics.error_click_correlation(str(tmp_path))
+        monkeypatch.setattr(analytics, "_RANGE_SEG_CHUNK", 1.0)
+        chunked = analytics.error_click_correlation(str(tmp_path))
+        pd.testing.assert_frame_equal(fast, chunked)
+        assert fast["n_pairs"].sum() > 0  # dense hours correlate
