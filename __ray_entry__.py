@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_set_ops": A.lang_token_set_ops,
         "lang_token_association": A.lang_token_association,
         "label_centroids": A.label_centroids,
+        "embedding_cohesion": A.embedding_cohesion,
         "events_global_rank": A.events_global_rank,
         "user_moving_avg": A.user_moving_avg,
         "user_range_window": A.user_range_window,
@@ -1678,6 +1679,39 @@ def oracle_sql() -> dict[str, str]:
             FROM mo
         """,
         "lang_token_association": _g2_sql(),
+        # silhouette-lite: own-centroid cosine + margin over best competitor
+        "embedding_cohesion": """
+            WITH ve AS (
+                SELECT vec_id, label, i AS j, embedding[i]::DOUBLE AS x
+                FROM embeddings,
+                     unnest(range(1, len(embedding) + 1)) AS t(i)),
+            cent AS (SELECT label, j, avg(x) AS v FROM ve GROUP BY 1, 2),
+            cn AS (SELECT label, sqrt(sum(v * v)) AS nv FROM cent GROUP BY 1),
+            vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM ve GROUP BY 1),
+            dots AS (SELECT ve.vec_id, c.label AS clabel,
+                            sum(ve.x * c.v) AS dp
+                     FROM ve JOIN cent c USING (j) GROUP BY 1, 2),
+            sims AS (SELECT d.vec_id, d.clabel,
+                            d.dp / (vn.nx * cn.nv) AS cos
+                     FROM dots d JOIN vn USING (vec_id)
+                                 JOIN cn ON cn.label = d.clabel),
+            vl AS (SELECT DISTINCT vec_id, label FROM ve),
+            own AS (SELECT s.vec_id, s.cos AS own_cos
+                    FROM sims s JOIN vl ON vl.vec_id = s.vec_id
+                                       AND vl.label = s.clabel),
+            oth AS (SELECT s.vec_id, max(s.cos) AS best_other
+                    FROM sims s JOIN vl ON vl.vec_id = s.vec_id
+                                       AND vl.label <> s.clabel
+                    GROUP BY 1),
+            per AS (SELECT vl.label, own.own_cos,
+                           own.own_cos - oth.best_other AS margin
+                    FROM vl JOIN own USING (vec_id)
+                            JOIN oth USING (vec_id))
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+                   round_even(avg(own_cos), 6) AS mean_own_cos,
+                   round_even(avg(margin), 6) AS mean_margin
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
         "label_centroids": """
             SELECT label::BIGINT AS label, u.i::BIGINT AS i,
                    round_even(sum(u.v) / count(*), 9) AS mean

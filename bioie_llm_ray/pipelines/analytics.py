@@ -6975,6 +6975,80 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def embedding_cohesion(sf_dir: str) -> pd.DataFrame:
+    """Cluster-cohesion diagnostics per label (silhouette-lite for a
+    labeled embedding table): mean cosine of each vector to its OWN label
+    centroid, and the mean MARGIN over the best competing centroid
+    (own_cos − max other_cos) — the "are these labels separable in
+    embedding space" check run before training a classifier on them.
+
+    Two streaming passes: (1) the per-label sum fold (same shape as
+    ``label_centroids`` — k×dim floats per block); (2) centroids
+    broadcast, one matmul per batch scores every vector against every
+    centroid, partial per-label (n, Σ own, Σ margin) folds.  No shuffle
+    anywhere."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        s = np.zeros((len(uniq), emb.shape[1]), dtype=np.float64)
+        np.add.at(s, inv, emb)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(uniq), "n": pa.array(cnt), "sums": pa.array(list(s))}
+        )
+
+    acc: dict = {}
+    for r in ds.map_batches(sums, batch_format="pyarrow").take_all():
+        s, n = acc.get(r["label"], (None, 0))
+        v = np.asarray(r["sums"], dtype=np.float64)
+        acc[r["label"]] = (v if s is None else s + v, n + r["n"])
+    labels = sorted(acc)
+    cent = np.stack([acc[la][0] / acc[la][1] for la in labels])
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    lab_idx = {la: i for i, la in enumerate(labels)}
+    cent_ref = ray.put((cent_n, lab_idx))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cn, li = ray.get(cent_ref)
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb @ cn.T  # (n, k_labels)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        own_col = np.array([li[int(x)] for x in lab])
+        own = sims[np.arange(len(lab)), own_col]
+        masked = sims.copy()
+        masked[np.arange(len(lab)), own_col] = -np.inf
+        margin = own - masked.max(axis=1)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        so = np.zeros(len(uniq))
+        sm = np.zeros(len(uniq))
+        np.add.at(so, inv, own)
+        np.add.at(sm, inv, margin)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(n),
+                "so": pa.array(so),
+                "sm": pa.array(sm),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label")[["n", "so", "sm"]].sum()
+    return pd.DataFrame(
+        {
+            "label": agg.index.to_numpy().astype(np.int64),
+            "n_vecs": agg["n"].to_numpy().astype(np.int64),
+            "mean_own_cos": np.round(agg["so"] / agg["n"], 6),
+            "mean_margin": np.round(agg["sm"] / agg["n"], 6),
+        }
+    ).reset_index(drop=True)
+
+
 def embedding_pq_codes(sf_dir: str, m: int = 4, k: int = 8) -> pd.DataFrame:
     """Product-quantization compression of the embedding corpus
     (``similarity.train_pq`` fused Lloyd + ``pq_encode``): every vector

@@ -201,6 +201,8 @@ SUBSET = [
     "price_weighted_median",
     # stream-stream windowed join (time-band equi-join per user)
     "error_click_correlation",
+    # embedding cluster-cohesion diagnostics (silhouette-lite)
+    "embedding_cohesion",
 ]
 
 
