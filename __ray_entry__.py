@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": A.event_props_stats,
         "signup_purchase_users": A.signup_purchase_users,
         "purchase_since_signup": A.purchase_since_signup,
+        "cdc_user_state": A.cdc_user_state,
         # documents: text analysis + dedup + fingerprints
         "doc_stats_by_lang": A.doc_stats_by_lang,
         "doc_token_counts": A.doc_token_counts,
@@ -1269,6 +1270,19 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT user_id, ts FROM events
                        WHERE event_type = 'signup') s
             ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # cdc_user_state: merge_upsert compaction == one-pass log compaction
+        # (max sequence over a union is associative); errors are tombstones
+        "cdc_user_state": """
+            WITH ranked AS (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+                   value AS last_value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id
         """,
         "doc_stats_by_lang": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -248,6 +248,81 @@ def q3_colocated(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
+def cdc_user_state(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE INTO over bucketed storage (state/bucketed.merge_upsert).
+
+    The event log is treated as a change stream on a per-user state table:
+    every event upserts the user's (ts, event_type, value) and an ``error``
+    event is a tombstone (DELETE).  A snapshot is built from the even
+    ``event_id`` half of the log, written hash-bucketed by ``user_id``;
+    the odd half is then applied as a changeset with ``merge_upsert`` —
+    delta bucketed by the snapshot's own layout (streaming partitioned
+    write, no exchange) and merged bucket-by-bucket.  Because "max sequence
+    over a union" is associative, the merged table equals compacting the
+    full log in one pass, which is exactly what the SQL oracle computes
+    (row_number OVER (PARTITION BY user ORDER BY ts, event_id DESC) = 1,
+    tombstones dropped).
+    """
+    import shutil
+    import tempfile
+
+    from ..state import bucketed
+
+    ds = _read(
+        sf_dir,
+        "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "deleted": pc.equal(batch["event_type"], "error"),
+            }
+        )
+
+    changes = ds.map_batches(to_changes, batch_format="pyarrow")
+
+    def half(parity: int):
+        def take(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(pc.bit_wise_and(batch["event_id"], 1), parity)
+            return batch.filter(mask)
+
+        return take
+
+    snapshot = changes.map_batches(half(0), batch_format="pyarrow")
+    delta = changes.map_batches(half(1), batch_format="pyarrow")
+
+    root = tempfile.mkdtemp(prefix="bioie_cdc_", dir="/tmp")
+    try:
+        base_path = os.path.join(root, "base")
+        out_path = os.path.join(root, "merged")
+        bucketed.write_bucketed(snapshot, base_path, key="user_id", n_buckets=16)
+        bucketed.merge_upsert(
+            base_path,
+            delta,
+            out_path,
+            seq_cols=["ts", "event_id"],
+            delete_col="deleted",
+        )
+        out = bucketed.read_bucketed(out_path).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = out.rename(
+        columns={
+            "ts": "last_ts",
+            "event_type": "last_event_type",
+            "value": "last_value",
+        }
+    )[["user_id", "last_ts", "last_event_type", "last_value"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     """Revenue by customer nation within one region (all dims broadcast)."""
     region = _read_table(sf_dir, "region")

@@ -162,3 +162,113 @@ def colocated_join(
     # materialization) and feed Ray Data as block refs
     refs = [join_bucket.remote(i) for i in buckets]
     return ray.data.from_arrow_refs(refs)
+
+
+def merge_upsert(
+    base_path: str,
+    changes: ray.data.Dataset,
+    out_path: str,
+    seq_cols: list[str] | str,
+    delete_col: str = "deleted",
+) -> dict:
+    """CDC MERGE: apply an upsert/delete changeset to a bucketed table.
+
+    The Hudi/Delta ``MERGE INTO`` primitive, expressed shuffle-free over the
+    bucketed layout: the delta is first WRITTEN bucketed by the base table's
+    own (key, B) — a streaming partitioned write, never an all-to-all
+    exchange — then one Ray task per bucket unions the aligned (base, delta)
+    directory pair, keeps the highest-``seq_cols`` version per key, and drops
+    keys whose winning version has ``delete_col`` true.  The output is a NEW
+    bucketed table with the same layout (versioned storage: the base snapshot
+    is left untouched, so a bad changeset is a cheap rollback), immediately
+    usable by ``colocated_join`` / further ``merge_upsert`` rounds.
+
+    Semantics (matching a SQL ``row_number() OVER (PARTITION BY key ORDER BY
+    seq DESC) = 1`` compaction): the winner per key is the row with the
+    lexicographically largest ``seq_cols``; ties break toward the DELTA side
+    (a change beats an equal-sequence snapshot row).  Because "max over a
+    union" is associative, merging a compacted prefix with the remaining
+    changes gives byte-identical state to compacting the full log — the
+    property the oracle checks.
+
+    Both sides must share the key/seq/payload schema; a missing
+    ``delete_col`` on either side is treated as all-false.  The per-bucket
+    kernel is Arrow-native (sort_indices + boundary mask), and the output is
+    cast back to the base schema so int64 keys stay int64 (the asof-join
+    dtype lesson).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    meta = bucketed_meta(base_path)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
+
+    # 1) one streaming partitioned write of the delta (no exchange)
+    delta_path = out_path.rstrip("/") + ".delta"
+    write_bucketed(changes, delta_path, key=key, n_buckets=n_buckets)
+
+    os.makedirs(out_path, exist_ok=True)
+    b_dirs = {
+        i for i in range(n_buckets) if os.path.isdir(_bucket_dir(base_path, i))
+    }
+    d_dirs = {
+        i for i in range(n_buckets) if os.path.isdir(_bucket_dir(delta_path, i))
+    }
+    some = _bucket_dir(base_path, min(b_dirs)) if b_dirs else None
+    if some is not None:
+        f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
+        base_schema = pq.read_schema(os.path.join(some, f))
+    else:  # empty base: delta defines the schema
+        some = _bucket_dir(delta_path, min(d_dirs))
+        f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
+        base_schema = pq.read_schema(os.path.join(some, f))
+    keep_names = [n for n in base_schema.names if n != "bucket"]
+
+    @ray.remote
+    def merge_bucket(i: int) -> int:
+        import pyarrow.parquet as _pq
+
+        parts = []
+        for src, path in ((0, base_path), (1, delta_path)):
+            d = _bucket_dir(path, i)
+            if not os.path.isdir(d):
+                continue
+            t = _pq.read_table(d)
+            if "bucket" in t.column_names:
+                t = t.drop_columns(["bucket"])
+            if delete_col not in t.column_names:
+                t = t.append_column(
+                    delete_col, pa.array([False] * len(t), type=pa.bool_())
+                )
+            t = t.select([n for n in keep_names if n in t.column_names]
+                         + ([delete_col] if delete_col not in keep_names else []))
+            t = t.append_column("__src", pa.array([src] * len(t), pa.int8()))
+            parts.append(t)
+        tbl = pa.concat_tables(parts, promote_options="permissive")
+        order = (
+            [(key, "ascending")]
+            + [(c, "ascending") for c in seq_cols]
+            + [("__src", "ascending")]
+        )
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        is_last = np.concatenate([k[1:] != k[:-1], [True]])
+        winners = tbl.filter(pa.array(is_last))
+        alive = winners.filter(
+            pc.invert(pc.fill_null(winners[delete_col], False))
+        )
+        out = alive.select(keep_names)
+        # schema fidelity: the merged table must read back as the base wrote
+        out = out.cast(pa.schema([base_schema.field(n) for n in keep_names]))
+        od = _bucket_dir(out_path, i)
+        os.makedirs(od, exist_ok=True)
+        _pq.write_table(out, os.path.join(od, "part-0.parquet"))
+        return len(out)
+
+    ray.get([merge_bucket.remote(i) for i in sorted(b_dirs | d_dirs)])
+    out_meta = {"key": key, "n_buckets": n_buckets}
+    with open(os.path.join(out_path, _META), "w") as f:
+        json.dump(out_meta, f)
+    return out_meta

@@ -87,3 +87,108 @@ class TestBucketedLayout:
         )
         with pytest.raises(ValueError, match="layouts disagree"):
             bucketed.colocated_join(str(tmp_path / "l"), str(tmp_path / "r16"))
+
+
+class TestMergeUpsert:
+    """CDC MERGE semantics: latest-seq wins, deltas beat ties, tombstones."""
+
+    def _base(self, tmp_path, rows):
+        df = pd.DataFrame(rows)
+        bucketed.write_bucketed(
+            ray.data.from_pandas(df), str(tmp_path / "base"), key="k", n_buckets=4
+        )
+        return str(tmp_path / "base")
+
+    def _merge(self, tmp_path, base, delta_rows):
+        out = str(tmp_path / "out")
+        bucketed.merge_upsert(
+            base,
+            ray.data.from_pandas(pd.DataFrame(delta_rows)),
+            out,
+            seq_cols="seq",
+            delete_col="deleted",
+        )
+        return (
+            bucketed.read_bucketed(out)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    def test_upsert_insert_delete(self, tmp_path):
+        base = self._base(
+            tmp_path,
+            {"k": [1, 2, 3], "seq": [10, 10, 10], "v": ["a", "b", "c"],
+             "deleted": [False] * 3},
+        )
+        got = self._merge(
+            tmp_path,
+            base,
+            {"k": [2, 3, 4], "seq": [20, 20, 20], "v": ["B", "x", "d"],
+             "deleted": [False, True, False]},
+        )
+        # k=1 untouched, k=2 updated, k=3 tombstoned, k=4 inserted
+        assert got["k"].tolist() == [1, 2, 4]
+        assert got["v"].tolist() == ["a", "B", "d"]
+
+    def test_equal_seq_tie_breaks_to_delta(self, tmp_path):
+        base = self._base(
+            tmp_path,
+            {"k": [7], "seq": [5], "v": ["old"], "deleted": [False]},
+        )
+        got = self._merge(
+            tmp_path, base,
+            {"k": [7], "seq": [5], "v": ["new"], "deleted": [False]},
+        )
+        assert got["v"].tolist() == ["new"]
+
+    def test_stale_delta_loses(self, tmp_path):
+        base = self._base(
+            tmp_path,
+            {"k": [7], "seq": [9], "v": ["current"], "deleted": [False]},
+        )
+        got = self._merge(
+            tmp_path, base,
+            {"k": [7], "seq": [3], "v": ["late-arriving"], "deleted": [False]},
+        )
+        assert got["v"].tolist() == ["current"]
+
+    def test_schema_fidelity_int64_survives(self, tmp_path):
+        # the asof-join lesson: null-widening/pandas must not leak float64
+        base = self._base(
+            tmp_path,
+            {"k": [1, 2], "seq": [1, 1], "big": [2**55 + 1, 2**55 + 2],
+             "deleted": [False, False]},
+        )
+        got = self._merge(
+            tmp_path, base,
+            {"k": [9], "seq": [1], "big": [2**55 + 9], "deleted": [False]},
+        )
+        assert str(got["big"].dtype) == "int64"
+        assert got["big"].tolist() == [2**55 + 1, 2**55 + 2, 2**55 + 9]
+
+    def test_merge_result_equals_full_log_compaction(self, tmp_path):
+        # associativity: compact(prefix) ⊕ rest == compact(full log)
+        rng = np.random.RandomState(7)
+        n = 4000
+        log = pd.DataFrame(
+            {
+                "k": rng.randint(0, 300, n),
+                "seq": np.arange(n, dtype=np.int64),
+                "v": rng.randint(0, 10**6, n).astype(np.int64),
+                "deleted": rng.rand(n) < 0.1,
+            }
+        )
+        base = self._base(tmp_path, log.iloc[: n // 2])
+        got = self._merge(tmp_path, base, log.iloc[n // 2:])
+        want = (
+            log.sort_values(["k", "seq"])
+            .groupby("k", as_index=False)
+            .tail(1)
+            .query("~deleted")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "seq", "v"]], want[["k", "seq", "v"]], check_dtype=False
+        )
