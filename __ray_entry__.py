@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": A.doc_dedup_exact,
         "doc_fingerprint": A.doc_fingerprint,
         "word_frequency": A.word_frequency,
+        "doc_repeated_ngrams": A.doc_repeated_ngrams,
         "doc_tfidf": A.doc_tfidf,
         "doc_bm25": A.doc_bm25,
         "word_zipf_fit": A.word_zipf_fit,
@@ -1330,6 +1331,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        # repeated n-gram spans (Lee et al. 2022): 8-token windows that
+        # appear in >= 2 distinct documents; slice arr[i:i+7] is 1-based
+        # inclusive, i.e. 8 tokens
+        "doc_repeated_ngrams": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents),
+            ng AS (
+                SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS ngram
+                FROM toks, unnest(range(1, len(arr) - 6)) AS t(i))
+            SELECT ngram, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_total
+            FROM ng GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_total DESC, ngram
         """,
         # bigram LM: add-0.5 smoothing, rounded-rank top-15 weird tail
         "doc_bigram_perplexity": r"""

@@ -804,6 +804,166 @@ def word_frequency(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _token_window_hashes(batch: pa.Table, n: int):
+    """Rolling 64-bit hashes over every n-token window of each document.
+
+    Vectorized end to end: Arrow regex split → one siphash pass per distinct
+    token (``pd.util.hash_array``, C kernel, deterministic fixed key) → a
+    strided (windows × n) view dotted with positional weights in wrapping
+    uint64 arithmetic.  Windows crossing a document boundary are masked out
+    with one shifted-equality compare on the repeated doc-id vector — no
+    per-document Python loop anywhere.
+
+    Returns (flat_tokens, window_hashes, valid_mask, window_doc_ids); the
+    window starting at flat position i covers tokens [i, i+n).
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    empty = (
+        flat,
+        np.array([], np.uint64),
+        np.array([], bool),
+        np.array([], doc_ids.dtype),
+    )
+    if len(flat) < n:
+        return empty
+    th = pd.util.hash_array(flat, categorize=True)  # stable uint64 per token
+    sw = np.lib.stride_tricks.sliding_window_view(th, n)
+    p = np.uint64(1099511628211)  # FNV prime; arithmetic wraps mod 2^64
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    for j in range(1, n):
+        powers[j] = powers[j - 1] * p
+    wh = (sw * powers).sum(axis=1, dtype=np.uint64)
+    docrep = np.repeat(doc_ids, lens)
+    valid = docrep[: len(docrep) - n + 1] == docrep[n - 1 :]
+    return flat, wh, valid, docrep[: len(docrep) - n + 1]
+
+
+def doc_repeated_ngrams(
+    sf_dir: str, n: int = 8, min_docs: int = 2
+) -> pd.DataFrame:
+    """Exact repeated-substring detection: n-token spans shared across docs.
+
+    The Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") primitive, in the shape that survives 100 TB: the heavy pass
+    ships only (window_hash, doc_id, count) partials — never n-gram STRINGS —
+    through a hash-bucketed shuffle with per-batch combining; surviving
+    hashes (spans seen in ≥ min_docs documents) are a tiny set broadcast back
+    for a second streaming pass that materializes the span text only for
+    survivors.  String payload is therefore proportional to the ANSWER, not
+    the corpus.  Identity assumption (documented, same as any
+    fingerprint-keyed dedup): distinct n-grams do not collide in the 64-bit
+    rolling hash (collision odds ~ (#windows)² / 2⁶⁴).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, wh, valid, wdoc = _token_window_hashes(batch, n)
+        h = wh[valid]
+        d = wdoc[valid]
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"h": h, "doc_id": d})
+            .groupby(["h", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "h": pa.array(g["h"].to_numpy(), pa.uint64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+                "bucket": pa.array(
+                    (g["h"].to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("h", sort=False).agg(
+            n_docs=("doc_id", "nunique"), n_total=("cnt", "sum")
+        )
+        agg = agg[agg["n_docs"] >= min_docs].reset_index()
+        return agg[["h", "n_docs", "n_total"]]
+
+    survivors = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()  # small: only spans duplicated across documents
+    )
+    if survivors.empty:
+        return pd.DataFrame(
+            {"ngram": pd.Series(dtype=str),
+             "n_docs": pd.Series(dtype=np.int64),
+             "n_total": pd.Series(dtype=np.int64)}
+        )
+    surv_ref = ray.put(np.sort(survivors["h"].to_numpy().astype(np.uint64)))
+
+    class SpanText:
+        """Second pass: materialize span text for surviving hashes only."""
+
+        def __init__(self):
+            self.surv = ray.get(surv_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, wh, valid, _ = _token_window_hashes(batch, n)
+            hits = np.nonzero(
+                valid
+                & (
+                    self.surv[
+                        np.minimum(
+                            np.searchsorted(self.surv, wh), len(self.surv) - 1
+                        )
+                    ]
+                    == wh
+                )
+            )[0]
+            seen: dict[int, str] = {}
+            for i in hits:  # |hits| ~ answer size, not corpus size
+                hv = int(wh[i])
+                if hv not in seen:
+                    seen[hv] = " ".join(flat[i : i + n])
+            return pa.table(
+                {
+                    "h": pa.array(list(seen.keys()), pa.uint64()),
+                    "ngram": pa.array(list(seen.values()), pa.string()),
+                }
+            )
+
+    texts = (
+        # autoscaling pool: a fixed pool == num_cpus deadlocks the upstream
+        # read task on small sessions (same hazard documented in kg.py)
+        ds.map_batches(SpanText, concurrency=(1, 4), batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("h")
+    )
+    out = survivors.merge(texts, on="h")[["ngram", "n_docs", "n_total"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    return out.sort_values(
+        ["n_total", "ngram"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     """Quality-scoring features; ratios are exact integer-count divisions."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
