@@ -1305,14 +1305,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             scanned AS (
                 SELECT doc_id, n_tokens,
-                       sum(n_tokens) OVER (ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tokens AS token_start
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                           AS token_start
                 FROM toks)
             SELECT doc_id, n_tokens, token_start,
-                   token_start // 256 AS block_first,
-                   CASE WHEN n_tokens > 0
+                   CAST(token_start // 256 AS BIGINT) AS block_first,
+                   CAST(CASE WHEN n_tokens > 0
                         THEN (token_start + n_tokens - 1) // 256
-                        ELSE token_start // 256 END AS block_last
+                        ELSE token_start // 256 END AS BIGINT) AS block_last
             FROM scanned ORDER BY doc_id
         """,
         "doc_dedup_exact": """
@@ -1552,16 +1553,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_event_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                       AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                       AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                       AS n_signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                       AS n_view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_view
             FROM events GROUP BY 1
         """,
         "event_funnel": """
