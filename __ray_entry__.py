@@ -637,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": A.doc_decontaminate,
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
+        "doc_classifier_score": A.doc_classifier_score,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -806,6 +807,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": O.pq_adc_sql(),
         "semantic_dedup": O.semantic_dedup_sql(),
         "distinct_users_hll": O.hll_distinct_sql(),
+        # hashed-linear-model inference rebuilt on the same integer kernels
+        "doc_classifier_score": O.classifier_score_sql(),
         "hll_user_overlap": O.hll_overlap_sql(),
         "source_heavy_words": """
             WITH toks AS (

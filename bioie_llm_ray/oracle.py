@@ -1451,3 +1451,30 @@ dfin AS (
   GROUP BY 1)
 SELECT node AS entity, deg FROM dfin ORDER BY entity
 """
+
+
+def classifier_score_sql(dim: int = 1024) -> str:
+    """DuckDB oracle for analytics.doc_classifier_score.
+
+    Rebuilds the hashed-linear-model inference independently: md5-u64
+    token hash % dim → splitmix64 integer weight in [-2^20, 2^20) →
+    exact integer per-document sum (order-independent, so SUM() in any
+    order matches numpy's bincount) → one final double division.
+    """
+    idx = f"(({_MD5_U64.format(v='w')}) % {dim})"
+    wt = f"(({splitmix64_sql(idx)}) % 2097152)::BIGINT - 1048576"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+            WHERE trim(text) <> ''),
+        h AS (SELECT doc_id, {wt} AS wt FROM toks),
+        agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt)::BIGINT AS s
+            FROM h GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               s / (n_tokens * 1048576.0) AS clf_score,
+               CASE WHEN s >= 0 THEN 'keep' ELSE 'drop' END AS clf_label
+        FROM agg
+        ORDER BY doc_id
+    """

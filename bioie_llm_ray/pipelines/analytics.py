@@ -7462,3 +7462,69 @@ def word_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
             "intercept": [round(float(intercept), 6)],
         }
     )
+
+
+def doc_classifier_score(sf_dir: str, dim: int = 1024) -> pd.DataFrame:
+    """Hashing-trick linear classifier inference — the fastText-style
+    quality-filter pattern of LLM-corpus curation (a trained linear model
+    over hashed bag-of-words features, applied to every document to decide
+    keep/drop).  Reference analogy: the same "stateless scorer over a
+    token stream" shape as the MockScorer task stages.
+
+    The model here is a deterministic stand-in: feature index =
+    ``stable_hash_u64(token) % dim``; the weight for index ``i`` is the
+    INTEGER ``splitmix64(i) % 2^21 - 2^20`` (uniform in [-2^20, 2^20)).
+    Integer weights make the per-document sum exact and
+    order-independent, so the score — ``sum / (n_tokens * 2^20)`` — and
+    the keep/drop label hash-match the SQL oracle bit-for-bit; a real
+    trained model drops in by replacing the weight expansion with a
+    broadcast weight vector (same plumbing, float partials).
+
+    Per-document map only — embarrassingly parallel, zero shuffle; tokens
+    are dictionary-encoded per batch so md5 runs once per DISTINCT token.
+    """
+    from ..functions.hashing import _splitmix64, stable_hash_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        # drop docs that are pure whitespace (no tokens → no score)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        idx = stable_hash_u64(uniq) % np.uint64(dim)
+        w_uniq = (_splitmix64(idx) % np.uint64(1 << 21)).astype(
+            np.int64
+        ) - (1 << 20)
+        # each weight < 2^21 and docs are < 2^32 tokens, so the float64
+        # bincount accumulates integers well under 2^53 — exact.
+        sums = np.bincount(
+            doc_idx, weights=w_uniq[inv].astype(np.float64), minlength=len(lens)
+        ).astype(np.int64)
+        n_tok = lens[keep].astype(np.int64)
+        s = sums[keep]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "clf_score": pa.array(
+                    s.astype(np.float64) / (n_tok * float(1 << 20)),
+                    type=pa.float64(),
+                ),
+                "clf_label": pa.array(
+                    np.where(s >= 0, "keep", "drop"), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

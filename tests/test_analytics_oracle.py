@@ -203,6 +203,8 @@ SUBSET = [
     "error_click_correlation",
     # embedding cluster-cohesion diagnostics (silhouette-lite)
     "embedding_cohesion",
+    # hashed-linear-model inference (fastText-style quality filter)
+    "doc_classifier_score",
 ]
 
 
