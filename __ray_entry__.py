@@ -638,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
         "doc_classifier_score": A.doc_classifier_score,
+        "customer_order_distribution": A.customer_order_distribution,
+        "lineitem_skyline": A.lineitem_skyline,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -809,6 +811,31 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": O.hll_distinct_sql(),
         # hashed-linear-model inference rebuilt on the same integer kernels
         "doc_classifier_score": O.classifier_score_sql(),
+        # TPC-H q13: distribution of customers by order count
+        "customer_order_distribution": """
+            SELECT n_orders, count(*)::BIGINT AS n_customers
+            FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+                  FROM customer LEFT OUTER JOIN orders
+                       ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # 2-D Pareto frontier via the running-max window identity
+        "lineitem_skyline": """
+            WITH pts AS (
+                SELECT l_extendedprice AS price, max(l_quantity) AS qty
+                FROM lineitem GROUP BY 1),
+            w AS (
+                SELECT price, qty,
+                       max(qty) OVER (ORDER BY price
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prevmax
+                FROM pts)
+            SELECT price, qty FROM w
+            WHERE prevmax IS NULL OR qty > prevmax
+            ORDER BY price
+        """,
         "hll_user_overlap": O.hll_overlap_sql(),
         "source_heavy_words": """
             WITH toks AS (

@@ -7528,3 +7528,115 @@ def doc_classifier_score(sf_dir: str, dim: int = 1024) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q13 (custdist): the distribution of customers by how many
+    orders they placed, INCLUDING the zero-order spike — a left-outer
+    shuffle join whose bucket rollup emits one (customer, n_orders) row,
+    then a second, tiny combiner aggregate on the count value itself.
+
+    The second exchange moves at most one row per distinct order count per
+    block (~tens of keys), so the double-aggregate topology costs one real
+    shuffle — the join — exactly like the single-level q13 plan."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        g = df.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "count")
+        )
+        h = g.groupby("n_orders", as_index=False).agg(
+            n_customers=("c_custkey", "count")
+        )
+        return pa.table(
+            {
+                "n_orders": pa.array(h["n_orders"], type=pa.int64()),
+                "n_customers": pa.array(h["n_customers"], type=pa.int64()),
+            }
+        )
+
+    joined = shuffle_join(
+        cust,
+        orders,
+        keys="c_custkey",
+        join_type="left outer",
+        left_schema={"c_custkey": pa.int64()},
+        right_schema={"c_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        bucket_post=rollup,
+    )
+    out = (
+        joined.groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(
+            ["n_customers", "n_orders"], ascending=[False, False]
+        ).reset_index(drop=True)
+    )
+
+
+def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier): the lineitem (price, quantity) points
+    not dominated by any other — minimize price, maximize quantity.  The
+    classic distributed plan: each block computes its LOCAL skyline (the
+    global skyline is a subset of the union of local skylines, since a
+    dominating point survives its own block's filter), then one final
+    single-task pass filters the small candidate union.  No shuffle — the
+    exchanged data is per-block frontiers, typically O(distinct prices on
+    the frontier) per block.
+
+    Per-block kernel is fully vectorized: reduce to per-price max quantity,
+    sort by price, keep rows whose quantity strictly exceeds the running
+    max of all cheaper rows."""
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "price": batch["l_extendedprice"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("price", as_index=False)["qty"].max()
+        g = g.sort_values("price", kind="mergesort").reset_index(drop=True)
+        q = g["qty"].to_numpy(np.float64)
+        prevmax = np.maximum.accumulate(np.concatenate(([-np.inf], q[:-1])))
+        keep = q > prevmax
+        return pa.table(
+            {
+                "price": pa.array(
+                    g["price"].to_numpy(np.float64)[keep], type=pa.float64()
+                ),
+                "qty": pa.array(q[keep], type=pa.float64()),
+            }
+        )
+
+    def final_skyline(batch: pa.Table) -> pa.Table:
+        return local_skyline(
+            pa.table(
+                {"l_extendedprice": batch["price"], "l_quantity": batch["qty"]}
+            )
+        )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    cand = ds.map_batches(local_skyline, batch_format="pyarrow")
+    out = (
+        cand.repartition(1)
+        .map_batches(
+            final_skyline, batch_format="pyarrow", batch_size=None
+        )
+        .to_pandas()
+    )
+    return out.sort_values("price").reset_index(drop=True)

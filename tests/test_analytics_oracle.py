@@ -205,6 +205,10 @@ SUBSET = [
     "embedding_cohesion",
     # hashed-linear-model inference (fastText-style quality filter)
     "doc_classifier_score",
+    # TPC-H q13 custdist (left-outer join + double aggregate)
+    "customer_order_distribution",
+    # 2-D skyline via local-frontier union (no shuffle)
+    "lineitem_skyline",
 ]
 
 
