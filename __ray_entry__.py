@@ -640,6 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier_score": A.doc_classifier_score,
         "customer_order_distribution": A.customer_order_distribution,
         "lineitem_skyline": A.lineitem_skyline,
+        "cheapest_supplier_per_part": A.cheapest_supplier_per_part,
+        "purchase_attribution": A.purchase_attribution,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -820,6 +822,47 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # last-touch attribution: ASOF LEFT JOIN + window gate; exact cents
+        "purchase_attribution": """
+            WITH p AS (
+                SELECT user_id, ts,
+                       round_even(value * 100, 0)::BIGINT AS cents
+                FROM events WHERE event_type = 'purchase'),
+            t AS (
+                SELECT user_id, ts, max(event_type) AS channel
+                FROM events WHERE event_type IN ('click', 'view')
+                GROUP BY 1, 2),
+            m AS (
+                SELECT p.cents, t.channel, p.ts AS pts, t.ts AS tts
+                FROM p ASOF LEFT JOIN t
+                    ON p.user_id = t.user_id AND t.ts <= p.ts),
+            c AS (
+                SELECT CASE WHEN channel IS NOT NULL
+                             AND pts - tts <= INTERVAL 7 DAY
+                            THEN channel ELSE 'direct' END AS channel,
+                       cents
+                FROM m)
+            SELECT channel, count(*)::BIGINT AS n_purchases,
+                   sum(cents) / 100.0 AS total_value
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H q2 shape: group-wise argmin join with dim lookup
+        "cheapest_supplier_per_part": """
+            WITH m AS (
+                SELECT l_partkey, min(l_extendedprice) AS min_price
+                FROM lineitem GROUP BY 1),
+            w AS (
+                SELECT l.l_partkey, m.min_price,
+                       min(l.l_suppkey) AS s_suppkey
+                FROM lineitem l
+                JOIN m ON l.l_partkey = m.l_partkey
+                      AND l.l_extendedprice = m.min_price
+                GROUP BY 1, 2)
+            SELECT w.l_partkey AS p_partkey, w.min_price, w.s_suppkey,
+                   s.s_name
+            FROM w JOIN supplier s USING (s_suppkey)
+            ORDER BY p_partkey
         """,
         # 2-D Pareto frontier via the running-max window identity
         "lineitem_skyline": """

@@ -7640,3 +7640,202 @@ def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("price").reset_index(drop=True)
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q2 shape: the group-wise ARGMIN join — for every part, the
+    supplier offering its minimum lineitem price (ties → smallest supplier
+    key), with the supplier name looked up from the dimension.
+
+    Plan: (1) per-batch partial min folds the fact stream to ≤ one row per
+    part per block before a parts-keyed min aggregate (the combiner);
+    (2) the min table joins BACK to the detail stream in one bucketed
+    exchange whose bucket rollup filters price == min and takes the min
+    supplier key — the aggregate-then-rejoin-on-(group, extremum) topology
+    q2's correlated subquery compiles to; (3) supplier names come from a
+    broadcast dim probe.  Two fact exchanges total, both keyed on partkey."""
+    from ray.data.aggregate import Min
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False),
+                "p": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_partkey", as_index=False)["p"].min()
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"], type=pa.int64()),
+                "min_price": pa.array(g["p"], type=pa.float64()),
+            }
+        )
+
+    mins = (
+        li.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("min_price", alias_name="min_price"))
+    )
+
+    def argmin_rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        df = df[df["l_extendedprice"] == df["min_price"]]
+        g = df.groupby(["l_partkey", "min_price"], as_index=False).agg(
+            s_suppkey=("l_suppkey", "min")
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["l_partkey"], type=pa.int64()),
+                "min_price": pa.array(g["min_price"], type=pa.float64()),
+                "s_suppkey": pa.array(g["s_suppkey"], type=pa.int64()),
+            }
+        )
+
+    winners = shuffle_join(
+        li,
+        mins,
+        keys="l_partkey",
+        left_schema={
+            "l_partkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "l_extendedprice": pa.float64(),
+        },
+        right_schema={"l_partkey": pa.int64(), "min_price": pa.float64()},
+        bucket_post=argmin_rollup,
+    )
+
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .to_pandas()
+    )
+    out = broadcast_join(
+        winners, pa.Table.from_pandas(supp), keys="s_suppkey"
+    ).to_pandas()
+    return (
+        out[["p_partkey", "min_price", "s_suppkey", "s_name"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent click/view within the preceding ``window_days``,
+    else to 'direct' — the composed as-of self-join over one event stream
+    (the attribution shape behind ad-spend and funnel dashboards).
+
+    Plan: filter the stream into purchases and touches (column-pruned,
+    predicate at the read), dedup touch (user, ts) ties to the
+    lexicographically-last type (determinism under concurrent events),
+    backward as-of join keyed on user, then window-gate and aggregate.
+    Unmatched purchases never leave the join (inner as-of semantics);
+    their 'direct' bucket is recovered from one stream-total combiner pass
+    minus the matched totals — three scalars of driver arithmetic, no
+    second join.  Values accumulate as exact int64 cents."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.join import asof_join
+
+    ev = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_type", "value"]
+    )
+    purchases = ev.filter(
+        expr="event_type == 'purchase'"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cents": pa.array(
+                    np.round(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    touches = (
+        ev.filter(expr="event_type == 'click' or event_type == 'view'")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "channel": b["event_type"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("channel", alias_name="channel"))
+    )
+
+    j = asof_join(purchases, touches, by="user_id", on="ts")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        within = (df["ts"] - df["ts_right"]) <= pd.Timedelta(
+            days=window_days
+        )
+        g = (
+            df[within]
+            .groupby("channel", as_index=False)
+            .agg(n_purchases=("cents", "size"), cents=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "channel": pa.array(g["channel"], type=pa.string()),
+                "n_purchases": pa.array(
+                    g["n_purchases"].astype(np.int64), type=pa.int64()
+                ),
+                "cents": pa.array(
+                    g["cents"].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    matched = (
+        j.map_batches(gate, batch_format="pyarrow")
+        .groupby("channel")
+        .aggregate(
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("cents", alias_name="cents"),
+        )
+        .to_pandas()
+    )
+    totals = purchases.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([len(b)], type=pa.int64()),
+                "cents": pa.array(
+                    [int(b["cents"].to_numpy().sum())], type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    n_direct = int(totals["n"]) - int(matched["n_purchases"].sum())
+    cents_direct = int(totals["cents"]) - int(matched["cents"].sum())
+    out = pd.concat(
+        [
+            matched,
+            pd.DataFrame(
+                {
+                    "channel": ["direct"],
+                    "n_purchases": [n_direct],
+                    "cents": [cents_direct],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
+    return out.sort_values("channel").reset_index(drop=True)

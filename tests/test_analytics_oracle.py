@@ -209,6 +209,10 @@ SUBSET = [
     "customer_order_distribution",
     # 2-D skyline via local-frontier union (no shuffle)
     "lineitem_skyline",
+    # TPC-H q2 shape: group-wise argmin join (aggregate-rejoin-tiebreak)
+    "cheapest_supplier_per_part",
+    # last-touch attribution (composed as-of self-join + window gate)
+    "purchase_attribution",
 ]
 
 
