@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": A.lineitem_skyline,
         "cheapest_supplier_per_part": A.cheapest_supplier_per_part,
         "purchase_attribution": A.purchase_attribution,
+        "hard_negatives": A.hard_negatives,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -822,6 +823,30 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # contrastive hard negatives: label-excluded exact cosine top-k
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS query_label, embedding
+                FROM embeddings WHERE vec_id < 20),
+            sims AS (
+                SELECT q.query_id, q.query_label,
+                       e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.label <> q.query_label),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                FROM sims)
+            SELECT query_id, query_label::BIGINT AS query_label,
+                   neighbor_id, neighbor_label::BIGINT AS neighbor_label,
+                   CAST(rnk AS BIGINT) AS rank, round(sim, 6) AS cosine
+            FROM ranked WHERE rnk <= 3
+            ORDER BY query_id, rank
         """,
         # last-touch attribution: ASOF LEFT JOIN + window gate; exact cents
         "purchase_attribution": """

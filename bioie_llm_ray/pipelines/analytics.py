@@ -7839,3 +7839,84 @@ def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     out["total_value"] = out["cents"] / 100.0
     out = out.drop(columns=["cents"])
     return out.sort_values("channel").reset_index(drop=True)
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 20, k: int = 3) -> pd.DataFrame:
+    """Hard-negative mining for contrastive / metric training: for each
+    query vector, the ``k`` most cosine-similar corpus vectors with a
+    DIFFERENT label — the near-miss examples that make embedding models
+    learn (the per-query label-exclusion variant of the brute-force kNN).
+
+    Same scale shape as ``knn_bruteforce``: queries + their labels broadcast
+    once (``ray.put``), corpus streams, each batch masks same-label columns
+    before the top-k partial, and the driver merges k×n_blocks candidate
+    rows.  Neighbor labels ride along in the partials, so no second lookup
+    join is needed."""
+    from ..stages.similarity import _normalize
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qn = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    q_ref = ray.put((qn, qids, qlabels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn_, qids_, qlab_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labs = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        sims = qn_ @ emb.T
+        # same-label columns can never be negatives for that query
+        sims[qlab_[:, None] == labs[None, :]] = -np.inf
+        out = {"query_id": [], "neighbor_id": [], "neighbor_label": [], "cosine": []}
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            if kk < len(row):
+                seed = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed].min())
+            else:
+                idx = np.flatnonzero(row > -np.inf)
+            order = idx[np.lexsort((ids[idx], -row[idx]))][:kk]
+            for j in order:
+                out["query_id"].append(int(qids_[qi]))
+                out["neighbor_id"].append(int(ids[j]))
+                out["neighbor_label"].append(int(labs[j]))
+                out["cosine"].append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+                "neighbor_label": pa.array(
+                    out["neighbor_label"], type=pa.int64()
+                ),
+                "cosine": pa.array(out["cosine"], type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    )  # k rows per (query, block) — small driver merge by design
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    out = cand[cand["rank"] <= k].reset_index(drop=True)
+    out["cosine"] = out["cosine"].round(6)
+    qlab_df = pd.DataFrame({"query_id": qids, "query_label": qlabels})
+    out = out.merge(qlab_df, on="query_id")
+    return out[
+        ["query_id", "query_label", "neighbor_id", "neighbor_label", "rank", "cosine"]
+    ]

@@ -213,6 +213,8 @@ SUBSET = [
     "cheapest_supplier_per_part",
     # last-touch attribution (composed as-of self-join + window gate)
     "purchase_attribution",
+    # contrastive hard-negative mining (label-excluded cosine top-k)
+    "hard_negatives",
 ]
 
 
