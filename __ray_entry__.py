@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": A.cheapest_supplier_per_part,
         "purchase_attribution": A.purchase_attribution,
         "hard_negatives": A.hard_negatives,
+        "price_decile_stats": A.price_decile_stats,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -823,6 +824,26 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # equi-depth decile build+apply: percentile_cont boundaries, strict
+        # lower-bound assignment, exact cents
+        "price_decile_stats": """
+            WITH bl AS (
+                SELECT percentile_cont(
+                        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                    WITHIN GROUP (ORDER BY l_extendedprice) AS bs
+                FROM lineitem),
+            asg AS (
+                SELECT l_extendedprice AS price,
+                       round_even(l_extendedprice * 100, 0)::BIGINT AS cents,
+                       1 + len(list_filter((SELECT bs FROM bl),
+                                           b -> l_extendedprice > b))
+                           AS decile
+                FROM lineitem)
+            SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
+                   sum(cents) / 100.0 AS total_value,
+                   min(price) AS min_price, max(price) AS max_price
+            FROM asg GROUP BY 1 ORDER BY 1
         """,
         # contrastive hard negatives: label-excluded exact cosine top-k
         "hard_negatives": """

@@ -7920,3 +7920,67 @@ def hard_negatives(sf_dir: str, n_queries: int = 20, k: int = 3) -> pd.DataFrame
     return out[
         ["query_id", "query_label", "neighbor_id", "neighbor_label", "rank", "cosine"]
     ]
+
+
+def price_decile_stats(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth histogram build-and-APPLY: exact percentile_cont decile
+    boundaries (the distributed ordered-count scan) broadcast back over
+    the stream,each row assigned its decile, then a 10-key combiner rollup
+    (count, exact-cents sum, min/max) — the aggregate → broadcast → map →
+    re-aggregate composition planners call bucketed statistics collection.
+
+    The boundary build moves only the distinct-value table; the apply pass
+    is zero-shuffle (9 float64 scalars in the task closure)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    fracs = [i / 10 for i in range(1, 10)]
+    qs = exact_quantiles_cont(ds, "l_extendedprice", fracs)
+    bounds = np.array([qs[f] for f in fracs], dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dec = 1 + np.searchsorted(bounds, p, side="left").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "decile": dec,
+                "cents": np.round(p * 100).astype(np.int64),
+                "price": p,
+            }
+        )
+        g = df.groupby("decile", as_index=False).agg(
+            n=("cents", "size"),
+            cents=("cents", "sum"),
+            min_price=("price", "min"),
+            max_price=("price", "max"),
+        )
+        return pa.table(
+            {
+                "decile": pa.array(g["decile"], type=pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), type=pa.int64()),
+                "cents": pa.array(g["cents"], type=pa.int64()),
+                "min_price": pa.array(g["min_price"], type=pa.float64()),
+                "max_price": pa.array(g["max_price"], type=pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("cents", alias_name="cents"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
+    return (
+        out[["decile", "n", "total_value", "min_price", "max_price"]]
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )

@@ -215,6 +215,8 @@ SUBSET = [
     "purchase_attribution",
     # contrastive hard-negative mining (label-excluded cosine top-k)
     "hard_negatives",
+    # equi-depth histogram build + apply (aggregate -> broadcast -> map)
+    "price_decile_stats",
 ]
 
 
