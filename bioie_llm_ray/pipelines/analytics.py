@@ -7587,58 +7587,24 @@ def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
 
 
 def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
-    """2-D skyline (Pareto frontier): the lineitem (price, quantity) points
-    not dominated by any other — minimize price, maximize quantity.  The
-    classic distributed plan: each block computes its LOCAL skyline (the
-    global skyline is a subset of the union of local skylines, since a
-    dominating point survives its own block's filter), then one final
-    single-task pass filters the small candidate union.  No shuffle — the
-    exchanged data is per-block frontiers, typically O(distinct prices on
-    the frontier) per block.
+    """2-D skyline (Pareto frontier) of lineitem (price, quantity) —
+    minimize price, maximize quantity; the ``rollup.skyline_2d`` plan
+    (per-block local frontiers, one final single-task filter, zero
+    shuffle)."""
+    from ..stages.rollup import skyline_2d
 
-    Per-block kernel is fully vectorized: reduce to per-price max quantity,
-    sort by price, keep rows whose quantity strictly exceeds the running
-    max of all cheaper rows."""
-
-    def local_skyline(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda b: pa.table(
             {
-                "price": batch["l_extendedprice"].to_numpy(
-                    zero_copy_only=False
-                ),
-                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False),
+                "price": pc.cast(b["l_extendedprice"], pa.float64()),
+                "qty": pc.cast(b["l_quantity"], pa.float64()),
             }
-        )
-        g = df.groupby("price", as_index=False)["qty"].max()
-        g = g.sort_values("price", kind="mergesort").reset_index(drop=True)
-        q = g["qty"].to_numpy(np.float64)
-        prevmax = np.maximum.accumulate(np.concatenate(([-np.inf], q[:-1])))
-        keep = q > prevmax
-        return pa.table(
-            {
-                "price": pa.array(
-                    g["price"].to_numpy(np.float64)[keep], type=pa.float64()
-                ),
-                "qty": pa.array(q[keep], type=pa.float64()),
-            }
-        )
-
-    def final_skyline(batch: pa.Table) -> pa.Table:
-        return local_skyline(
-            pa.table(
-                {"l_extendedprice": batch["price"], "l_quantity": batch["qty"]}
-            )
-        )
-
-    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
-    cand = ds.map_batches(local_skyline, batch_format="pyarrow")
-    out = (
-        cand.repartition(1)
-        .map_batches(
-            final_skyline, batch_format="pyarrow", batch_size=None
-        )
-        .to_pandas()
+        ),
+        batch_format="pyarrow",
     )
+    out = skyline_2d(ds, "price", "qty").to_pandas()
     return out.sort_values("price").reset_index(drop=True)
 
 

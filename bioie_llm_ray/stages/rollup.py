@@ -303,3 +303,52 @@ def cube_aggregate(
     return grouping_sets_aggregate(
         ds, keys, subsets, aggs, n_buckets=n_buckets, key_types=key_types
     )
+
+
+def skyline_2d(
+    ds: ray.data.Dataset, x_col: str, y_col: str
+) -> ray.data.Dataset:
+    """2-D skyline (Pareto frontier): rows not dominated by any other —
+    minimize ``x_col``, maximize ``y_col``.
+
+    The classic distributed plan: each block computes its LOCAL frontier
+    (the global skyline is a subset of the union of local skylines — a
+    dominating point survives its own block's filter), then one final
+    single-task pass filters the candidate union.  No shuffle; the
+    exchanged data is the per-block frontiers.  The final task assumes
+    the candidate union fits one block — true unless the data is
+    pathologically anti-correlated (frontier ~ O(n)), in which case a
+    recursive second level of the same plan applies.
+
+    Per-block kernel is fully vectorized: reduce to per-x max y, sort by
+    x, keep rows whose y strictly exceeds the running max of all smaller
+    x.  Output columns: (x_col, y_col).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "x": batch[x_col].to_numpy(zero_copy_only=False),
+                "y": batch[y_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("x", as_index=False)["y"].max()
+        g = g.sort_values("x", kind="mergesort").reset_index(drop=True)
+        y = g["y"].to_numpy(np.float64)
+        prevmax = np.maximum.accumulate(
+            np.concatenate(([-np.inf], y[:-1]))
+        )
+        keep = y > prevmax
+        return pa.table(
+            {
+                x_col: pa.array(g["x"][keep].to_numpy()),
+                y_col: pa.array(y[keep]),
+            }
+        )
+
+    cand = ds.map_batches(local_skyline, batch_format="pyarrow")
+    return cand.repartition(1).map_batches(
+        local_skyline, batch_format="pyarrow", batch_size=None
+    )

@@ -697,3 +697,111 @@ class TestGoldenRecords:
         assert len(out) == 1
         assert out.iloc[0].lang == "de"
         assert out.iloc[0].source == "s3"
+
+
+class TestSkylineScaleStress:
+    def test_million_point_skyline_analytic(self):
+        """>=1M points through skyline_2d with an analytic frontier:
+        x = i, y = i % 1000 — the running max reaches 999 at x=999, so
+        the frontier is exactly {(i, i) : i < 1000}.  Per-block frontiers
+        bound what the final task sees; nothing corpus-sized reaches the
+        driver."""
+        from bioie_llm_ray.stages.rollup import skyline_2d
+
+        n = 1_000_000
+        pts = ray.data.range(n).map_batches(
+            lambda b: pa.table(
+                {
+                    "x": pa.array(np.asarray(b["id"], dtype=np.float64)),
+                    "y": pa.array(
+                        (np.asarray(b["id"]) % 1000).astype(np.float64)
+                    ),
+                }
+            ),
+            batch_format="numpy",
+        )
+        out = (
+            skyline_2d(pts, "x", "y")
+            .to_pandas()
+            .sort_values("x")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 1000
+        np.testing.assert_array_equal(
+            out["x"].to_numpy(), np.arange(1000, dtype=np.float64)
+        )
+        np.testing.assert_array_equal(out["x"].to_numpy(), out["y"].to_numpy())
+
+
+class TestArgminJoinScaleStress:
+    def test_million_row_groupwise_argmin(self):
+        """>=1M fact rows through the q2 dataflow (partial-min combiner →
+        keyed min → rejoin-on-extremum with in-bucket tie-break): part p's
+        min price 0.0 is attained only at row i=p, whose supplier is
+        p % 97 — exact analytic check of every winner."""
+        from ray.data.aggregate import Min
+
+        from bioie_llm_ray.stages.join import shuffle_join
+
+        n_rows, n_parts = 1_000_000, 10_000
+        fact = ray.data.range(n_rows).map_batches(
+            lambda b: pa.table(
+                {
+                    "part": pa.array(np.asarray(b["id"]) % n_parts),
+                    "supp": pa.array(np.asarray(b["id"]) % 97),
+                    "price": pa.array(
+                        (np.asarray(b["id"]) // n_parts).astype(np.float64)
+                    ),
+                }
+            ),
+            batch_format="numpy",
+        )
+
+        def partial_min(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("part", as_index=False)["price"].min()
+            return pa.table(
+                {
+                    "part": pa.array(g["part"], type=pa.int64()),
+                    "min_price": pa.array(g["price"], type=pa.float64()),
+                }
+            )
+
+        mins = (
+            fact.map_batches(partial_min, batch_format="pyarrow")
+            .groupby("part")
+            .aggregate(Min("min_price", alias_name="min_price"))
+        )
+
+        def argmin_rollup(joined: pa.Table) -> pa.Table:
+            df = joined.to_pandas()
+            df = df[df["price"] == df["min_price"]]
+            g = df.groupby("part", as_index=False).agg(supp=("supp", "min"))
+            return pa.table(
+                {
+                    "part": pa.array(g["part"], type=pa.int64()),
+                    "supp": pa.array(g["supp"], type=pa.int64()),
+                }
+            )
+
+        winners = (
+            shuffle_join(
+                fact,
+                mins,
+                keys="part",
+                left_schema={
+                    "part": pa.int64(),
+                    "supp": pa.int64(),
+                    "price": pa.float64(),
+                },
+                right_schema={"part": pa.int64(), "min_price": pa.float64()},
+                bucket_post=argmin_rollup,
+            )
+            .to_pandas()
+            .sort_values("part")
+            .reset_index(drop=True)
+        )
+        assert len(winners) == n_parts
+        np.testing.assert_array_equal(
+            winners["supp"].to_numpy(), np.arange(n_parts) % 97
+        )
