@@ -805,3 +805,101 @@ class TestArgminJoinScaleStress:
         np.testing.assert_array_equal(
             winners["supp"].to_numpy(), np.arange(n_parts) % 97
         )
+
+
+class TestSkylineRandomized:
+    def test_matches_quadratic_dominance_filter(self):
+        """skyline_2d vs the O(n²) dominance definition on random clouds,
+        across different block counts (partition invariance)."""
+        from bioie_llm_ray.stages.rollup import skyline_2d
+
+        for seed in range(5):
+            rng = np.random.RandomState(seed)
+            n = 400
+            x = rng.randint(0, 60, n).astype(np.float64)
+            y = rng.randint(0, 60, n).astype(np.float64)
+            # quadratic reference on distinct (x, y) pairs
+            pts = sorted(set(zip(x, y)))
+            expect = sorted(
+                (a, b)
+                for a, b in pts
+                if not any(
+                    (c <= a and d >= b and (c < a or d > b)) for c, d in pts
+                )
+            )
+            for n_blocks in (1, 7):
+                ds = ray.data.from_arrow(
+                    pa.table({"x": x, "y": y})
+                ).repartition(n_blocks)
+                out = skyline_2d(ds, "x", "y").to_pandas()
+                got = sorted(zip(out["x"], out["y"]))
+                assert got == expect, (seed, n_blocks)
+
+
+class TestAttributionSerialReference:
+    def test_matches_pandas_serial_walk(self, tmp_path):
+        """purchase_attribution vs a serial per-user walk: for every
+        purchase, scan that user's touches for the latest one <= ts and
+        apply the 7-day gate."""
+        import os
+
+        from bioie_llm_ray.pipelines.analytics import purchase_attribution
+
+        rng = np.random.RandomState(7)
+        n = 4000
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 40, n).astype(np.int64),
+                "ts": base
+                + pd.to_timedelta(
+                    rng.randint(0, 30 * 24 * 3600, n), unit="s"
+                ),
+                "event_type": rng.choice(
+                    ["purchase", "click", "view", "error"], n
+                ),
+                "value": np.round(rng.uniform(0, 50, n), 2),
+                "props": ["{}"] * n,
+            }
+        )
+        sf = tmp_path / "sf"
+        os.makedirs(sf)
+        pa.parquet.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(sf / "events.parquet"),
+        )
+
+        got = purchase_attribution(str(sf))
+
+        touches = df[df["event_type"].isin(["click", "view"])]
+        rows = []
+        for _, p in df[df["event_type"] == "purchase"].iterrows():
+            t = touches[
+                (touches["user_id"] == p["user_id"])
+                & (touches["ts"] <= p["ts"])
+            ]
+            if len(t):
+                last = t.sort_values(["ts", "event_type"]).iloc[-1]
+                ch = (
+                    last["event_type"]
+                    if (p["ts"] - last["ts"]) <= pd.Timedelta(days=7)
+                    else "direct"
+                )
+            else:
+                ch = "direct"
+            rows.append((ch, int(np.round(p["value"] * 100))))
+        ref = (
+            pd.DataFrame(rows, columns=["channel", "cents"])
+            .groupby("channel", as_index=False)
+            .agg(n_purchases=("cents", "size"), cents=("cents", "sum"))
+        )
+        ref["total_value"] = ref["cents"] / 100.0
+        ref = (
+            ref.drop(columns="cents")
+            .sort_values("channel")
+            .reset_index(drop=True)
+        )
+        ref["n_purchases"] = ref["n_purchases"].astype(np.int64)
+        got2 = got[got["n_purchases"] > 0].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2, ref)
