@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": A.purchase_attribution,
         "hard_negatives": A.hard_negatives,
         "price_decile_stats": A.price_decile_stats,
+        "kg_sssp_weighted": A.kg_sssp_weighted,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -824,6 +825,30 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # round-bounded Bellman-Ford: min cost over paths of <= 12 edges,
+        # integer weights — exact at the shared bound regardless of
+        # convergence
+        "kg_sssp_weighted": f"""
+            WITH RECURSIVE m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            e AS (
+                SELECT a.token AS s, b.token AS o, count(*)::BIGINT AS w
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            bidir AS (SELECT s, o, w FROM e
+                      UNION ALL SELECT o, s, w FROM e),
+            sp(node, d, hops) AS (
+                SELECT 'batch', 0::BIGINT, 0
+                UNION
+                SELECT bd.o, sp.d + bd.w, sp.hops + 1
+                FROM sp JOIN bidir bd ON bd.s = sp.node
+                WHERE sp.hops < 12
+            )
+            SELECT node, min(d)::BIGINT AS dist
+            FROM sp GROUP BY 1 ORDER BY 1
         """,
         # equi-depth decile build+apply: percentile_cont boundaries, strict
         # lower-bound assignment, exact cents

@@ -7950,3 +7950,41 @@ def price_decile_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("decile")
         .reset_index(drop=True)
     )
+
+
+def kg_sssp_weighted(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
+    """Weighted shortest paths over the co-occurrence KG: edge cost = the
+    co-occurrence count, source = the seed token — the round-bounded
+    Bellman-Ford frontier iteration (``stages/graph.sssp_weighted``).
+    Undirected: both orientations feed the relaxation.  Costs are int64,
+    so distances are exact and the unrolled-recursion SQL oracle matches
+    bit-for-bit at the shared 12-round bound."""
+    from ..stages.graph import sssp_weighted
+
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pa.concat_arrays(
+                    [
+                        batch["subj"].combine_chunks(),
+                        batch["obj"].combine_chunks(),
+                    ]
+                ),
+                "obj": pa.concat_arrays(
+                    [
+                        batch["obj"].combine_chunks(),
+                        batch["subj"].combine_chunks(),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [batch["w"].combine_chunks(), batch["w"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = sssp_weighted(
+        edges.map_batches(both_dirs, batch_format="pyarrow"), seed=seed
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

@@ -735,3 +735,71 @@ def k_core(
             ),
         }
     )
+
+
+def sssp_weighted(
+    edges: ray.data.Dataset,
+    seed: str,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "w",
+    max_iters: int = 12,
+) -> ray.data.Dataset:
+    """Round-bounded weighted single-source shortest paths → (node, dist).
+
+    Bellman-Ford as frontier iteration (the weighted sibling of
+    ``bfs_levels``): each round broadcasts the map of nodes improved last
+    round; the streaming edge pass relaxes their out-edges with a
+    per-batch min combiner; the driver folds mins and keeps strict
+    improvements.  After ``r`` rounds dist[v] is EXACTLY the minimum cost
+    over paths of ≤ r edges — a well-defined result even before
+    convergence, which makes the operator reproducible bit-for-bit at any
+    iteration budget (the SQL oracle unrolls the same bound).  Integer
+    weights keep all arithmetic exact.  Driver state is O(|V|), the same
+    contract as ``bfs_levels`` / ``pagerank``; terminates early when no
+    node improves."""
+    edges = edges.materialize()  # re-streamed once per relaxation round
+    dist: dict = {str(seed): 0}
+    changed: dict = {str(seed): 0}
+    it = 0
+    while changed and it < max_iters:
+        it += 1
+        cref = ray.put(changed)
+
+        def relax(batch: pa.Table, _c=cref) -> pa.Table:
+            c = ray.get(_c)
+            s = [str(x) for x in batch[src].to_pylist()]
+            d = [str(x) for x in batch[dst].to_pylist()]
+            w = batch[weight].to_pylist()
+            best: dict = {}
+            for si, di, wi in zip(s, d, w):
+                if si in c:
+                    nd = c[si] + int(wi)
+                    if di not in best or nd < best[di]:
+                        best[di] = nd
+            ks = sorted(best)
+            return pa.table(
+                {
+                    "node": pa.array(ks, type=pa.string()),
+                    "d": pa.array([best[k] for k in ks], type=pa.int64()),
+                }
+            )
+
+        cand: dict = {}
+        for row in edges.map_batches(relax, batch_format="pyarrow").take_all():
+            v, dv = row["node"], row["d"]
+            if v not in cand or dv < cand[v]:
+                cand[v] = dv
+        changed = {
+            v: dv for v, dv in cand.items() if v not in dist or dv < dist[v]
+        }
+        dist.update(changed)
+    nodes = sorted(dist)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "dist": pa.array([dist[v] for v in nodes], type=pa.int64()),
+            }
+        )
+    )

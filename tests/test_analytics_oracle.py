@@ -217,6 +217,8 @@ SUBSET = [
     "hard_negatives",
     # equi-depth histogram build + apply (aggregate -> broadcast -> map)
     "price_decile_stats",
+    # round-bounded Bellman-Ford weighted SSSP (unrolled-recursion oracle)
+    "kg_sssp_weighted",
 ]
 
 

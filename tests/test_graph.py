@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray
 
@@ -371,3 +372,48 @@ class TestKCore:
         # k=3: even the triangle dies (degree 2 < 3)
         out3 = k_core(ds, k=3, n_rounds=4).to_pandas()
         assert len(out3) == 0
+
+
+class TestSSSPWeighted:
+    def test_weighted_path_beats_hop_path(self):
+        """Direct edge a→d costs 10; the 3-hop detour a→b→c→d costs 3 —
+        weighted SSSP must take the detour where BFS would not."""
+        from bioie_llm_ray.stages.graph import sssp_weighted
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": ["a", "a", "b", "c"],
+                    "obj": ["d", "b", "c", "d"],
+                    "w": pa.array([10, 1, 1, 1], type=pa.int64()),
+                }
+            )
+        )
+        out = (
+            sssp_weighted(edges, seed="a")
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_round_bound_truncates_exactly(self):
+        """max_iters=1 → only 1-edge paths: d reachable at cost 10."""
+        from bioie_llm_ray.stages.graph import sssp_weighted
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": ["a", "a", "b", "c"],
+                    "obj": ["d", "b", "c", "d"],
+                    "w": pa.array([10, 1, 1, 1], type=pa.int64()),
+                }
+            )
+        )
+        out = (
+            sssp_weighted(edges, seed="a", max_iters=1)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert out == {"a": 0, "b": 1, "d": 10}
