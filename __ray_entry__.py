@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": A.hard_negatives,
         "price_decile_stats": A.price_decile_stats,
         "kg_sssp_weighted": A.kg_sssp_weighted,
+        "value_anova_by_type": A.value_anova_by_type,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -825,6 +826,29 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # one-way ANOVA from the same raw-moment expressions
+        "value_anova_by_type": """
+            WITH g AS (
+                SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS sv,
+                       sum(value * value) AS svv
+                FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS nt, count(*)::DOUBLE AS k,
+                         sum(sv) AS svt
+                  FROM g),
+            c AS (
+                SELECT (SELECT nt FROM t) AS nt, (SELECT k FROM t) AS k,
+                       sum(n * pow(sv / n - (SELECT svt / nt FROM t), 2))
+                           AS ssb,
+                       sum(svv - sv * sv / n) AS ssw
+                FROM g)
+            SELECT nt::BIGINT AS n, k::BIGINT AS k,
+                   round_even(ssb, 6) AS ss_between,
+                   round_even(ssw, 6) AS ss_within,
+                   round_even((ssb / (k - 1)) / (ssw / (nt - k)), 6)
+                       AS f_stat,
+                   round_even(ssb / (ssb + ssw), 6) AS eta_sq
+            FROM c
         """,
         # round-bounded Bellman-Ford: min cost over paths of <= 12 edges,
         # integer weights — exact at the shared bound regardless of

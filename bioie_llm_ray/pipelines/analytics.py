@@ -7988,3 +7988,58 @@ def kg_sssp_weighted(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
         edges.map_batches(both_dirs, batch_format="pyarrow"), seed=seed
     ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def value_anova_by_type(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA of event value across event types — F statistic and
+    effect size (eta²) from ONE pass of mergeable raw moments (n, Σv, Σv²
+    per group through the combiner aggregate; 5 groups × 3 floats is the
+    whole shuffle payload).  Completes the statistical-test family
+    (chi-square: `events_type_dow_chi2`; KS: `events_value_ks`; drift:
+    `events_drift_psi`).
+
+    The SQL oracle computes the SAME raw-moment expressions; cross-order
+    float drift is ~1e-11, far inside the 6-dp round."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": v,
+                "vv": pc.multiply(v, v),
+            }
+        )
+
+    m = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={
+            "n": ("v", "count"),
+            "sv": ("v", "sum"),
+            "svv": ("vv", "sum"),
+        },
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    n = m["n"].to_numpy(np.float64)
+    sv = m["sv"].to_numpy(np.float64)
+    svv = m["svv"].to_numpy(np.float64)
+    N, k = n.sum(), float(len(m))
+    grand_mean = sv.sum() / N
+    ssb = float((n * (sv / n - grand_mean) ** 2).sum())
+    ssw = float((svv - sv * sv / n).sum())
+    f_stat = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame(
+        {
+            "n": [int(N)],
+            "k": [int(k)],
+            "ss_between": [round(ssb, 6)],
+            "ss_within": [round(ssw, 6)],
+            "f_stat": [round(f_stat, 6)],
+            "eta_sq": [round(ssb / (ssb + ssw), 6)],
+        }
+    )

@@ -219,6 +219,8 @@ SUBSET = [
     "price_decile_stats",
     # round-bounded Bellman-Ford weighted SSSP (unrolled-recursion oracle)
     "kg_sssp_weighted",
+    # one-way ANOVA F from one raw-moment pass
+    "value_anova_by_type",
 ]
 
 
