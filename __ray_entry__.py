@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_decile_stats": A.price_decile_stats,
         "kg_sssp_weighted": A.kg_sssp_weighted,
         "value_anova_by_type": A.value_anova_by_type,
+        "corpus_report": A.corpus_report,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -817,6 +818,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": O.hll_distinct_sql(),
         # hashed-linear-model inference rebuilt on the same integer kernels
         "doc_classifier_score": O.classifier_score_sql(),
+        # composed dataset card: every metric independently recomputed
+        "corpus_report": O.corpus_report_sql(),
         # TPC-H q13: distribution of customers by order count
         "customer_order_distribution": """
             SELECT n_orders, count(*)::BIGINT AS n_customers

@@ -1478,3 +1478,45 @@ def classifier_score_sql(dim: int = 1024) -> str:
         FROM agg
         ORDER BY doc_id
     """
+
+
+def corpus_report_sql() -> str:
+    """DuckDB oracle for analytics.corpus_report — every card metric
+    recomputed independently: token counts, alpha-ratio quality gate
+    (the curate_corpus expressions), distinct content sha256, and the
+    hashed-linear-model keep rule (same integer kernels as
+    classifier_score_sql)."""
+    idx = f"(({_MD5_U64.format(v='w')}) % 1024)"
+    wt = f"(({splitmix64_sql(idx)}) % 2097152)::BIGINT - 1048576"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / length(text) AS alpha_ratio
+            FROM documents),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''),
+        clf AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, sum({wt})::BIGINT AS s
+                FROM toks GROUP BY doc_id)
+            WHERE s >= 0),
+        agg AS (
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens,
+                   count(DISTINCT sha256(text))::BIGINT AS n_unique,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   sum(CASE WHEN alpha_ratio >= 0.8175 AND n_tok >= 5
+                            THEN 1 ELSE 0 END)::BIGINT AS n_q
+            FROM base)
+        SELECT n_docs, n_unique,
+               round_even(1.0 - n_unique / n_docs::DOUBLE, 6) AS dup_rate,
+               n_langs, total_tokens,
+               round_even(n_q / n_docs::DOUBLE, 6) AS quality_pass_rate,
+               round_even((SELECT count(*) FROM clf) / n_docs::DOUBLE, 6)
+                   AS clf_keep_rate
+        FROM agg
+    """

@@ -8043,3 +8043,87 @@ def value_anova_by_type(sf_dir: str) -> pd.DataFrame:
             "eta_sq": [round(ssb / (ssb + ssw), 6)],
         }
     )
+
+
+def corpus_report(sf_dir: str) -> pd.DataFrame:
+    """The dataset card in one row — the summary a curation run publishes
+    next to its output: corpus size, exact-duplicate rate, language count,
+    token volume, heuristic-quality pass rate and model-filter keep rate.
+
+    Two passes total: one zero-shuffle fold computes every per-document
+    metric (counts, tokens, the `curate_corpus` quality gate, the
+    `doc_classifier_score` integer-weight model) as per-batch partials,
+    and one bucketed exchange counts distinct content hashes
+    (`dedup.exact_dedup` on the text sha).  All rates derive from exact
+    integer counts, so the SQL oracle matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import _splitmix64, stable_hash_u64
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # quality gate: alpha ratio >= 0.8175 and >= 5 words (curate_corpus)
+        alpha = pc.count_substring_regex(texts, pattern="[A-Za-z]")
+        n_alpha = alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        q_pass = (n_alpha / n_chars >= 0.8175) & (lens >= 5)
+        # hashed linear classifier keep decision (doc_classifier_score)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        idx = stable_hash_u64(uniq) % np.uint64(1024)
+        w_uniq = (_splitmix64(idx) % np.uint64(1 << 21)).astype(np.int64) - (
+            1 << 20
+        )
+        sums = np.bincount(
+            doc_idx,
+            weights=w_uniq[inv].astype(np.float64),
+            minlength=len(lens),
+        ).astype(np.int64)
+        keep = (lens > 0) & (sums >= 0)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], type=pa.int64()),
+                "total_tokens": pa.array(
+                    [int(lens.sum())], type=pa.int64()
+                ),
+                "n_quality_pass": pa.array(
+                    [int(q_pass.sum())], type=pa.int64()
+                ),
+                "n_clf_keep": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("n_quality_pass", alias_name="n_quality_pass"),
+        Sum("n_clf_keep", alias_name="n_clf_keep"),
+    )
+    n_langs = len(ds.unique("lang"))
+    sha = ds.map_batches(
+        lambda b: pa.table({"sha": pa.array(sha256_hex(b["text"].to_pylist()))}),
+        batch_format="pyarrow",
+    )
+    n_unique = exact_dedup(sha, ["sha"]).count()
+    n_docs = int(agg["n_docs"])
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_unique": [int(n_unique)],
+            "dup_rate": [round(1.0 - n_unique / n_docs, 6)],
+            "n_langs": [int(n_langs)],
+            "total_tokens": [int(agg["total_tokens"])],
+            "quality_pass_rate": [
+                round(int(agg["n_quality_pass"]) / n_docs, 6)
+            ],
+            "clf_keep_rate": [round(int(agg["n_clf_keep"]) / n_docs, 6)],
+        }
+    )

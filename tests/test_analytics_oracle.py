@@ -221,6 +221,8 @@ SUBSET = [
     "kg_sssp_weighted",
     # one-way ANOVA F from one raw-moment pass
     "value_anova_by_type",
+    # composed one-row dataset card (two passes, exact integer rates)
+    "corpus_report",
 ]
 
 
