@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp_weighted": A.kg_sssp_weighted,
         "value_anova_by_type": A.value_anova_by_type,
         "corpus_report": A.corpus_report,
+        "events_dedup_window": A.events_dedup_window,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -829,6 +830,22 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # windowed duplicate suppression via LAG per (user, type)
+        "events_dedup_window": """
+            WITH lagged AS (
+                SELECT event_type,
+                       ts - lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN gap <= INTERVAL 600 SECOND
+                            THEN 1 ELSE 0 END)::BIGINT AS n_suppressed,
+                   round_even(sum(CASE WHEN gap <= INTERVAL 600 SECOND
+                                       THEN 1 ELSE 0 END)
+                              / count(*)::DOUBLE, 6) AS suppress_rate
+            FROM lagged GROUP BY 1 ORDER BY 1
         """,
         # one-way ANOVA from the same raw-moment expressions
         "value_anova_by_type": """

@@ -8127,3 +8127,55 @@ def corpus_report(sf_dir: str) -> pd.DataFrame:
             "clf_keep_rate": [round(int(agg["n_clf_keep"]) / n_docs, 6)],
         }
     )
+
+
+def events_dedup_window(sf_dir: str, window_s: int = 600) -> pd.DataFrame:
+    """Windowed duplicate suppression — the streaming-ingest rule "drop an
+    event if the same (user, type) fired within the last ``window_s``
+    seconds" (notification throttling, at-least-once ingest cleanup).
+    Suppression is measured against the previous RAW event (the LAG
+    semantics SQL expresses), not the previous kept one, so one bucketed
+    exchange keyed hash(user) % B and one vectorized diff per bucket
+    decide every row.  Returns the per-type suppression summary."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def suppress_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        prev = g.groupby(["user_id", "event_type"])["ts"].shift()
+        dup = (g["ts"] - prev) <= pd.Timedelta(seconds=window_s)
+        out = pd.DataFrame({"event_type": g["event_type"], "dup": dup})
+        s = out.groupby("event_type", as_index=False).agg(
+            n_events=("dup", "size"), n_suppressed=("dup", "sum")
+        )
+        s["n_events"] = s["n_events"].astype("int64")
+        s["n_suppressed"] = s["n_suppressed"].astype("int64")
+        return s
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(suppress_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_suppressed", alias_name="n_suppressed"),
+        )
+        .to_pandas()
+    )
+    out["suppress_rate"] = (
+        out["n_suppressed"] / out["n_events"]
+    ).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -223,6 +223,8 @@ SUBSET = [
     "value_anova_by_type",
     # composed one-row dataset card (two passes, exact integer rates)
     "corpus_report",
+    # windowed duplicate suppression (LAG per (user, type))
+    "events_dedup_window",
 ]
 
 
