@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_anova_by_type": A.value_anova_by_type,
         "corpus_report": A.corpus_report,
         "events_dedup_window": A.events_dedup_window,
+        "clf_calibration": A.clf_calibration,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -821,6 +822,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_classifier_score": O.classifier_score_sql(),
         # composed dataset card: every metric independently recomputed
         "corpus_report": O.corpus_report_sql(),
+        # classifier reliability bins vs exact-dup labels (integer-exact
+        # binning; explicit floor division — DuckDB // truncates)
+        "clf_calibration": O.clf_calibration_sql(),
         # TPC-H q13: distribution of customers by order count
         "customer_order_distribution": """
             SELECT n_orders, count(*)::BIGINT AS n_customers

@@ -1520,3 +1520,41 @@ def corpus_report_sql() -> str:
                    AS clf_keep_rate
         FROM agg
     """
+
+
+def clf_calibration_sql() -> str:
+    """DuckDB oracle for analytics.clf_calibration.
+
+    Same integer kernels as classifier_score_sql; the duplicate label is
+    sha256 multiplicity > 1; binning uses an explicit integer FLOOR
+    division (DuckDB's ``//`` truncates toward zero, numpy floors)."""
+    idx = f"(({_MD5_U64.format(v='w')}) % 1024)"
+    wt = f"(({splitmix64_sql(idx)}) % 2097152)::BIGINT - 1048576"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''),
+        sc AS (
+            SELECT doc_id, sum({wt})::BIGINT AS s, count(*)::BIGINT AS n
+            FROM toks GROUP BY doc_id),
+        lab AS (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY sha256(text)) > 1 AS dup
+            FROM documents WHERE trim(text) <> ''),
+        j AS (
+            SELECT sc.s, sc.n, sc.n * 65536 AS d, lab.dup
+            FROM sc JOIN lab USING (doc_id)),
+        binned AS (
+            SELECT least(greatest(
+                       CASE WHEN s >= 0 THEN s // d
+                            ELSE -((-s + d - 1) // d) END + 4, 0), 7)
+                       AS bin,
+                   s / (n * 1048576.0) AS score, dup
+            FROM j)
+        SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+               sum(dup::INT)::BIGINT AS n_dup,
+               round_even(sum(score) / count(*), 6) AS mean_score,
+               round_even(sum(dup::INT) / count(*)::DOUBLE, 6) AS dup_rate
+        FROM binned GROUP BY 1 ORDER BY 1
+    """

@@ -8179,3 +8179,92 @@ def events_dedup_window(sf_dir: str, window_s: int = 600) -> pd.DataFrame:
         out["n_suppressed"] / out["n_events"]
     ).round(6)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def clf_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability bins for the hashed-linear quality classifier against
+    the exact-duplicate label — the calibration analysis a curation team
+    runs before trusting a model filter (does score correlate with the
+    thing we actually drop?).
+
+    One streaming pass computes each doc's integer score sum S, token
+    count n and content sha; one exchange keyed hash(sha) labels
+    duplicates (sha multiplicity > 1) and folds per-bin partials inside
+    the bucket.  Binning is EXACT integer arithmetic: with score
+    s = S/(n·2^20), bin = clip(S // (n·65536) + 4, 0, 7) — floor division
+    on int64, so the SQL oracle agrees bit-for-bit on every boundary."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import _splitmix64, hash_bucket, sha256_hex, stable_hash_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def score_and_sha(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(texts), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        idx = stable_hash_u64(uniq) % np.uint64(1024)
+        w_uniq = (_splitmix64(idx) % np.uint64(1 << 21)).astype(np.int64) - (
+            1 << 20
+        )
+        sums = np.bincount(
+            doc_idx,
+            weights=w_uniq[inv].astype(np.float64),
+            minlength=len(lens),
+        ).astype(np.int64)
+        keep = lens > 0
+        shas = np.asarray(sha256_hex(batch["text"].to_pylist()))[keep]
+        return pa.table(
+            {
+                "sha": pa.array(shas),
+                "s": pa.array(sums[keep], type=pa.int64()),
+                "n": pa.array(lens[keep].astype(np.int64), type=pa.int64()),
+                "__bucket": pa.array(hash_bucket(shas, n_buckets)),
+            }
+        )
+
+    def label_and_bin(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("sha")["sha"].transform("size") > 1
+        b = (g["s"] // (g["n"] * 65536) + 4).clip(0, 7)
+        out = pd.DataFrame(
+            {
+                "bin": b.astype("int64"),
+                "score": g["s"] / (g["n"] * float(1 << 20)),
+                "dup": dup,
+            }
+        )
+        s = out.groupby("bin", as_index=False).agg(
+            n_docs=("dup", "size"),
+            sum_score=("score", "sum"),
+            n_dup=("dup", "sum"),
+        )
+        s["n_docs"] = s["n_docs"].astype("int64")
+        s["n_dup"] = s["n_dup"].astype("int64")
+        return s
+
+    out = (
+        ds.map_batches(score_and_sha, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(label_and_bin, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_score", alias_name="sum_score"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+        .to_pandas()
+    )
+    out["mean_score"] = (out["sum_score"] / out["n_docs"]).round(6)
+    out["dup_rate"] = (out["n_dup"] / out["n_docs"]).round(6)
+    out = out.drop(columns=["sum_score"])
+    return (
+        out[["bin", "n_docs", "n_dup", "mean_score", "dup_rate"]]
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )

@@ -225,6 +225,8 @@ SUBSET = [
     "corpus_report",
     # windowed duplicate suppression (LAG per (user, type))
     "events_dedup_window",
+    # classifier reliability bins vs exact-dup labels
+    "clf_calibration",
 ]
 
 
