@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": A.corpus_report,
         "events_dedup_window": A.events_dedup_window,
         "clf_calibration": A.clf_calibration,
+        "events_k_anonymity": A.events_k_anonymity,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -834,6 +835,23 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # k-anonymity audit over the (type, isodow, hour) quasi-id tuple
+        "events_k_anonymity": """
+            WITH g AS (
+                SELECT event_type, isodow(ts) AS dow, hour(ts) AS hour,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2, 3)
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_classes,
+                   sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_small_classes,
+                   sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT
+                       AS n_exposed_rows,
+                   round_even(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
+                              / sum(n)::DOUBLE, 6) AS exposed_frac,
+                   min(n)::BIGINT AS min_class_size
+            FROM g
         """,
         # windowed duplicate suppression via LAG per (user, type)
         "events_dedup_window": """

@@ -8268,3 +8268,54 @@ def clf_calibration(sf_dir: str) -> pd.DataFrame:
         .sort_values("bin")
         .reset_index(drop=True)
     )
+
+
+def events_k_anonymity(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """k-anonymity audit over the event stream — the governance check run
+    before releasing "anonymized" data: group rows by their
+    quasi-identifier tuple (event type, ISO weekday, hour of day) and
+    report how re-identifiable the release is: equivalence-class count,
+    the classes smaller than ``k``, and the fraction of rows they expose.
+
+    One combiner exchange over the bounded quasi-id domain (5·7·24
+    tuples), then driver arithmetic on the class-size table — the same
+    shape at any corpus size."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def quasi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        dt = pd.DatetimeIndex(ts)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pa.array(
+                    dt.dayofweek.to_numpy().astype(np.int64) + 1,
+                    type=pa.int64(),
+                ),
+                "hour": pa.array(
+                    dt.hour.to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(quasi, batch_format="pyarrow"),
+        keys=["event_type", "dow", "hour"],
+        aggs={"n": ("hour", "count")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
+    n_rows = int(g["n"].sum())
+    small = g[g["n"] < k]
+    return pd.DataFrame(
+        {
+            "n_rows": [n_rows],
+            "n_classes": [int(len(g))],
+            "n_small_classes": [int(len(small))],
+            "n_exposed_rows": [int(small["n"].sum())],
+            "exposed_frac": [round(int(small["n"].sum()) / n_rows, 6)],
+            "min_class_size": [int(g["n"].min())],
+        }
+    )

@@ -227,6 +227,8 @@ SUBSET = [
     "events_dedup_window",
     # classifier reliability bins vs exact-dup labels
     "clf_calibration",
+    # k-anonymity audit (quasi-id equivalence classes)
+    "events_k_anonymity",
 ]
 
 
