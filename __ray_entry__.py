@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_window": A.events_dedup_window,
         "clf_calibration": A.clf_calibration,
         "events_k_anonymity": A.events_k_anonymity,
+        "rag_retrieval_per_doc": A.rag_retrieval_per_doc,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -835,6 +836,71 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # doc-diversified retrieval: per-(query, doc) MAX cosine, then
+        # top-k docs per query (same chunk/embed CTEs as rag_retrieval)
+        "rag_retrieval_per_doc": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS arr
+                FROM documents WHERE trim(text) <> ''),
+            sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
+            chunks AS (
+                SELECT doc_id, arr,
+                       unnest(range(0, GREATEST((n - 16 + 47) // 48, 1)))
+                           AS chunk_id
+                FROM sized),
+            ctext AS (
+                SELECT doc_id * 100000 + chunk_id AS chunk_key,
+                       md5(array_to_string(
+                           arr[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+                           AS hx
+                FROM chunks),
+            cvec AS (
+                SELECT chunk_key, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM ctext, unnest(range(0, 8)) AS t(i)),
+            q AS (SELECT qid, md5(qt) AS hx FROM (VALUES
+                    (0, 'spark join stream'),
+                    (1, 'hash table scan'),
+                    (2, 'window batch merge')) AS v(qid, qt)),
+            qvec AS (
+                SELECT qid, i,
+                       ((strpos('0123456789abcdef',
+                                substring(hx, i * 2 + 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef',
+                                 substring(hx, i * 2 + 2, 1)) - 1) / 256.0
+                           AS x
+                FROM q, unnest(range(0, 8)) AS t(i)),
+            cn AS (SELECT chunk_key, sqrt(sum(x * x)) AS nv
+                   FROM cvec GROUP BY 1),
+            qn AS (SELECT qid, sqrt(sum(x * x)) AS nv FROM qvec GROUP BY 1),
+            dots AS (
+                SELECT q.qid, c.chunk_key, sum(q.x * c.x) AS dp
+                FROM qvec q JOIN cvec c USING (i)
+                GROUP BY 1, 2),
+            cosines AS (
+                SELECT d.qid, d.chunk_key // 100000 AS doc_id,
+                       d.dp / (qn.nv * cn.nv) AS cosine
+                FROM dots d JOIN qn ON qn.qid = d.qid
+                            JOIN cn ON cn.chunk_key = d.chunk_key),
+            per_doc AS (
+                SELECT qid, doc_id, max(cosine) AS cosine
+                FROM cosines GROUP BY 1, 2),
+            ranked AS (
+                SELECT qid, doc_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY cosine DESC, doc_id) AS rnk
+                FROM per_doc)
+            SELECT qid::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+                   rnk::BIGINT AS rank, round(cosine, 6) AS cosine
+            FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
         """,
         # k-anonymity audit over the (type, isodow, hour) quasi-id tuple
         "events_k_anonymity": """

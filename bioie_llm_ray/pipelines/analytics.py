@@ -8319,3 +8319,96 @@ def events_k_anonymity(sf_dir: str, k: int = 10) -> pd.DataFrame:
             "min_class_size": [int(g["n"].min())],
         }
     )
+
+
+def rag_retrieval_per_doc(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Doc-diversified retrieval — the standard RAG de-duplication rule
+    "at most one chunk per source document": chunk + actor-pool embed as
+    in `rag_retrieval`, then per-(query, doc) MAX cosine (per-batch
+    partial so chunks of a doc split across blocks still collapse to one
+    row per block, one grouped-max exchange finishes it), then the
+    distributed grouped top-k per query.  No driver pass ever sees more
+    than the (query, doc) max table."""
+    from ..stages.embed import HashEmbedder, embed_texts
+    from ..stages.rollup import grouped_agg
+    from ..stages.similarity import _normalize
+    from ..stages.window import grouped_top_k
+
+    chunks = _chunked_docs(sf_dir)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(
+                pc.cast(batch["doc_id"], pa.int64()),
+                pa.scalar(CHUNK_KEY_BASE, type=pa.int64()),
+            ),
+            batch["chunk_id"],
+        )
+        return batch.append_column("chunk_key", key)
+
+    embedded = (
+        chunks.map_batches(add_key, batch_format="pyarrow")
+        .map_batches(
+            HashEmbedder,
+            fn_constructor_kwargs={"text_col": "chunk_text", "dim": 8},
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .select_columns(["chunk_key", "embedding"])
+    )
+    qn = _normalize(
+        np.asarray(embed_texts(list(RAG_QUERY_TEXTS), dim=8), dtype=np.float64)
+    )
+    q_ref = ray.put(qn)
+
+    def per_doc_max(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        emb = _normalize(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        sims = q @ emb.T  # (n_query, n_chunk)
+        docs = keys // CHUNK_KEY_BASE
+        rows = []
+        for qi in range(sims.shape[0]):
+            df = pd.DataFrame({"doc_id": docs, "cosine": sims[qi]})
+            g = df.groupby("doc_id", as_index=False)["cosine"].max()
+            g["query_id"] = qi
+            rows.append(g)
+        out = pd.concat(rows, ignore_index=True)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    out["query_id"].astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    out["doc_id"].astype(np.int64), type=pa.int64()
+                ),
+                "cosine": pa.array(out["cosine"], type=pa.float64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        embedded.map_batches(per_doc_max, batch_format="pyarrow"),
+        keys=["query_id", "doc_id"],
+        aggs={"cosine": ("cosine", "max")},
+        n_buckets=16,
+        partial=True,
+    )
+    out = grouped_top_k(
+        per_doc,
+        group_cols="query_id",
+        order_col="cosine",
+        k=k,
+        descending=True,
+        tie_cols=["doc_id"],
+    ).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    out["rank"] = out["rank"].astype("int64")
+    return (
+        out[["query_id", "doc_id", "rank", "cosine"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

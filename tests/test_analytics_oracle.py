@@ -229,6 +229,8 @@ SUBSET = [
     "clf_calibration",
     # k-anonymity audit (quasi-id equivalence classes)
     "events_k_anonymity",
+    # doc-diversified retrieval (per-doc max + grouped top-k)
+    "rag_retrieval_per_doc",
 ]
 
 
