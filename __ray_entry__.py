@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clf_calibration": A.clf_calibration,
         "events_k_anonymity": A.events_k_anonymity,
         "rag_retrieval_per_doc": A.rag_retrieval_per_doc,
+        "signup_survival_km": A.signup_survival_km,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -836,6 +837,45 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # Kaplan-Meier signup→purchase survival with right-censoring;
+        # windowed product() rebuilds the cumulative survival
+        "signup_survival_km": """
+            WITH su AS (
+                SELECT user_id, min(ts) AS st
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+            pu AS (
+                SELECT e.user_id, min(e.ts) AS pt
+                FROM events e JOIN su USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= su.st
+                GROUP BY 1),
+            mx AS (SELECT max(ts) AS endt
+                   FROM events
+                   WHERE event_type IN ('signup', 'purchase')),
+            u AS (
+                SELECT su.user_id,
+                       CASE WHEN pu.pt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                       CASE WHEN pu.pt IS NOT NULL
+                            THEN epoch_us(pu.pt) - epoch_us(su.st)
+                            ELSE (SELECT epoch_us(endt) FROM mx)
+                                 - epoch_us(su.st) END AS dur_us
+                FROM su LEFT JOIN pu USING (user_id)),
+            d AS (SELECT dur_us // 86400000000 AS t, ev FROM u),
+            grp AS (SELECT t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS n
+                    FROM d GROUP BY 1),
+            ord AS (
+                SELECT t, d, n,
+                       (SELECT sum(n) FROM grp) -
+                       coalesce(sum(n) OVER (ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n_risk
+                FROM grp)
+            SELECT t::BIGINT AS duration_days, n_risk::BIGINT AS n_risk,
+                   d AS n_events,
+                   round_even(product(1.0 - d / n_risk::DOUBLE)
+                              OVER (ORDER BY t), 6) AS survival
+            FROM ord WHERE d > 0
+            ORDER BY duration_days
         """,
         # doc-diversified retrieval: per-(query, doc) MAX cosine, then
         # top-k docs per query (same chunk/embed CTEs as rag_retrieval)

@@ -8412,3 +8412,98 @@ def rag_retrieval_per_doc(sf_dir: str, k: int = 5) -> pd.DataFrame:
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def signup_survival_km(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival of signup → first qualifying purchase, with
+    censoring — the time-to-event estimate a growth team reads as "how
+    long until users convert", done right: users who never purchase after
+    signing up are CENSORED at stream end, not dropped (the classic bias
+    the KM estimator fixes), and the event is the first purchase AT OR
+    AFTER the user's first signup (earlier purchases don't count).
+
+    One bucketed exchange keyed hash(user) does all the per-user logic in
+    a vectorized pass (first signup, then first purchase ≥ it — a
+    conditional that needs both event kinds of a user co-located); the KM
+    fold runs over the distinct DAY-duration table (≤ observation-window
+    days — driver arithmetic on a bounded table at any corpus size).
+    n_risk follows the standard convention: users censored at exactly t
+    are still at risk for events at t.  survival = cumulative product of
+    (1 − d/n_risk) at event days, rounded to 6 dp (the SQL oracle's
+    windowed ``product()`` agrees inside the round)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.filter(
+        expr="event_type == 'signup' or event_type == 'purchase'"
+    )
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        st = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("st")
+        )
+        pur = g[g["event_type"] == "purchase"][["user_id", "ts"]].merge(
+            st, on="user_id"
+        )
+        pt = (
+            pur[pur["ts"] >= pur["st"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("pt")
+        )
+        out = st.to_frame().join(pt, how="left").reset_index()
+        return out[["user_id", "st", "pt"]]
+
+    per = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    end_ts = ds.aggregate(Max("ts", alias_name="end"))["end"]
+    end_us = pd.Timestamp(end_ts).value // 1000
+
+    # explicit µs view — pandas may carry datetime64[us] or [ns] depending
+    # on the Arrow round trip, so never divide a raw .astype("int64")
+    st_us = per["st"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    pt_us = per["pt"].to_numpy(dtype="datetime64[us]").astype(np.int64)  # NaT gated below
+    has_p = per["pt"].notna()
+    dur_us = np.where(has_p, pt_us - st_us, end_us - st_us)
+    d = pd.DataFrame(
+        {
+            "t": dur_us // 86_400_000_000,
+            "ev": has_p.astype(np.int64),
+        }
+    )
+    grp = d.groupby("t", as_index=False).agg(
+        d=("ev", "sum"), n=("ev", "size")
+    )
+    grp = grp.sort_values("t").reset_index(drop=True)
+    total = int(grp["n"].sum())
+    removed = grp["n"].cumsum().shift(fill_value=0).to_numpy()
+    n_risk = total - removed
+    km = grp[grp["d"] > 0].copy()
+    km["n_risk"] = n_risk[grp["d"].to_numpy() > 0]
+    km["survival"] = np.cumprod(
+        1.0 - km["d"].to_numpy(np.float64) / km["n_risk"].to_numpy(np.float64)
+    ).round(6)
+    return pd.DataFrame(
+        {
+            "duration_days": km["t"].astype(np.int64).to_numpy(),
+            "n_risk": km["n_risk"].astype(np.int64).to_numpy(),
+            "n_events": km["d"].astype(np.int64).to_numpy(),
+            "survival": km["survival"].to_numpy(),
+        }
+    ).reset_index(drop=True)

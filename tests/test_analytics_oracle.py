@@ -231,6 +231,8 @@ SUBSET = [
     "events_k_anonymity",
     # doc-diversified retrieval (per-doc max + grouped top-k)
     "rag_retrieval_per_doc",
+    # Kaplan-Meier signup->purchase survival with censoring
+    "signup_survival_km",
 ]
 
 
