@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anonymity": A.events_k_anonymity,
         "rag_retrieval_per_doc": A.rag_retrieval_per_doc,
         "signup_survival_km": A.signup_survival_km,
+        "revenue_forecast_ses": A.revenue_forecast_ses,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -837,6 +838,26 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY c_custkey)
             GROUP BY n_orders
             ORDER BY n_customers DESC, n_orders DESC
+        """,
+        # exponential smoothing (α=1/2): exact float halving, recursive CTE
+        "revenue_forecast_ses": """
+            WITH RECURSIVE rev AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            ord AS (
+                SELECT day, cents / 100.0 AS revenue,
+                       row_number() OVER (ORDER BY day) AS rn
+                FROM rev),
+            ses(rn, s) AS (
+                SELECT 1, (SELECT revenue FROM ord WHERE rn = 1)
+                UNION ALL
+                SELECT ses.rn + 1, (o.revenue + ses.s) / 2
+                FROM ses JOIN ord o ON o.rn = ses.rn + 1)
+            SELECT o.day, o.revenue, round_even(ses.s, 6) AS smoothed
+            FROM ord o JOIN ses ON ses.rn = o.rn
+            ORDER BY o.day
         """,
         # Kaplan-Meier signup→purchase survival with right-censoring;
         # windowed product() rebuilds the cumulative survival

@@ -8507,3 +8507,58 @@ def signup_survival_km(sf_dir: str) -> pd.DataFrame:
             "survival": km["survival"].to_numpy(),
         }
     ).reset_index(drop=True)
+
+
+def revenue_forecast_ses(sf_dir: str) -> pd.DataFrame:
+    """Simple-exponential-smoothing trend over daily order revenue
+    (α = 1/2) — the forecasting member of the time-series family
+    (growth: `monthly_revenue_growth`; densify: `user_value_resampled`).
+
+    The distributed part is the daily-revenue combiner (exact int64
+    cents); the smoothing recurrence is inherently sequential, so it runs
+    on the driver over the BOUNDED per-day table (days in the observation
+    window — never corpus-sized).  α = 1/2 makes every step
+    ``(x + s) / 2`` — exact float halving in the same order in both
+    engines, so the recursive-CTE oracle matches bit-for-bit."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        )
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(d.astype("datetime64[us]")),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    rev = (
+        grouped_agg(
+            ds.map_batches(daily, batch_format="pyarrow"),
+            keys=["day"],
+            aggs={"cents": ("cents", "sum")},
+            n_buckets=16,
+            partial=True,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = (rev["cents"] / 100.0).to_numpy(np.float64)
+    s = np.empty_like(x)
+    s[0] = x[0]
+    for i in range(1, len(x)):
+        s[i] = (x[i] + s[i - 1]) / 2.0
+    return pd.DataFrame(
+        {
+            "day": rev["day"],
+            "revenue": x,
+            "smoothed": np.round(s, 6),
+        }
+    )

@@ -233,6 +233,8 @@ SUBSET = [
     "rag_retrieval_per_doc",
     # Kaplan-Meier signup->purchase survival with censoring
     "signup_survival_km",
+    # exponential smoothing over daily revenue (recursive-CTE oracle)
+    "revenue_forecast_ses",
 ]
 
 
