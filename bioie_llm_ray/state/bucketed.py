@@ -272,3 +272,35 @@ def merge_upsert(
     with open(os.path.join(out_path, _META), "w") as f:
         json.dump(out_meta, f)
     return out_meta
+
+
+def rebucket_double(path: str, out_path: str) -> dict:
+    """Double a bucketed layout's bucket count WITHOUT a shuffle.
+
+    Because the bucket id is ``hash % B``, growing to ``2B`` moves a row
+    from bucket ``b`` only to ``b`` or ``b + B`` (``h % 2B ≡ b (mod B)``)
+    — so each old bucket splits LOCALLY into exactly two new directories.
+    The rewrite is one streaming pass: every task reads blocks of one old
+    bucket and its partitioned write touches two output dirs; no
+    cross-bucket byte ever moves.  This is how a bucketed store tracks
+    data growth (resize at powers of two) while keeping every existing
+    reader/join contract — the new layout validates against ``2B`` like
+    any directly-written store."""
+    meta = bucketed_meta(path)
+    key, nb2 = meta["key"], meta["n_buckets"] * 2
+
+    def split(batch: pa.Table) -> pa.Table:
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column(
+            "bucket", pa.array(bucket_ids_for_column(batch[key], nb2))
+        )
+
+    os.makedirs(out_path, exist_ok=True)
+    read_bucketed(path).map_batches(
+        split, batch_format="pyarrow"
+    ).write_parquet(out_path, partition_cols=["bucket"])
+    out_meta = {"key": key, "n_buckets": nb2}
+    with open(os.path.join(out_path, _META), "w") as f:
+        json.dump(out_meta, f)
+    return out_meta

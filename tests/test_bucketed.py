@@ -192,3 +192,68 @@ class TestMergeUpsert:
         pd.testing.assert_frame_equal(
             got[["k", "seq", "v"]], want[["k", "seq", "v"]], check_dtype=False
         )
+
+
+class TestRebucketDouble:
+    def test_split_is_local_and_layout_valid(self, tmp_path):
+        """Doubling B: every row of old bucket b lands in {b, b+B}; the
+        doubled store equals a directly-written 2B store and co-located
+        joins against one."""
+        import os
+
+        left, right = _tables()
+        bucketed.write_bucketed(
+            ray.data.from_pandas(left), str(tmp_path / "l4"), key="k", n_buckets=4
+        )
+        meta = bucketed.rebucket_double(
+            str(tmp_path / "l4"), str(tmp_path / "l8")
+        )
+        assert meta == {"key": "k", "n_buckets": 8}
+
+        # locality invariant: old bucket b only feeds new buckets b, b+4
+        from bioie_llm_ray.functions.hashing import hash_bucket_ints
+
+        for b in range(4):
+            rows = bucketed.read_bucketed(
+                str(tmp_path / "l4"), bucket=b
+            ).to_pandas()
+            nb = set(hash_bucket_ints(rows["k"].to_numpy(), 8))
+            assert nb <= {b, b + 4}
+
+        # row equality vs a direct 2B write
+        direct = str(tmp_path / "d8")
+        bucketed.write_bucketed(
+            ray.data.from_pandas(left), direct, key="k", n_buckets=8
+        )
+        a = (
+            bucketed.read_bucketed(str(tmp_path / "l8"))
+            .to_pandas()[["k", "v"]]
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        bb = (
+            bucketed.read_bucketed(direct)
+            .to_pandas()[["k", "v"]]
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, bb)
+
+        # the doubled store joins co-located against a direct-8 right side
+        bucketed.write_bucketed(
+            ray.data.from_pandas(right), str(tmp_path / "r8"), key="k", n_buckets=8
+        )
+        got = (
+            bucketed.colocated_join(
+                str(tmp_path / "l8"), str(tmp_path / "r8")
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[["k", "v", "w"]]
+        )
+        want = (
+            left.merge(right, on="k")
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[["k", "v", "w"]]
+        )
+        pd.testing.assert_frame_equal(got, want)
