@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_retrieval_per_doc": A.rag_retrieval_per_doc,
         "signup_survival_km": A.signup_survival_km,
         "revenue_forecast_ses": A.revenue_forecast_ses,
+        "doc_span_corruption": A.doc_span_corruption,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -829,6 +830,9 @@ def oracle_sql() -> dict[str, str]:
         # classifier reliability bins vs exact-dup labels (integer-exact
         # binning; explicit floor division — DuckDB // truncates)
         "clf_calibration": O.clf_calibration_sql(),
+        # T5-style span corruption: hash coin + run structure + both
+        # rendered strings rebuilt in SQL
+        "doc_span_corruption": O.span_corruption_sql(),
         # TPC-H q13: distribution of customers by order count
         "customer_order_distribution": """
             SELECT n_orders, count(*)::BIGINT AS n_customers

@@ -1558,3 +1558,51 @@ def clf_calibration_sql() -> str:
                round_even(sum(dup::INT) / count(*)::DOUBLE, 6) AS dup_rate
         FROM binned GROUP BY 1 ORDER BY 1
     """
+
+
+def span_corruption_sql(rate: int = 15) -> str:
+    """DuckDB oracle for analytics.doc_span_corruption: the deterministic
+    hash coin, run structure, and both rendered strings rebuilt with
+    window functions + ordered string_agg."""
+    coin = splitmix64_sql("((doc_id::HUGEINT * 1048576 + i))::UBIGINT")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+            FROM documents WHERE trim(text) <> ''),
+        pos AS (
+            SELECT doc_id, arr[i + 1] AS tok, i
+            FROM toks, unnest(range(0, len(arr))) AS t(i)),
+        m AS (
+            SELECT doc_id, tok, i,
+                   ({coin}) % 100 < {rate} AS mask
+            FROM pos),
+        sp AS (
+            SELECT *, CASE WHEN mask AND NOT coalesce(
+                                lag(mask) OVER (PARTITION BY doc_id
+                                                ORDER BY i), FALSE)
+                           THEN 1 ELSE 0 END AS strt
+            FROM m),
+        sx AS (
+            SELECT *, (sum(strt) OVER (PARTITION BY doc_id ORDER BY i)
+                       - 1)::INT AS k
+            FROM sp),
+        rendered AS (
+            SELECT doc_id,
+                   CASE WHEN NOT mask THEN tok
+                        WHEN strt = 1 THEN '<X' || k || '>'
+                        ELSE NULL END AS ie,
+                   CASE WHEN mask AND strt = 1
+                            THEN '<X' || k || '> ' || tok
+                        WHEN mask THEN tok
+                        ELSE NULL END AS te,
+                   mask, strt, i
+            FROM sx)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(mask::INT)::BIGINT AS n_masked,
+               sum(strt)::BIGINT AS n_spans,
+               md5(coalesce(string_agg(ie, ' ' ORDER BY i), ''))
+                   AS input_md5,
+               md5(coalesce(string_agg(te, ' ' ORDER BY i), ''))
+                   AS target_md5
+        FROM rendered GROUP BY doc_id ORDER BY doc_id
+    """

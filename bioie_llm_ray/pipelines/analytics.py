@@ -8562,3 +8562,79 @@ def revenue_forecast_ses(sf_dir: str) -> pd.DataFrame:
             "smoothed": np.round(s, 6),
         }
     )
+
+
+def doc_span_corruption(sf_dir: str, rate: int = 15) -> pd.DataFrame:
+    """T5-style span-corruption pair generation — the pretraining-data
+    prep step that turns clean text into (corrupted input, span targets):
+    each token position masks with probability ``rate``% under a
+    DETERMINISTIC hash coin (splitmix64 of doc_id·2^20 + position — the
+    mask is reproducible across runs, workers, and the SQL oracle);
+    maximal masked runs collapse to one sentinel in the input and emit
+    '<Xk> tok…' groups in the target.
+
+    Embarrassingly parallel map, zero shuffle; output carries md5 of both
+    rendered strings so value-hash verification covers the exact span
+    structure, not just counts."""
+    import hashlib
+
+    from ..functions.hashing import _splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": [],
+            "n_tokens": [],
+            "n_masked": [],
+            "n_spans": [],
+            "input_md5": [],
+            "target_md5": [],
+        }
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = t.split()
+            if not toks:
+                continue
+            pos = np.arange(len(toks), dtype=np.uint64)
+            keys = np.uint64(did) * np.uint64(1 << 20) + pos
+            mask = (_splitmix64(keys) % np.uint64(100)) < np.uint64(rate)
+            starts = mask & np.concatenate(([True], ~mask[:-1]))
+            span_idx = np.cumsum(starts) - 1
+            inp, tgt = [], []
+            for j, tok in enumerate(toks):
+                if not mask[j]:
+                    inp.append(tok)
+                elif starts[j]:
+                    inp.append(f"<X{span_idx[j]}>")
+                    tgt.append(f"<X{span_idx[j]}> {tok}")
+                else:
+                    tgt.append(tok)
+            out["doc_id"].append(did)
+            out["n_tokens"].append(len(toks))
+            out["n_masked"].append(int(mask.sum()))
+            out["n_spans"].append(int(starts.sum()))
+            out["input_md5"].append(
+                hashlib.md5(" ".join(inp).encode()).hexdigest()
+            )
+            out["target_md5"].append(
+                hashlib.md5(" ".join(tgt).encode()).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "n_masked": pa.array(out["n_masked"], type=pa.int64()),
+                "n_spans": pa.array(out["n_spans"], type=pa.int64()),
+                "input_md5": pa.array(out["input_md5"], type=pa.string()),
+                "target_md5": pa.array(out["target_md5"], type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(corrupt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -235,6 +235,8 @@ SUBSET = [
     "signup_survival_km",
     # exponential smoothing over daily revenue (recursive-CTE oracle)
     "revenue_forecast_ses",
+    # T5-style span corruption (deterministic hash coin + rendered md5s)
+    "doc_span_corruption",
 ]
 
 
