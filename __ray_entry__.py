@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_survival_km": A.signup_survival_km,
         "revenue_forecast_ses": A.revenue_forecast_ses,
         "doc_span_corruption": A.doc_span_corruption,
+        "knn_ivf_store": A.knn_ivf_store,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -3798,5 +3799,8 @@ def oracle_sql() -> dict[str, str]:
         # quantizer — probe sets, list assignments and within-list cosine
         # ranking all recomputed independently in SQL.
         "knn_ivf_probed": O.ivf_probed_sql(),
+        # the persisted-IVF path returns exactly the in-memory probed
+        # results (same quantizer, probes, tie-breaks) — same oracle
+        "knn_ivf_store": O.ivf_probed_sql(),
         # knn_ivf (sampled RNG-seeded quantizer): rows-only check by nature.
     }

@@ -8638,3 +8638,29 @@ def doc_span_corruption(sf_dir: str, rate: int = 15) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def knn_ivf_store(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """Approximate ANN against the PERSISTED IVF layout
+    (``state/ivf_store``): the corpus is quantized and written partitioned
+    by list id once, then the search reads ONLY the probed ``list=<i>/``
+    partitions — storage-enforced read pruning, the on-disk counterpart
+    of ``knn_ivf_probed`` (same deterministic quantizer, probe sets and
+    tie-breaks, so the same end-to-end SQL oracle certifies the stored
+    path byte-for-byte)."""
+    import tempfile
+
+    from ..state.ivf_store import build_ivf_store, ivf_store_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    store = tempfile.mkdtemp(prefix="ivf_store_", dir="/tmp")
+    build_ivf_store(ds, store, n_centroids=16, n_iters=3)
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = ivf_store_topk(store, queries, qids, k=k, n_probe=4).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1,0 +1,146 @@
+"""IVF index as a partition-pruned Parquet layout.
+
+The scale path for approximate nearest-neighbor over a persistent corpus:
+pay the quantize-and-partition cost ONCE at ingest (like the hash-bucketed
+store pays its shuffle once), then every query batch READS ONLY the
+``n_probe`` list partitions it probes — at 100 TB with 1024 lists and
+n_probe=8, a query touches <1% of the bytes, enforced by the storage
+layout rather than an in-memory filter.
+
+- ``build_ivf_store``: deterministic ``distributed_kmeans`` quantizer →
+  one streaming pass assigns each vector its list id → partitioned write
+  (``list=<i>/`` dirs) + the centroid matrix in ``_IVF.json``.
+- ``ivf_store_topk``: probe lists per query from the stored centroids,
+  read ONLY those partitions, exact cosine within them — identical
+  results to the in-memory ``similarity.ivf_probed_topk`` over the same
+  corpus (same quantizer, probes, and tie-breaks), which is what the
+  SQL oracle checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..stages.similarity import _merge_topk, _normalize, distributed_kmeans
+
+_META = "_IVF.json"
+
+
+def build_ivf_store(
+    ds: ray.data.Dataset,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Quantize, partition by list id, persist centroids.  Returns the
+    centroid matrix."""
+    cent = distributed_kmeans(
+        ds, k=n_centroids, n_iters=n_iters, emb_col=emb_col, id_col=id_col
+    )
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        return batch.append_column(
+            "list", pa.array(np.argmin(d2, axis=1).astype(np.int64))
+        )
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["list"]
+    )
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(
+            {"centroids": cent.tolist(), "emb_col": emb_col, "id_col": id_col},
+            f,
+        )
+    return cent
+
+
+def ivf_store_topk(
+    path: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Search the store reading ONLY the probed list partitions."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+
+    q = np.asarray(queries, dtype=np.float64)
+    d2q = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+    probes = np.argsort(d2q, axis=1, kind="stable")[:, :n_probe]
+    qn = _normalize(q)
+    needed = sorted({int(li) for row in probes for li in row})
+    # storage-enforced pruning: only the probed list=<i>/ partitions are
+    # ever opened; the list id rides along as an injected column
+    parts = []
+    for li in needed:
+        d = os.path.join(path, f"list={li}")
+        files = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        # hive partition inference re-attaches the "list" column from the
+        # directory name, so no injection is needed
+        parts.append(ray.data.read_parquet(files))
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    probe_ref = ray.put(probes)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = ray.get(probe_ref)
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        lists = np.asarray(
+            [int(v) for v in batch["list"].to_pylist()], dtype=np.int64
+        )
+        emb = _normalize(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            row = qm[qi] @ emb[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + (1 if exclude_self else 0), len(row))
+            if kk < len(row):
+                seed_idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = np.flatnonzero(row >= row[seed_idx].min())
+                idx = idx[np.lexsort((sub_ids[idx], -row[idx]))][:kk]
+            else:
+                idx = np.arange(len(row))
+            for j in idx:
+                out_q.append(qi)
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int32()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, query_ids, k, exclude_self)

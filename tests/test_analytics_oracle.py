@@ -237,6 +237,8 @@ SUBSET = [
     "revenue_forecast_ses",
     # T5-style span corruption (deterministic hash coin + rendered md5s)
     "doc_span_corruption",
+    # persisted IVF layout: reads only probed partitions, same oracle
+    "knn_ivf_store",
 ]
 
 
