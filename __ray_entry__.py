@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_forecast_ses": A.revenue_forecast_ses,
         "doc_span_corruption": A.doc_span_corruption,
         "knn_ivf_store": A.knn_ivf_store,
+        "part_triple_copurchase": A.part_triple_copurchase,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -967,6 +968,20 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # level-3 frequent itemsets (A-Priori prune is an optimization,
+        # not a semantics change — plain three-way join oracle)
+        "part_triple_copurchase": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem)
+            SELECT a.p AS part_a, b2.p AS part_b, c.p AS part_c,
+                   count(*)::BIGINT AS n_orders
+            FROM b a
+            JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+            JOIN b c ON a.o = c.o AND b2.p < c.p
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2
+            ORDER BY 1, 2, 3
         """,
         # k-anonymity audit over the (type, isodow, hour) quasi-id tuple
         "events_k_anonymity": """

@@ -8664,3 +8664,94 @@ def knn_ivf_store(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     out = ivf_store_topk(store, queries, qids, k=k, n_probe=4).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def part_triple_copurchase(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
+    """Level-3 frequent itemsets with the actual A-Priori prune: part
+    triples bought together in ≥ ``min_support`` orders, where candidate
+    triples are generated ONLY from baskets and kept only if all three
+    constituent pairs were frequent at level 2 (downward closure) — the
+    prune that makes itemset mining feasible at scale, since the
+    candidate space collapses before the counting exchange.
+
+    Phase 1 reuses the pair dataflow (one basket-bucketed exchange + one
+    pair-count combiner) and broadcasts the frequent-pair set (bounded by
+    the support threshold); phase 2 runs the same basket pass expanding
+    to triples, drops any candidate with an infrequent sub-pair INSIDE
+    the bucket kernel, and counts survivors.  The prune is an
+    optimization, not a semantics change, so the plain three-way-join SQL
+    oracle agrees exactly."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["l_orderkey"], n_buckets)),
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        j = g.merge(g, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "part_a": j["l_partkey_x"].to_numpy(),
+                "part_b": j["l_partkey_y"].to_numpy(),
+            }
+        )
+
+    freq_pairs = (
+        bucketed.groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr=f"n >= {min_support}")
+        .to_pandas()
+    )
+    pair_set = set(
+        zip(freq_pairs["part_a"].tolist(), freq_pairs["part_b"].tolist())
+    )
+    pair_ref = ray.put(pair_set)
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        fp = ray.get(pair_ref)
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        j = g.merge(g, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        j = j.rename(
+            columns={"l_partkey_x": "a", "l_partkey_y": "b"}
+        ).merge(g, on="l_orderkey")
+        j = j[j["l_partkey"] > j["b"]].rename(columns={"l_partkey": "c"})
+        if len(j):
+            keep = [
+                (a, b) in fp and (a, c) in fp and (b, c) in fp
+                for a, b, c in zip(j["a"], j["b"], j["c"])
+            ]
+            j = j[np.asarray(keep, dtype=bool)]
+        return pd.DataFrame(
+            {
+                "part_a": j["a"].to_numpy(),
+                "part_b": j["b"].to_numpy(),
+                "part_c": j["c"].to_numpy(),
+            }
+        )
+
+    out = (
+        bucketed.groupby("__bucket")
+        .map_groups(triples, batch_format="pandas")
+        .groupby(["part_a", "part_b", "part_c"])
+        .aggregate(Count(alias_name="n_orders"))
+        .filter(expr=f"n_orders >= {min_support}")
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["part_a", "part_b", "part_c"]
+    ).reset_index(drop=True)

@@ -239,6 +239,8 @@ SUBSET = [
     "doc_span_corruption",
     # persisted IVF layout: reads only probed partitions, same oracle
     "knn_ivf_store",
+    # level-3 frequent itemsets with the A-Priori downward-closure prune
+    "part_triple_copurchase",
 ]
 
 
