@@ -480,6 +480,12 @@ def _code_lang_loc(sf_dir: str):
     return C.lang_loc_query(_code_fixture_path())
 
 
+def _code_quality_metrics(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.quality_metrics_query(_code_fixture_path())
+
+
 def _code_import_history(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -744,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_repo_stats": _code_repo_stats,
         "code_secret_scan": _code_secret_scan,
         "code_lang_loc": _code_lang_loc,
+        "code_quality_metrics": _code_quality_metrics,
         "code_import_history": _code_import_history,
         "code_deps_asof": _code_deps_asof,
         "code_import_graph": _code_import_graph,
@@ -1418,6 +1425,35 @@ def oracle_sql() -> dict[str, str]:
             FROM snap
             GROUP BY repo, lang
             ORDER BY repo, lang
+        """,
+        # per-file quality gates over the latest snapshot; trailing empty
+        # line dropped on both engines, interior blanks kept
+        "code_quality_metrics": f"""
+            WITH snap AS (
+                SELECT repo, path, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path),
+            adj AS (
+                SELECT repo, path,
+                       CASE WHEN len(l) > 0 AND l[len(l)] = ''
+                            THEN l[1 : len(l) - 1] ELSE l END AS ls
+                FROM (SELECT repo, path,
+                             string_split(content, chr(10)) AS l
+                      FROM snap)),
+            ln AS (SELECT repo, path, unnest(ls) AS line FROM adj),
+            agg AS (
+                SELECT repo, path, count(*)::BIGINT AS n_lines,
+                       sum(CASE WHEN regexp_matches(line, '^\\s*#')
+                                THEN 1 ELSE 0 END)::BIGINT AS n_comments,
+                       max(length(line))::BIGINT AS max_line_len,
+                       sum(length(line))::BIGINT AS total_len
+                FROM ln GROUP BY 1, 2)
+            SELECT repo, path, n_lines, n_comments, max_line_len,
+                   round_even(n_comments / n_lines::DOUBLE, 6)
+                       AS comment_ratio,
+                   round_even(total_len / n_lines::DOUBLE, 6)
+                       AS avg_line_len
+            FROM agg ORDER BY repo, path
         """,
         "code_secret_scan": f"""
             WITH snap AS (

@@ -945,3 +945,67 @@ def repo_stats_query(code_parquet: str) -> pd.DataFrame:
         code_parquet, columns=["repo", "path", "commit_ts", "lang"]
     )
     return repo_stats(ds, n_buckets=8)
+
+
+def quality_metrics(ds: ray.data.Dataset, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-file code-quality signals over the LATEST snapshot — the
+    filters a code-LLM curation pipeline gates on (StarCoder-style):
+    line count, comment-line count and ratio, longest line, and mean
+    line length.  Lines are ``split('\\n')`` with the trailing empty
+    terminator dropped — the same convention on both engines.
+
+    Content is reduced to five int64s per file inside the snapshot pass;
+    nothing content-sized moves after the argmax dedup."""
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+
+    def measure(batch: pa.Table) -> pa.Table:
+        repos, paths = batch["repo"].to_pylist(), batch["path"].to_pylist()
+        out = {
+            "repo": [], "path": [], "n_lines": [], "n_comments": [],
+            "max_line_len": [], "total_len": [],
+        }
+        for r, p, c in zip(repos, paths, batch["content"].to_pylist()):
+            lines = c.split("\n")
+            if lines and lines[-1] == "":
+                lines = lines[:-1]
+            if not lines:
+                continue
+            out["repo"].append(r)
+            out["path"].append(p)
+            out["n_lines"].append(len(lines))
+            out["n_comments"].append(
+                sum(1 for ln in lines if ln.lstrip().startswith("#"))
+            )
+            out["max_line_len"].append(
+                max((len(ln) for ln in lines), default=0)
+            )
+            out["total_len"].append(sum(len(ln) for ln in lines))
+        return pa.table(
+            {
+                "repo": pa.array(out["repo"], type=pa.string()),
+                "path": pa.array(out["path"], type=pa.string()),
+                "n_lines": pa.array(out["n_lines"], type=pa.int64()),
+                "n_comments": pa.array(out["n_comments"], type=pa.int64()),
+                "max_line_len": pa.array(
+                    out["max_line_len"], type=pa.int64()
+                ),
+                "total_len": pa.array(out["total_len"], type=pa.int64()),
+            }
+        )
+
+    out = snap.map_batches(measure, batch_format="pyarrow").to_pandas()
+    out["comment_ratio"] = (out["n_comments"] / out["n_lines"]).round(6)
+    out["avg_line_len"] = (out["total_len"] / out["n_lines"]).round(6)
+    out = out.drop(columns=["total_len"])
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def quality_metrics_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return quality_metrics(ds, n_buckets=8)

@@ -241,6 +241,8 @@ SUBSET = [
     "knn_ivf_store",
     # level-3 frequent itemsets with the A-Priori downward-closure prune
     "part_triple_copurchase",
+    # per-file code-quality gates over the latest snapshot
+    "code_quality_metrics",
 ]
 
 
