@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_corruption": A.doc_span_corruption,
         "knn_ivf_store": A.knn_ivf_store,
         "part_triple_copurchase": A.part_triple_copurchase,
+        "late_shipment_orders": A.late_shipment_orders,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -975,6 +976,16 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # q4 shape: correlated EXISTS (predicate needs both sides)
+        "late_shipment_orders": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY 1 ORDER BY 1
         """,
         # level-3 frequent itemsets (A-Priori prune is an optimization,
         # not a semantics change — plain three-way join oracle)

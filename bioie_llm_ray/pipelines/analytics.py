@@ -8755,3 +8755,70 @@ def part_triple_copurchase(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
     return out.sort_values(
         ["part_a", "part_b", "part_c"]
     ).reset_index(drop=True)
+
+
+def late_shipment_orders(sf_dir: str, days: int = 90) -> pd.DataFrame:
+    """TPC-H q4 shape with a CORRELATED exists predicate: orders having at
+    least one lineitem shipped more than ``days`` days after the order
+    date, counted by priority.  Unlike the pure key semi join
+    (`orders_with_returns`), the qualifying condition needs BOTH sides'
+    columns (l_shipdate vs o_orderdate), so it evaluates inside the join
+    bucket: one orderkey exchange, per-bucket vectorized any()-per-order,
+    priority counts folded in the bucket rollup."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["l_orderkey"], "l_shipdate": b["l_shipdate"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        df = df[df["l_shipdate"].notna()]
+        late = df["l_shipdate"] > df["o_orderdate"] + pd.Timedelta(days=days)
+        hit = (
+            df[late]
+            .drop_duplicates("o_orderkey")
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("o_orderkey", "count"))
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    hit["o_orderpriority"], type=pa.string()
+                ),
+                "n_orders": pa.array(
+                    hit["n_orders"].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        shuffle_join(
+            orders,
+            li,
+            keys="o_orderkey",
+            left_schema={
+                "o_orderkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_orderpriority": pa.string(),
+            },
+            right_schema={
+                "o_orderkey": pa.int64(),
+                "l_shipdate": pa.timestamp("us"),
+            },
+            bucket_post=rollup,
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

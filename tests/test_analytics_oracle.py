@@ -243,6 +243,8 @@ SUBSET = [
     "part_triple_copurchase",
     # per-file code-quality gates over the latest snapshot
     "code_quality_metrics",
+    # q4 shape: correlated EXISTS evaluated in the join bucket
+    "late_shipment_orders",
 ]
 
 
