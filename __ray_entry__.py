@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_store": A.knn_ivf_store,
         "part_triple_copurchase": A.part_triple_copurchase,
         "late_shipment_orders": A.late_shipment_orders,
+        "doc_lang_confusion": A.doc_lang_confusion,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -823,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": O.values_sql(O.expected_bpe_merges()),
         "bpe_token_counts": O.values_sql(O.expected_bpe_token_counts()),
         "doc_language_id": O.language_id_sql(),
+        # heuristic-detector evaluation: (true, detected) confusion counts
+        "doc_lang_confusion": O.lang_confusion_sql(),
         # independent SQL reimplementations of the md5-derived kernels
         # (splitmix64 decomposed into 32-bit HUGEINT mulmods) — see
         # oracle.simhash_sql / oracle.minhash_sql / oracle.hll_distinct_sql

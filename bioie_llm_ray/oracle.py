@@ -1606,3 +1606,17 @@ def span_corruption_sql(rate: int = 15) -> str:
                    AS target_md5
         FROM rendered GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def lang_confusion_sql() -> str:
+    """DuckDB oracle for analytics.doc_lang_confusion: the marker-lexicon
+    detector (language_id_sql) joined back to the labeled lang column and
+    folded to a (true, detected) count table."""
+    base = language_id_sql()
+    return f"""
+        WITH det AS ({base})
+        SELECT d.lang AS true_lang, det.lang_detected AS detected_lang,
+               count(*)::BIGINT AS n_docs
+        FROM documents d JOIN det USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -8822,3 +8822,50 @@ def late_shipment_orders(sf_dir: str, days: int = 90) -> pd.DataFrame:
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def doc_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Evaluation of the marker-lexicon language detector against the
+    corpus's labeled language — the (true, detected) confusion table a
+    curation team reads before trusting a heuristic gate.  Composes the
+    `doc_language_id` kernel with the label column in the same streaming
+    pass (zero extra exchange beyond the final tiny count combiner)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import detect_language
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        det = detect_language(batch["text"].to_pylist())
+        df = pd.DataFrame(
+            {
+                "true_lang": batch["lang"].to_pylist(),
+                "detected_lang": det,
+            }
+        )
+        g = df.groupby(
+            ["true_lang", "detected_lang"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "true_lang": pa.array(g["true_lang"], type=pa.string()),
+                "detected_lang": pa.array(
+                    g["detected_lang"], type=pa.string()
+                ),
+                "n_docs": pa.array(
+                    g["size"].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(detect, batch_format="pyarrow")
+        .groupby(["true_lang", "detected_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(
+        ["true_lang", "detected_lang"]
+    ).reset_index(drop=True)

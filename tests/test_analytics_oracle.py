@@ -245,6 +245,8 @@ SUBSET = [
     "code_quality_metrics",
     # q4 shape: correlated EXISTS evaluated in the join bucket
     "late_shipment_orders",
+    # language-detector confusion table vs labels
+    "doc_lang_confusion",
 ]
 
 
