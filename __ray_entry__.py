@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triple_copurchase": A.part_triple_copurchase,
         "late_shipment_orders": A.late_shipment_orders,
         "doc_lang_confusion": A.doc_lang_confusion,
+        "user_event_entropy": A.user_event_entropy,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -979,6 +980,20 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # per-user Shannon entropy from exact (user, type) counts
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+            SELECT c.user_id, any_value(t.tot)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_types,
+                   round_even(sum(-(c.n / t.tot::DOUBLE)
+                                  * ln(c.n / t.tot::DOUBLE)), 6)
+                       AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id ORDER BY c.user_id
         """,
         # q4 shape: correlated EXISTS (predicate needs both sides)
         "late_shipment_orders": """

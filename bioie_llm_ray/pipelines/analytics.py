@@ -8869,3 +8869,53 @@ def doc_lang_confusion(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["true_lang", "detected_lang"]
     ).reset_index(drop=True)
+
+
+def user_event_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavioral entropy over event types — the
+    information-theoretic engagement-diversity feature (one number per
+    entity summarizing a categorical distribution; the per-entity sibling
+    of the global `events_key_skew` entropy).
+
+    One bucketed exchange keyed hash(user); the per-bucket pass computes
+    (user, type) counts and folds Shannon entropy vectorized — output is
+    one row per user, counts exact, entropy rounded to 6 dp (the SQL
+    oracle sums the identical p·ln p terms)."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def entropy_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["user_id", "event_type"])
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        tot = c.groupby("user_id")["n"].transform("sum")
+        p = c["n"] / tot
+        c["term"] = -p * np.log(p)
+        out = c.groupby("user_id", as_index=False).agg(
+            n_events=("n", "sum"),
+            n_types=("n", "size"),
+            entropy=("term", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        out["entropy"] = out["entropy"].round(6)
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(entropy_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

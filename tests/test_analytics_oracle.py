@@ -247,6 +247,8 @@ SUBSET = [
     "late_shipment_orders",
     # language-detector confusion table vs labels
     "doc_lang_confusion",
+    # per-user Shannon entropy over event types
+    "user_event_entropy",
 ]
 
 
