@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_orders": A.late_shipment_orders,
         "doc_lang_confusion": A.doc_lang_confusion,
         "user_event_entropy": A.user_event_entropy,
+        "events_max_gap": A.events_max_gap,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -980,6 +981,20 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # global LAG max-gap (outage detection); earliest start on ties
+        "events_max_gap": """
+            WITH o AS (
+                SELECT ts, lag(ts) OVER (ORDER BY ts, event_id) AS pts
+                FROM events),
+            g AS (
+                SELECT epoch_us(ts) - epoch_us(pts) AS gap,
+                       pts AS gs, ts AS ge
+                FROM o WHERE pts IS NOT NULL)
+            SELECT (SELECT count(*) FROM events)::BIGINT AS n_events,
+                   gap::BIGINT AS max_gap_us, gs AS gap_start,
+                   ge AS gap_end
+            FROM g ORDER BY gap DESC, gs ASC LIMIT 1
         """,
         # per-user Shannon entropy from exact (user, type) counts
         "user_event_entropy": """

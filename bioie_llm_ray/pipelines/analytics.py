@@ -8919,3 +8919,74 @@ def user_event_entropy(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_max_gap(sf_dir: str) -> pd.DataFrame:
+    """Longest silence in the global event stream (outage detection) —
+    a LAG over the TOTAL order of a distributed stream, done without a
+    global sort: one exchange keyed by calendar day (time-range
+    bucketing, so bucket b holds exactly the rows ordered before bucket
+    b+1), a vectorized sorted-diff per bucket, and a driver-side
+    boundary stitch over the per-bucket (min, max) endpoints — 3 scalars
+    per day ever reach the driver.  Ties on gap length break to the
+    earliest start."""
+    from ..functions.hashing import hash_bucket_ints  # noqa: F401 (family)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return batch.append_column(
+            "__day", pa.array(us // 86_400_000_000, type=pa.int64())
+        )
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(us) > 1:
+            d = np.diff(us)
+            j = int(np.argmax(d))  # first occurrence = earliest start
+            gap, gs, ge = int(d[j]), int(us[j]), int(us[j + 1])
+        else:
+            gap, gs, ge = -1, 0, 0
+        return pd.DataFrame(
+            {
+                "day": [int(g["__day"].iloc[0])],
+                "n": [len(g)],
+                "first_us": [int(us[0])],
+                "last_us": [int(us[-1])],
+                "gap": [gap],
+                "gs": [gs],
+                "ge": [ge],
+            }
+        )
+
+    days = (
+        ds.map_batches(add_day, batch_format="pyarrow")
+        .groupby("__day")
+        .map_groups(per_day, batch_format="pandas")
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # boundary stitch: gap between consecutive non-empty days
+    best = (-1, 0, 0)
+    for _, r in days.iterrows():
+        if r["gap"] > best[0]:
+            best = (int(r["gap"]), int(r["gs"]), int(r["ge"]))
+    lasts = days["last_us"].to_numpy()
+    firsts = days["first_us"].to_numpy()
+    for i in range(len(days) - 1):
+        gap = int(firsts[i + 1] - lasts[i])
+        if gap > best[0] or (gap == best[0] and int(lasts[i]) < best[1]):
+            best = (gap, int(lasts[i]), int(firsts[i + 1]))
+    return pd.DataFrame(
+        {
+            "n_events": [int(days["n"].sum())],
+            "max_gap_us": [best[0]],
+            "gap_start": np.array([best[1]], dtype="datetime64[us]"),
+            "gap_end": np.array([best[2]], dtype="datetime64[us]"),
+        }
+    )

@@ -249,6 +249,8 @@ SUBSET = [
     "doc_lang_confusion",
     # per-user Shannon entropy over event types
     "user_event_entropy",
+    # global max-gap via day-bucket + boundary stitch
+    "events_max_gap",
 ]
 
 
