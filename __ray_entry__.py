@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": A.doc_lang_confusion,
         "user_event_entropy": A.user_event_entropy,
         "events_max_gap": A.events_max_gap,
+        "brand_supplier_counts": A.brand_supplier_counts,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -981,6 +982,12 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # q16 shape: grouped exact COUNT DISTINCT via pair dedup
+        "brand_supplier_counts": """
+            SELECT p_brand, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
         """,
         # global LAG max-gap (outage detection); earliest start on ties
         "events_max_gap": """

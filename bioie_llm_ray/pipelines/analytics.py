@@ -8990,3 +8990,49 @@ def events_max_gap(sf_dir: str) -> pd.DataFrame:
             "gap_end": np.array([best[2]], dtype="datetime64[us]"),
         }
     )
+
+
+def brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q16 shape: exact COUNT(DISTINCT supplier) per part brand —
+    the grouped count-distinct topology: broadcast the part dim for the
+    brand lookup, per-batch (brand, supplier) dedup partial (the combiner
+    that makes grouped distinct affordable), ONE exchange on the pair,
+    per-bucket final dedup, then a tiny per-brand count."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.rollup import grouped_agg
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    joined = broadcast_join(
+        li, pa.Table.from_pandas(part), keys="l_partkey", right_keys="p_partkey"
+    )
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_brand": batch["p_brand"].to_pylist(),
+                "s": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "p_brand": pa.array(df["p_brand"], type=pa.string()),
+                "s": pa.array(df["s"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    pairs = grouped_agg(
+        joined.map_batches(pair_dedup, batch_format="pyarrow"),
+        keys=["p_brand", "s"],
+        aggs={"n": ("s", "count")},
+        n_buckets=16,
+        partial=True,
+    )
+    out = (
+        pairs.groupby("p_brand")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)

@@ -251,6 +251,8 @@ SUBSET = [
     "user_event_entropy",
     # global max-gap via day-bucket + boundary stitch
     "events_max_gap",
+    # q16 shape: grouped exact COUNT DISTINCT
+    "brand_supplier_counts",
 ]
 
 
