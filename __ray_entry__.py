@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": A.user_event_entropy,
         "events_max_gap": A.events_max_gap,
         "brand_supplier_counts": A.brand_supplier_counts,
+        "events_decayed_counts": A.events_decayed_counts,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -982,6 +983,15 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # exponentially-decayed counts: identical per-event terms in SQL
+        "events_decayed_counts": """
+            WITH mx AS (SELECT max(ts) AS endt FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round_even(sum(pow(2.0,
+                       -(epoch_us((SELECT endt FROM mx)) - epoch_us(ts))
+                       / (7.0 * 86400000000.0))), 6) AS decayed_count
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # q16 shape: grouped exact COUNT DISTINCT via pair dedup
         "brand_supplier_counts": """

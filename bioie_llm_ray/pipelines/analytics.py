@@ -9036,3 +9036,53 @@ def brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def events_decayed_counts(sf_dir: str, half_life_days: float = 7.0) -> pd.DataFrame:
+    """Exponentially-decayed event counts per type — the streaming
+    "recent popularity" metric (a count where each event contributes
+    2^(-age/half_life) as of the stream's end).  Because every term
+    depends only on its own timestamp, the decayed sum is embarrassingly
+    parallel: one pass of per-batch partial sums + one global max(ts)
+    fold — no ordering, no state, unlike the recurrence form used in
+    online systems.  The SQL oracle sums the identical terms; cross-order
+    float drift sits far inside the 6-dp round."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    end = ds.aggregate(Max("ts", alias_name="end"))["end"]
+    end_us = pd.Timestamp(end).value // 1000
+    hl_us = half_life_days * 86_400_000_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        w = np.power(2.0, -(end_us - us) / hl_us)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(), "w": w}
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("w", "size"), decayed=("w", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].astype(np.int64), type=pa.int64()),
+                "decayed": pa.array(g["decayed"], type=pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("decayed", alias_name="decayed"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["decayed_count"] = out["decayed"].round(6)
+    out = out.drop(columns=["decayed"])
+    return out.sort_values("event_type").reset_index(drop=True)

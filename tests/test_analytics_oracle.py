@@ -253,6 +253,8 @@ SUBSET = [
     "events_max_gap",
     # q16 shape: grouped exact COUNT DISTINCT
     "brand_supplier_counts",
+    # exponentially-decayed counts (order-free streaming popularity)
+    "events_decayed_counts",
 ]
 
 
