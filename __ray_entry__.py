@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_gap": A.events_max_gap,
         "brand_supplier_counts": A.brand_supplier_counts,
         "events_decayed_counts": A.events_decayed_counts,
+        "customer_rfm_segments": A.customer_rfm_segments,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -983,6 +984,41 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # RFM terciles: percentile_cont boundaries + strict lower-bound
+        "customer_rfm_segments": """
+            WITH pc AS (
+                SELECT o_custkey, max(o_orderdate) AS last_o,
+                       count(*)::BIGINT AS f,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            mx AS (SELECT max(o_orderdate) AS endd FROM orders),
+            m AS (
+                SELECT epoch_us((SELECT endd FROM mx)) - epoch_us(last_o)
+                           AS r_us,
+                       f, cents
+                FROM pc),
+            qb AS (
+                SELECT percentile_cont([1.0/3, 2.0/3])
+                           WITHIN GROUP (ORDER BY r_us) AS rb,
+                       percentile_cont([1.0/3, 2.0/3])
+                           WITHIN GROUP (ORDER BY f) AS fb,
+                       percentile_cont([1.0/3, 2.0/3])
+                           WITHIN GROUP (ORDER BY cents) AS cb
+                FROM m),
+            seg AS (
+                SELECT 'R' || (1 + len(list_filter((SELECT rb FROM qb),
+                                   b -> r_us > b)))
+                       || 'F' || (1 + len(list_filter((SELECT fb FROM qb),
+                                   b -> f > b)))
+                       || 'M' || (1 + len(list_filter((SELECT cb FROM qb),
+                                   b -> cents > b))) AS segment,
+                       cents
+                FROM m)
+            SELECT segment, count(*)::BIGINT AS n_customers,
+                   sum(cents) / 100.0 AS total_value
+            FROM seg GROUP BY 1 ORDER BY 1
         """,
         # exponentially-decayed counts: identical per-event terms in SQL
         "events_decayed_counts": """

@@ -9086,3 +9086,121 @@ def events_decayed_counts(sf_dir: str, half_life_days: float = 7.0) -> pd.DataFr
     out["decayed_count"] = out["decayed"].round(6)
     out = out.drop(columns=["decayed"])
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation — recency / frequency / monetary terciles per
+    customer, the classic marketing cube, as a composition of engine
+    primitives: one per-customer combiner rollup (last order, order
+    count, exact cents), three exact-percentile_cont boundary scans over
+    the rolled-up table (the ordered-count machinery — only
+    distinct-value tables move), and one zero-shuffle apply+count pass.
+    Tercile assignment uses the strict lower-bound convention shared
+    with `price_decile_stats`, so every boundary case matches SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rollup import grouped_agg
+    from ..stages.sketch import exact_quantiles_cont
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    per_cust = grouped_agg(
+        prepped,
+        keys=["o_custkey"],
+        aggs={
+            "last_o": ("o_orderdate", "max"),
+            "f": ("cents", "count"),
+            "cents": ("cents", "sum"),
+        },
+        n_buckets=16,
+        partial=True,
+    )
+    from ray.data.aggregate import Max
+
+    end = prepped.aggregate(Max("o_orderdate", alias_name="e"))["e"]
+    end_us = pd.Timestamp(end).value // 1000
+
+    def add_recency(batch: pa.Table) -> pa.Table:
+        us = batch["last_o"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "r_us": pa.array(end_us - us, type=pa.int64()),
+                "f": pc.cast(batch["f"], pa.int64()),
+                "cents": pc.cast(batch["cents"], pa.int64()),
+            }
+        )
+
+    feats = per_cust.map_batches(
+        add_recency, batch_format="pyarrow"
+    ).materialize()  # three boundary scans + one apply pass re-read it
+    fr = [1.0 / 3, 2.0 / 3]
+    rb = exact_quantiles_cont(feats, "r_us", fr)
+    fb = exact_quantiles_cont(feats, "f", fr)
+    cb = exact_quantiles_cont(feats, "cents", fr)
+    rbv = np.array([rb[f] for f in fr])
+    fbv = np.array([fb[f] for f in fr])
+    cbv = np.array([cb[f] for f in fr])
+
+    def segment(batch: pa.Table) -> pa.Table:
+        r = 1 + np.searchsorted(
+            rbv, batch["r_us"].to_numpy(zero_copy_only=False), side="left"
+        )
+        f3 = 1 + np.searchsorted(
+            fbv, batch["f"].to_numpy(zero_copy_only=False), side="left"
+        )
+        m3 = 1 + np.searchsorted(
+            cbv, batch["cents"].to_numpy(zero_copy_only=False), side="left"
+        )
+        seg = np.char.add(
+            np.char.add(
+                np.char.add("R", r.astype(str)),
+                np.char.add("F", f3.astype(str)),
+            ),
+            np.char.add("M", m3.astype(str)),
+        )
+        df = pd.DataFrame(
+            {"segment": seg, "cents": batch["cents"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("segment", as_index=False).agg(
+            n_customers=("cents", "size"), cents=("cents", "sum")
+        )
+        return pa.table(
+            {
+                "segment": pa.array(g["segment"], type=pa.string()),
+                "n_customers": pa.array(
+                    g["n_customers"].astype(np.int64), type=pa.int64()
+                ),
+                "cents": pa.array(g["cents"], type=pa.int64()),
+            }
+        )
+
+    out = (
+        feats.map_batches(segment, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("cents", alias_name="cents"),
+        )
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
+    return out.sort_values("segment").reset_index(drop=True)

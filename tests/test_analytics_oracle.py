@@ -255,6 +255,8 @@ SUBSET = [
     "brand_supplier_counts",
     # exponentially-decayed counts (order-free streaming popularity)
     "events_decayed_counts",
+    # RFM terciles (multi-metric quantile bucketing composition)
+    "customer_rfm_segments",
 ]
 
 
