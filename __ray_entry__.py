@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": A.brand_supplier_counts,
         "events_decayed_counts": A.events_decayed_counts,
         "customer_rfm_segments": A.customer_rfm_segments,
+        "events_changepoint": A.events_changepoint,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -984,6 +985,26 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # integer-exact CUSUM changepoint on the daily series
+        "events_changepoint": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1),
+            t AS (SELECT count(*)::BIGINT AS nd, sum(n)::BIGINT AS tot
+                  FROM d),
+            c AS (
+                SELECT day,
+                       sum(n * (SELECT nd FROM t) - (SELECT tot FROM t))
+                           OVER (ORDER BY day)::BIGINT AS s
+                FROM d)
+            SELECT (SELECT nd FROM t) AS n_days,
+                   (SELECT tot FROM t) AS n_events,
+                   make_timestamp(day * 86400000000) AS change_day,
+                   s AS cusum_scaled,
+                   CASE WHEN s < 0 THEN 'up' ELSE 'down' END AS direction
+            FROM c ORDER BY abs(s) DESC, day ASC LIMIT 1
         """,
         # RFM terciles: percentile_cont boundaries + strict lower-bound
         "customer_rfm_segments": """

@@ -9204,3 +9204,56 @@ def customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
     out["total_value"] = out["cents"] / 100.0
     out = out.drop(columns=["cents"])
     return out.sort_values("segment").reset_index(drop=True)
+
+
+def events_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint over the daily event-count series — "did the
+    stream's rate shift, and when": cumulative sum of the per-day
+    deviation from the overall mean rate, changepoint = the day where
+    |CUSUM| peaks.  All arithmetic is INTEGER via the scale trick
+    (deviation = count·n_days − total, so no rational mean ever
+    appears): the distributed part is the daily-count combiner; the
+    O(days) fold runs on the bounded per-day table.  Ties on |S| break
+    to the earliest day.  The SQL oracle replays the same integer
+    cumsum with a window function."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(us // 86_400_000_000, type=pa.int64())}
+        )
+
+    daily = (
+        grouped_agg(
+            ds.map_batches(add_day, batch_format="pyarrow"),
+            keys=["day"],
+            aggs={"n": ("day", "count")},
+            n_buckets=8,
+            partial=True,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    d = np.int64(len(daily))
+    total = np.int64(n.sum())
+    s = np.cumsum(n * d - total)  # integer scaled CUSUM
+    j = int(np.argmax(np.abs(s)))  # first occurrence = earliest day
+    return pd.DataFrame(
+        {
+            "n_days": [int(d)],
+            "n_events": [int(total)],
+            "change_day": np.array(
+                [int(daily["day"][j]) * 86_400_000_000],
+                dtype="datetime64[us]",
+            ),
+            "cusum_scaled": [int(s[j])],
+            "direction": ["up" if s[j] < 0 else "down"],
+        }
+    )

@@ -257,6 +257,8 @@ SUBSET = [
     "events_decayed_counts",
     # RFM terciles (multi-metric quantile bucketing composition)
     "customer_rfm_segments",
+    # integer-exact CUSUM changepoint on the daily series
+    "events_changepoint",
 ]
 
 
