@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_counts": A.events_decayed_counts,
         "customer_rfm_segments": A.customer_rfm_segments,
         "events_changepoint": A.events_changepoint,
+        "price_benford": A.price_benford,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -985,6 +986,21 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # Benford first-digit audit; exact digit via integer-cents string
+        "price_benford": """
+            WITH d AS (
+                SELECT substr((round_even(o_totalprice * 100, 0)::BIGINT)
+                              ::VARCHAR, 1, 1)::BIGINT AS digit
+                FROM orders),
+            g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d
+                  GROUP BY 1),
+            t AS (SELECT sum(n_obs)::BIGINT AS tot FROM g)
+            SELECT digit, n_obs,
+                   round_even(n_obs / (SELECT tot FROM t)::DOUBLE, 6)
+                       AS obs_frac,
+                   round_even(log10(1.0 + 1.0 / digit), 6) AS benford_frac
+            FROM g ORDER BY digit
         """,
         # integer-exact CUSUM changepoint on the daily series
         "events_changepoint": """

@@ -9257,3 +9257,43 @@ def events_changepoint(sf_dir: str) -> pd.DataFrame:
             "direction": ["up" if s[j] < 0 else "down"],
         }
     )
+
+
+def price_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit of order prices — the forensic
+    data-quality screen (fabricated or truncated monetary data drifts
+    from log10(1+1/d)).  Digit extraction is exact via the integer-cents
+    string (no float log edge cases at powers of ten); one 9-key
+    combiner is the whole distributed cost."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        first = np.array([s[0] for s in cents.astype(str)], dtype=np.int64)
+        c = np.bincount(first, minlength=10)[1:]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10), type=pa.int64()),
+                "n": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_obs"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    total = int(out["n_obs"].sum())
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["obs_frac"] = (out["n_obs"] / total).round(6)
+    out["benford_frac"] = np.round(
+        np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64)), 6
+    )
+    return out

@@ -259,6 +259,8 @@ SUBSET = [
     "customer_rfm_segments",
     # integer-exact CUSUM changepoint on the daily series
     "events_changepoint",
+    # Benford first-digit forensic audit
+    "price_benford",
 ]
 
 
