@@ -671,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": A.customer_rfm_segments,
         "events_changepoint": A.events_changepoint,
         "price_benford": A.price_benford,
+        "revenue_gini": A.revenue_gini,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -986,6 +987,27 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # exact Gini from integer cents; one final float division
+        "revenue_gini": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents, o_custkey)
+                           AS rn
+                FROM pc),
+            a AS (SELECT sum(rn * cents)::BIGINT AS s1,
+                         sum(cents)::BIGINT AS t,
+                         count(*)::BIGINT AS n
+                  FROM r)
+            SELECT n AS n_customers, t / 100.0 AS total_value,
+                   round_even((2 * s1 - (n + 1) * t)
+                              / (n * t)::DOUBLE, 6) AS gini
+            FROM a
         """,
         # Benford first-digit audit; exact digit via integer-cents string
         "price_benford": """

@@ -9297,3 +9297,66 @@ def price_benford(sf_dir: str) -> pd.DataFrame:
         np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64)), 6
     )
     return out
+
+
+def revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient of revenue across customers — the
+    inequality statistic behind "top-x% of customers" dashboards, as a
+    rank × weighted-sum composition: per-customer exact cents (combiner)
+    → global ascending `row_number` (the sampled-splitter ranking
+    operator, cents then custkey tie-break) → one streaming Σ rank·cents
+    fold.  With integer cents the closed form
+    G = (2·Σ i·xᵢ − (n+1)·T) / (n·T) involves exactly ONE float
+    division, so the SQL window replay matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rollup import grouped_agg
+    from ..stages.scan import global_order_ranks
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": pa.array(c)}
+        )
+
+    per_cust = grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"cents": ("cents", "sum")},
+        n_buckets=16,
+        partial=True,
+    )
+    ranked = global_order_ranks(
+        per_cust, order_col="cents", tiebreak=["o_custkey"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rn = batch["row_number"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s1": pa.array([int((rn * c).sum())], type=pa.int64()),
+                "t": pa.array([int(c.sum())], type=pa.int64()),
+                "n": pa.array([len(c)], type=pa.int64()),
+            }
+        )
+
+    agg = ranked.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s1", alias_name="s1"), Sum("t", alias_name="t"),
+        Sum("n", alias_name="n"),
+    )
+    s1, t, n = int(agg["s1"]), int(agg["t"]), int(agg["n"])
+    gini = (2 * s1 - (n + 1) * t) / (n * t)
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "total_value": [t / 100.0],
+            "gini": [round(gini, 6)],
+        }
+    )

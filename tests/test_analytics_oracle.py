@@ -261,6 +261,8 @@ SUBSET = [
     "events_changepoint",
     # Benford first-digit forensic audit
     "price_benford",
+    # exact Gini via global ranking + one weighted-sum fold
+    "revenue_gini",
 ]
 
 
