@@ -672,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": A.events_changepoint,
         "price_benford": A.price_benford,
         "revenue_gini": A.revenue_gini,
+        "nb_lang_classifier": A.nb_lang_classifier,
         "lang_balance_sample": A.lang_balance_sample,
         "source_mixture_sample": A.source_mixture_sample,
         "curate_corpus": A.curate_corpus,
@@ -987,6 +988,50 @@ def oracle_sql() -> dict[str, str]:
                    rnk::BIGINT AS rank, round(cosine, 6) AS cosine
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
+        """,
+        # closed-form NB training + resubstitution eval; integer confusion
+        "nb_lang_classifier": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''),
+            ct AS (SELECT lang, w, count(*)::BIGINT AS n
+                   FROM toks GROUP BY 1, 2),
+            lt AS (SELECT lang, sum(n)::BIGINT AS tot FROM ct GROUP BY 1),
+            vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM ct),
+            pri AS (SELECT lang, count(*)::BIGINT AS nd
+                    FROM documents GROUP BY 1),
+            tp AS (SELECT sum(nd)::BIGINT AS tnd FROM pri),
+            grid AS (
+                SELECT l.lang, t.w,
+                       ln((coalesce(c.n, 0) + 1.0)
+                          / (lt.tot + (SELECT v FROM vv))) AS lp
+                FROM (SELECT DISTINCT lang FROM pri) l
+                CROSS JOIN (SELECT DISTINCT w FROM ct) t
+                JOIN lt ON lt.lang = l.lang
+                LEFT JOIN ct c ON c.lang = l.lang AND c.w = t.w),
+            docsc AS (
+                SELECT tk.doc_id, g.lang, sum(g.lp) AS s
+                FROM toks tk JOIN grid g ON g.w = tk.w
+                GROUP BY 1, 2),
+            scored AS (
+                SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+                       coalesce(ds.s, 0)
+                       + ln(p.nd / (SELECT tnd FROM tp)::DOUBLE) AS score
+                FROM documents d
+                CROSS JOIN pri p
+                LEFT JOIN docsc ds
+                    ON ds.doc_id = d.doc_id AND ds.lang = p.lang),
+            pred AS (
+                SELECT doc_id, true_lang, cand,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, cand) AS rk
+                FROM scored)
+            SELECT true_lang, cand AS pred_lang,
+                   count(*)::BIGINT AS n_docs
+            FROM pred WHERE rk = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # exact Gini from integer cents; one final float division
         "revenue_gini": """

@@ -9360,3 +9360,113 @@ def revenue_gini(sf_dir: str) -> pd.DataFrame:
             "gini": [round(gini, 6)],
         }
     )
+
+
+def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
+    """Distributed closed-form model TRAINING + evaluation in one
+    pipeline: a multinomial Naive Bayes language classifier fit from
+    (lang, token) count sufficient statistics — the complement of the
+    fixed-weight `doc_classifier_score` (training by counting is exactly
+    the aggregation this engine optimizes; gradient-free models train in
+    ONE combiner exchange at any corpus size).
+
+    Pass 1 folds per-(lang, token) counts, per-lang token totals, lang
+    document priors, and the vocabulary size; the Laplace-smoothed
+    log-probability table broadcasts (hash-trick it past ~10^7 vocab —
+    the `doc_classifier_score` feature space); pass 2 scores every doc
+    vectorized and folds the (true, predicted) confusion.  Resubstitution
+    eval by design (one corpus in, train == test) — the operator shape,
+    not the methodology, is the point.  Argmax ties break to the
+    alphabetically-first language on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        rows = []
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in t.split():
+                rows.append((lang, tok))
+        df = pd.DataFrame(rows, columns=["lang", "token"])
+        g = df.groupby(["lang", "token"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "token": pa.array(g["token"], type=pa.string()),
+                "n": pa.array(g["size"].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    ct = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # doc priors
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist()})
+        g = df.groupby("lang", as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "nd": pa.array(g["size"].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    priors = (
+        ds.map_batches(doc_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+    langs = sorted(priors["lang"])
+    vocab = sorted(ct["token"].unique())
+    v = len(vocab)
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    cmat = np.zeros((len(langs), v), dtype=np.int64)
+    for _, r in ct.iterrows():
+        cmat[lang_idx[r["lang"]], tok_idx[r["token"]]] = r["n"]
+    tot = cmat.sum(axis=1)
+    logp = np.log((cmat + 1.0) / (tot + v)[:, None])
+    nd = priors.set_index("lang")["nd"]
+    logprior = np.log(
+        np.array([nd[l] for l in langs], dtype=np.float64)
+        / float(nd.sum())
+    )
+    model_ref = ray.put((logp, logprior, tok_idx, langs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp, lpr, tix, ls = ray.get(model_ref)
+        rows = []
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = [tix[w] for w in t.split() if w in tix]
+            s = lpr + lp[:, toks].sum(axis=1)
+            rows.append((lang, ls[int(np.argmax(s))]))
+        df = pd.DataFrame(rows, columns=["true_lang", "pred_lang"])
+        g = df.groupby(["true_lang", "pred_lang"], as_index=False).size()
+        return pa.table(
+            {
+                "true_lang": pa.array(g["true_lang"], type=pa.string()),
+                "pred_lang": pa.array(g["pred_lang"], type=pa.string()),
+                "n_docs": pa.array(
+                    g["size"].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(
+        ["true_lang", "pred_lang"]
+    ).reset_index(drop=True)

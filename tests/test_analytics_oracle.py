@@ -263,6 +263,8 @@ SUBSET = [
     "price_benford",
     # exact Gini via global ranking + one weighted-sum fold
     "revenue_gini",
+    # closed-form NB training + eval (one-exchange sufficient statistics)
+    "nb_lang_classifier",
 ]
 
 
