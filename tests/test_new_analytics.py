@@ -966,3 +966,81 @@ class TestIvfStoreScaleStress:
             1 for d in os.listdir(store) if d.startswith("list=")
         )
         assert n_lists == 8
+
+
+class TestAttributionScaleStress:
+    def test_million_event_attribution_analytic(self, tmp_path):
+        """1M events through purchase_attribution with an analytic answer:
+        55k users sign-shaped — even users click, odd users view, each
+        purchases exactly 1h later (inside the 7-day window); 5k users
+        purchase with no touch (direct); 890k filler error events inflate
+        the stream.  The as-of machinery must produce exactly the
+        constructed split with nothing corpus-sized on the driver."""
+        import os
+
+        from bioie_llm_ray.pipelines.analytics import purchase_attribution
+
+        n_users, n_fill = 50_000, 890_000
+        base = np.int64(pd.Timestamp("2024-01-01").value // 1000)
+        rows = []
+        # touched users: touch at base+u s, purchase 1h later
+        u = np.arange(n_users, dtype=np.int64)
+        touch_ts = base + u * 1_000_000
+        parts = [
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "ts": touch_ts,
+                    "event_type": np.where(u % 2 == 0, "click", "view"),
+                    "value": 0.0,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "ts": touch_ts + 3_600_000_000,
+                    "event_type": "purchase",
+                    "value": 1.0,
+                }
+            ),
+        ]
+        # 5k untouched purchasers
+        u2 = np.arange(n_users, n_users + 5_000, dtype=np.int64)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "user_id": u2,
+                    "ts": base + u2 * 1_000_000,
+                    "event_type": "purchase",
+                    "value": 1.0,
+                }
+            )
+        )
+        # filler noise the pipeline must stream past
+        rng = np.random.RandomState(3)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "user_id": rng.randint(0, n_users, n_fill).astype(np.int64),
+                    "ts": base + rng.randint(0, 10**9, n_fill).astype(np.int64),
+                    "event_type": "error",
+                    "value": 0.0,
+                }
+            )
+        )
+        df = pd.concat(parts, ignore_index=True)
+        df["ts"] = df["ts"].to_numpy().astype("datetime64[us]")
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+        df["props"] = "{}"
+        sf = tmp_path / "sf"
+        os.makedirs(sf)
+        pa.parquet.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            str(sf / "events.parquet"),
+        )
+
+        out = purchase_attribution(str(sf)).set_index("channel")
+        assert int(out.loc["click", "n_purchases"]) == n_users // 2
+        assert int(out.loc["view", "n_purchases"]) == n_users // 2
+        assert int(out.loc["direct", "n_purchases"]) == 5_000
+        assert float(out.loc["click", "total_value"]) == n_users // 2
