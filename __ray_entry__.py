@@ -30,7 +30,7 @@ _DOC_VOCAB_SQL = (
 )
 
 _TOKENS = (
-    "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+    "SELECT doc_id, unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token "
     "FROM documents"
 )
 
@@ -38,8 +38,8 @@ _TOKENS = (
 # shingle-Jaccard verify -> recursive transitive closure); composed by the
 # er_entity_clusters and er_golden_records oracles with different finals.
 _ER_CTES = r"""arr AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             tb AS (
                 SELECT DISTINCT doc_id,
                        array_to_string(a[i + 1 : i + 3], ' ') AS key
@@ -58,9 +58,9 @@ _ER_CTES = r"""arr AS (
             words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (
@@ -788,7 +788,7 @@ def _g2_sql(lang: str = "en", top_n: int = 25, min_count: int = 50) -> str:
             SELECT CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS il,
                    t.w AS token
             FROM documents,
-                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
             WHERE t.w <> ''),
         ct AS (
             SELECT token, sum(il)::BIGINT AS k_in,
@@ -929,8 +929,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval_per_doc": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
-                FROM documents WHERE trim(text) <> ''),
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
             chunks AS (
                 SELECT doc_id, arr,
@@ -993,8 +993,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classifier": r"""
             WITH toks AS (
                 SELECT doc_id, lang,
-                       unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-                FROM documents WHERE trim(text) <> ''),
+                       unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             ct AS (SELECT lang, w, count(*)::BIGINT AS n
                    FROM toks GROUP BY 1, 2),
             lt AS (SELECT lang, sum(n)::BIGINT AS tot FROM ct GROUP BY 1),
@@ -1376,7 +1376,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT source, t.w AS w
                 FROM documents,
-                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS t(w)
                 WHERE t.w <> ''),
             n AS (SELECT source, count(*) AS n FROM toks GROUP BY 1)
             SELECT t.source, t.w AS word, count(*)::BIGINT AS cnt
@@ -1403,7 +1403,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS MATERIALIZED (
                 SELECT DISTINCT doc_id, token
                 FROM (SELECT doc_id,
-                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                             unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'))
                                  AS token
                       FROM documents)
                 WHERE token IN ('spark','hash','join','merge','sort',
@@ -1450,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS MATERIALIZED (
                 SELECT DISTINCT doc_id, token
                 FROM (SELECT doc_id,
-                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                             unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'))
                                  AS token
                       FROM documents)
                 WHERE token IN ('spark','hash','join','merge','sort',
@@ -1887,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": """
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                   CAST(len(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
         # doc_pack_blocks: the distributed prefix sum IS the window cumsum;
@@ -1895,7 +1895,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_blocks": """
             WITH toks AS (
                 SELECT doc_id,
-                       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                       CAST(len(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS BIGINT) AS n_tokens
                 FROM documents),
             scanned AS (
                 SELECT doc_id, n_tokens,
@@ -1933,7 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repeated_ngrams": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS arr
+                       regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
                 FROM documents),
             ng AS (
                 SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS ngram
@@ -1947,8 +1947,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_perplexity": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
-                FROM documents WHERE trim(text) <> ''),
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             big AS (
                 SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
                 FROM toks, unnest(range(1, len(arr))) AS t(i)),
@@ -2221,8 +2221,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dup_ngram_spans": r"""
             WITH arr AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             w AS (
                 SELECT doc_id,
                        array_to_string(a[i + 1 : i + 5], ' ') AS win
@@ -2253,7 +2253,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, t.w AS token
                 FROM documents,
-                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
                 WHERE t.w <> ''),
             len AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
             stats AS (SELECT count(*)::DOUBLE AS n_docs,
@@ -2284,7 +2284,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT t.w AS token
                 FROM documents,
-                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
                 WHERE t.w <> ''),
             wc AS (SELECT token, count(*)::BIGINT AS n
                    FROM toks GROUP BY 1
@@ -2371,7 +2371,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT DISTINCT lang, t.w AS token
                 FROM documents,
-                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
                 WHERE t.w <> '' AND lang IN ('en', 'fr')),
             m AS (
                 SELECT token,
@@ -2425,7 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_pmi_bigrams": f"""
             WITH arr AS (
-                SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+                SELECT regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+') AS a
                 FROM documents),
             z AS (SELECT unnest(list_zip(a[:-1], a[2:])) AS p FROM arr),
             bi AS (
@@ -2457,9 +2457,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
                 FROM documents
-                WHERE trim(text) <> ''),
+                WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
             exploded AS (
                 SELECT doc_id, arr, n,
@@ -2480,8 +2480,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
-                FROM documents WHERE trim(text) <> ''),
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
             chunks AS (
                 SELECT doc_id, arr,
@@ -2542,8 +2542,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_rerank": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
-                FROM documents WHERE trim(text) <> ''),
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
             chunks AS (
                 SELECT doc_id, arr,
@@ -2624,8 +2624,8 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieval_eval": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\s+') AS arr
-                FROM documents WHERE trim(text) <> ''),
+                       string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS arr
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             sized AS (SELECT doc_id, arr, len(arr) AS n FROM toks),
             chunks AS (
                 SELECT doc_id, arr,
@@ -2721,9 +2721,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS ws
+                       regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS ws
                 FROM documents
-                WHERE trim(text) <> ''),
+                WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             grams AS (
                 SELECT doc_id,
                        unnest(list_transform(
@@ -2771,9 +2771,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS ws
+                       regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS ws
                 FROM documents
-                WHERE trim(text) <> ''),
+                WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
             wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
             wagg AS (
@@ -2806,7 +2806,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
                           / length(text) >= 0.8175
-                  AND len(regexp_split_to_array(trim(text), '\s+')) >= 5
+                  AND len(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) >= 5
                   AND lang IN ('en', 'de', 'fr')),
             d AS (
                 SELECT *, min(doc_id) OVER (PARTITION BY sha256(text))
@@ -2816,7 +2816,7 @@ def oracle_sql() -> dict[str, str]:
                   WHERE doc_id = keeper),
             ev AS (
                 SELECT DISTINCT array_to_string(a[i + 1 : i + 5], ' ') AS g
-                FROM (SELECT string_split_regex(trim(text), '\s+') AS a
+                FROM (SELECT string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
                       FROM documents WHERE doc_id % 10 = 0),
                      unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
                 WHERE len(a) >= 5),
@@ -2824,7 +2824,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT k.doc_id,
                        array_to_string(a[i + 1 : i + 5], ' ') AS g
                 FROM (SELECT doc_id,
-                             string_split_regex(trim(text), '\s+') AS a
+                             string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
                       FROM k) k,
                      unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
                 WHERE len(a) >= 5),
@@ -3568,7 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS BIGINT) AS n_tokens,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                        / length(text) AS alpha_ratio,
                    length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g'))
@@ -3686,8 +3686,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_blocking_pairs": r"""
             WITH arr AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-                FROM documents WHERE trim(text) <> ''),
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
             tb AS (
                 SELECT DISTINCT doc_id,
                        array_to_string(a[i + 1 : i + 3], ' ') AS key
@@ -3707,9 +3707,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (
@@ -3900,9 +3900,9 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (
@@ -3927,9 +3927,9 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (
@@ -3955,9 +3955,9 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (
@@ -3986,9 +3986,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE words AS (
                 SELECT doc_id, w, i
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(trim(text), '\s+')) AS w,
+                             unnest(string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS w,
                              generate_subscripts(
-                                 string_split_regex(trim(text), '\s+'), 1) AS i
+                                 string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+'), 1) AS i
                       FROM documents)
                 WHERE w <> ''),
             sh AS (

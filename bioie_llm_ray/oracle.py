@@ -601,7 +601,7 @@ def pagerank_sql(n_iters: int = 20, damping: float = 0.85) -> str:
 WITH m AS MATERIALIZED (
     SELECT DISTINCT doc_id, token
     FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
           FROM documents)
     WHERE token IN ('spark','hash','join','merge','sort','filter','window',
                     'vector','stream','batch')),
@@ -692,7 +692,7 @@ def minhash_sql(
     return f"""
 WITH arr AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+'),
                        x -> x <> '') AS a
     FROM documents),
 toks AS (
@@ -1007,7 +1007,7 @@ def countmin_sql(vocab: list[str], d: int = 4, w: int = 256) -> str:
 WITH toks AS (
   SELECT t.w AS w
   FROM documents,
-       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+       unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS t(w)
   WHERE t.w <> ''
 ),
 reps AS (SELECT w, r FROM toks CROSS JOIN range(0, {d}) AS t2(r)),
@@ -1218,7 +1218,7 @@ l{i} AS MATERIALIZED (
 WITH m AS MATERIALIZED (
     SELECT DISTINCT doc_id, token
     FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
           FROM documents)
     WHERE token IN ('spark','hash','join','merge','sort','filter','window',
                     'vector','stream','batch')),
@@ -1430,7 +1430,7 @@ a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"""
 WITH m AS MATERIALIZED (
     SELECT DISTINCT doc_id, token
     FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
           FROM documents)
     WHERE token IN ('spark','hash','join','merge','sort','filter','window',
                     'vector','stream','batch')),
@@ -1465,9 +1465,9 @@ def classifier_score_sql(dim: int = 1024) -> str:
     wt = f"(({splitmix64_sql(idx)}) % 2097152)::BIGINT - 1048576"
     return f"""
         WITH toks AS (
-            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS w
             FROM documents
-            WHERE trim(text) <> ''),
+            WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
         h AS (SELECT doc_id, {wt} AS wt FROM toks),
         agg AS (
             SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt)::BIGINT AS s
@@ -1491,14 +1491,14 @@ def corpus_report_sql() -> str:
     return f"""
         WITH base AS (
             SELECT doc_id, lang, text,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                   len(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS n_tok,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
                        / length(text) AS alpha_ratio
             FROM documents),
         toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-            FROM documents WHERE trim(text) <> ''),
+                   unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS w
+            FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
         clf AS (
             SELECT doc_id FROM (
                 SELECT doc_id, sum({wt})::BIGINT AS s
@@ -1533,15 +1533,15 @@ def clf_calibration_sql() -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-            FROM documents WHERE trim(text) <> ''),
+                   unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS w
+            FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
         sc AS (
             SELECT doc_id, sum({wt})::BIGINT AS s, count(*)::BIGINT AS n
             FROM toks GROUP BY doc_id),
         lab AS (
             SELECT doc_id,
                    count(*) OVER (PARTITION BY sha256(text)) > 1 AS dup
-            FROM documents WHERE trim(text) <> ''),
+            FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
         j AS (
             SELECT sc.s, sc.n, sc.n * 65536 AS d, lab.dup
             FROM sc JOIN lab USING (doc_id)),
@@ -1567,8 +1567,8 @@ def span_corruption_sql(rate: int = 15) -> str:
     coin = splitmix64_sql("((doc_id::HUGEINT * 1048576 + i))::UBIGINT")
     return f"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
-            FROM documents WHERE trim(text) <> ''),
+            SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+') AS arr
+            FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
         pos AS (
             SELECT doc_id, arr[i + 1] AS tok, i
             FROM toks, unnest(range(0, len(arr))) AS t(i)),

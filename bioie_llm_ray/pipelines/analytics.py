@@ -1237,7 +1237,9 @@ def doc_containment(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return out.sort_values(["id_sub", "id_super"]).reset_index(drop=True)
 
 
-def supplier_name_clusters(sf_dir: str) -> pd.DataFrame:
+def supplier_name_clusters(
+    sf_dir: str, max_broadcast_ids: int = 2_000_000
+) -> pd.DataFrame:
     """Typo clustering: connected components over the exact Levenshtein-1
     similarity graph of supplier names — `editdist.edit_distance_pairs` →
     `graph.connected_components` (cluster = min reachable s_suppkey), the
@@ -1249,7 +1251,12 @@ def supplier_name_clusters(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     pairs = edit_distance_pairs(
-        ds, text_col="s_name", id_col="s_suppkey", max_dist=1, n_buckets=16
+        ds,
+        text_col="s_name",
+        id_col="s_suppkey",
+        max_dist=1,
+        n_buckets=16,
+        max_broadcast_ids=max_broadcast_ids,
     )
     out = connected_components(pairs).to_pandas()
     out["node"] = out["node"].astype("int64")
@@ -2930,7 +2937,9 @@ def knn_ivf_exact(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
-def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash(
+    sf_dir: str, max_broadcast_ids: int = 2_000_000
+) -> pd.DataFrame:
     """MinHash-LSH candidate pairs verified at Jaccard ≥ 0.5 (3-shingles).
 
     Verification re-fetches text via shuffle joins (the corpus never
@@ -2941,7 +2950,12 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_lsh_candidates(ds, text_col="text", id_col="doc_id")
     verified = verify_jaccard_pairs_join(
-        cand, ds, threshold=0.5, id_col="doc_id", text_col="text"
+        cand,
+        ds,
+        threshold=0.5,
+        id_col="doc_id",
+        text_col="text",
+        max_broadcast_ids=max_broadcast_ids,
     )
     out = verified.to_pandas()
     if len(out):
@@ -4875,7 +4889,9 @@ def user_event_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def supplier_name_neardup(sf_dir: str) -> pd.DataFrame:
+def supplier_name_neardup(
+    sf_dir: str, max_broadcast_ids: int = 2_000_000
+) -> pd.DataFrame:
     """Exact edit-distance-1 similarity self-join over supplier names —
     the string-similarity join family's Levenshtein member (the set-based
     members are `dedup_jaccard` / `dedup_minhash`).
@@ -4889,7 +4905,12 @@ def supplier_name_neardup(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     out = edit_distance_pairs(
-        ds, text_col="s_name", id_col="s_suppkey", max_dist=1, n_buckets=16
+        ds,
+        text_col="s_name",
+        id_col="s_suppkey",
+        max_dist=1,
+        n_buckets=16,
+        max_broadcast_ids=max_broadcast_ids,
     ).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
@@ -6130,7 +6151,9 @@ def kg_bfs_levels(sf_dir: str, seed: str = "batch") -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
-def _er_labels(sf_dir: str, threshold: float) -> ray.data.Dataset:
+def _er_labels(
+    sf_dir: str, threshold: float, max_broadcast_ids: int = 2_000_000
+) -> ray.data.Dataset:
     """Shared ER composition: token blocking (purged) → exact shingle-Jaccard
     verify with shuffle-join text re-fetch → connected components →
     (node, component) labels."""
@@ -6141,12 +6164,18 @@ def _er_labels(sf_dir: str, threshold: float) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = token_blocking_pairs(docs).select_columns(["id_a", "id_b"])
     verified = verify_jaccard_pairs_join(
-        cand, docs, threshold=threshold, n_shingle=3
+        cand,
+        docs,
+        threshold=threshold,
+        n_shingle=3,
+        max_broadcast_ids=max_broadcast_ids,
     )
     return connected_components(verified)
 
 
-def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def er_entity_clusters(
+    sf_dir: str, threshold: float = 0.5, max_broadcast_ids: int = 2_000_000
+) -> pd.DataFrame:
     """End-to-end entity resolution, composed from three engine operators:
     token blocking with block purging (``blocking.token_blocking_pairs``)
     → exact word-shingle Jaccard verification with the text re-fetched by
@@ -6154,7 +6183,7 @@ def er_entity_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     → connected components (``graph.connected_components``) → (node,
     cluster) labels, cluster = min reachable doc_id.  The oracle replays
     blocking + verify + a recursive transitive closure in one SQL."""
-    out = _er_labels(sf_dir, threshold).to_pandas()
+    out = _er_labels(sf_dir, threshold, max_broadcast_ids).to_pandas()
     out["node"] = out["node"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
@@ -7488,12 +7517,15 @@ def doc_classifier_score(sf_dir: str, dim: int = 1024) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
-        )
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        keep = lens > 0
-        # drop docs that are pure whitespace (no tokens → no score)
+        # drop docs that are pure whitespace: Arrow's split of a trimmed
+        # empty string yields [''] (length 1), so `lens > 0` alone would
+        # keep them — match the oracle's WHERE trim(text) <> ''.
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False) & (
+            lens > 0
+        )
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         uniq, inv = np.unique(flat, return_inverse=True)
@@ -7789,19 +7821,24 @@ def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     ).aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
     n_direct = int(totals["n"]) - int(matched["n_purchases"].sum())
     cents_direct = int(totals["cents"]) - int(matched["cents"].sum())
-    out = pd.concat(
-        [
-            matched,
-            pd.DataFrame(
-                {
-                    "channel": ["direct"],
-                    "n_purchases": [n_direct],
-                    "cents": [cents_direct],
-                }
-            ),
-        ],
-        ignore_index=True,
-    )
+    if n_direct > 0:
+        # only emit the 'direct' group when unattributed purchases exist —
+        # the SQL oracle has no row for an empty group
+        out = pd.concat(
+            [
+                matched,
+                pd.DataFrame(
+                    {
+                        "channel": ["direct"],
+                        "n_purchases": [n_direct],
+                        "cents": [cents_direct],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    else:
+        out = matched.copy()
     out["total_value"] = out["cents"] / 100.0
     out = out.drop(columns=["cents"])
     return out.sort_values("channel").reset_index(drop=True)
@@ -7848,11 +7885,15 @@ def hard_negatives(sf_dir: str, n_queries: int = 20, k: int = 3) -> pd.DataFrame
         kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            if kk < len(row):
-                seed = np.argpartition(-row, kk - 1)[:kk]
-                idx = np.flatnonzero(row >= row[seed].min())
+            finite = np.flatnonzero(np.isfinite(row))
+            if kk < len(finite):
+                seed = finite[np.argpartition(-row[finite], kk - 1)[:kk]]
+                # threshold on the k-th finite value; when fewer than k
+                # different-label vectors exist, row[seed].min() would be
+                # -inf and -inf >= -inf re-admits masked same-label columns
+                idx = finite[row[finite] >= row[seed].min()]
             else:
-                idx = np.flatnonzero(row > -np.inf)
+                idx = finite
             order = idx[np.lexsort((ids[idx], -row[idx]))][:kk]
             for j in order:
                 out["query_id"].append(int(qids_[qi]))
@@ -8065,10 +8106,10 @@ def corpus_report(sf_dir: str) -> pd.DataFrame:
 
     def partials(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(texts), pattern=r"\s+"
-        )
+        trimmed = pc.utf8_trim_whitespace(texts)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonblank = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
         # quality gate: alpha ratio >= 0.8175 and >= 5 words (curate_corpus)
         alpha = pc.count_substring_regex(texts, pattern="[A-Za-z]")
         n_alpha = alpha.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -8087,7 +8128,9 @@ def corpus_report(sf_dir: str) -> pd.DataFrame:
             weights=w_uniq[inv].astype(np.float64),
             minlength=len(lens),
         ).astype(np.int64)
-        keep = (lens > 0) & (sums >= 0)
+        # whitespace-only docs split to [''] (lens == 1), so gate on the
+        # trimmed text being non-empty — the oracle's WHERE trim(text) <> ''
+        keep = nonblank & (sums >= 0)
         return pa.table(
             {
                 "n_docs": pa.array([len(batch)], type=pa.int64()),
@@ -8202,10 +8245,10 @@ def clf_calibration(sf_dir: str) -> pd.DataFrame:
 
     def score_and_sha(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(texts), pattern=r"\s+"
-        )
+        trimmed = pc.utf8_trim_whitespace(texts)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonblank = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         uniq, inv = np.unique(flat, return_inverse=True)
@@ -8218,7 +8261,8 @@ def clf_calibration(sf_dir: str) -> pd.DataFrame:
             weights=w_uniq[inv].astype(np.float64),
             minlength=len(lens),
         ).astype(np.int64)
-        keep = lens > 0
+        # match the oracle's WHERE trim(text) <> '' (split of '' is [''])
+        keep = nonblank
         shas = np.asarray(sha256_hex(batch["text"].to_pylist()))[keep]
         return pa.table(
             {
@@ -8538,18 +8582,24 @@ def revenue_forecast_ses(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    rev = (
-        grouped_agg(
-            ds.map_batches(daily, batch_format="pyarrow"),
-            keys=["day"],
-            aggs={"cents": ("cents", "sum")},
-            n_buckets=16,
-            partial=True,
+    rev = grouped_agg(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        keys=["day"],
+        aggs={"cents": ("cents", "sum")},
+        n_buckets=16,
+        partial=True,
+    ).to_pandas()
+    # an empty orders table yields a schemaless empty frame — guard before
+    # sort_values/indexing (the oracle returns zero rows there)
+    if len(rev) == 0:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "revenue": pd.Series([], dtype=np.float64),
+                "smoothed": pd.Series([], dtype=np.float64),
+            }
         )
-        .to_pandas()
-        .sort_values("day")
-        .reset_index(drop=True)
-    )
+    rev = rev.sort_values("day").reset_index(drop=True)
     x = (rev["cents"] / 100.0).to_numpy(np.float64)
     s = np.empty_like(x)
     s[0] = x[0]
@@ -8982,6 +9032,17 @@ def events_max_gap(sf_dir: str) -> pd.DataFrame:
         gap = int(firsts[i + 1] - lasts[i])
         if gap > best[0] or (gap == best[0] and int(lasts[i]) < best[1]):
             best = (gap, int(lasts[i]), int(firsts[i + 1]))
+    if best[0] < 0:
+        # 0 or 1 events total → no gap exists; the LAG oracle emits zero
+        # rows, so return an empty frame rather than a sentinel row
+        return pd.DataFrame(
+            {
+                "n_events": pd.Series([], dtype=np.int64),
+                "max_gap_us": pd.Series([], dtype=np.int64),
+                "gap_start": pd.Series([], dtype="datetime64[us]"),
+                "gap_end": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
     return pd.DataFrame(
         {
             "n_events": [int(days["n"].sum())],

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..functions.hashing import (
@@ -240,25 +241,37 @@ def cluster_dedup(
     src: str = "id_a",
     dst: str = "id_b",
     n_buckets: int = 32,
+    max_broadcast_ids: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Corpus minus near-duplicates, cluster-exact: connected components of
     the verified pair graph, keep each component's minimum id.
 
-    The drop set (every non-root member) broadcasts as an id set; at
-    corpus scales where even that is too large, swap the filter for a
-    shuffle anti-join on ``id_col`` against the label Dataset.
+    The drop set (every non-root member) broadcasts as an id set only
+    while it fits (``<= max_broadcast_ids``); above the bound the filter
+    switches automatically to a distributed ``shuffle_semi_join(anti=True)``
+    against the non-root label Dataset, so no id collection ever reaches
+    the driver — same auto-threshold contract as
+    ``neardup.verify_jaccard_pairs_join`` and ``editdist`` re-fetch.
     """
-    from .join import anti_semi_filter
+    from .join import anti_semi_filter, shuffle_semi_join
 
     comp = connected_components(
         pairs, src=src, dst=dst, n_buckets=n_buckets
     )
-    drop = {
-        str(r["node"])
-        for r in comp.take_all()
-        if r["node"] != r["component"]
-    }
-    return anti_semi_filter(docs, drop, keys=id_col, anti=True)
+
+    def nonroot(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["node"], batch["component"]))
+        return pa.table({id_col: batch["node"].filter(keep)})
+
+    # bounded by the duplicate count, never the corpus; materialized once
+    # so the count and the filter pass share the execution
+    drop_ds = comp.map_batches(nonroot, batch_format="pyarrow").materialize()
+    if drop_ds.count() <= max_broadcast_ids:
+        drop = {str(r[id_col]) for r in drop_ds.take_all()}
+        return anti_semi_filter(docs, drop, keys=id_col, anti=True)
+    return shuffle_semi_join(
+        docs, drop_ds, keys=id_col, anti=True, n_buckets=n_buckets
+    )
 
 
 def aggregate_edges(

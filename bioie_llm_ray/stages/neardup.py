@@ -444,6 +444,7 @@ def near_dedup_docs(
     n_perm: int = 64,
     n_bands: int = 16,
     n_shingle: int = 3,
+    max_broadcast_ids: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Corpus minus near-duplicates: keep one representative per cluster.
 
@@ -453,10 +454,11 @@ def near_dedup_docs(
     membership is transitive-exact over the verified edges; recall is
     bounded by LSH candidate generation as usual.
 
-    The drop set is ≤ the number of near-duplicate documents; it broadcasts
-    as an id set (``anti_semi_filter``).  For corpora where even that is
-    too large to broadcast, swap the last step for a shuffle anti-join on
-    ``id_col`` — the component-label side is already a Dataset.
+    The drop set is ≤ the number of near-duplicate documents; below
+    ``max_broadcast_ids`` it broadcasts as an id set (``anti_semi_filter``),
+    above it ``cluster_dedup`` switches automatically to a distributed
+    shuffle anti-join — no driver-side id collection on either path's
+    scale branch.
     """
     cand = minhash_lsh_candidates(
         ds,
@@ -473,10 +475,13 @@ def near_dedup_docs(
         n_shingle=n_shingle,
         id_col=id_col,
         text_col=text_col,
+        max_broadcast_ids=max_broadcast_ids,
     )
     from .graph import cluster_dedup
 
-    return cluster_dedup(ds, verified, id_col=id_col)
+    return cluster_dedup(
+        ds, verified, id_col=id_col, max_broadcast_ids=max_broadcast_ids
+    )
 
 
 class SimHasher:

@@ -88,7 +88,19 @@ def ivf_store_topk(
     qn = _normalize(q)
     needed = sorted({int(li) for row in probes for li in row})
     # storage-enforced pruning: only the probed list=<i>/ partitions are
-    # ever opened; the list id rides along as an injected column
+    # ever opened; the list id is known from the directory being read, so
+    # inject it explicitly rather than relying on hive-partition inference
+    # (which is version-fragile for explicit file-path reads)
+    def _inject_list(li: int):
+        def inject(batch: pa.Table) -> pa.Table:
+            if "list" in batch.column_names:
+                batch = batch.drop_columns(["list"])
+            return batch.append_column(
+                "list", pa.array(np.full(len(batch), li, dtype=np.int64))
+            )
+
+        return inject
+
     parts = []
     for li in needed:
         d = os.path.join(path, f"list={li}")
@@ -97,9 +109,11 @@ def ivf_store_topk(
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
-        # hive partition inference re-attaches the "list" column from the
-        # directory name, so no injection is needed
-        parts.append(ray.data.read_parquet(files))
+        parts.append(
+            ray.data.read_parquet(files).map_batches(
+                _inject_list(li), batch_format="pyarrow"
+            )
+        )
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     probe_ref = ray.put(probes)
     q_ref = ray.put(qn)
@@ -108,9 +122,7 @@ def ivf_store_topk(
         pr = ray.get(probe_ref)
         qm = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        lists = np.asarray(
-            [int(v) for v in batch["list"].to_pylist()], dtype=np.int64
-        )
+        lists = batch["list"].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = _normalize(
             np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
                 np.float64
