@@ -41,6 +41,35 @@ from ..stages.join import broadcast_join, shuffle_join
 _BYTES_PER_BLOCK = 8 * 1024 * 1024  # compressed parquet; ~3-5× in memory
 _MIN_BLOCKS = 2
 
+# Target in-memory bytes of keyed payload per map_groups bucket.  Each
+# bucket is ~1/B of the keyed table inside ONE task's heap, so B must grow
+# with the input: fixed constants that are fine at sf0.1 overflow a task at
+# 100×.  The floor keeps the tuned small-scale plans unchanged (more
+# buckets than data only adds empty-group scheduling overhead).
+_BYTES_PER_BUCKET = 64 * 1024 * 1024
+_PARQUET_EXPANSION = 4  # compressed parquet → Arrow heap, conservative
+
+
+def n_buckets_for_bytes(nbytes: int, floor: int = 16, cap: int = 1 << 16) -> int:
+    """Bucket count for one keyed exchange over ``nbytes`` of input:
+    ceil(in-memory bytes / _BYTES_PER_BUCKET), floored at the tuned
+    small-scale constant, capped at 65536 (beyond that, split the job)."""
+    need = -(-int(nbytes) * _PARQUET_EXPANSION // _BYTES_PER_BUCKET)
+    return int(min(cap, max(floor, need)))
+
+
+def _nb(sf_dir: str, table: str, floor: int = 16) -> int:
+    """Size-derived bucket count for an exchange whose volume scales with
+    ``table`` — the groupby/map_groups analogue of ``_read``'s byte-sized
+    blocks.  Derived tables (pairs, candidates) use the driving input table
+    as the proxy; it is the scaling variable even when the exchange payload
+    is wider or narrower than the raw rows."""
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return floor
+    return n_buckets_for_bytes(nbytes, floor=floor)
+
 
 def _read(
     sf_dir: str, table: str, columns=None, min_blocks: int = _MIN_BLOCKS
@@ -155,7 +184,7 @@ def q3_order_revenue(sf_dir: str) -> pd.DataFrame:
         li,
         orders,
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
         right_schema={
             "o_orderkey": pa.int64(),
@@ -221,10 +250,10 @@ def q3_colocated(sf_dir: str) -> pd.DataFrame:
             lineitem.map_batches(revenue, batch_format="pyarrow"),
             li_path,
             key="o_orderkey",
-            n_buckets=16,
+            n_buckets=_nb(sf_dir, "lineitem", 16),
         )
         bucketed.write_bucketed(
-            orders, ord_path, key="o_orderkey", n_buckets=16
+            orders, ord_path, key="o_orderkey", n_buckets=_nb(sf_dir, "lineitem", 16)
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -302,7 +331,7 @@ def cdc_user_state(sf_dir: str) -> pd.DataFrame:
     try:
         base_path = os.path.join(root, "base")
         out_path = os.path.join(root, "merged")
-        bucketed.write_bucketed(snapshot, base_path, key="user_id", n_buckets=16)
+        bucketed.write_bucketed(snapshot, base_path, key="user_id", n_buckets=_nb(sf_dir, "events", 16))
         bucketed.merge_upsert(
             base_path,
             delta,
@@ -364,7 +393,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         li,
         orders.select_columns(["o_orderkey", "n_name"]),
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
         right_schema={"o_orderkey": pa.int64(), "n_name": pa.string()},
         bucket_post=rollup,
@@ -455,7 +484,7 @@ def user_hourly_activity(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(add_hour, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     ).to_pandas()
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
@@ -737,7 +766,7 @@ def doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
             "doc_id": ("doc_id", "min"),
             "n_copies": ("doc_id", "count"),
         },
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[
@@ -1046,7 +1075,7 @@ def daily_top_users(sf_dir: str, k: int = 3) -> pd.DataFrame:
         ds.map_batches(to_day, batch_format="pyarrow"),
         keys=["day", "user_id"],
         aggs={"n_events": ("user_id", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     )
     top = grouped_top_k(
@@ -1056,7 +1085,7 @@ def daily_top_users(sf_dir: str, k: int = 3) -> pd.DataFrame:
         k=k,
         descending=True,
         tie_cols=["user_id"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
     ).to_pandas()
     top["date"] = np.datetime_as_string(
         top["day"].to_numpy().astype("datetime64[D]"), unit="D"
@@ -1093,7 +1122,7 @@ def customer_pareto(sf_dir: str) -> pd.DataFrame:
         orders.map_batches(cents, batch_format="pyarrow"),
         keys=["o_custkey"],
         aggs={"cents": ("cents", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
         partial=True,
     )
 
@@ -1107,14 +1136,14 @@ def customer_pareto(sf_dir: str) -> pd.DataFrame:
         per_cust.map_batches(negate, batch_format="pyarrow"),
         "neg_cents",
         tiebreak=["o_custkey"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
     )
     run = ordered_prefix_sum(
         ranked.select_columns(["row_number", "cents"]),
         "row_number",
         "cents",
         out_col="cum",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
     )
 
     totals = [0, 0]  # [total cents, n customers]
@@ -1184,7 +1213,7 @@ def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
         joined,
         keys=["n_name"],
         aggs={"revenue": ("o_totalprice", "sum")},
-        n_buckets=4,
+        n_buckets=_nb(sf_dir, "orders", 4),
         partial=True,
     ).to_pandas()
     total = per_nation["revenue"].sum()
@@ -1255,7 +1284,7 @@ def supplier_name_clusters(
         text_col="s_name",
         id_col="s_suppkey",
         max_dist=1,
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "supplier", 16),
         max_broadcast_ids=max_broadcast_ids,
     )
     out = connected_components(pairs).to_pandas()
@@ -1272,7 +1301,7 @@ def value_quantiles_cont_by_type(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     out = grouped_quantiles_cont(
-        ds, "event_type", "value", [0.25, 0.5, 0.75], n_buckets=8
+        ds, "event_type", "value", [0.25, 0.5, 0.75], n_buckets=_nb(sf_dir, "events", 8)
     )
     for c in ("p25", "p50", "p75"):
         out[c] = out[c].round(9)
@@ -1354,7 +1383,7 @@ def top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["l_suppkey"],
         aggs={"total_revenue": ("rev", "sum")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "lineitem", 8),
         partial=True,
     ).to_pandas()
     per_supp["total_revenue"] = per_supp["total_revenue"].round(2)
@@ -1400,7 +1429,7 @@ def value_winsorized(sf_dir: str) -> pd.DataFrame:
             "n_clipped_high": ("is_hi", "sum"),
             "s": ("w", "sum"),
         },
-        n_buckets=4,
+        n_buckets=_nb(sf_dir, "events", 4),
         partial=True,
     ).to_pandas()
     out["avg_winsorized"] = (out["s"] / out["n"]).round(6)
@@ -1520,13 +1549,13 @@ def hll_user_overlap(sf_dir: str) -> pd.DataFrame:
             ["user_id", "event_type"],
         ),
         ["user_id", "event_type"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
     )
     per_user = grouped_agg(
         pairs,
         keys=["user_id"],
         aggs={"n_types": ("event_type", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     )
     exact = per_user.map_batches(
@@ -1578,7 +1607,7 @@ def value_outliers(sf_dir: str) -> pd.DataFrame:
             "s2": ("v2", "sum"),
             "n": ("value", "count"),
         },
-        n_buckets=4,
+        n_buckets=_nb(sf_dir, "events", 4),
         partial=True,
     ).to_pandas()
     m["mu"] = m["s"] / m["n"]
@@ -1605,7 +1634,7 @@ def value_outliers(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(outliers, batch_format="pyarrow"),
         keys=["event_type"],
         aggs={"n_outliers": ("is_out", "sum")},
-        n_buckets=4,
+        n_buckets=_nb(sf_dir, "events", 4),
         partial=True,
     ).to_pandas()
     out = m.merge(cnt, on="event_type")
@@ -1634,7 +1663,7 @@ def user_value_rank(sf_dir: str) -> pd.DataFrame:
         order_col="value",
         tiebreak=["event_id"],
         descending=True,
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "events", 32),
     ).to_pandas()
     out = out[["event_id", "user_id", "row_number", "rank", "dense_rank"]]
     out = out.rename(
@@ -1679,7 +1708,7 @@ def doc_inverted_index(sf_dir: str) -> pd.DataFrame:
             ["doc_id", "term"],
         ),
         ["doc_id", "term"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
     )
 
     def postings(g: pd.DataFrame) -> pd.DataFrame:
@@ -1798,7 +1827,7 @@ def peak_concurrency(sf_dir: str) -> pd.DataFrame:
         return pa.table({"k": pa.array(k), "delta": pa.array(delta)})
 
     pts = spans.map_batches(points, batch_format="pyarrow")
-    run = ordered_prefix_sum(pts, "k", "delta", out_col="c", n_buckets=32)
+    run = ordered_prefix_sum(pts, "k", "delta", out_col="c", n_buckets=_nb(sf_dir, "events", 32))
 
     def partial(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["delta"], 1)
@@ -1883,20 +1912,20 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
     pairs = exact_dedup(
         batch_local_dedup(days, ["user_id", "day"]),
         ["user_id", "day"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
     )
     cohort = grouped_agg(
         days,
         keys=["user_id"],
         aggs={"cohort": ("day", "min")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     )
     joined = shuffle_join(
         pairs,
         cohort,
         keys="user_id",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         left_schema={"user_id": pa.int64(), "day": pa.int64()},
         right_schema={"user_id": pa.int64(), "cohort": pa.int64()},
     )
@@ -1913,7 +1942,7 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
         joined.map_batches(age, batch_format="pyarrow"),
         keys=["cohort", "age_days"],
         aggs={"n_users": ("cohort", "count")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "events", 8),
         partial=True,
     ).to_pandas()
     out["cohort_day"] = np.datetime_as_string(
@@ -2005,7 +2034,7 @@ def event_type_transitions(sf_dir: str) -> pd.DataFrame:
         bigrams,
         keys=["prev_type", "event_type"],
         aggs={"n": ("event_type", "count")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "events", 8),
         partial=True,
     ).to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -2031,7 +2060,7 @@ def user_final_state(sf_dir: str) -> pd.DataFrame:
         order_cols=["ts", "event_id"],
         op_col="event_type",
         delete_ops={"click"},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "events", 32),
     ).to_pandas()
     out = out[["user_id", "event_id", "event_type", "value"]].rename(
         columns={"event_id": "last_event_id", "event_type": "last_type"}
@@ -3461,14 +3490,14 @@ def doc_bigram_perplexity(
         ),
         keys=["w1", "w2"],
         aggs={"c12": ("c", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     ).materialize()
     ctx = grouped_agg(
         bc,
         keys=["w1"],
         aggs={"c1": ("c12", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     )
 
@@ -3491,7 +3520,7 @@ def doc_bigram_perplexity(
         bc,
         ctx,
         keys="w1",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={
             "w1": pa.string(),
             "w2": pa.string(),
@@ -3514,7 +3543,7 @@ def doc_bigram_perplexity(
         emis,
         stats,
         keys=["w1", "w2"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={
             "doc_id": pa.int64(),
             "w1": pa.string(),
@@ -3532,7 +3561,7 @@ def doc_bigram_perplexity(
         scored,
         keys=["doc_id"],
         aggs={"bits": ("bits", "sum"), "n": ("n", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     ).map_batches(
         lambda b: pa.table(
@@ -3827,7 +3856,7 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         li.select_columns(["l_partkey", "l_quantity"]),
         keys=["l_partkey"],
         aggs={"s": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "lineitem", 32),
         partial=True,
     )
     lim = sums.map_batches(
@@ -4107,7 +4136,7 @@ def q3_bloom(sf_dir: str) -> pd.DataFrame:
         li,
         orders,
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
         right_schema={
             "o_orderkey": pa.int64(),
@@ -4187,7 +4216,7 @@ def kg_two_hop_paths(sf_dir: str) -> pd.DataFrame:
         half,
         right,
         keys="mid",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={"mid": pa.string(), "endpoint": pa.string()},
         right_schema={"mid": pa.string(), "endpoint_b": pa.string()},
         bucket_post=keep_ordered,
@@ -4308,7 +4337,7 @@ def cross_nation_trade(sf_dir: str) -> pd.DataFrame:
         li.select_columns(["o_orderkey", "l_year", "revenue", "supp_nation"]),
         orders.select_columns(["o_orderkey", "cust_nation"]),
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={
             "o_orderkey": pa.int64(),
             "l_year": pa.int64(),
@@ -4368,7 +4397,7 @@ def top_return_customers(sf_dir: str) -> pd.DataFrame:
         li,
         orders,
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "revenue": pa.float64()},
         right_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
         bucket_post=to_cust_partials,
@@ -4378,7 +4407,7 @@ def top_return_customers(sf_dir: str) -> pd.DataFrame:
         partials,
         keys=["c_custkey"],
         aggs={"revenue": ("revenue", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         partial=True,
     )
 
@@ -4452,7 +4481,7 @@ def urgent_by_linestatus(sf_dir: str) -> pd.DataFrame:
         li,
         orders,
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "l_linestatus": pa.string()},
         right_schema={"o_orderkey": pa.int64(), "o_orderpriority": pa.string()},
         bucket_post=split_counts,
@@ -4525,7 +4554,7 @@ def large_orders(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
         li,
         keys=["l_orderkey"],
         aggs={"sum_qty": ("l_quantity", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         partial=True,
     ).map_batches(
         lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)).rename_columns(
@@ -4541,7 +4570,7 @@ def large_orders(sf_dir: str, min_qty: float = 150.0) -> pd.DataFrame:
         sums,
         orders,
         keys="o_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={"o_orderkey": pa.int64(), "sum_qty": pa.float64()},
         right_schema={
             "o_orderkey": pa.int64(),
@@ -4748,7 +4777,7 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
         hits,
         keys=["l_suppkey"],
         aggs={"n_orders": ("n", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         partial=True,
     ).to_pandas()
     top = counts.sort_values(
@@ -4807,7 +4836,7 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
         left,
         right,
         keys="mid",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={"a": pa.string(), "mid": pa.string()},
         right_schema={"mid": pa.string(), "c": pa.string()},
     )
@@ -4909,7 +4938,7 @@ def supplier_name_neardup(
         text_col="s_name",
         id_col="s_suppkey",
         max_dist=1,
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "supplier", 16),
         max_broadcast_ids=max_broadcast_ids,
     ).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
@@ -5178,7 +5207,7 @@ def price_weighted_median(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(to_sw, batch_format="pyarrow"),
         keys=["s"],
         aggs={"w": ("w", "sum")},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "lineitem", 32),
         partial=True,
     )
     tagged, offsets, totals = ordered_count_scan(g, "s", ["w"])
@@ -5235,7 +5264,7 @@ def events_key_skew(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(one, batch_format="pyarrow"),
         keys=["user_id"],
         aggs={"n": ("c", "sum")},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "events", 32),
         partial=True,
     )
 
@@ -5353,7 +5382,7 @@ def events_value_ks(
         ds.map_batches(to_sv, batch_format="pyarrow"),
         keys=["s"],
         aggs={"na": ("a", "sum"), "nb": ("b", "sum")},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "events", 32),
         partial=True,
     )
     tagged, offsets, totals = ordered_count_scan(g, "s", ["na", "nb"])
@@ -5636,7 +5665,7 @@ def sample_join_weighted(sf_dir: str, n: int = 25) -> pd.DataFrame:
         li,
         orders,
         keys="l_orderkey",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         left_schema={
             "l_orderkey": pa.int64(),
             "l_linenumber": pa.int64(),
@@ -5692,7 +5721,7 @@ def events_score_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
         ds.map_batches(to_sy, batch_format="pyarrow"),
         keys=["s"],
         aggs={"np": ("y", "sum"), "nn": ("ny", "sum")},
-        n_buckets=32,
+        n_buckets=_nb(sf_dir, "events", 32),
         partial=True,
     )
     tagged, offsets, totals = ordered_count_scan(g, "s", ["nn"])
@@ -5835,7 +5864,7 @@ def events_global_rank(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts"])
     ranked = global_order_ranks(
-        ds, "ts", tiebreak=["event_id"], n_buckets=32, ntile=7
+        ds, "ts", tiebreak=["event_id"], n_buckets=_nb(sf_dir, "events", 32), ntile=7
     )
     out = ranked.to_pandas()[
         [
@@ -5920,7 +5949,7 @@ def signup_purchase_users(sf_dir: str) -> pd.DataFrame:
             filt,
             keys=["user_id"],
             aggs={out: (out, "sum")},
-            n_buckets=16,
+            n_buckets=_nb(sf_dir, "events", 16),
             partial=True,
         )
 
@@ -5931,7 +5960,7 @@ def signup_purchase_users(sf_dir: str) -> pd.DataFrame:
         signups,
         purchases,
         keys="user_id",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         join_type="full outer",
         left_schema={"user_id": pa.int64(), "n_signup": pa.int64()},
         right_schema={"user_id": pa.int64(), "n_purchase": pa.int64()},
@@ -5994,7 +6023,7 @@ def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
     # exact side: distinct (type, user) pairs exchange, then a count by type
     from ..stages.dedup import exact_dedup
 
-    pairs = exact_dedup(ds, ["event_type", "user_id"], n_buckets=16)
+    pairs = exact_dedup(ds, ["event_type", "user_id"], n_buckets=_nb(sf_dir, "events", 16))
     exact = (
         grouped_agg(
             pairs.map_batches(
@@ -6005,7 +6034,7 @@ def distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
             ),
             keys=["event_type"],
             aggs={"exact": ("one", "sum")},
-            n_buckets=8,
+            n_buckets=_nb(sf_dir, "events", 8),
             partial=True,
         )
     ).to_pandas()
@@ -6044,7 +6073,7 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(keyed, batch_format="pyarrow"),
         keys=["y", "m"],
         aggs={"revenue": ("o_totalprice", "sum")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "orders", 8),
         partial=True,
     ).to_pandas()
     out = sums.sort_values(["y", "m"]).reset_index(drop=True)
@@ -6225,7 +6254,7 @@ def er_golden_records(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         labels,
         attrs,
         keys="node",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={"node": pa.int64(), "component": pa.int64()},
         right_schema={
             "node": pa.int64(),
@@ -6343,7 +6372,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         labels,
         q,
         keys="node",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={"node": pa.int64(), "component": pa.int64()},
         right_schema={"node": pa.int64(), "alpha_ratio": pa.float64()},
         bucket_post=None,
@@ -6397,7 +6426,7 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
     pairs = exact_dedup(
         ds.map_batches(hour_pairs, batch_format="pyarrow"),
         ["h", "user_id"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -6423,7 +6452,7 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
     win_pairs = exact_dedup(
         pairs.map_batches(explode, batch_format="pyarrow"),
         ["wh", "user_id"],
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
     )
     counts = grouped_agg(
         win_pairs.map_batches(
@@ -6434,7 +6463,7 @@ def rolling_active_users(sf_dir: str, window_h: int = 3) -> pd.DataFrame:
         ),
         keys=["wh"],
         aggs={"n_users": ("one", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     ).to_pandas()
     counts["n_users"] = counts["n_users"].astype("int64")
@@ -6543,7 +6572,7 @@ def curate_corpus(
 
 
 def hourly_counts_asof(
-    ds: "ray.data.Dataset", cutoff: pd.Timestamp
+    ds: "ray.data.Dataset", cutoff: pd.Timestamp, n_buckets: int = 16
 ) -> "ray.data.Dataset":
     """(user_id, hour, n_events) partial-count table for events ≤ cutoff —
     the mergeable state unit of `events_incremental_hourly` (combiner
@@ -6565,7 +6594,7 @@ def hourly_counts_asof(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
-        n_buckets=16,
+        n_buckets=n_buckets,
         partial=True,
     )
 
@@ -6586,7 +6615,9 @@ def events_incremental_hourly(sf_dir: str) -> pd.DataFrame:
 
     t1 = pd.Timestamp("2024-01-15")
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    state = hourly_counts_asof(ds, t1)  # the checkpointed first cut
+    state = hourly_counts_asof(
+        ds, t1, n_buckets=_nb(sf_dir, "events", 16)
+    )  # the checkpointed first cut
 
     def delta_prep(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.greater(batch["ts"], pa.scalar(t1)))
@@ -6601,14 +6632,14 @@ def events_incremental_hourly(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(delta_prep, batch_format="pyarrow"),
         keys=["user_id", "hour"],
         aggs={"n_events": ("user_id", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     )
     merged = grouped_agg(
         state.union(delta),
         keys=["user_id", "hour"],
         aggs={"n_events": ("n_events", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     ).to_pandas()
     merged["n_events"] = merged["n_events"].astype("int64")
@@ -6658,7 +6689,7 @@ def lineitem_regression(sf_dir: str) -> pd.DataFrame:
             "syy": ("yy", "sum"),
             "sxy": ("xy", "sum"),
         },
-        n_buckets=4,
+        n_buckets=_nb(sf_dir, "lineitem", 4),
         partial=True,
     ).to_pandas()
 
@@ -6696,7 +6727,7 @@ def kg_negative_samples(
 
     edges = _cooccur_edge_counts(sf_dir, min_support=min_support)
     out = negative_sample_triples(
-        edges, pred="cooccurs_with", k=k, symmetric=True, n_buckets=8
+        edges, pred="cooccurs_with", k=k, symmetric=True, n_buckets=_nb(sf_dir, "documents", 8)
     ).to_pandas()
     if out.empty:
         out = pd.DataFrame(columns=["subj", "pred", "neg_obj", "slot"])
@@ -6904,7 +6935,7 @@ def kg_link_prediction(
         half,
         right,
         keys="mid",
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={"mid": pa.string(), "endpoint": pa.string()},
         right_schema={"mid": pa.string(), "endpoint_b": pa.string()},
         bucket_post=aa_post,
@@ -6913,7 +6944,7 @@ def kg_link_prediction(
         wedges,
         keys=["src", "dst"],
         aggs={"aa": ("aa", "sum"), "cn": ("cn", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     )
     existing = edges.map_batches(
@@ -6925,7 +6956,7 @@ def kg_link_prediction(
         existing,
         keys=["src", "dst"],
         anti=True,
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         left_schema={
             "src": pa.string(),
             "dst": pa.string(),
@@ -7097,7 +7128,7 @@ def lang_token_set_ops(sf_dir: str, lang_a: str = "en", lang_b: str = "fr") -> p
         ds.map_batches(sides, batch_format="pyarrow"),
         keys=["token"],
         aggs={"in_a": ("in_a", "max"), "in_b": ("in_b", "max")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "documents", 8),
         partial=True,
     )
 
@@ -7167,7 +7198,7 @@ def lang_token_association(
         ds.map_batches(counts, batch_format="pyarrow"),
         keys=["token"],
         aggs={"k_in": ("k_in", "sum"), "k_out": ("k_out", "sum")},
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "documents", 8),
         partial=True,
     ).to_pandas()
 
@@ -8063,7 +8094,7 @@ def value_anova_by_type(sf_dir: str) -> pd.DataFrame:
             "sv": ("v", "sum"),
             "svv": ("vv", "sum"),
         },
-        n_buckets=8,
+        n_buckets=_nb(sf_dir, "events", 8),
         partial=True,
     ).to_pandas()
     n = m["n"].to_numpy(np.float64)
@@ -8348,7 +8379,7 @@ def events_k_anonymity(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ds.map_batches(quasi, batch_format="pyarrow"),
         keys=["event_type", "dow", "hour"],
         aggs={"n": ("hour", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "events", 16),
         partial=True,
     ).to_pandas()
     n_rows = int(g["n"].sum())
@@ -8438,7 +8469,7 @@ def rag_retrieval_per_doc(sf_dir: str, k: int = 5) -> pd.DataFrame:
         embedded.map_batches(per_doc_max, batch_format="pyarrow"),
         keys=["query_id", "doc_id"],
         aggs={"cosine": ("cosine", "max")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "documents", 16),
         partial=True,
     )
     out = grouped_top_k(
@@ -8586,7 +8617,7 @@ def revenue_forecast_ses(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(daily, batch_format="pyarrow"),
         keys=["day"],
         aggs={"cents": ("cents", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
         partial=True,
     ).to_pandas()
     # an empty orders table yields a schemaless empty frame — guard before
@@ -9087,7 +9118,7 @@ def brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
         joined.map_batches(pair_dedup, batch_format="pyarrow"),
         keys=["p_brand", "s"],
         aggs={"n": ("s", "count")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "lineitem", 16),
         partial=True,
     )
     out = (
@@ -9188,7 +9219,7 @@ def customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
             "f": ("cents", "count"),
             "cents": ("cents", "sum"),
         },
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
         partial=True,
     )
     from ray.data.aggregate import Max
@@ -9294,7 +9325,7 @@ def events_changepoint(sf_dir: str) -> pd.DataFrame:
             ds.map_batches(add_day, batch_format="pyarrow"),
             keys=["day"],
             aggs={"n": ("day", "count")},
-            n_buckets=8,
+            n_buckets=_nb(sf_dir, "events", 8),
             partial=True,
         )
         .to_pandas()
@@ -9388,7 +9419,7 @@ def revenue_gini(sf_dir: str) -> pd.DataFrame:
         orders.map_batches(cents, batch_format="pyarrow"),
         keys=["o_custkey"],
         aggs={"cents": ("cents", "sum")},
-        n_buckets=16,
+        n_buckets=_nb(sf_dir, "orders", 16),
         partial=True,
     )
     ranked = global_order_ranks(

@@ -40,6 +40,20 @@ from ..functions.hashing import (
 )
 from ..stages.dedup import argmax_dedup, exact_dedup
 
+
+def _nbf(code_parquet: str, floor: int = 8) -> int:
+    """Size-derived bucket count for exchanges over the code table —
+    same contract as ``analytics._nb`` (floor keeps small-scale plans)."""
+    import os
+
+    from .analytics import n_buckets_for_bytes
+
+    try:
+        nbytes = os.path.getsize(code_parquet)
+    except OSError:
+        return floor
+    return n_buckets_for_bytes(nbytes, floor=floor)
+
 # line-anchored: the decoy "# reimport <mod>x" must not match
 _IMPORT_RE = re.compile(r"^import ([A-Za-z_][A-Za-z0-9_]*)$", re.MULTILINE)
 
@@ -483,7 +497,7 @@ def file_history_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit", "commit_ts"]
     )
-    out = file_history(ds, n_buckets=8).to_pandas()
+    out = file_history(ds, n_buckets=_nbf(code_parquet, 8)).to_pandas()
     return out.sort_values(["repo", "path", "valid_from"]).reset_index(
         drop=True
     )
@@ -498,14 +512,13 @@ def incremental_triples_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
-    # n_buckets sized to the fixture — at corpus scale leave the default
     predup_a, _ = incremental_code_triples(
-        ds, vocab, ts_b=DIFF_TS_A, n_buckets=8
+        ds, vocab, ts_b=DIFF_TS_A, n_buckets=_nbf(code_parquet, 8)
     )
     # consumed by BOTH membership joins of the refresh — pay execution once
     predup_a = predup_a.materialize()
     _, canonical = incremental_code_triples(
-        ds, vocab, ts_b=2_000_000_000, prev_predup=predup_a, n_buckets=8
+        ds, vocab, ts_b=2_000_000_000, prev_predup=predup_a, n_buckets=_nbf(code_parquet, 8)
     )
     out = (
         canonical.select_columns(["subj", "pred", "obj"])
@@ -678,7 +691,7 @@ def clone_pairs_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
-    out = clone_pairs(ds, n_buckets=8).to_pandas()
+    out = clone_pairs(ds, n_buckets=_nbf(code_parquet, 8)).to_pandas()
     return out.sort_values(
         ["repo_a", "path_a", "repo_b", "path_b"]
     ).reset_index(drop=True)
@@ -867,14 +880,14 @@ def deps_asof_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
-    return deps_asof(ds, ts=DIFF_TS_A, n_buckets=8)
+    return deps_asof(ds, ts=DIFF_TS_A, n_buckets=_nbf(code_parquet, 8))
 
 
 def import_history_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
-    out = import_history(ds, n_buckets=8).to_pandas()
+    out = import_history(ds, n_buckets=_nbf(code_parquet, 8)).to_pandas()
     return out.sort_values(
         ["repo", "path", "module", "valid_from"]
     ).reset_index(drop=True)
@@ -937,14 +950,14 @@ def lang_loc_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "lang", "content"]
     )
-    return lang_loc(ds, n_buckets=8)
+    return lang_loc(ds, n_buckets=_nbf(code_parquet, 8))
 
 
 def repo_stats_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "lang"]
     )
-    return repo_stats(ds, n_buckets=8)
+    return repo_stats(ds, n_buckets=_nbf(code_parquet, 8))
 
 
 def quality_metrics(ds: ray.data.Dataset, n_buckets: int = 32) -> pd.DataFrame:
@@ -1008,4 +1021,4 @@ def quality_metrics_query(code_parquet: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
-    return quality_metrics(ds, n_buckets=8)
+    return quality_metrics(ds, n_buckets=_nbf(code_parquet, 8))
