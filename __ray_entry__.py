@@ -4054,5 +4054,10 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-IVF path returns exactly the in-memory probed
         # results (same quantizer, probes, tie-breaks) — same oracle
         "knn_ivf_store": O.ivf_probed_sql(),
-        # knn_ivf (sampled RNG-seeded quantizer): rows-only check by nature.
+        # knn_ivf: the SAMPLED-quantizer IVF — the deterministic hash
+        # subsample (splitmix64(vec_id) % 3 == 0) trains the Lloyd chain,
+        # search covers the full corpus; the whole chain replays in SQL
+        "knn_ivf": O.ivf_probed_sql(
+            sample_pred=f"(({O.splitmix64_sql('vec_id::UBIGINT')}) % 3) = 0"
+        ),
     }

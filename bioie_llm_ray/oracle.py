@@ -789,18 +789,27 @@ FROM afin GROUP BY 1 ORDER BY 1
 """
 
 
-def _kmeans_chain_sql(k: int, n_iters: int) -> str:
+def _kmeans_chain_sql(
+    k: int, n_iters: int, sample_pred: str | None = None
+) -> str:
     """The shared Lloyd CTE chain: ``ve`` (unnested embeddings) → ``afin``
     (final vec_id → cid assignment).  ``kmeans_sql`` reads cluster sizes
     off it; ``semantic_dedup_sql`` joins pairwise cosine within ``afin``
-    clusters."""
+    clusters.
+
+    ``sample_pred`` (a SQL predicate over ``vec_id``) restricts the
+    TRAINING set — init takes the ``k`` smallest sample ids and each
+    Lloyd step assigns/averages sample vectors only — while the final
+    ``afin`` assignment still covers every vector.  This is the oracle for
+    the deterministic hash-sampled quantizer (``knn_ivf``)."""
+    src = "ve" if sample_pred is None else "vs"
     steps = []
     prev = "c0"
     for t in range(1, n_iters + 1):
         steps.append(f"""
 d{t} AS (
-    SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
-    FROM ve JOIN {prev} c USING (j)
+    SELECT {src}.vec_id, c.cid, sum(({src}.x - c.v) * ({src}.x - c.v)) AS d2
+    FROM {src} JOIN {prev} c USING (j)
     GROUP BY 1, 2),
 a{t} AS (
     SELECT vec_id, cid FROM (
@@ -808,21 +817,31 @@ a{t} AS (
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM d{t}) WHERE rn = 1),
 c{t} AS (
-    SELECT a.cid, ve.j, avg(ve.x) AS v
-    FROM a{t} a JOIN ve ON ve.vec_id = a.vec_id
+    SELECT a.cid, {src}.j, avg({src}.x) AS v
+    FROM a{t} a JOIN {src} ON {src}.vec_id = a.vec_id
     GROUP BY 1, 2
     UNION ALL
     SELECT p.cid, p.j, p.v FROM {prev} p
     WHERE p.cid NOT IN (SELECT DISTINCT cid FROM a{t}))""")
         prev = f"c{t}"
     chain = ",".join(steps)
-    return f"""ve AS (
+    ve = """ve AS (
     SELECT vec_id, i AS j, embedding[i]::DOUBLE AS x
-    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))"""
+    if sample_pred is None:
+        head = f"""{ve},
 c0 AS (
     SELECT vec_id AS cid, i AS j, embedding[i]::DOUBLE AS v
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-    WHERE vec_id < {k}),{chain},
+    WHERE vec_id < {k})"""
+    else:
+        head = f"""{ve},
+vs AS (SELECT * FROM ve WHERE {sample_pred}),
+c0 AS (
+    SELECT vec_id AS cid, j, x AS v FROM vs
+    WHERE vec_id IN (
+        SELECT DISTINCT vec_id FROM vs ORDER BY vec_id LIMIT {k}))"""
+    return f"""{head},{chain},
 dfin AS (
     SELECT ve.vec_id, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2
     FROM ve JOIN {prev} c USING (j)
@@ -1356,6 +1375,7 @@ def ivf_probed_sql(
     n_probe: int = 4,
     n_queries: int = 10,
     k: int = 5,
+    sample_pred: str | None = None,
 ) -> str:
     """DuckDB oracle for analytics.knn_ivf_probed: the APPROXIMATE IVF
     search recomputed independently end-to-end — the full-dim Lloyd chain
@@ -1366,9 +1386,12 @@ def ivf_probed_sql(
     exact cosine within probed lists, rank by (cosine desc, id asc) with
     self excluded.  This verifies the approximation itself, not just the
     machinery: a probe set or assignment that differs in one list changes
-    the value hash.  Same float caveat as ``kmeans_sql``."""
+    the value hash.  Same float caveat as ``kmeans_sql``.
+
+    ``sample_pred`` replays the deterministic hash-sampled quantizer
+    (``knn_ivf``): training restricted to the sample, search unchanged."""
     return f"""
-WITH {_kmeans_chain_sql(n_centroids, n_iters)},
+WITH {_kmeans_chain_sql(n_centroids, n_iters, sample_pred=sample_pred)},
 nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM ve GROUP BY 1),
 qd AS (
     SELECT ve.vec_id AS qid, c.cid, sum((ve.x - c.v) * (ve.x - c.v)) AS d2

@@ -1033,12 +1033,17 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+def quantity_quantiles(
+    sf_dir: str, max_driver_rows: int = 262_144
+) -> pd.DataFrame:
     """Exact discrete quantiles of l_quantity (bounded-cardinality column)."""
     from ..stages.sketch import exact_quantiles_discrete
 
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
-    qs = exact_quantiles_discrete(ds, "l_quantity", [0.25, 0.5, 0.75, 0.9])
+    qs = exact_quantiles_discrete(
+        ds, "l_quantity", [0.25, 0.5, 0.75, 0.9],
+        max_driver_rows=max_driver_rows,
+    )
     return pd.DataFrame(
         [
             {
@@ -2090,16 +2095,24 @@ def lineitem_checksum(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+def price_quantiles_cont(
+    sf_dir: str, max_driver_rows: int = 262_144
+) -> pd.DataFrame:
     """Exact INTERPOLATED quantiles of l_extendedprice — the
     ``percentile_cont`` member of the quantile family (discrete:
     `quantity_quantiles`; sketch: `price_quantiles_hist`; grouped:
-    `quantity_quantiles_by_flag`).  Combiner value→count aggregate, only
-    the distinct-value table reaches the driver."""
+    `quantity_quantiles_by_flag`).  Combiner value→count aggregate; the
+    read-off stays on the driver only below ``max_driver_rows`` distinct
+    values, else it runs the distributed two-phase selection."""
     from ..stages.sketch import exact_quantiles_cont
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
-    qs = exact_quantiles_cont(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
+    qs = exact_quantiles_cont(
+        ds,
+        "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.9],
+        max_driver_rows=max_driver_rows,
+    )
     return pd.DataFrame(
         [
             {
@@ -2902,17 +2915,35 @@ def knn_join_split(sf_dir: str, k: int = 5, split: int = 100) -> pd.DataFrame:
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
-    """Approximate IVF variant — rows-only oracle (recall measured in tests)."""
-    from ..stages.similarity import ivf_topk
+    """Sampled-quantizer IVF — the quantizer trains on a DETERMINISTIC
+    hash subsample (splitmix64(vec_id) % 3 == 0, ~1/3 of the corpus; init
+    = the n_centroids smallest sample ids) instead of the full corpus that
+    `knn_ivf_probed` uses.  The sample is a pure function of the ids, so
+    the whole chain — sample, Lloyd rounds, probe sets, within-list
+    ranking — is replayed bit-for-bit by the SQL oracle
+    (`oracle.ivf_probed_sql(sample_pred=...)`); this was the one
+    rows-only query before round 3."""
+    from ..functions.hashing import _splitmix64
+    from ..stages.similarity import ivf_probed_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _splitmix64(v) % np.uint64(3) == 0
+        return batch.filter(pa.array(keep))
+
+    train = ds.map_batches(sample, batch_format="pyarrow")
     qrows = sorted(
         ds.filter(expr=f"vec_id < {n_queries}").take_all(),
         key=lambda r: r["vec_id"],
     )
     queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
     qids = [r["vec_id"] for r in qrows]
-    out = ivf_topk(ds, queries, qids, k=k, n_centroids=16, n_probe=4).to_pandas()
+    out = ivf_probed_topk(
+        ds, queries, qids, k=k, n_centroids=16, n_probe=4, n_iters=3,
+        train_ds=train,
+    ).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -2949,7 +2980,8 @@ def knn_ivf_exact(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     """IVF with ``n_probe == n_centroids``: every bucket is probed, so the
     result is provably the exact top-k and the brute-force SQL oracle
     applies — certifying the IVF partition/probe machinery loses nothing.
-    The approximate variant (``knn_ivf``, n_probe=4) stays rows-only."""
+    (The approximate sampled-quantizer variant ``knn_ivf`` now carries a
+    full oracle too, via the sample-predicate Lloyd chain.)"""
     from ..stages.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])

@@ -510,12 +510,381 @@ def pagerank(
     )
 
 
+# --------------------------------------------------------- bucketed iteration
+#
+# The broadcast-iteration pattern above keeps O(|V|) frontier/label/distance
+# state on the driver — right when the node table is entity-vocabulary-sized,
+# wrong for billion-node graphs.  The ``_*_bucketed`` variants below keep the
+# per-node state AS A DATASET keyed by hash(node) % B and join the frontier
+# per round (2-3 bucketed exchanges per round, zero driver-side node state).
+# The public functions auto-switch on ``max_broadcast_nodes`` using
+# 2·|edges| ≥ |nodes| as the cheap upper bound (each edge introduces at most
+# two nodes); forcing ``max_broadcast_nodes=0`` always takes the bucketed
+# path.  Results are bit-identical to the broadcast path (integer distances;
+# label votes are exact when weights are integer-valued floats < 2^53).
+
+
+def _norm_edges(
+    edges: ray.data.Dataset,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    weight_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Edges normalized to string endpoints (u, v[, w]) — node ids in the
+    bucketed state are strings, matching the broadcast paths' str() casts."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        cols = {
+            "u": pa.array(
+                [str(x) for x in batch[src].to_pylist()], type=pa.string()
+            ),
+            "v": pa.array(
+                [str(x) for x in batch[dst].to_pylist()], type=pa.string()
+            ),
+        }
+        if weight is not None:
+            cols["w"] = pc.cast(batch[weight], weight_type)
+        return pa.table(cols)
+
+    return edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+
+def _single_node_state(seed: str, dist: int) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([str(seed)], type=pa.string()),
+                "dist": pa.array([dist], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _bfs_bucketed(
+    edges: ray.data.Dataset,
+    seed: str,
+    src: str,
+    dst: str,
+    max_iters: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state BFS: settled (node, dist) and the frontier are
+    Datasets; each level is semi-join(edges, frontier) → distinct neighbors
+    → anti-join vs settled.  3 bucketed exchanges per level, O(1) driver
+    state (one row count per round)."""
+    from .dedup import exact_dedup
+    from .join import shuffle_semi_join
+
+    e = _norm_edges(edges, src, dst)
+    settled = _single_node_state(seed, 0).materialize()
+    frontier = settled.select_columns(["node"]).materialize()
+    level = 0
+    while level < max_iters:
+        level += 1
+        hits = shuffle_semi_join(
+            e,
+            frontier.map_batches(
+                lambda b: b.rename_columns(["u"]), batch_format="pyarrow"
+            ),
+            keys="u",
+            n_buckets=n_buckets,
+            left_schema={"u": pa.string(), "v": pa.string()},
+        )
+        cand = exact_dedup(
+            hits.map_batches(
+                lambda b: pa.table({"node": pc.unique(b["v"])}),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            n_buckets=n_buckets,
+        )
+        new = shuffle_semi_join(
+            cand,
+            settled.select_columns(["node"]),
+            keys="node",
+            anti=True,
+            n_buckets=n_buckets,
+            left_schema={"node": pa.string()},
+        ).map_batches(
+            lambda b, _l=level: b.append_column(
+                "dist", pa.array([_l] * len(b), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        settled = settled.union(new).materialize()
+        frontier = new.select_columns(["node"]).materialize()
+    return settled
+
+
+def _sssp_bucketed(
+    edges: ray.data.Dataset,
+    seed: str,
+    src: str,
+    dst: str,
+    weight: str,
+    max_iters: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state Bellman-Ford: dist and the changed frontier are
+    Datasets.  Per round: shuffle-join changed onto edges by source (with a
+    per-bucket min combiner folded into the join), grouped min per target,
+    then a tagged per-bucket merge with dist keeping strict improvements.
+    After r rounds dist is exactly the ≤ r-edge minimum, identical to the
+    broadcast path (integer arithmetic throughout)."""
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+
+    e = _norm_edges(edges, src, dst, weight=weight, weight_type=pa.int64())
+    dist = _single_node_state(seed, 0).materialize()
+    changed = dist
+    it = 0
+    while it < max_iters and changed.count() > 0:
+        it += 1
+
+        def relax_post(joined: pa.Table) -> pa.Table:
+            # per-bucket combiner: min candidate per target node
+            t = pa.table(
+                {
+                    "node": joined["v"],
+                    "d": pc.add(joined["w"], joined["du"]),
+                }
+            )
+            g = t.group_by(["node"]).aggregate([("d", "min")])
+            return g.rename_columns(["node", "d"])
+
+        cand = grouped_agg(
+            shuffle_join(
+                e,
+                changed.map_batches(
+                    lambda b: b.rename_columns(["u", "du"]),
+                    batch_format="pyarrow",
+                ),
+                keys="u",
+                n_buckets=n_buckets,
+                left_schema={"u": pa.string(), "v": pa.string(), "w": pa.int64()},
+                right_schema={"u": pa.string(), "du": pa.int64()},
+                bucket_post=relax_post,
+            ),
+            keys=["node"],
+            aggs={"d": ("d", "min")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
+
+        def tag(is_cand: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                nodes = batch["node"]
+                d = batch["d" if is_cand else "dist"]
+                return pa.table(
+                    {
+                        "node": nodes,
+                        "dist": pc.cast(d, pa.int64()),
+                        "__cand": pa.array(
+                            [is_cand] * len(batch), type=pa.bool_()
+                        ),
+                        _B: pa.array(
+                            _bucket_ids(
+                                nodes.to_numpy(zero_copy_only=False),
+                                n_buckets,
+                            )
+                        ),
+                    }
+                )
+
+            return fn
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            # per node: old dist (≤1 row) vs candidate min (≤1 row)
+            old = group[~group["__cand"]].set_index("node")["dist"]
+            cnd = group[group["__cand"]].set_index("node")["dist"]
+            improved = cnd[
+                ~cnd.index.isin(old.index) | (cnd < old.reindex(cnd.index))
+            ]
+            merged = old.copy()
+            merged = pd.concat(
+                [merged[~merged.index.isin(improved.index)], improved]
+            )
+            out = merged.reset_index()
+            out.columns = ["node", "dist"]
+            out["__improved"] = out["node"].isin(improved.index)
+            return out
+
+        merged = (
+            dist.map_batches(tag(False), batch_format="pyarrow")
+            .union(cand.map_batches(tag(True), batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+        dist = merged.map_batches(
+            lambda b: b.select(["node", "dist"]), batch_format="pyarrow"
+        ).materialize()
+        changed = merged.map_batches(
+            lambda b: b.filter(b["__improved"]).select(["node", "dist"]).rename_columns(["node", "d"]),
+            batch_format="pyarrow",
+        ).materialize()
+    return dist
+
+
+def _lpa_bucketed(
+    edges: ray.data.Dataset,
+    src: str,
+    dst: str,
+    weight: str | None,
+    n_iters: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state synchronous label propagation: the (node, label)
+    table is bucketed; per round labels shuffle-join onto edges by source
+    (vote combiner folded into the join bucket), the grouped vote argmax is
+    one more exchange keyed by node, and a tagged per-bucket merge applies
+    the winning labels.  Votes are exact for integer-valued weights."""
+    from .dedup import exact_dedup
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+
+    e = _norm_edges(
+        edges, src, dst, weight=weight, weight_type=pa.float64()
+    ) if weight is not None else _norm_edges(edges, src, dst)
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    labels = exact_dedup(
+        e.map_batches(both_ends, batch_format="pyarrow"),
+        ["node"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.append_column("label", b["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+
+        def vote_post(joined: pa.Table) -> pa.Table:
+            w = (
+                joined["w"]
+                if "w" in joined.column_names
+                else pa.array([1.0] * len(joined), type=pa.float64())
+            )
+            t = pa.table(
+                {"node": joined["v"], "label": joined["lab"], "w": w}
+            )
+            g = t.group_by(["node", "label"]).aggregate([("w", "sum")])
+            return g.rename_columns(["node", "label", "w"])
+
+        votes = grouped_agg(
+            shuffle_join(
+                e,
+                labels.map_batches(
+                    lambda b: b.rename_columns(["u", "lab"]),
+                    batch_format="pyarrow",
+                ),
+                keys="u",
+                n_buckets=n_buckets,
+                left_schema=(
+                    {"u": pa.string(), "v": pa.string(), "w": pa.float64()}
+                    if weight is not None
+                    else {"u": pa.string(), "v": pa.string()}
+                ),
+                right_schema={"u": pa.string(), "lab": pa.string()},
+                bucket_post=vote_post,
+            ),
+            keys=["node", "label"],
+            aggs={"w": ("w", "sum")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
+
+        def best_tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                _B,
+                pa.array(
+                    _bucket_ids(
+                        batch["node"].to_numpy(zero_copy_only=False),
+                        n_buckets,
+                    )
+                ),
+            )
+
+        def best_of(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(
+                ["node", "w", "label"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            top = g.drop_duplicates("node", keep="first")
+            return top[["node", "label"]].rename(columns={"label": "newlab"})
+
+        best = (
+            votes.map_batches(best_tag, batch_format="pyarrow")
+            .groupby(_B)
+            .map_groups(best_of, batch_format="pandas")
+        )
+
+        def tag_lab(is_new: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                lab = batch["newlab" if is_new else "label"]
+                return pa.table(
+                    {
+                        "node": batch["node"],
+                        "label": lab,
+                        "__new": pa.array(
+                            [is_new] * len(batch), type=pa.bool_()
+                        ),
+                        _B: pa.array(
+                            _bucket_ids(
+                                batch["node"].to_numpy(zero_copy_only=False),
+                                n_buckets,
+                            )
+                        ),
+                    }
+                )
+
+            return fn
+
+        def apply_votes(group: pd.DataFrame) -> pd.DataFrame:
+            old = group[~group["__new"]].set_index("node")["label"]
+            new = group[group["__new"]].set_index("node")["label"]
+            merged = new.combine_first(old)
+            out = merged.reset_index()
+            out.columns = ["node", "label"]
+            return out
+
+        labels = (
+            labels.map_batches(tag_lab(False), batch_format="pyarrow")
+            .union(best.map_batches(tag_lab(True), batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(apply_votes, batch_format="pandas")
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "community"]),
+        batch_format="pyarrow",
+    )
+
+
 def bfs_levels(
     edges: ray.data.Dataset,
     seed: str,
     src: str = "subj",
     dst: str = "obj",
     max_iters: int = 32,
+    max_broadcast_nodes: int = 2_000_000,
+    n_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Single-source BFS shortest-path levels → (node, dist).
 
@@ -529,8 +898,15 @@ def bfs_levels(
     join against visited (same semantics, two wide ops per round).
     Directed reachability; pass both orientations for undirected graphs.
     Terminates when the frontier empties (``max_iters`` is a safety
-    bound)."""
+    bound).  Above ``max_broadcast_nodes`` (2·|edges| as the node-count
+    upper bound) the per-node state moves off the driver into the bucketed
+    Dataset iteration (``_bfs_bucketed``); force 0 to always bucket."""
     edges = edges.materialize()  # re-streamed once per BFS level
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _bfs_bucketed(
+            edges, seed, src=src, dst=dst, max_iters=max_iters,
+            n_buckets=n_buckets,
+        )
     dist: dict = {str(seed): 0}
     frontier = {str(seed)}
     level = 0
@@ -571,6 +947,7 @@ def label_propagation(
     weight: str | None = None,
     n_iters: int = 4,
     n_buckets: int = 32,
+    max_broadcast_nodes: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Synchronous weighted label propagation → (node, community).
 
@@ -593,8 +970,16 @@ def label_propagation(
 
     Undirected graphs should pass both edge orientations (as with
     ``pagerank``); a node with no incoming edges keeps its label.
+    Above ``max_broadcast_nodes`` the label table moves off the driver
+    into the bucketed Dataset iteration (``_lpa_bucketed``); force 0 to
+    always bucket.
     """
     edges = edges.materialize()  # consumed n_iters times
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _lpa_bucketed(
+            edges, src=src, dst=dst, weight=weight, n_iters=n_iters,
+            n_buckets=n_buckets,
+        )
 
     def node_partial(batch: pa.Table) -> pa.Table:
         s = {str(x) for x in batch[src].to_pylist()}
@@ -757,6 +1142,8 @@ def sssp_weighted(
     dst: str = "obj",
     weight: str = "w",
     max_iters: int = 12,
+    max_broadcast_nodes: int = 2_000_000,
+    n_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Round-bounded weighted single-source shortest paths → (node, dist).
 
@@ -770,8 +1157,15 @@ def sssp_weighted(
     iteration budget (the SQL oracle unrolls the same bound).  Integer
     weights keep all arithmetic exact.  Driver state is O(|V|), the same
     contract as ``bfs_levels`` / ``pagerank``; terminates early when no
-    node improves."""
+    node improves.  Above ``max_broadcast_nodes`` the distance table moves
+    off the driver into the bucketed Dataset iteration
+    (``_sssp_bucketed``); force 0 to always bucket."""
     edges = edges.materialize()  # re-streamed once per relaxation round
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _sssp_bucketed(
+            edges, seed, src=src, dst=dst, weight=weight,
+            max_iters=max_iters, n_buckets=n_buckets,
+        )
     dist: dict = {str(seed): 0}
     changed: dict = {str(seed): 0}
     it = 0

@@ -452,6 +452,7 @@ def ivf_probed_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    train_ds: ray.data.Dataset | None = None,
 ) -> pa.Table:
     """Approximate IVF top-k whose EVERY step is deterministic and hence
     SQL-expressible — the oracle-checkable counterpart of ``ivf_topk``
@@ -466,9 +467,19 @@ def ivf_probed_topk(
     The corpus streams throughout — centroids and the (n_q × n_probe)
     probe matrix broadcast once; per batch one assignment distance matrix
     plus one query matmul over the probed subset.
+
+    ``train_ds`` trains the quantizer on a different (e.g. deterministic
+    hash-sampled) Dataset while searching the full corpus — the
+    sampled-quantizer IVF stays oracle-checkable because the sample is a
+    pure function of the ids (``knn_ivf``).
     """
     cent = distributed_kmeans(
-        ds, k=n_centroids, n_iters=n_iters, emb_col=emb_col, id_col=id_col
+        train_ds if train_ds is not None else ds,
+        k=n_centroids,
+        n_iters=n_iters,
+        emb_col=emb_col,
+        id_col=id_col,
+        init_smallest=train_ds is not None,
     )
     q = np.asarray(queries, dtype=np.float64)
     d2q = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
@@ -526,6 +537,7 @@ def distributed_kmeans(
     n_iters: int = 3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    init_smallest: bool = False,
 ) -> np.ndarray:
     """Lloyd's k-means where the CORPUS streams and only k×dim floats move.
 
@@ -543,10 +555,24 @@ def distributed_kmeans(
     (which remains the right tool for a coarse IVF quantizer); it is the
     clustering primitive SemDeDup-style corpus pruning needs.
     """
-    init_rows = sorted(
-        ds.filter(expr=f"{id_col} < {k}").take_all(),
-        key=lambda r: r[id_col],
-    )
+    if init_smallest:
+        # k smallest ids PRESENT in ds (works for hash-sampled training
+        # sets whose ids are not dense): per-batch k-min partial, tiny
+        # driver merge of n_blocks × k candidate rows
+        def min_partial(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="mergesort")[:k]
+            return batch.take(pa.array(order))
+
+        cands = ds.map_batches(min_partial, batch_format="pyarrow").take_all()
+        init_rows = sorted(cands, key=lambda r: r[id_col])[:k]
+    else:
+        # dense-id fast path: ids < k ARE the k smallest (the form the
+        # shared _kmeans_chain_sql oracle head replays)
+        init_rows = sorted(
+            ds.filter(expr=f"{id_col} < {k}").take_all(),
+            key=lambda r: r[id_col],
+        )
     cent = np.stack(
         [np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]
     )

@@ -78,21 +78,132 @@ def approx_distinct(
     return {"estimate": float(_hll_estimate(merged)), "registers": merged}
 
 
+def _values_at_ranks(
+    counts_ds: ray.data.Dataset,
+    col: str,
+    ranks: list[int],
+    total: int,
+    n_bins: int = 65_536,
+) -> dict[int, float]:
+    """Distributed order-statistic read-off over a (value, count) Dataset:
+    the value at each 1-indexed ``rank`` of the sorted multiset, WITHOUT
+    materializing the count table on the driver.
+
+    Two-phase distributed selection: (1) one streaming pass folds exact
+    per-range-bin count partials (fixed-width bins over [min, max] —
+    ``n_bins`` int64s to the driver, independent of cardinality); the
+    cumulative bin counts locate each rank's bin.  (2) a filter pass
+    collects ONLY the probed bins' (value, count) rows (~distinct/n_bins
+    each) for the exact within-bin read-off.  The driver never holds more
+    than ``n_bins + probed-bin rows``."""
+    import pyarrow.compute as pc
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        mm = pc.min_max(batch[col])
+        return pa.table(
+            {
+                "lo": pa.array([mm["min"].as_py()], type=pa.float64()),
+                "hi": pa.array([mm["max"].as_py()], type=pa.float64()),
+            }
+        )
+
+    lo = hi = None
+    for row in counts_ds.map_batches(
+        mm_partial, batch_format="pyarrow"
+    ).take_all():
+        if row["lo"] is not None and (lo is None or row["lo"] < lo):
+            lo = float(row["lo"])
+        if row["hi"] is not None and (hi is None or row["hi"] > hi):
+            hi = float(row["hi"])
+    if lo is None:
+        return {}
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def bin_of(vals: np.ndarray) -> np.ndarray:
+        b = np.floor((vals - lo) / width).astype(np.int64)
+        return np.clip(b, 0, n_bins - 1)
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.bincount(bin_of(v), weights=n, minlength=n_bins)
+        # int64-valued float weights < 2^53: exact
+        return pa.table({"bins": pa.array([acc.astype(np.int64).tolist()])})
+
+    bins = np.zeros(n_bins, dtype=np.int64)
+    for row in counts_ds.map_batches(
+        bin_partial, batch_format="pyarrow"
+    ).take_all():
+        bins += np.asarray(row["bins"], dtype=np.int64)
+    cumbin = bins.cumsum()
+    assert int(cumbin[-1]) == total
+
+    need_bins = sorted(
+        {int(np.searchsorted(cumbin, r)) for r in ranks if 1 <= r <= total}
+    )
+    need_arr = np.asarray(need_bins, dtype=np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.isin(bin_of(v), need_arr)
+        return pa.table(
+            {
+                "v": pa.array(v[keep], type=pa.float64()),
+                "n": pc.cast(batch["n"], pa.int64()).filter(pa.array(keep)),
+            }
+        )
+
+    rows = counts_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values("v", kind="mergesort").reset_index(drop=True)
+    rv = rows["v"].to_numpy(dtype=np.float64)
+    rb = bin_of(rv)
+    rn = rows["n"].to_numpy(dtype=np.int64)
+    out: dict[int, float] = {}
+    for r in ranks:
+        if not (1 <= r <= total):
+            continue
+        b = int(np.searchsorted(cumbin, r))
+        before = int(cumbin[b - 1]) if b > 0 else 0
+        mask = rb == b
+        local_cum = rn[mask].cumsum()
+        out[r] = float(rv[mask][int(np.searchsorted(local_cum, r - before))])
+    return out
+
+
 def exact_quantiles_discrete(
-    ds: ray.data.Dataset, col: str, quantiles: list[float]
+    ds: ray.data.Dataset,
+    col: str,
+    quantiles: list[float],
+    max_driver_rows: int = 262_144,
 ) -> dict[float, float]:
     """Exact quantiles via a value→count aggregate (bounded-cardinality cols).
 
     One hash shuffle keyed by the value (cardinality = distinct values, NOT
-    row count); the cumulative read-off runs on the driver over the small
-    count table.  Matches ``quantile_disc``: the element at 1-indexed
-    position ``ceil(q·N)`` of the sorted multiset.
+    row count).  The cumulative read-off runs on the driver while the count
+    table fits (``<= max_driver_rows`` distinct values); above the bound it
+    switches to the distributed two-phase selection (``_values_at_ranks``)
+    so unbounded domains never materialize.  Matches ``quantile_disc``: the
+    element at 1-indexed position ``ceil(q·N)`` of the sorted multiset.
     """
     from ray.data.aggregate import Count
 
-    counts = (
-        ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
-    ).sort_values(col)
+    counts_ds = ds.groupby(col).aggregate(Count(alias_name="n")).materialize()
+    if counts_ds.count() > max_driver_rows:
+        from ray.data.aggregate import Sum
+
+        total = int(counts_ds.aggregate(Sum("n", alias_name="t"))["t"])
+        ranks = {
+            q: max(1, int(np.ceil(q * total))) if total else None
+            for q in quantiles
+        }
+        vals = _values_at_ranks(
+            counts_ds, col, [r for r in ranks.values() if r], total
+        )
+        return {
+            q: (float("nan") if r is None else vals[r])
+            for q, r in ranks.items()
+        }
+    counts = counts_ds.to_pandas().sort_values(col)
     values = counts[col].to_numpy()
     cum = counts["n"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0
@@ -111,6 +222,7 @@ def exact_quantiles_cont(
     col: str,
     quantiles: list[float],
     n_buckets: int = 64,
+    max_driver_rows: int = 262_144,
 ) -> dict[float, float]:
     """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` /
     ``percentile_cont``): linear interpolation between the values at
@@ -121,25 +233,49 @@ def exact_quantiles_cont(
     aggregate runs through the combiner (`rollup.grouped_agg`) because a
     continuous column's distinct cardinality approaches the row count —
     exactly the regime where the native sort-based groupby path collapses
-    (measured 10–20× in this repo; see `rollup.py`).  Only the
-    (value, count) table reaches the driver: |distinct| rows, each 16
-    bytes — the scale knob is distinct cardinality, not row count; for
-    truly unbounded domains `approx_quantiles_hist` is the sketch-side
-    alternative.  Interpolation mirrors the SQL engine's
+    (measured 10–20× in this repo; see `rollup.py`).  The (value, count)
+    table reaches the driver only while it fits (``<= max_driver_rows``
+    distinct values); above the bound the read-off switches to the
+    distributed two-phase selection (``_values_at_ranks``) — exact range
+    bin counts locate each rank's bin, then only the probed bins'
+    rows are collected — so truly continuous domains never materialize
+    on the driver.  Interpolation mirrors the SQL engine's
     ``v_lo + frac·(v_hi − v_lo)`` double expression term-for-term."""
     from .rollup import grouped_agg
 
-    counts = (
-        grouped_agg(
-            ds.select_columns([col]),
-            keys=[col],
-            aggs={"n": (col, "count")},
-            n_buckets=n_buckets,
-            partial=True,
-        )
-        .to_pandas()
-        .sort_values(col)
-    )
+    counts_ds = grouped_agg(
+        ds.select_columns([col]),
+        keys=[col],
+        aggs={"n": (col, "count")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).materialize()
+    if counts_ds.count() > max_driver_rows:
+        from ray.data.aggregate import Sum
+
+        total = int(counts_ds.aggregate(Sum("n", alias_name="t"))["t"])
+        if total == 0:
+            return {q: float("nan") for q in quantiles}
+        wanted: dict[float, tuple] = {}
+        ranks: set[int] = set()
+        for q in quantiles:
+            p = q * (total - 1)
+            lo = int(np.floor(p))
+            frac = p - lo
+            need_hi = frac != 0.0 and lo + 1 < total
+            wanted[q] = (lo, frac, need_hi)
+            ranks.add(lo + 1)
+            if need_hi:
+                ranks.add(lo + 2)
+        vals = _values_at_ranks(counts_ds, col, sorted(ranks), total)
+        out = {}
+        for q, (lo, frac, need_hi) in wanted.items():
+            v_lo = vals[lo + 1]
+            out[q] = (
+                v_lo + frac * (vals[lo + 2] - v_lo) if need_hi else v_lo
+            )
+        return out
+    counts = counts_ds.to_pandas().sort_values(col)
     values = counts[col].to_numpy(dtype=np.float64)
     cum = counts["n"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0

@@ -164,6 +164,8 @@ SUBSET = [
     # approximate IVF with the deterministic Lloyd quantizer: probe sets,
     # list assignments and within-list ranking recomputed in SQL
     "knn_ivf_probed",
+    # sampled-quantizer IVF: hash-sample trains the Lloyd chain (round 3)
+    "knn_ivf",
     # interval RANGE-frame window (peer-inclusive, varying width)
     "user_range_window",
     # composed RAG pipeline: chunk -> actor-pool embed -> cosine top-k
@@ -305,6 +307,6 @@ def test_entry_smoke():
 
 def test_rows_only_queries_run(sf_dir):
     qs = entrymod.queries()
-    for name in ["doc_language_id", "knn_ivf", "dedup_simhash", "multimodal_features"]:
+    for name in ["doc_language_id", "dedup_simhash", "multimodal_features"]:
         out = qs[name](sf_dir)
         assert len(out) >= 0

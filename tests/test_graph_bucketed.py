@@ -1,0 +1,168 @@
+"""Bucketed (driver-state-free) iterative graph ops vs the broadcast path.
+
+`bfs_levels` / `sssp_weighted` / `label_propagation` auto-switch to Dataset
+frontier state above `max_broadcast_nodes`; forcing the bound to 0 runs the
+bucketed path, which must be bit-identical to the broadcast one (integer
+distances; integer-valued float votes).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from bioie_llm_ray.stages.graph import (
+    bfs_levels,
+    label_propagation,
+    sssp_weighted,
+)
+
+
+def _edges_ds(rows, cols):
+    return ray.data.from_arrow(
+        pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+    )
+
+
+def _df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def rnd_graph():
+    # random sparse digraph with string node ids, deterministic
+    rng = np.random.RandomState(11)
+    n, m = 120, 480
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    keep = src != dst
+    rows = [
+        (f"n{a:03d}", f"n{b:03d}", int(w))
+        for a, b, w in zip(
+            src[keep], dst[keep], rng.randint(1, 9, keep.sum())
+        )
+    ]
+    return rows
+
+
+class TestBfsBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        edges = _edges_ds([(a, b) for a, b, _ in rnd_graph], ["subj", "obj"])
+        want = _df(bfs_levels(edges, "n000"))
+        got = _df(bfs_levels(edges, "n000", max_broadcast_nodes=0, n_buckets=4))
+        pd.testing.assert_frame_equal(got, want)
+        assert (want["dist"] >= 0).all() and len(want) > 10
+
+    def test_disconnected_seed_only(self):
+        edges = _edges_ds([("a", "b")], ["subj", "obj"])
+        got = _df(bfs_levels(edges, "zzz", max_broadcast_nodes=0, n_buckets=4))
+        assert got["node"].tolist() == ["zzz"] and got["dist"].tolist() == [0]
+
+
+class TestSsspBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        edges = _edges_ds(rnd_graph, ["subj", "obj", "w"])
+        want = _df(sssp_weighted(edges, "n000", weight="w"))
+        got = _df(
+            sssp_weighted(edges, "n000", weight="w", max_broadcast_nodes=0, n_buckets=4)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_round_bound_is_respected(self):
+        # chain a->b->c with a shortcut a->c of cost 10: 1 round gives 10,
+        # 2 rounds give 2 on both paths
+        rows = [("a", "b", 1), ("b", "c", 1), ("a", "c", 10)]
+        edges = _edges_ds(rows, ["subj", "obj", "w"])
+        for r, expect in [(1, 10), (2, 2)]:
+            got = _df(
+                sssp_weighted(
+                    edges, "a", weight="w", max_iters=r,
+                    max_broadcast_nodes=0, n_buckets=4,
+                )
+            )
+            assert got.set_index("node")["dist"]["c"] == expect
+
+
+class TestLpaBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        # both orientations, integer weights → exact votes
+        sym = [(a, b, w) for a, b, w in rnd_graph] + [
+            (b, a, w) for a, b, w in rnd_graph
+        ]
+        edges = _edges_ds(sym, ["subj", "obj", "w"])
+        want = (
+            label_propagation(edges, weight="w", n_iters=3)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        got = (
+            label_propagation(
+                edges, weight="w", n_iters=3, max_broadcast_nodes=0,
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_unweighted_two_cliques(self):
+        # two triangles joined by nothing: each collapses to its min label
+        tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+        tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+        sym = tri1 + tri2 + [(b, a) for a, b in tri1 + tri2]
+        edges = _edges_ds(sym, ["subj", "obj"])
+        got = (
+            label_propagation(edges, n_iters=4, max_broadcast_nodes=0, n_buckets=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        comm = dict(zip(got["node"], got["community"]))
+        assert len({comm["a"], comm["b"], comm["c"]}) == 1
+        assert len({comm["x"], comm["y"], comm["z"]}) == 1
+        assert comm["a"] != comm["x"]
+
+
+@pytest.mark.slow
+class TestMillionNodeStress:
+    def test_bfs_1m_node_chain_of_stars(self):
+        """≥1M nodes through the bucketed path: 8 hubs in a chain, each
+        fanning to 125k leaves → 1,000,008 nodes, 9 BFS levels — no
+        O(|V|) driver state at any point."""
+        n_hubs, fan = 8, 125_000
+
+        def gen(batch):
+            h = int(batch["h"][0])
+            leaves = [f"h{h:02d}L{j:06d}" for j in range(fan)]
+            out = {
+                "subj": [f"h{h:02d}"] * fan,
+                "obj": leaves,
+            }
+            if h + 1 < n_hubs:
+                out["subj"].append(f"h{h:02d}")
+                out["obj"].append(f"h{h + 1:02d}")
+            return pd.DataFrame(out)
+
+        edges = ray.data.from_items(
+            [{"h": h} for h in range(n_hubs)]
+        ).map_batches(gen, batch_format="pandas", batch_size=1)
+        got = bfs_levels(edges, "h00", max_broadcast_nodes=0, max_iters=16)
+        total = got.count()
+        assert total == n_hubs + n_hubs * fan
+        # hub k sits at distance k; its leaves at k+1
+        import pyarrow.compute as pc
+
+        need = pa.array(["h00", "h07", "h03L000001"])
+        df = got.map_batches(
+            lambda b: b.filter(pc.is_in(b["node"], value_set=need)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        d = dict(zip(df["node"], df["dist"]))
+        assert d == {"h00": 0, "h07": 7, "h03L000001": 4}

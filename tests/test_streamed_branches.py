@@ -64,6 +64,47 @@ def test_streamed_branch_matches_oracle(name, con):
     )
 
 
+class TestDistributedQuantileReadoff:
+    """Force max_driver_rows=0 so the two-phase distributed selection runs
+    instead of the driver-side cumulative read-off; results must match the
+    oracle exactly (the selection is exact, not approximate)."""
+
+    def test_price_quantiles_cont_distributed(self, con):
+        from bioie_llm_ray.pipelines.analytics import price_quantiles_cont
+
+        got = price_quantiles_cont(SF, max_driver_rows=0)
+        want = con.sql(entrymod.oracle_sql()["price_quantiles_cont"]).df()
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False, rtol=0, atol=1e-9
+        )
+
+    def test_quantity_quantiles_distributed(self, con):
+        from bioie_llm_ray.pipelines.analytics import quantity_quantiles
+
+        got = quantity_quantiles(SF, max_driver_rows=0)
+        want = con.sql(entrymod.oracle_sql()["quantity_quantiles"]).df()
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False, rtol=0, atol=1e-9
+        )
+
+    def test_values_at_ranks_extremes(self):
+        from bioie_llm_ray.stages.sketch import (
+            exact_quantiles_cont,
+            exact_quantiles_discrete,
+        )
+
+        vals = np.concatenate(
+            [np.full(100, 3.5), np.linspace(0, 1, 900)]
+        )
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(vals, type=pa.float64())})
+        )
+        for fn in (exact_quantiles_cont, exact_quantiles_discrete):
+            a = fn(ds, "x", [0.0, 0.5, 1.0])
+            b = fn(ds, "x", [0.0, 0.5, 1.0], max_driver_rows=0)
+            assert a == b, fn.__name__
+
+
 class TestClusterDedupBranches:
     def _fixture(self, n=3000, dup_every=3):
         # amplified corpus: every dup_every-th doc duplicates its
