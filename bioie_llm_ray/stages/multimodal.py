@@ -3,11 +3,12 @@
 Image/audio/video ride as opaque ``binary`` columns plus metadata columns
 (``media_type``, ``width``/``height``/``duration_ms``…).  The Ray-side
 plumbing (schema, small batch sizes for big payloads, actor-pool signature,
-output layout) is real and tested; the codec step itself is stubbed because
-no image/audio library exists in this container — ``DecodeStub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode (seeded by the payload hash) so downstream feature
-stages can be exercised end-to-end.
+output layout) is real and tested.  Since round 3 the codec step is real
+too for PNG images and PCM16 WAV audio, via the pure-stdlib codecs in
+``functions/media_codecs.py`` (zlib + ``wave``) — no PIL/librosa needed.
+``fake=True`` keeps the deterministic md5-seeded decode the CI SQL oracles
+replay bit-for-bit.  Video containers genuinely need av/ffmpeg, so
+``FrameSampleStub`` stays fake-only.
 
 Scale notes: payload rows are wide — callers should keep
 ``batch_size`` small (64–256) and rely on ``DataContext.target_max_block_size``
@@ -35,20 +36,19 @@ MEDIA_SCHEMA = pa.schema(
 class DecodeStub:
     """Actor-pool decode stage: payload binary → fixed-size feature vector.
 
-    Real implementation would decode with PIL/librosa/av in ``__init__``-loaded
-    codecs; the contract (binary in, ``feature: list<float>`` +
-    carried metadata out, payload dropped) is what downstream stages depend on.
+    Real mode (``fake=False``) decodes PNG payloads (pure-stdlib codec,
+    ``media_codecs.decode_png``) into a mean-pooled pixel-intensity grid and
+    WAV payloads (``decode_wav``) into per-segment RMS energy — both
+    deterministic.  The contract (binary in, ``feature: list<float>`` +
+    carried metadata out, payload dropped) is identical in both modes;
+    ``fake=True`` keeps the md5-seeded decode the SQL oracle replays.
+    Dispatch is by the ``media_type`` column when present, else by payload
+    magic bytes.
     """
 
     def __init__(self, feature_dim: int = 16, fake: bool = False):
         self.feature_dim = feature_dim
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "media codecs (PIL/librosa/av) are not available in this "
-                "environment; construct with fake=True for a deterministic "
-                "payload-hash-seeded fake decode"
-            )
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         # md5 digest bytes cycled to feature_dim, scaled by 1/256: every
@@ -59,9 +59,47 @@ class DecodeStub:
         b = np.frombuffer(digest * reps, dtype=np.uint8)[: self.feature_dim]
         return (b.astype(np.float32)) / np.float32(256.0)
 
+    def _real_decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        from ..functions.media_codecs import decode_png, decode_wav
+
+        d = self.feature_dim
+        if media_type == "image/png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload).astype(np.float64)
+            if img.ndim == 3:  # luminance over channels
+                img = img.mean(axis=2)
+            # mean-pool onto a fixed grid: d cells over the flattened image
+            flat = img.reshape(-1)
+            idx = (np.arange(flat.size, dtype=np.int64) * d) // flat.size
+            sums = np.bincount(idx, weights=flat, minlength=d)
+            cnts = np.bincount(idx, minlength=d)
+            return (sums / np.maximum(cnts, 1) / 255.0).astype(np.float32)
+        if media_type == "audio/wav" or payload[:4] == b"RIFF":
+            samples, _rate = decode_wav(payload)
+            if samples.ndim == 2:
+                samples = samples.mean(axis=1)
+            x = samples.astype(np.float64) / 32768.0
+            idx = (np.arange(x.size, dtype=np.int64) * d) // max(x.size, 1)
+            sums = np.bincount(idx, weights=x * x, minlength=d)
+            cnts = np.bincount(idx, minlength=d)
+            return np.sqrt(sums / np.maximum(cnts, 1)).astype(np.float32)
+        raise NotImplementedError(
+            f"no pure-python codec for media_type={media_type!r} "
+            "(PNG and PCM16 WAV are supported; video needs av/ffmpeg)"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = [self._fake_decode(p) for p in payloads]
+        if self.fake:
+            feats = [self._fake_decode(p) for p in payloads]
+        else:
+            mts = (
+                batch["media_type"].to_pylist()
+                if "media_type" in batch.column_names
+                else [""] * len(payloads)
+            )
+            feats = [
+                self._real_decode(p, mt or "") for p, mt in zip(payloads, mts)
+            ]
         out = batch.drop_columns(["payload"])  # project early: payloads are wide
         return out.append_column(
             "feature",
@@ -89,21 +127,18 @@ def decode_features(
 class ResizeStub:
     """Actor-pool image-resize stage: payload binary → resized payload binary.
 
-    Real implementation loads PIL once per actor and re-encodes; the fake
-    mode emits a deterministic payload (md5-derived, length ∝ target area)
-    and rewrites ``meta_json`` with the new dimensions — the contract
+    Real mode decodes PNG with the pure-stdlib codec, nearest-neighbor
+    resizes, and re-encodes (filter-0 PNG — deterministic bytes); fake mode
+    emits a deterministic payload (md5-derived, length ∝ target area).  Both
+    rewrite ``meta_json`` with the new dimensions — the contract
     (binary→binary, metadata updated, payload REPLACED not duplicated) is
-    the tested part.
+    identical.
     """
 
     def __init__(self, width: int, height: int, fake: bool = False):
         self.width = width
         self.height = height
-        if not fake:
-            raise NotImplementedError(
-                "image codecs (PIL) are not available in this environment; "
-                "construct with fake=True for a deterministic fake resize"
-            )
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -113,11 +148,23 @@ class ResizeStub:
             if "meta_json" in batch.column_names
             else ["{}"] * len(batch)
         )
+        if not self.fake:
+            from ..functions.media_codecs import (
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
         new_payloads, new_metas = [], []
         for payload, meta in zip(batch["payload"].to_pylist(), metas):
-            digest = hashlib.md5(payload).digest()
-            size = max(16, (self.width * self.height) // 64)
-            new_payloads.append((digest * (size // 16 + 1))[:size])
+            if self.fake:
+                digest = hashlib.md5(payload).digest()
+                size = max(16, (self.width * self.height) // 64)
+                new_payloads.append((digest * (size // 16 + 1))[:size])
+            else:
+                img = resize_nearest(
+                    decode_png(payload), self.width, self.height
+                )
+                new_payloads.append(encode_png(img))
             m = json.loads(meta or "{}")
             m["width"], m["height"] = self.width, self.height
             new_metas.append(json.dumps(m, sort_keys=True))
@@ -153,8 +200,9 @@ class FrameSampleStub:
         self.max_frames = max_frames
         if not fake:
             raise NotImplementedError(
-                "video codecs (av/ffmpeg) are not available in this "
-                "environment; construct with fake=True"
+                "video container demuxing needs av/ffmpeg, which this "
+                "environment lacks (no pure-stdlib path exists, unlike "
+                "PNG/WAV); construct with fake=True"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
