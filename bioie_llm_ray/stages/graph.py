@@ -404,6 +404,7 @@ def pagerank(
     damping: float = 0.85,
     n_iters: int = 20,
     n_buckets: int = 32,
+    max_broadcast_nodes: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Weighted PageRank over a directed edge Dataset → (node, rank).
 
@@ -414,10 +415,12 @@ def pagerank(
     (one partial row per distinct dst per batch), the driver folds the
     partials, applies damping and dangling-mass redistribution, and
     re-broadcasts.  Driver state and per-round merge are O(|V|); edge work
-    is fully parallel and never materializes on the driver.  For graphs
-    whose NODE table outgrows driver memory, swap the fold for a bucketed
-    groupby-sum keyed by dst and a shuffle join of ranks onto edges — same
-    formula, two wide ops per round.
+    is fully parallel and never materializes on the driver.  Above
+    ``max_broadcast_nodes`` (2·|edges| as the node-count upper bound) the
+    rank table moves off the driver into the bucketed Dataset iteration
+    (``_pagerank_bucketed``, same formula, ~3 exchanges per round; float
+    sums associate differently so equality is ~1e-12 relative, not
+    bit-exact); force 0 to always bucket.
 
     Fixed ``n_iters`` (deterministic output given topology); undirected
     graphs should pass both edge orientations.
@@ -425,6 +428,11 @@ def pagerank(
     import collections
 
     edges = edges.materialize()  # consumed n_iters+1 times
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _pagerank_bucketed(
+            edges, src=src, dst=dst, weight=weight, damping=damping,
+            n_iters=n_iters, n_buckets=n_buckets,
+        )
 
     def outdeg_partial(batch: pa.Table) -> pa.Table:
         s = [str(x) for x in batch[src].to_pylist()]
@@ -532,16 +540,14 @@ def _norm_edges(
     weight_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """Edges normalized to string endpoints (u, v[, w]) — node ids in the
-    bucketed state are strings, matching the broadcast paths' str() casts."""
+    bucketed state are strings, matching the broadcast paths' str() casts.
+    Vectorized Arrow casts (int→decimal-string matches ``str()``); no
+    Python row loop."""
 
     def norm(batch: pa.Table) -> pa.Table:
         cols = {
-            "u": pa.array(
-                [str(x) for x in batch[src].to_pylist()], type=pa.string()
-            ),
-            "v": pa.array(
-                [str(x) for x in batch[dst].to_pylist()], type=pa.string()
-            ),
+            "u": pc.cast(batch[src], pa.string()),
+            "v": pc.cast(batch[dst], pa.string()),
         }
         if weight is not None:
             cols["w"] = pc.cast(batch[weight], weight_type)
@@ -571,9 +577,11 @@ def _bfs_bucketed(
 ) -> ray.data.Dataset:
     """Distributed-state BFS: settled (node, dist) and the frontier are
     Datasets; each level is semi-join(edges, frontier) → distinct neighbors
-    → anti-join vs settled.  3 bucketed exchanges per level, O(1) driver
-    state (one row count per round)."""
-    from .dedup import exact_dedup
+    → anti-join vs settled — 2 bucketed exchanges per level (the neighbor
+    dedup is FOLDED into the joins: a per-u-bucket ``unique`` combiner in
+    the semi join's ``bucket_post`` shrinks the exchange, and the anti
+    join — bucketed BY node — makes it exact in its own ``bucket_post``),
+    O(1) driver state (one row count per round)."""
     from .join import shuffle_semi_join
 
     e = _norm_edges(edges, src, dst)
@@ -582,7 +590,7 @@ def _bfs_bucketed(
     level = 0
     while level < max_iters:
         level += 1
-        hits = shuffle_semi_join(
+        cand = shuffle_semi_join(
             e,
             frontier.map_batches(
                 lambda b: b.rename_columns(["u"]), batch_format="pyarrow"
@@ -590,14 +598,10 @@ def _bfs_bucketed(
             keys="u",
             n_buckets=n_buckets,
             left_schema={"u": pa.string(), "v": pa.string()},
-        )
-        cand = exact_dedup(
-            hits.map_batches(
-                lambda b: pa.table({"node": pc.unique(b["v"])}),
-                batch_format="pyarrow",
-            ),
-            ["node"],
-            n_buckets=n_buckets,
+            # combiner: distinct neighbors per u-bucket (a v reached from
+            # several u-buckets still duplicates ACROSS buckets — the anti
+            # join below dedups exactly, keyed by the node itself)
+            bucket_post=lambda kept: pa.table({"node": pc.unique(kept["v"])}),
         )
         new = shuffle_semi_join(
             cand,
@@ -606,6 +610,9 @@ def _bfs_bucketed(
             anti=True,
             n_buckets=n_buckets,
             left_schema={"node": pa.string()},
+            bucket_post=lambda kept: pa.table(
+                {"node": pc.unique(kept["node"])}
+            ),
         ).map_batches(
             lambda b, _l=level: b.append_column(
                 "dist", pa.array([_l] * len(b), type=pa.int64())
@@ -877,6 +884,274 @@ def _lpa_bucketed(
     )
 
 
+def _pagerank_bucketed(
+    edges: ray.data.Dataset,
+    src: str,
+    dst: str,
+    weight: str | None,
+    damping: float,
+    n_iters: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state PageRank: the (node, rank, out-weight) table is a
+    bucketed Dataset; per round contributions shuffle-join onto edges by
+    source (rank·w/od combiner folded into the join bucket), the grouped
+    sum is one exchange keyed by target, and a tagged per-bucket merge
+    applies ``base + damping·contrib``.  Only two scalars reach the driver
+    per round (node count once, dangling mass each round) — no O(|V|)
+    rank dict.  Floating sums associate differently than the broadcast
+    path's dict folds, so equality is to ~1e-12 relative, not bit-exact."""
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+
+    e = _norm_edges(
+        edges, src, dst, weight=weight, weight_type=pa.float64()
+    ) if weight is not None else _norm_edges(edges, src, dst)
+
+    # (node, od): out-weight per source, 0.0 for pure sinks — one exchange
+    def ends_partial(batch: pa.Table) -> pa.Table:
+        w = (
+            batch["w"]
+            if "w" in batch.column_names
+            else pa.array([1.0] * len(batch), type=pa.float64())
+        )
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                    ]
+                ),
+                "od": pa.concat_arrays(
+                    [
+                        pc.cast(
+                            w
+                            if isinstance(w, pa.ChunkedArray)
+                            else pa.chunked_array([w]),
+                            pa.float64(),
+                        ).combine_chunks(),
+                        pa.array(
+                            np.zeros(len(batch)), type=pa.float64()
+                        ),
+                    ]
+                ),
+            }
+        )
+        g = t.group_by(["node"]).aggregate([("od", "sum")])
+        return g.rename_columns(["node", "od"])
+
+    nodes = grouped_agg(
+        e.map_batches(ends_partial, batch_format="pyarrow"),
+        keys=["node"],
+        aggs={"od": ("od", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "rank": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    ranks = nodes.map_batches(
+        lambda b, _n=n: b.append_column(
+            "rank", pa.array([1.0 / _n] * len(b), type=pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        od = batch["od"].to_numpy(zero_copy_only=False)
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"d": pa.array([float(r[od == 0.0].sum())], type=pa.float64())}
+        )
+
+    for _ in range(n_iters):
+        dangling = sum(
+            row["d"]
+            for row in ranks.map_batches(
+                dangling_partial, batch_format="pyarrow"
+            ).take_all()
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def contrib_post(joined: pa.Table) -> pa.Table:
+            w = (
+                joined["w"].to_numpy(zero_copy_only=False)
+                if "w" in joined.column_names
+                else np.ones(len(joined))
+            )
+            r = joined["rank"].to_numpy(zero_copy_only=False)
+            od = joined["od"].to_numpy(zero_copy_only=False)
+            t = pa.table(
+                {
+                    "node": joined["v"],
+                    "c": pa.array(r * w / od, type=pa.float64()),
+                }
+            )
+            g = t.group_by(["node"]).aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        contrib = grouped_agg(
+            shuffle_join(
+                e,
+                ranks.map_batches(
+                    lambda b: b.rename_columns(["u", "od", "rank"]),
+                    batch_format="pyarrow",
+                ),
+                keys="u",
+                n_buckets=n_buckets,
+                left_schema=(
+                    {"u": pa.string(), "v": pa.string(), "w": pa.float64()}
+                    if weight is not None
+                    else {"u": pa.string(), "v": pa.string()}
+                ),
+                right_schema={
+                    "u": pa.string(),
+                    "od": pa.float64(),
+                    "rank": pa.float64(),
+                },
+                bucket_post=contrib_post,
+            ),
+            keys=["node"],
+            aggs={"c": ("c", "sum")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
+
+        def tag_nodes(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "od": batch["od"],
+                    "c": pa.nulls(len(batch), pa.float64()),
+                    _B: pa.array(
+                        _bucket_ids(
+                            batch["node"].to_numpy(zero_copy_only=False),
+                            n_buckets,
+                        )
+                    ),
+                }
+            )
+
+        def tag_contrib(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "od": pa.nulls(len(batch), pa.float64()),
+                    "c": pc.cast(batch["c"], pa.float64()),
+                    _B: pa.array(
+                        _bucket_ids(
+                            batch["node"].to_numpy(zero_copy_only=False),
+                            n_buckets,
+                        )
+                    ),
+                }
+            )
+
+        def apply(group: pd.DataFrame, _base=base) -> pd.DataFrame:
+            od = group[group["od"].notna()].set_index("node")["od"]
+            c = group[group["c"].notna()].groupby("node")["c"].sum()
+            out = od.reset_index()
+            out["rank"] = _base + damping * c.reindex(out["node"]).fillna(
+                0.0
+            ).to_numpy()
+            return out[["node", "od", "rank"]]
+
+        ranks = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(contrib.map_batches(tag_contrib, batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(apply, batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda b: b.select(["node", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _kcore_bucketed(
+    edges: ray.data.Dataset,
+    src: str,
+    dst: str,
+    k: int,
+    n_rounds: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state k-core peeling: the surviving edge set shrinks in
+    place (alive sets are monotone decreasing, so filtering the current
+    induced subgraph equals re-masking the original), degrees are one
+    bucketed exchange per round and the two endpoint filters are semi
+    joins — no driver-side alive set.  Returns (entity, deg): every node
+    of the final induced subgraph with its induced degree, identical to
+    the broadcast ``k_core`` table."""
+    from .join import shuffle_semi_join
+    from .rollup import grouped_agg
+
+    e = _norm_edges(edges, src, dst)
+
+    def ends(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+        g = t.group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    def degrees(edges_ds: ray.data.Dataset) -> ray.data.Dataset:
+        return grouped_agg(
+            edges_ds.map_batches(ends, batch_format="pyarrow"),
+            keys=["node"],
+            aggs={"deg": ("deg", "sum")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
+
+    for _ in range(n_rounds):
+        alive = (
+            degrees(e)
+            .filter(expr=f"deg >= {k}")
+            .select_columns(["node"])
+            .materialize()
+        )
+        for end in ("u", "v"):
+            e = shuffle_semi_join(
+                e,
+                alive.map_batches(
+                    lambda b, _e=end: b.rename_columns([_e]),
+                    batch_format="pyarrow",
+                ),
+                keys=end,
+                n_buckets=n_buckets,
+                left_schema={"u": pa.string(), "v": pa.string()},
+            )
+        e = e.materialize()
+
+    return degrees(e).map_batches(
+        lambda b: pa.table(
+            {
+                "entity": b["node"],
+                "deg": pc.cast(b["deg"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def bfs_levels(
     edges: ray.data.Dataset,
     seed: str,
@@ -1061,10 +1336,20 @@ def k_core(
     dst: str = "obj",
     k: int = 3,
     n_rounds: int = 6,
+    max_broadcast_nodes: int = 2_000_000,
+    n_buckets: int = 32,
 ) -> pa.Table:
     """Synchronous k-core peeling: each round drops every node whose degree
     in the surviving induced subgraph is < ``k``; survivors after
     ``n_rounds`` come back with their final induced degree.
+
+    Above ``max_broadcast_nodes`` (2·|edges| bound) the alive set moves off
+    the driver into the bucketed Dataset iteration (``_kcore_bucketed`` —
+    the surviving EDGE set shrinks in place, degrees are one exchange per
+    round, endpoint filters are semi joins); force 0 to always bucket.
+    The returned table is the survivors — driver-sized by construction for
+    the k/n_rounds regimes queries use; callers needing a Dataset at scale
+    can use ``_kcore_bucketed`` directly.
 
     Same broadcast-iteration contract as ``pagerank`` / ``bfs_levels`` /
     ``label_propagation``: the ALIVE SET is node-vocabulary-bounded and
@@ -1078,6 +1363,25 @@ def k_core(
     degrees count both endpoints.
     """
     edges = edges.materialize()  # consumed n_rounds + 1 times
+    if 2 * edges.count() > max_broadcast_nodes:
+        out = _kcore_bucketed(
+            edges, src=src, dst=dst, k=k, n_rounds=n_rounds,
+            n_buckets=n_buckets,
+        ).sort("entity")
+        # drop empty blocks: the sort emits them with a schemaless shell
+        tables = [
+            t
+            for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows > 0
+        ] or [
+            pa.table(
+                {
+                    "entity": pa.array([], type=pa.string()),
+                    "deg": pa.array([], type=pa.int64()),
+                }
+            )
+        ]
+        return pa.concat_tables(tables).combine_chunks()
 
     def degree_fold(alive_arr: np.ndarray | None) -> dict:
         ref = ray.put(alive_arr)

@@ -14,7 +14,9 @@ import ray
 
 from bioie_llm_ray.stages.graph import (
     bfs_levels,
+    k_core,
     label_propagation,
+    pagerank,
     sssp_weighted,
 )
 
@@ -130,13 +132,63 @@ class TestLpaBucketed:
         assert comm["a"] != comm["x"]
 
 
+class TestPagerankBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        edges = _edges_ds(rnd_graph, ["subj", "obj", "w"])
+        want = _df(pagerank(edges, weight="w", n_iters=5))
+        got = _df(
+            pagerank(
+                edges, weight="w", n_iters=5, max_broadcast_nodes=0,
+                n_buckets=4,
+            )
+        )
+        assert got["node"].tolist() == want["node"].tolist()
+        # float sums associate differently across the two paths
+        np.testing.assert_allclose(
+            got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-11
+        )
+        assert abs(got["rank"].sum() - 1.0) < 1e-9  # mass conserved
+
+    def test_dangling_mass_redistributed(self):
+        # b and c are sinks: their mass must recirculate, not vanish
+        edges = _edges_ds([("a", "b"), ("a", "c")], ["subj", "obj"])
+        got = _df(pagerank(edges, n_iters=8, max_broadcast_nodes=0, n_buckets=4))
+        want = _df(pagerank(edges, n_iters=8))
+        np.testing.assert_allclose(
+            got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-11
+        )
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+class TestKcoreBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        # one orientation (src < dst) per k_core's contract
+        rows = sorted({(min(a, b), max(a, b)) for a, b, _ in rnd_graph})
+        edges = _edges_ds(rows, ["subj", "obj"])
+        want = k_core(edges, k=3, n_rounds=4).to_pandas()
+        got = k_core(
+            edges, k=3, n_rounds=4, max_broadcast_nodes=0, n_buckets=4
+        ).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        assert len(want) > 0
+
+    def test_full_peel(self):
+        # a path graph has no 2-core: everything peels away
+        rows = [("a", "b"), ("b", "c"), ("c", "d")]
+        edges = _edges_ds(rows, ["subj", "obj"])
+        got = k_core(edges, k=2, n_rounds=3, max_broadcast_nodes=0, n_buckets=4)
+        assert len(got) == 0
+
+
 @pytest.mark.slow
 class TestMillionNodeStress:
     def test_bfs_1m_node_chain_of_stars(self):
-        """≥1M nodes through the bucketed path: 8 hubs in a chain, each
-        fanning to 125k leaves → 1,000,008 nodes, 9 BFS levels — no
-        O(|V|) driver state at any point."""
-        n_hubs, fan = 8, 125_000
+        """≥1M nodes through the bucketed path: 4 hubs in a chain, each
+        fanning to 250k leaves → 1,000,004 nodes, 5 BFS levels — no
+        O(|V|) driver state at any point.  (4 hubs, not 8: each level is
+        two full-edge exchanges, and the 4-CPU CI session pays ~2× per
+        extra level for no additional coverage.)"""
+        n_hubs, fan = 4, 250_000
 
         def gen(batch):
             h = int(batch["h"][0])
@@ -153,16 +205,18 @@ class TestMillionNodeStress:
         edges = ray.data.from_items(
             [{"h": h} for h in range(n_hubs)]
         ).map_batches(gen, batch_format="pandas", batch_size=1)
-        got = bfs_levels(edges, "h00", max_broadcast_nodes=0, max_iters=16)
+        got = bfs_levels(
+            edges, "h00", max_broadcast_nodes=0, max_iters=16, n_buckets=8
+        )
         total = got.count()
         assert total == n_hubs + n_hubs * fan
         # hub k sits at distance k; its leaves at k+1
         import pyarrow.compute as pc
 
-        need = pa.array(["h00", "h07", "h03L000001"])
+        need = pa.array(["h00", "h03", "h02L000001"])
         df = got.map_batches(
             lambda b: b.filter(pc.is_in(b["node"], value_set=need)),
             batch_format="pyarrow",
         ).to_pandas()
         d = dict(zip(df["node"], df["dist"]))
-        assert d == {"h00": 0, "h07": 7, "h03L000001": 4}
+        assert d == {"h00": 0, "h03": 3, "h02L000001": 3}
