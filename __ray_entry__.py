@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
         "doc_language_id": A.doc_language_id,
         "doc_unigram_lm": A.doc_unigram_lm,
+        "dsir_select": A.dsir_select,
         "doc_bigram_perplexity": A.doc_bigram_perplexity,
         "customer_order_counts": A.customer_order_counts,
         "orders_with_returns": A.orders_with_returns,
@@ -1970,6 +1971,44 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_bigrams
             FROM sc
             ORDER BY round_even(bits / n, 6) DESC, doc_id LIMIT 15
+        """,
+        # DSIR importance resampling: hashed-unigram bag LMs for the
+        # target domain (lang='en') vs the raw pool, add-0.5 smoothing over
+        # 1024 hashed buckets, mean per-token log ratio, top-100 raw docs.
+        # Weights rank on round_even(·, 6) on BOTH sides (numpy half-even).
+        "dsir_select": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, t.token AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(
+                        trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '),
+                        '\\s+')) AS t(token)
+                WHERE t.token <> ''),
+            bkt AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5(token),1,16))::UBIGINT % 1024) AS b
+                FROM tok),
+            cnt AS (
+                SELECT b,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS nt,
+                       sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE AS nr
+                FROM bkt GROUP BY 1),
+            tot AS (SELECT sum(nt) AS t_tot, sum(nr) AS r_tot FROM cnt),
+            lr AS (
+                SELECT b,
+                       ln((nt + 0.5) / ((SELECT t_tot FROM tot) + 512.0))
+                     - ln((nr + 0.5) / ((SELECT r_tot FROM tot) + 512.0)) AS lr
+                FROM cnt),
+            scored AS (
+                SELECT doc_id, any_value(bkt.lang) AS lang,
+                       count(*) AS n_tokens, avg(lr.lr) AS w
+                FROM bkt JOIN lr USING (b)
+                WHERE bkt.lang <> 'en'
+                GROUP BY doc_id)
+            SELECT doc_id, lang, n_tokens, round_even(w, 6) AS weight
+            FROM scored
+            ORDER BY round_even(w, 6) DESC, doc_id
+            LIMIT 100
         """,
         "doc_unigram_lm": f"""
             WITH tok AS ({_TOKENS}),

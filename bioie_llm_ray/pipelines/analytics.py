@@ -3723,6 +3723,135 @@ def doc_unigram_lm(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dsir_select(
+    sf_dir: str,
+    target_lang: str = "en",
+    n_feat: int = 1024,
+    alpha: float = 0.5,
+    k: int = 100,
+) -> pd.DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, NeurIPS, "Data Selection
+    for Language Models via Importance Resampling"): hashed unigram
+    bag-of-words LMs for the TARGET domain (``lang == target_lang``) and
+    the RAW pool (every other doc); each raw doc scores the mean over its
+    tokens of ``log p_target(b) − log p_raw(b)`` with add-``alpha``
+    smoothing over the ``n_feat`` hashed feature buckets; the top-``k``
+    raw docs by (weight desc, doc_id) are selected.
+
+    Two streaming passes + one broadcast — DSIR's shape is exactly the
+    hashed-feature trick that makes importance weighting feasible at
+    corpus scale, and it maps 1:1 onto fixed-size combiner partials:
+
+    1. per-batch ``bincount`` combiner over ``md5_u64(token) % n_feat``,
+       two int64 arrays (target / raw) of length ``n_feat`` per block —
+       the driver folds FIXED-SIZE partials (O(n_feat), independent of
+       corpus size; n_feat is the scale knob, as in the paper);
+    2. the log-ratio array broadcasts once via ``ray.put``; scoring is one
+       vectorized pass (per-batch unique-word md5 cache → bucket lookup →
+       ``np.add.reduceat`` over doc bounds) with a per-block top-k partial
+       and a driver merge of blocks × k rows — the corpus never
+       materializes.
+
+    Weights are rounded half-to-even to 6 decimals BEFORE ranking so the
+    selection and the SQL oracle (``round_even``) order identically.
+    """
+    import ray
+
+    from ..functions.hashing import stable_hash_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _token_buckets(batch: pa.Table):
+        """tokens → (bucket ids flat array, per-doc lengths); empty tokens
+        dropped (split of a trimmed empty string yields [''])."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        words = flat.to_pandas().to_numpy(dtype=object)
+        keep = words != ""
+        # re-derive doc lengths net of dropped empties
+        doc_ids = np.repeat(np.arange(len(batch)), lens)[keep]
+        lens = np.bincount(doc_ids, minlength=len(batch)).astype(np.int64)
+        words = words[keep]
+        uniq, inv = np.unique(words, return_inverse=True)
+        bkt = (
+            stable_hash_u64(list(uniq)) % np.uint64(n_feat)
+        ).astype(np.int64)[inv]
+        return bkt, lens
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bkt, lens = _token_buckets(batch)
+        is_t = (
+            pc.equal(batch["lang"], target_lang)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        tok_is_t = np.repeat(is_t, lens)
+        nt = np.bincount(bkt[tok_is_t], minlength=n_feat)
+        nr = np.bincount(bkt[~tok_is_t], minlength=n_feat)
+        return pa.table(
+            {
+                "nt": pa.array([nt.astype(np.int64).tolist()]),
+                "nr": pa.array([nr.astype(np.int64).tolist()]),
+            }
+        )
+
+    nt = np.zeros(n_feat, dtype=np.int64)
+    nr = np.zeros(n_feat, dtype=np.int64)
+    for row in ds.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).take_all():
+        nt += np.asarray(row["nt"], dtype=np.int64)
+        nr += np.asarray(row["nr"], dtype=np.int64)
+    T, R = float(nt.sum()), float(nr.sum())
+    logratio = np.log((nt + alpha) / (T + alpha * n_feat)) - np.log(
+        (nr + alpha) / (R + alpha * n_feat)
+    )
+    lr_ref = ray.put(logratio)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        bkt, lens = _token_buckets(batch)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        sums = np.add.reduceat(
+            lr[bkt], bounds[:-1]
+        ) if len(bkt) else np.zeros(len(batch))
+        w = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+        is_raw = (
+            pc.not_equal(batch["lang"], target_lang)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        keep = is_raw & (lens > 0)
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[
+                    keep
+                ],
+                "lang": np.asarray(batch["lang"].to_pylist(), dtype=object)[
+                    keep
+                ],
+                "n_tokens": lens[keep],
+                "weight": np.round(w[keep], 6),  # half-even, like the SQL
+            }
+        )
+        top = df.sort_values(
+            ["weight", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(
+            ["weight", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def customer_order_counts(sf_dir: str) -> pd.DataFrame:
     """Customers with their order count, INCLUDING zero-order customers —
     the left-outer path of the partitioned shuffle join (unmatched left

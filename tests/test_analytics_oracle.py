@@ -166,6 +166,8 @@ SUBSET = [
     "knn_ivf_probed",
     # sampled-quantizer IVF: hash-sample trains the Lloyd chain (round 3)
     "knn_ivf",
+    # DSIR importance resampling: hashed-unigram LM log-ratio selection
+    "dsir_select",
     # interval RANGE-frame window (peer-inclusive, varying width)
     "user_range_window",
     # composed RAG pipeline: chunk -> actor-pool embed -> cosine top-k
