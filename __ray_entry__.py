@@ -719,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_edges": A.cooccur_edges,
         "kg_graph_nodes": A.kg_graph_nodes,
         "kg_pagerank": A.kg_pagerank,
+        "kg_hits": A.kg_hits,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_bfs_levels": A.kg_bfs_levels,
@@ -1395,6 +1396,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll_by_type": O.hll_grouped_sql(),
         # power iteration unrolled as chained CTEs
         "kg_pagerank": O.pagerank_sql(),
+        # HITS unrolled the same way pagerank is; directed co-occur graph
+        "kg_hits": O.hits_sql(),
         # synchronous weighted LPA unrolled the same way
         "kg_communities": O.lpa_sql(),
         "kg_kcore": O.kcore_sql(),

@@ -618,6 +618,58 @@ SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node
 """
 
 
+def hits_sql(n_iters: int = 4) -> str:
+    """DuckDB oracle for analytics.kg_hits: Kleinberg's HITS unrolled as
+    2·``n_iters`` chained CTEs (auth half-round then hub half-round, each
+    L2-normalized over the nodes that received mass, zero elsewhere) over
+    the DIRECTED co-occurrence graph (lexically smaller token → larger).
+    ``round_even`` matches numpy's half-to-even output rounding."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+a{i}r AS MATERIALIZED (
+    SELECT e.o AS node, sum(e.w * h.s) AS x
+    FROM edges e JOIN {prev_h} h ON h.node = e.s
+    GROUP BY 1),
+a{i}z AS (SELECT sqrt(sum(x * x)) AS z FROM a{i}r),
+a{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(r.x, 0) / (SELECT z FROM a{i}z) AS s
+    FROM nodes n LEFT JOIN a{i}r r USING (node)),
+h{i}r AS MATERIALIZED (
+    SELECT e.s AS node, sum(e.w * a.s) AS x
+    FROM edges e JOIN a{i} a ON a.node = e.o
+    GROUP BY 1),
+h{i}z AS (SELECT sqrt(sum(x * x)) AS z FROM h{i}r),
+h{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(r.x, 0) / (SELECT z FROM h{i}z) AS s
+    FROM nodes n LEFT JOIN h{i}r r USING (node))""")
+        prev_h = f"h{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH m AS MATERIALIZED (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ('spark','hash','join','merge','sort','filter','window',
+                    'vector','stream','batch')),
+edges AS MATERIALIZED (
+    SELECT a.token AS s, b.token AS o, count(*)::DOUBLE AS w
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM
+        (SELECT s AS node FROM edges UNION ALL SELECT o FROM edges)),
+h0 AS (SELECT node, 1.0 AS s FROM nodes),{chain}
+SELECT node,
+       round_even(h{n_iters}.s, 6) AS hub,
+       round_even(a{n_iters}.s, 6) AS authority
+FROM h{n_iters} JOIN a{n_iters} USING (node)
+ORDER BY node
+"""
+
+
 def _mulmod64_vars_sql(x: str, a: str) -> str:
     """SQL expr: (x * a) mod 2^64 for TWO variable HUGEINT exprs in
     [0, 2^64) — both operands decomposed into 32-bit halves (the

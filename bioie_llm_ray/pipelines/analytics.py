@@ -2775,6 +2775,22 @@ def kg_graph_nodes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("entity").reset_index(drop=True)
 
 
+def kg_hits(sf_dir: str, n_iters: int = 4) -> pd.DataFrame:
+    """HITS hubs/authorities over the DIRECTED co-occurrence KG (edges
+    point lexically-smaller → larger token, so hub and authority scores
+    genuinely differ).  Broadcast-iteration operator (``stages/graph.hits``
+    with the bucketed Dataset swap above ``max_broadcast_nodes``); fixed
+    round count keeps the output a pure function of the topology so the
+    SQL oracle unrolls the same recurrence (``oracle.hits_sql``)."""
+    from ..stages.graph import hits
+
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
+    out = hits(edges, weight="w", n_iters=n_iters).to_pandas()
+    out["hub"] = out["hub"].round(6)
+    out["authority"] = out["authority"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def kg_pagerank(sf_dir: str, n_iters: int = 20) -> pd.DataFrame:
     """PageRank over the co-occurrence KG (undirected → both orientations).
 

@@ -1078,6 +1078,316 @@ def _pagerank_bucketed(
     )
 
 
+def _hits_bucketed(
+    edges: ray.data.Dataset,
+    src: str,
+    dst: str,
+    weight: str | None,
+    n_iters: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state HITS: hub/authority vectors live as bucketed
+    Datasets; per half-round the score joins onto edges by one endpoint
+    (sum combiner folded into the join bucket), the L2 norm is a per-block
+    scalar partial (the only driver value per half-round), and a tagged
+    per-bucket merge applies ``coalesce(x, 0) / z`` over ALL nodes."""
+    from .dedup import exact_dedup
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+
+    e = _norm_edges(
+        edges, src, dst, weight=weight, weight_type=pa.float64()
+    ) if weight is not None else _norm_edges(edges, src, dst)
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    nodes = exact_dedup(
+        e.map_batches(both_ends, batch_format="pyarrow"),
+        ["node"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def const_scores(val: float) -> ray.data.Dataset:
+        return nodes.map_batches(
+            lambda b, _v=val: b.append_column(
+                "s", pa.array([_v] * len(b), type=pa.float64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def half_round(scores: ray.data.Dataset, from_end: str) -> ray.data.Dataset:
+        """scores on ``from_end`` (u: hub→auth, v: auth→hub) → normalized
+        scores on the other endpoint, over ALL nodes."""
+        to_col = "v" if from_end == "u" else "u"
+
+        def post(joined: pa.Table) -> pa.Table:
+            w = (
+                joined["w"].to_numpy(zero_copy_only=False)
+                if "w" in joined.column_names
+                else np.ones(len(joined))
+            )
+            s = joined["s"].to_numpy(zero_copy_only=False)
+            t = pa.table(
+                {
+                    "node": joined[to_col],
+                    "x": pa.array(w * s, type=pa.float64()),
+                }
+            )
+            g = t.group_by(["node"]).aggregate([("x", "sum")])
+            return g.rename_columns(["node", "x"])
+
+        raw = grouped_agg(
+            shuffle_join(
+                e,
+                scores.map_batches(
+                    lambda b, _f=from_end: b.rename_columns([_f, "s"]),
+                    batch_format="pyarrow",
+                ),
+                keys=from_end,
+                n_buckets=n_buckets,
+                left_schema=(
+                    {"u": pa.string(), "v": pa.string(), "w": pa.float64()}
+                    if weight is not None
+                    else {"u": pa.string(), "v": pa.string()}
+                ),
+                right_schema={from_end: pa.string(), "s": pa.float64()},
+                bucket_post=post,
+            ),
+            keys=["node"],
+            aggs={"x": ("x", "sum")},
+            n_buckets=n_buckets,
+            partial=True,
+        ).materialize()
+        z = np.sqrt(
+            sum(
+                row["z"]
+                for row in raw.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "z": pa.array(
+                                [
+                                    float(
+                                        (
+                                            b["x"].to_numpy(
+                                                zero_copy_only=False
+                                            )
+                                            ** 2
+                                        ).sum()
+                                    )
+                                ],
+                                type=pa.float64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).take_all()
+            )
+        )
+        if z == 0.0:
+            return const_scores(0.0)
+
+        def tag(is_raw: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": batch["node"],
+                        "x": (
+                            pc.cast(batch["x"], pa.float64())
+                            if is_raw
+                            else pa.nulls(len(batch), pa.float64())
+                        ),
+                        "__raw": pa.array(
+                            [is_raw] * len(batch), type=pa.bool_()
+                        ),
+                        _B: pa.array(
+                            _bucket_ids(
+                                batch["node"].to_numpy(zero_copy_only=False),
+                                n_buckets,
+                            )
+                        ),
+                    }
+                )
+
+            return fn
+
+        def merge(group: pd.DataFrame, _z=float(z)) -> pd.DataFrame:
+            x = group[group["__raw"]].set_index("node")["x"]
+            allnodes = group[~group["__raw"]][["node"]]
+            allnodes["s"] = (
+                x.reindex(allnodes["node"]).fillna(0.0).to_numpy() / _z
+            )
+            return allnodes
+
+        return (
+            nodes.map_batches(tag(False), batch_format="pyarrow")
+            .union(raw.map_batches(tag(True), batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+
+    hub = const_scores(1.0)
+    auth = None
+    for _ in range(n_iters):
+        auth = half_round(hub, "u")
+        hub = half_round(auth, "v")
+
+    def tag2(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "hub": (
+                        pc.cast(batch["s"], pa.float64())
+                        if col == "hub"
+                        else pa.nulls(len(batch), pa.float64())
+                    ),
+                    "authority": (
+                        pc.cast(batch["s"], pa.float64())
+                        if col == "authority"
+                        else pa.nulls(len(batch), pa.float64())
+                    ),
+                    _B: pa.array(
+                        _bucket_ids(
+                            batch["node"].to_numpy(zero_copy_only=False),
+                            n_buckets,
+                        )
+                    ),
+                }
+            )
+
+        return fn
+
+    def zip_scores(group: pd.DataFrame) -> pd.DataFrame:
+        h = group[group["hub"].notna()].set_index("node")["hub"]
+        a = group[group["authority"].notna()].set_index("node")["authority"]
+        out = pd.DataFrame({"node": h.index})
+        out["hub"] = h.to_numpy()
+        out["authority"] = a.reindex(h.index).fillna(0.0).to_numpy()
+        return out
+
+    return (
+        hub.map_batches(tag2("hub"), batch_format="pyarrow")
+        .union(auth.map_batches(tag2("authority"), batch_format="pyarrow"))
+        .groupby(_B)
+        .map_groups(zip_scores, batch_format="pandas")
+    )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str | None = None,
+    n_iters: int = 8,
+    max_broadcast_nodes: int = 2_000_000,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """HITS hubs/authorities (Kleinberg JACM'99) over a DIRECTED edge
+    Dataset → (node, hub, authority), L2-normalized each half-round.
+
+    Broadcast-iteration contract (same as ``pagerank``): the score vectors
+    are node-vocabulary-bounded dicts broadcast per half-round while edges
+    stream with per-batch sum partials; above ``max_broadcast_nodes``
+    (2·|edges| bound) the vectors move off the driver into the bucketed
+    Dataset iteration (``_hits_bucketed``); force 0 to always bucket.
+    Fixed ``n_iters`` keeps the output a pure function of topology, so the
+    SQL oracle unrolls the identical recurrence (``oracle.hits_sql``)."""
+    import collections
+
+    edges = edges.materialize()  # consumed 2·n_iters times
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _hits_bucketed(
+            edges, src=src, dst=dst, weight=weight, n_iters=n_iters,
+            n_buckets=n_buckets,
+        )
+
+    def ends_partial(batch: pa.Table) -> pa.Table:
+        vals = {str(x) for x in batch[src].to_pylist()}
+        vals |= {str(x) for x in batch[dst].to_pylist()}
+        return pa.table({"node": pa.array(sorted(vals), type=pa.string())})
+
+    nodes = sorted(
+        {
+            r["node"]
+            for r in edges.map_batches(
+                ends_partial, batch_format="pyarrow"
+            ).take_all()
+        }
+    )
+    if not nodes:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "hub": pa.array([], type=pa.float64()),
+                    "authority": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    def fold_pass(scores_ref, from_col: str, to_col: str) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            sc = ray.get(scores_ref)
+            f = [str(x) for x in batch[from_col].to_pylist()]
+            t = [str(x) for x in batch[to_col].to_pylist()]
+            w = (
+                batch[weight].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                if weight is not None
+                else np.ones(len(f))
+            )
+            acc: dict = {}
+            for fi, ti, wi in zip(f, t, w):
+                acc[ti] = acc.get(ti, 0.0) + sc[fi] * wi
+            return pa.table(
+                {
+                    "node": pa.array(list(acc)),
+                    "x": pa.array(list(acc.values()), type=pa.float64()),
+                }
+            )
+
+        folded: dict = collections.defaultdict(float)
+        for r in edges.map_batches(partial, batch_format="pyarrow").take_all():
+            folded[r["node"]] += r["x"]
+        return folded
+
+    def normalized(folded: dict) -> dict:
+        z = float(np.sqrt(sum(v * v for v in folded.values())))
+        if z == 0.0:
+            return {v: 0.0 for v in nodes}
+        return {v: folded.get(v, 0.0) / z for v in nodes}
+
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(n_iters):
+        auth = normalized(fold_pass(ray.put(hub), src, dst))
+        hub = normalized(fold_pass(ray.put(auth), dst, src))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "hub": pa.array([hub[v] for v in nodes], type=pa.float64()),
+                "authority": pa.array(
+                    [auth[v] for v in nodes], type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
 def _kcore_bucketed(
     edges: ray.data.Dataset,
     src: str,

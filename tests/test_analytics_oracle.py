@@ -168,6 +168,8 @@ SUBSET = [
     "knn_ivf",
     # DSIR importance resampling: hashed-unigram LM log-ratio selection
     "dsir_select",
+    # HITS hubs/authorities, unrolled-round SQL recurrence (round 3)
+    "kg_hits",
     # interval RANGE-frame window (peer-inclusive, varying width)
     "user_range_window",
     # composed RAG pipeline: chunk -> actor-pool embed -> cosine top-k

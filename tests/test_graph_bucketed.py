@@ -14,6 +14,7 @@ import ray
 
 from bioie_llm_ray.stages.graph import (
     bfs_levels,
+    hits,
     k_core,
     label_propagation,
     pagerank,
@@ -158,6 +159,41 @@ class TestPagerankBucketed:
             got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-11
         )
         assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+class TestHitsBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        edges = _edges_ds(rnd_graph, ["subj", "obj", "w"])
+        want = _df(hits(edges, weight="w", n_iters=3))
+        got = _df(
+            hits(
+                edges, weight="w", n_iters=3, max_broadcast_nodes=0,
+                n_buckets=4,
+            )
+        )
+        assert got["node"].tolist() == want["node"].tolist()
+        for col in ("hub", "authority"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(), want[col].to_numpy(), rtol=1e-11
+            )
+        # L2 norms are 1 after the final half-rounds
+        assert abs(np.linalg.norm(want["hub"]) - 1.0) < 1e-9
+        assert abs(np.linalg.norm(want["authority"]) - 1.0) < 1e-9
+
+    def test_star_hub(self):
+        # a -> {b,c,d}: a is the only hub, b/c/d equal authorities
+        edges = _edges_ds(
+            [("a", "b"), ("a", "c"), ("a", "d")], ["subj", "obj"]
+        )
+        got = (
+            _df(hits(edges, n_iters=2, max_broadcast_nodes=0, n_buckets=4))
+            .set_index("node")
+        )
+        assert got.loc["a", "hub"] == pytest.approx(1.0)
+        assert got.loc["a", "authority"] == pytest.approx(0.0)
+        for n in "bcd":
+            assert got.loc[n, "authority"] == pytest.approx(1 / np.sqrt(3))
+            assert got.loc[n, "hub"] == pytest.approx(0.0)
 
 
 class TestKcoreBucketed:
