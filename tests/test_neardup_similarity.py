@@ -385,18 +385,29 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_stub_raises_without_fake(self):
+        # real mode constructs fine (stdlib PNG/WAV codecs exist) but
+        # raises per-payload when no pure-python codec covers the type
         from bioie_llm_ray.stages.multimodal import DecodeStub
 
+        stub = DecodeStub(fake=False)
         with pytest.raises(NotImplementedError):
-            DecodeStub(fake=False)
+            stub(
+                pa.table(
+                    {
+                        "media_id": ["v"],
+                        "media_type": ["video/mp4"],
+                        "payload": [b"not-a-png-or-wav"],
+                    }
+                )
+            )
 
     def test_resize_replaces_payload_and_meta(self):
         import json
 
         from bioie_llm_ray.stages.multimodal import ResizeStub, resize_images
 
-        with pytest.raises(NotImplementedError):
-            ResizeStub(32, 32, fake=False)
+        # real mode constructs (stdlib PNG codec); fake mode used below
+        ResizeStub(32, 32, fake=False)
         ds = ray.data.from_items(
             [
                 {
