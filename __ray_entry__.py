@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_top_users": A.daily_top_users,
         "top_supplier_revenue": A.top_supplier_revenue,
         "event_type_transitions": A.event_type_transitions,
+        "event_type_stationary": A.event_type_stationary,
         "rolling_active_users": A.rolling_active_users,
         "events_incremental_hourly": A.events_incremental_hourly,
         "event_props_stats": A.event_props_stats,
@@ -722,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": A.kg_hits,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
+        "kg_clustering_coeff": A.kg_clustering_coeff,
         "kg_bfs_levels": A.kg_bfs_levels,
         "triples_canonical": A.triples_canonical,
         "kg_negative_samples": A.kg_negative_samples,
@@ -1398,6 +1400,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": O.pagerank_sql(),
         # HITS unrolled the same way pagerank is; directed co-occur graph
         "kg_hits": O.hits_sql(),
+        # Markov-chain power iteration over event-type transitions
+        "event_type_stationary": O.stationary_sql(),
         # synchronous weighted LPA unrolled the same way
         "kg_communities": O.lpa_sql(),
         "kg_kcore": O.kcore_sql(),
@@ -3707,6 +3711,40 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT c FROM tri)
             SELECT node, count(*)::BIGINT AS n_triangles
             FROM corners GROUP BY 1 ORDER BY 1
+        """,
+        "kg_clustering_coeff": f"""
+            WITH m AS (
+                SELECT DISTINCT doc_id, token
+                FROM ({_TOKENS})
+                WHERE token IN {_DOC_VOCAB_SQL}),
+            edges AS (
+                SELECT a.token AS s, b.token AS o
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            bidir AS (
+                SELECT s AS node, o AS nbr FROM edges
+                UNION ALL SELECT o, s FROM edges),
+            deg AS (SELECT node, count(*)::BIGINT AS degree
+                    FROM bidir GROUP BY 1),
+            tri AS (
+                SELECT e1.s AS a, e1.o AS b, e2.o AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.s = e1.o
+                JOIN edges e3 ON e3.s = e1.s AND e3.o = e2.o),
+            corners AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+            tcnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+                     FROM corners GROUP BY 1)
+            SELECT d.node, d.degree,
+                   COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round_even(2.0 * COALESCE(t.n_triangles, 0)
+                                        / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN tcnt t USING (node)
+            ORDER BY d.node
         """,
         "kg_two_hop_paths": f"""
             WITH m AS (

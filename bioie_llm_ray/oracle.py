@@ -618,6 +618,58 @@ SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node
 """
 
 
+def stationary_sql(n_iters: int = 8) -> str:
+    """DuckDB oracle for analytics.event_type_stationary: the power
+    iteration over the event-type Markov chain unrolled as ``n_iters``
+    chained CTEs.  Transition probabilities are row-normalized counts from
+    the same LAG bigram extraction as ``event_type_transitions``; states
+    with no outgoing transitions re-inject their mass uniformly
+    (PageRank-style dangling handling), matching the numpy recurrence
+    term-for-term."""
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""x{t} AS MATERIALIZED (
+  SELECT s.type,
+         COALESCE(mv.v, 0) + dg.dm / (SELECT c FROM k) AS v
+  FROM states s
+  LEFT JOIN (
+      SELECT p.j AS type, sum(xp.v * p.pr) AS v
+      FROM x{t - 1} xp JOIN p ON p.i = xp.type
+      GROUP BY 1) mv ON mv.type = s.type
+  CROSS JOIN (
+      SELECT COALESCE(sum(xp.v), 0) AS dm
+      FROM x{t - 1} xp
+      LEFT JOIN outsum o ON o.prev_type = xp.type
+      WHERE o.prev_type IS NULL) dg)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH trans AS MATERIALIZED (
+    SELECT prev_type, event_type, count(*)::DOUBLE AS n
+    FROM (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2),
+states AS MATERIALIZED (
+    SELECT DISTINCT type FROM (
+        SELECT prev_type AS type FROM trans
+        UNION SELECT event_type FROM trans)),
+k AS MATERIALIZED (SELECT count(*)::DOUBLE AS c FROM states),
+outsum AS MATERIALIZED (SELECT prev_type, sum(n) AS s FROM trans GROUP BY 1),
+p AS MATERIALIZED (
+    SELECT t.prev_type AS i, t.event_type AS j, t.n / o.s AS pr
+    FROM trans t JOIN outsum o USING (prev_type)),
+x0 AS MATERIALIZED (SELECT type, 1.0 / (SELECT c FROM k) AS v FROM states),
+{chain}
+SELECT type AS event_type, round_even(v, 6) AS stationary
+FROM x{n_iters} ORDER BY 1
+"""
+
+
 def hits_sql(n_iters: int = 4) -> str:
     """DuckDB oracle for analytics.kg_hits: Kleinberg's HITS unrolled as
     2·``n_iters`` chained CTEs (auth half-round then hub half-round, each

@@ -2046,6 +2046,43 @@ def event_type_transitions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
 
 
+def event_type_stationary(sf_dir: str, n_iters: int = 8) -> pd.DataFrame:
+    """Stationary distribution of the first-order event-type Markov chain —
+    the long-run fraction of time the stream spends in each event type
+    (power iteration with PageRank-style uniform re-injection of dangling
+    mass).
+
+    The corpus-sized work is the distributed bigram pipeline
+    (``event_type_transitions``: one user-keyed exchange + combiner
+    rollup); the chain itself is |event types|² — a fixed-size driver
+    matrix iterated ``n_iters`` rounds.  The SQL oracle unrolls the
+    identical recurrence (x₀ uniform; xₜ₊₁[j] = Σᵢ xₜ[i]·P[i,j] +
+    dangling-mass/k), so scores hash-match behind a 6-dp round."""
+    trans = event_type_transitions(sf_dir)
+    if trans.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype=str),
+                "stationary": pd.Series(dtype=np.float64),
+            }
+        )
+    states = sorted(set(trans["prev_type"]) | set(trans["event_type"]))
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((k, k), dtype=np.float64)
+    for prev, cur, n in trans.itertuples(index=False):
+        P[idx[prev], idx[cur]] = float(n)
+    outsum = P.sum(axis=1)
+    dangling = outsum == 0
+    P = P / np.where(dangling, 1.0, outsum)[:, None]
+    x = np.full(k, 1.0 / k)
+    for _ in range(n_iters):
+        x = x @ P + x[dangling].sum() / k
+    return pd.DataFrame(
+        {"event_type": states, "stationary": np.round(x, 6)}
+    )
+
+
 def user_final_state(sf_dir: str) -> pd.DataFrame:
     """CDC-apply over the events stream (`stages/dedup.cdc_apply`): treat
     each event as a keyed change record — ``click`` is the tombstone, every
@@ -4975,18 +5012,12 @@ def sole_return_suppliers(sf_dir: str, top_n: int = 10) -> pd.DataFrame:
     return out[["s_suppkey", "s_name", "n_orders"]].reset_index(drop=True)
 
 
-def kg_triangles(sf_dir: str) -> pd.DataFrame:
-    """Per-node triangle counts over the mention co-occurrence graph — the
-    classic distributed-join graph kernel.
-
-    Edges are canonical (subj < obj), so every triangle (a < b < c) is
-    enumerated exactly once: edges ⋈ edges on the shared middle vertex
-    builds the wedge set (one bucketed exchange keyed by the middle), then
-    a distributed multi-key semi join against the edge set closes each
-    wedge (second exchange keyed by (a, c) — never a broadcast of the edge
-    list, which at web scale is itself a fact table).  The per-node rollup
-    is a per-batch combiner (each triangle feeds its three corners) merged
-    on the driver — ≤ 3 × |vocab| rows per batch."""
+def _triangles_per_node(sf_dir: str):
+    """Shared distributed triangle-count plan (see ``kg_triangles``):
+    returns the MATERIALIZED distinct-edge Dataset (vocab-bounded — tiny
+    after dedup, so materializing avoids re-extracting the corpus for each
+    of the three edge-table consumers) and the per-node triangle-count
+    DataFrame."""
     from ..stages.dedup import exact_dedup
     from ..stages.join import shuffle_semi_join
 
@@ -4999,7 +5030,7 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
         .aggregate([]),
         batch_format="pyarrow",
     )
-    edges = exact_dedup(pairs, ["subj", "obj"])
+    edges = exact_dedup(pairs, ["subj", "obj"]).materialize()
 
     left = edges.map_batches(
         lambda b: pa.table({"a": b["subj"], "mid": b["obj"]}),
@@ -5039,7 +5070,7 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
 
     parts = tris.map_batches(corner_counts, batch_format="pyarrow").to_pandas()
     if parts.empty:
-        return pd.DataFrame(
+        return edges, pd.DataFrame(
             {"node": pd.Series(dtype=str),
              "n_triangles": pd.Series(dtype="int64")}
         )
@@ -5047,6 +5078,61 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
         n_triangles=("n_triangles", "sum")
     )
     out["n_triangles"] = out["n_triangles"].astype("int64")
+    return edges, out.sort_values("node").reset_index(drop=True)
+
+
+def kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts over the mention co-occurrence graph — the
+    classic distributed-join graph kernel.
+
+    Edges are canonical (subj < obj), so every triangle (a < b < c) is
+    enumerated exactly once: edges ⋈ edges on the shared middle vertex
+    builds the wedge set (one bucketed exchange keyed by the middle), then
+    a distributed multi-key semi join against the edge set closes each
+    wedge (second exchange keyed by (a, c) — never a broadcast of the edge
+    list, which at web scale is itself a fact table).  The per-node rollup
+    is a per-batch combiner (each triangle feeds its three corners) merged
+    on the driver — ≤ 3 × |vocab| rows per batch."""
+    _, out = _triangles_per_node(sf_dir)
+    return out
+
+
+def kg_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient (Watts–Strogatz): 2·tri(v) /
+    (deg(v)·(deg(v)−1)) over the undirected co-occurrence graph — how close
+    each entity's neighborhood is to a clique.
+
+    The corpus-sized work is shared with ``kg_triangles`` (two-exchange
+    wedge-close plan via ``_triangles_per_node``); degrees come from the
+    bucketed ``node_degrees`` rollup over the SAME materialized edge
+    Dataset.  Both per-node tables are vocab-bounded, so the final ratio is
+    one driver-side merge; nodes with degree < 2 get coefficient 0."""
+    from ..stages.graph import node_degrees
+
+    edges, tri = _triangles_per_node(sf_dir)
+    deg = node_degrees(edges, src="subj", dst="obj").to_pandas()
+    if deg.empty:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype=str),
+                "degree": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+                "clustering": pd.Series(dtype=np.float64),
+            }
+        )
+    out = deg.rename(columns={"entity": "node"})[["node", "degree"]].merge(
+        tri, on="node", how="left"
+    )
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    d = out["degree"].to_numpy(np.int64)
+    t = out["n_triangles"].to_numpy(np.int64)
+    coeff = np.where(
+        d >= 2,
+        np.round(2.0 * t / np.maximum(d * (d - 1), 1), 6),
+        0.0,
+    )
+    out["degree"] = out["degree"].astype("int64")
+    out["clustering"] = coeff
     return out.sort_values("node").reset_index(drop=True)
 
 

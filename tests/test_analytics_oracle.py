@@ -69,6 +69,10 @@ SUBSET = [
     "sole_return_suppliers",
     # graph kernel + code-table SCD2 history
     "kg_triangles",
+    # local clustering coefficient (shares the triangle plan) + the
+    # event-type Markov stationary distribution (unrolled power iteration)
+    "kg_clustering_coeff",
+    "event_type_stationary",
     "code_file_history",
     # per-row LAG window
     "user_event_gaps",
