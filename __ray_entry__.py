@@ -504,6 +504,18 @@ def _kg_incremental_triples(sf_dir: str):
     return C.incremental_triples_query(_code_fixture_path())
 
 
+def _code_license_scan(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.license_scan_query(_code_fixture_path())
+
+
+def _code_call_triples(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.call_triples_query(_code_fixture_path())
+
+
 def _kg_code_triples(sf_dir: str):
     from bioie_llm_ray import fixtures
     from bioie_llm_ray.pipelines import code as C
@@ -770,6 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_deps_asof": _code_deps_asof,
         "code_import_graph": _code_import_graph,
         "code_vendored_files": _code_vendored_files,
+        "code_license_scan": _code_license_scan,
+        "code_call_triples": _code_call_triples,
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
     }
@@ -1692,6 +1706,44 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{code_pq}')
             GROUP BY 1
             HAVING count(DISTINCT repo) >= 2
+        """,
+        "code_license_scan": f"""
+            WITH snap AS (
+                SELECT repo, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path)
+            SELECT repo,
+                   coalesce(nullif(regexp_extract(content,
+                       'SPDX-License-Identifier: ([A-Za-z0-9.\\-]+)', 1),
+                       ''), 'none') AS license,
+                   count(*)::BIGINT AS n_files
+            FROM snap
+            GROUP BY 1, 2
+            ORDER BY repo, license
+        """,
+        "code_call_triples": f"""
+            WITH snap AS (
+                SELECT repo, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path),
+            defs AS (
+                SELECT DISTINCT
+                       unnest(regexp_extract_all(content,
+                           'def (fn_\\d+)\\(', 1)) AS fn,
+                       repo AS def_repo
+                FROM snap),
+            calls AS (
+                SELECT unnest(regexp_extract_all(content,
+                           '= (fn_\\d+)\\(\\)', 1)) AS fn,
+                       repo AS caller_repo
+                FROM snap)
+            SELECT c.caller_repo AS subj, 'calls' AS pred,
+                   d.def_repo AS obj,
+                   count(*)::BIGINT AS n_calls,
+                   count(DISTINCT c.fn)::BIGINT AS n_fns
+            FROM calls c JOIN defs d USING (fn)
+            GROUP BY 1, 2, 3
+            ORDER BY subj, obj
         """,
     }
     q3_sql = """

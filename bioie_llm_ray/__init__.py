@@ -13,4 +13,4 @@ Nothing here calls ``ray.init()``/``ray.shutdown()`` — sessions are owned by
 the caller (driver, bench.py, or the pytest fixture).
 """
 
-__version__ = "0.2.2"
+__version__ = "0.3.0"

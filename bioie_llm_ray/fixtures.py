@@ -279,6 +279,15 @@ def make_code_repo_table(
     byte-identical content replicated into a second repo (vendored-library
     detection via the content sha).
 
+    Each file opens with an SPDX license header keyed by its repo (one
+    repo in four carries none), so license-policy scans have a signal —
+    vendored copies keep the ORIGINAL repo's header verbatim, planting
+    realistic license contamination (GPL files inside permissive repos).
+    Each file defines a stable ``fn_<i>`` and CALLS two other files'
+    functions (``y = fn_<t>()``), giving a resolvable cross-repo call
+    graph; the call targets are fixed per file while the return constant
+    varies per version, so the latest-snapshot call graph is unambiguous.
+
     Everything is RandomState(seed)-deterministic — the DuckDB oracles re-run
     the same logic in SQL over the written parquet.
     """
@@ -286,6 +295,7 @@ def make_code_repo_table(
 
     rng = np.random.RandomState(seed)
     langs = ["py", "go", "rs", "js"]
+    spdx = ["MIT", "Apache-2.0", "GPL-3.0-only", None]
     modules = [f"module_{i}" for i in range(n_modules)]
     rows: dict[str, list] = {
         k: []
@@ -328,8 +338,23 @@ def make_code_repo_table(
                 leak += f'API_TOKEN = "sk_live_{tok}"\n'
             if i % 7 == 0:
                 leak += f"# contact: dev_{i}@example.com\n"
+            lic = spdx[(i % n_repos) % len(spdx)]
+            header = (
+                f"# SPDX-License-Identifier: {lic}\n" if lic else ""
+            )
+            t1 = (i * 7 + 1) % n_files
+            t2 = (i * 13 + 5) % n_files
+            t1 = (t1 + 1) % n_files if t1 == i else t1
+            t2 = (t2 + 1) % n_files if t2 == i else t2
             content = (
-                body + decoy + leak + f"def fn_{i}_{v}():\n    return {v}\n"
+                header
+                + body
+                + decoy
+                + leak
+                + f"def fn_{i}():\n"
+                + f"    y = fn_{t1}()\n"
+                + f"    z = fn_{t2}()\n"
+                + f"    return y + z + {v}\n"
             )
             # 500k-second version spacing: a global as-of cut then lands
             # BETWEEN versions of ~10% of files, so commit_diff's

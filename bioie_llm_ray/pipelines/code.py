@@ -1022,3 +1022,164 @@ def quality_metrics_query(code_parquet: str) -> pd.DataFrame:
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
     return quality_metrics(ds, n_buckets=_nbf(code_parquet, 8))
+
+
+# ---------------------------------------------------------------------------
+# License census + call-graph KG construction
+# ---------------------------------------------------------------------------
+
+# SPDX header scan — RE2-safe on both engines (pyarrow.compute / DuckDB)
+_SPDX_PATTERN = r"SPDX-License-Identifier: (?P<lic>[A-Za-z0-9.\-]+)"
+_DEF_RE = re.compile(r"def (fn_\d+)\(")
+_CALL_RE = re.compile(r"= (fn_\d+)\(\)")
+
+
+def license_scan(
+    ds: ray.data.Dataset, n_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-repo license census over the LATEST snapshot — the license
+    gate of a code-LLM curation pipeline (filter non-permissive files
+    before training, à la The Stack's license filtering).  Detection is
+    the first SPDX header match per file (``pyarrow.compute``
+    ``extract_regex`` — fully vectorized, no Python loop over files);
+    headerless files report ``'none'``.  Because vendored copies keep
+    the source repo's header verbatim, the census also surfaces license
+    contamination (GPL rows inside otherwise-permissive repos).
+
+    Wide ops: the snapshot argmax exchange, then one (repo, license)
+    count groupby whose keyspace is |repos| × |license ids| — tiny.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+
+    def detect(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["content"], pattern=_SPDX_PATTERN)
+        lic = pc.fill_null(pc.struct_field(m, "lic"), "none")
+        return pa.table({"repo": batch["repo"], "license": lic})
+
+    out = (
+        snap.map_batches(detect, batch_format="pyarrow")
+        .groupby(["repo", "license"])
+        .aggregate(Count(alias_name="n_files"))
+        .to_pandas()
+    )
+    return out.sort_values(["repo", "license"]).reset_index(drop=True)
+
+
+def license_scan_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return license_scan(ds, n_buckets=_nbf(code_parquet, 8))
+
+
+def call_triples(
+    ds: ray.data.Dataset, n_buckets: int = 32
+) -> pd.DataFrame:
+    """Cross-repo call-graph KG construction over the latest snapshot —
+    the north rule's triple extraction applied to code: resolve every
+    call site ``= fn_<i>()`` to the repo(s) whose latest snapshot DEFINES
+    ``fn_<i>``, and emit (caller_repo)-[calls]->(def_repo) triples with
+    call-site and distinct-function counts.
+
+    Def/use linking is a bucketed ``shuffle_join`` keyed by the function
+    name (the entity): content never moves — both sides are projected to
+    (fn, repo) rows inside the extraction task.  Because every
+    occurrence of one ``fn`` lands in exactly one join bucket, the
+    per-bucket rollup's distinct-fn partials are disjoint across buckets
+    and the final (subj, obj) combine is a pure sum — keyspace
+    |repos|², tiny.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import shuffle_join
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+
+    def extract_defs(batch: pa.Table) -> pa.Table:
+        fns, repos = [], []
+        for repo, content in zip(
+            batch["repo"].to_pylist(), batch["content"].to_pylist()
+        ):
+            for m in _DEF_RE.finditer(content):
+                fns.append(m.group(1))
+                repos.append(repo)
+        return pa.table(
+            {
+                "fn": pa.array(fns, type=pa.string()),
+                "def_repo": pa.array(repos, type=pa.string()),
+            }
+        )
+
+    def extract_calls(batch: pa.Table) -> pa.Table:
+        fns, repos = [], []
+        for repo, content in zip(
+            batch["repo"].to_pylist(), batch["content"].to_pylist()
+        ):
+            for m in _CALL_RE.finditer(content):
+                fns.append(m.group(1))
+                repos.append(repo)
+        return pa.table(
+            {
+                "fn": pa.array(fns, type=pa.string()),
+                "caller_repo": pa.array(repos, type=pa.string()),
+            }
+        )
+
+    defs = exact_dedup(
+        snap.map_batches(extract_defs, batch_format="pyarrow"),
+        ["fn", "def_repo"],
+        n_buckets=n_buckets,
+    )
+    calls = snap.map_batches(extract_calls, batch_format="pyarrow")
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        g = (
+            df.groupby(["caller_repo", "def_repo"], sort=False)
+            .agg(n_calls=("fn", "size"), n_fns=("fn", "nunique"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = shuffle_join(
+        calls,
+        defs,
+        keys="fn",
+        n_buckets=n_buckets,
+        left_schema={"fn": pa.string(), "caller_repo": pa.string()},
+        right_schema={"fn": pa.string(), "def_repo": pa.string()},
+        bucket_post=rollup,
+    )
+    out = (
+        joined.groupby(["caller_repo", "def_repo"])
+        .aggregate(
+            Sum(on="n_calls", alias_name="n_calls"),
+            Sum(on="n_fns", alias_name="n_fns"),
+        )
+        .to_pandas()
+    )
+    out = out.rename(columns={"caller_repo": "subj", "def_repo": "obj"})
+    out.insert(1, "pred", "calls")
+    out["n_calls"] = out["n_calls"].astype(np.int64)
+    out["n_fns"] = out["n_fns"].astype(np.int64)
+    return (
+        out[["subj", "pred", "obj", "n_calls", "n_fns"]]
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+
+
+def call_triples_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return call_triples(ds, n_buckets=_nbf(code_parquet, 8))

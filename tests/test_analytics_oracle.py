@@ -253,6 +253,10 @@ SUBSET = [
     "part_triple_copurchase",
     # per-file code-quality gates over the latest snapshot
     "code_quality_metrics",
+    # per-repo SPDX license census (incl. vendored contamination)
+    "code_license_scan",
+    # cross-repo call-graph KG triples (def/use shuffle join on fn)
+    "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
     "late_shipment_orders",
     # language-detector confusion table vs labels

@@ -652,3 +652,35 @@ class TestImportHistory:
         )
         out = C.import_history(ray.data.from_arrow(t), n_buckets=2).to_pandas()
         assert out.module.tolist() == ["module_c"]
+
+
+class TestLicenseAndCallGraph:
+    def test_license_scan_census(self, code_parquet):
+        out = C.license_scan_query(code_parquet)
+        assert list(out.columns) == ["repo", "license", "n_files"]
+        lics = set(out["license"])
+        assert {"MIT", "Apache-2.0", "GPL-3.0-only", "none"} <= lics
+        # vendored copies keep the source header verbatim → at least one
+        # vendor repo carries a GPL row (license contamination signal)
+        vend = out[out["repo"].str.contains("/vendor")]
+        assert (vend["license"] == "GPL-3.0-only").any()
+        # per-repo file totals equal the latest-snapshot census
+        snap = C.latest_snapshot_query(code_parquet)
+        want = snap.groupby("repo").size()
+        got = out.groupby("repo")["n_files"].sum()
+        pd.testing.assert_series_equal(
+            got.sort_index(), want.sort_index(), check_names=False
+        )
+
+    def test_call_triples_resolve(self, code_parquet):
+        out = C.call_triples_query(code_parquet)
+        assert list(out.columns) == ["subj", "pred", "obj", "n_calls", "n_fns"]
+        assert (out["pred"] == "calls").all()
+        # every file carries exactly 2 call sites and every target fn is
+        # defined in its home repo, so total resolved call count is at
+        # least 2 × n_snapshot_files (vendored defs add more)
+        snap = C.latest_snapshot_query(code_parquet)
+        assert out["n_calls"].sum() >= 2 * len(snap)
+        # cross-repo edges exist (the KG is not diagonal)
+        assert (out["subj"] != out["obj"]).any()
+        assert (out["n_fns"] <= out["n_calls"]).all()
