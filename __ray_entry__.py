@@ -733,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_nodes": A.kg_graph_nodes,
         "kg_pagerank": A.kg_pagerank,
         "kg_hits": A.kg_hits,
+        "kg_random_walks": A.kg_random_walks,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1414,6 +1415,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": O.pagerank_sql(),
         # HITS unrolled the same way pagerank is; directed co-occur graph
         "kg_hits": O.hits_sql(),
+        # hash-derandomized DeepWalk corpus replayed step by step
+        "kg_random_walks": O.random_walks_sql(),
         # Markov-chain power iteration over event-type transitions
         "event_type_stationary": O.stationary_sql(),
         # synchronous weighted LPA unrolled the same way

@@ -1747,3 +1747,55 @@ def lang_confusion_sql() -> str:
         FROM documents d JOIN det USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def random_walks_sql(n_walks: int = 2, walk_len: int = 4) -> str:
+    """DuckDB oracle for analytics.kg_random_walks: the hash-derandomized
+    DeepWalk corpus replayed step by step — next hop from ``u`` at step
+    ``h`` in walk ``w`` is the neighbor minimizing md5-u64 of
+    ``u|h|w|v`` (ties to the smaller v), exactly the argmin
+    ``stages/graph.random_walks`` computes; each step is one chained CTE
+    (join current position onto the per-(node, walk) step function)."""
+    hk = _MD5_U64.format(v="e.s || '|{h}|' || w.walk || '|' || e.o")
+    steps = []
+    for h in range(1, walk_len + 1):
+        steps.append(
+            f"""nxt{h} AS MATERIALIZED (
+  SELECT u, walk, v FROM (
+    SELECT e.s AS u, w.walk AS walk, e.o AS v,
+           row_number() OVER (PARTITION BY e.s, w.walk
+               ORDER BY {hk.replace('{h}', str(h))}, e.o) AS rn
+    FROM edges e CROSS JOIN walks w) t WHERE rn = 1),
+s{h} AS MATERIALIZED (
+  SELECT p.start, p.walk, n.v AS cur
+  FROM s{h - 1} p JOIN nxt{h} n ON n.u = p.cur AND n.walk = p.walk)"""
+        )
+    chain = ",\n".join(steps)
+    selects = [
+        "SELECT start, walk, CAST(0 AS BIGINT) AS step, start AS node FROM s0"
+    ] + [
+        f"SELECT start, walk, CAST({h} AS BIGINT) AS step, cur AS node FROM s{h}"
+        for h in range(1, walk_len + 1)
+    ]
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH m AS MATERIALIZED (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ('spark','hash','join','merge','sort','filter','window',
+                    'vector','stream','batch')),
+und AS MATERIALIZED (
+    SELECT a.token AS s, b.token AS o
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2),
+edges AS MATERIALIZED (SELECT s, o FROM und UNION ALL SELECT o, s FROM und),
+walks AS MATERIALIZED (SELECT range::BIGINT AS walk FROM range({n_walks})),
+s0 AS MATERIALIZED (
+    SELECT n.s AS start, w.walk, n.s AS cur
+    FROM (SELECT DISTINCT s FROM edges) n CROSS JOIN walks w),
+{chain}
+{union}
+ORDER BY start, walk, step
+"""

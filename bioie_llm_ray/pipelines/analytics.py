@@ -9825,3 +9825,37 @@ def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["true_lang", "pred_lang"]
     ).reset_index(drop=True)
+
+
+def kg_random_walks(
+    sf_dir: str, n_walks: int = 2, walk_len: int = 4
+) -> pd.DataFrame:
+    """Deterministic DeepWalk corpus over the co-occurrence KG — the
+    walk-generation stage of KG-embedding training (DeepWalk/node2vec),
+    derandomized so the SQL oracle replays it: the next hop from ``u``
+    at step ``h`` in walk ``w`` is the neighbor minimizing
+    ``stable_hash_u64(f"{u}|{h}|{w}|{v}")`` (``stages/graph.random_walks``;
+    broadcast step-function below ``max_broadcast_nodes``, bucketed
+    shuffle-join iteration above)."""
+    from ..stages.graph import random_walks
+
+    edges = _cooccur_edge_counts(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pa.concat_arrays(
+                    [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+                ),
+                "obj": pa.concat_arrays(
+                    [batch["obj"].combine_chunks(), batch["subj"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = random_walks(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        n_walks=n_walks,
+        walk_len=walk_len,
+    ).to_pandas()
+    return out.sort_values(["start", "walk", "step"]).reset_index(drop=True)

@@ -1824,3 +1824,239 @@ def sssp_weighted(
             }
         )
     )
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    n_walks: int = 2,
+    walk_len: int = 4,
+    max_broadcast_nodes: int = 2_000_000,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic DeepWalk-style walk corpus → (start, walk, step, node).
+
+    From every node with out-degree ≥ 1, ``n_walks`` walks of ``walk_len``
+    hops; the next hop from ``u`` at step ``h`` in walk ``w`` is the
+    out-neighbor ``v`` minimizing ``stable_hash_u64(f"{u}|{h}|{w}|{v}")``
+    (ties break to the smaller ``v``) — a hash-derandomized uniform
+    choice, so the corpus is a pure function of the topology and the SQL
+    oracle can replay it (argmin per partition).  Because the choice
+    depends only on (u, h, w), walks that collide at the same node at the
+    same step with the same walk id continue identically — the usual
+    derandomization trade-off, documented here and mirrored in SQL.
+
+    Directed hops; pass both orientations for undirected graphs (then
+    every node has a successor and walks never stall).  Broadcast path:
+    the distinct current-node set ships via ``ray.put`` each step while
+    edges stream with a per-batch argmin combiner (driver state is
+    O(|V| · n_walks) — entity-vocabulary bounded, same contract as
+    ``bfs_levels``).  Above ``max_broadcast_nodes`` the per-walk state
+    moves into a bucketed Dataset iteration: one ``shuffle_join`` keyed
+    by the current node per step, the argmin folded into the join bucket.
+    Force 0 to always bucket."""
+    from ..functions.hashing import stable_hash_u64
+
+    edges = _norm_edges(edges, src, dst)
+    if 2 * edges.count() > max_broadcast_nodes:
+        return _random_walks_bucketed(
+            edges, n_walks=n_walks, walk_len=walk_len, n_buckets=n_buckets
+        )
+
+    # starts: distinct sources (both-orientation input → every node)
+    starts = sorted(
+        r["u"]
+        for r in edges.groupby("u").count().select_columns(["u"]).take_all()
+    )
+    # state: (start, w) -> current node; trajectory rows accumulate
+    state = {(s, w): s for s in starts for w in range(n_walks)}
+    rows = [(s, w, 0, s) for (s, w) in state]
+    for h in range(1, walk_len + 1):
+        curset = {c for c in state.values()}
+        cref = ray.put(curset)
+
+        def step_partial(
+            batch: pa.Table, _c=cref, _h=h, _W=n_walks
+        ) -> pa.Table:
+            cs = ray.get(_c)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            keep = np.isin(u, list(cs))
+            u, v = u[keep], v[keep]
+            out_u, out_w, out_v, out_k = [], [], [], []
+            if len(u):
+                for w in range(_W):
+                    keys = [
+                        f"{ui}|{_h}|{w}|{vi}" for ui, vi in zip(u, v)
+                    ]
+                    hk = stable_hash_u64(keys)
+                    df = pd.DataFrame(
+                        {"u": u, "v": v, "hk": hk}
+                    ).sort_values(["hk", "v"], kind="mergesort")
+                    first = df.groupby("u", sort=False).head(1)
+                    out_u.extend(first["u"])
+                    out_w.extend([w] * len(first))
+                    out_v.extend(first["v"])
+                    out_k.extend(first["hk"])
+            return pa.table(
+                {
+                    "u": pa.array(out_u, type=pa.string()),
+                    "w": pa.array(out_w, type=pa.int64()),
+                    "v": pa.array(out_v, type=pa.string()),
+                    "hk": pa.array(
+                        np.asarray(out_k, dtype=np.uint64), type=pa.uint64()
+                    ),
+                }
+            )
+
+        nxt: dict = {}
+        for r in edges.map_batches(
+            step_partial, batch_format="pyarrow"
+        ).take_all():
+            k = (r["u"], r["w"])
+            cand = (r["hk"], r["v"])
+            if k not in nxt or cand < nxt[k]:
+                nxt[k] = cand
+        for key in list(state):
+            s, w = key
+            got = nxt.get((state[key], w))
+            if got is not None:
+                state[key] = got[1]
+                rows.append((s, w, h, got[1]))
+    rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "start": pa.array([r[0] for r in rows], type=pa.string()),
+                "walk": pa.array([r[1] for r in rows], type=pa.int64()),
+                "step": pa.array([r[2] for r in rows], type=pa.int64()),
+                "node": pa.array([r[3] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def _random_walks_bucketed(
+    edges: ray.data.Dataset,
+    n_walks: int,
+    walk_len: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed-state walk corpus: the (start, walk, cur) table is a
+    Dataset; each step is ONE bucketed ``shuffle_join`` keyed by the
+    current node, with the per-(start, walk) argmin folded into the join
+    bucket (every out-edge of a node lands in that node's bucket, so the
+    argmin is exact per bucket).  O(1) driver state."""
+    from ..functions.hashing import stable_hash_u64
+    from .join import shuffle_join
+
+    e = edges.map_batches(
+        lambda b: b.rename_columns(["cur", "v"]), batch_format="pyarrow"
+    ).materialize()
+    starts = (
+        e.groupby("cur")
+        .count()
+        .select_columns(["cur"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "start": pc.cast(
+                        pa.concat_arrays(
+                            [b["cur"].combine_chunks()] * n_walks
+                        ),
+                        pa.string(),
+                    ),
+                    "walk": pa.array(
+                        np.concatenate(
+                            [np.full(len(b), w) for w in range(n_walks)]
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    state = starts.map_batches(
+        lambda b: b.append_column("cur", pc.cast(b["start"], pa.string())),
+        batch_format="pyarrow",
+    ).materialize()
+    traj = [
+        state.map_batches(
+            lambda b: pa.table(
+                {
+                    "start": b["start"],
+                    "walk": b["walk"],
+                    "step": pa.array(
+                        np.zeros(len(b), dtype=np.int64), type=pa.int64()
+                    ),
+                    "node": b["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    for h in range(1, walk_len + 1):
+
+        def pick(joined: pa.Table, _h=h) -> pa.Table:
+            df = joined.to_pandas()
+            if not len(df):
+                return pa.table(
+                    {
+                        "start": pa.array([], type=pa.string()),
+                        "walk": pa.array([], type=pa.int64()),
+                        "cur": pa.array([], type=pa.string()),
+                    }
+                )
+            keys = [
+                f"{u}|{_h}|{w}|{v}"
+                for u, w, v in zip(df["cur"], df["walk"], df["v"])
+            ]
+            df = df.assign(hk=stable_hash_u64(keys)).sort_values(
+                ["hk", "v"], kind="mergesort"
+            )
+            first = df.groupby(["start", "walk"], sort=False).head(1)
+            return pa.table(
+                {
+                    "start": pa.array(first["start"], type=pa.string()),
+                    "walk": pa.array(
+                        first["walk"].to_numpy(np.int64), type=pa.int64()
+                    ),
+                    "cur": pa.array(first["v"], type=pa.string()),
+                }
+            )
+
+        state = shuffle_join(
+            state,
+            e,
+            keys="cur",
+            n_buckets=n_buckets,
+            left_schema={
+                "start": pa.string(),
+                "walk": pa.int64(),
+                "cur": pa.string(),
+            },
+            right_schema={"cur": pa.string(), "v": pa.string()},
+            bucket_post=pick,
+        ).materialize()
+        traj.append(
+            state.map_batches(
+                lambda b, _h=h: pa.table(
+                    {
+                        "start": b["start"],
+                        "walk": b["walk"],
+                        "step": pa.array(
+                            np.full(len(b), _h, dtype=np.int64),
+                            type=pa.int64(),
+                        ),
+                        "node": b["cur"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = traj[0]
+    for t in traj[1:]:
+        out = out.union(t)
+    return out

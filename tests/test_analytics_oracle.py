@@ -255,6 +255,8 @@ SUBSET = [
     "code_quality_metrics",
     # per-repo SPDX license census (incl. vendored contamination)
     "code_license_scan",
+    # hash-derandomized DeepWalk corpus (argmin step function in SQL)
+    "kg_random_walks",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket

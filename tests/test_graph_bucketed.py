@@ -256,3 +256,49 @@ class TestMillionNodeStress:
         ).to_pandas()
         d = dict(zip(df["node"], df["dist"]))
         assert d == {"h00": 0, "h03": 3, "h02L000001": 3}
+
+
+class TestRandomWalksBucketed:
+    def test_matches_broadcast(self, rnd_graph):
+        from bioie_llm_ray.stages.graph import random_walks
+
+        edges = _edges_ds(
+            [(a, b) for a, b, _ in rnd_graph], ["subj", "obj"]
+        )
+        kw = dict(n_walks=2, walk_len=4)
+        a = (
+            random_walks(edges, **kw)
+            .to_pandas()
+            .sort_values(["start", "walk", "step"])
+            .reset_index(drop=True)
+        )
+        b = (
+            random_walks(edges, max_broadcast_nodes=0, n_buckets=4, **kw)
+            .to_pandas()
+            .sort_values(["start", "walk", "step"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_walk_shape_and_adjacency(self):
+        from bioie_llm_ray.stages.graph import random_walks
+
+        ds = _edges_ds(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+             ("c", "a")],
+            ["subj", "obj"],
+        )
+        out = random_walks(ds, n_walks=2, walk_len=3).to_pandas()
+        # every (start, walk) has steps 0..3 and step 0 is the start
+        g = out.groupby(["start", "walk"])
+        assert (g["step"].count() == 4).all()
+        s0 = out[out["step"] == 0]
+        assert (s0["start"] == s0["node"]).all()
+        # consecutive steps are graph-adjacent
+        edges = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+                 ("a", "c"), ("c", "a")}
+        srt = out.sort_values(["start", "walk", "step"])
+        for (_, _), grp in srt.groupby(["start", "walk"]):
+            ns = list(grp["node"])
+            for x, y in zip(ns, ns[1:]):
+                assert (x, y) in edges
