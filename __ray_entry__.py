@@ -747,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity / near-dup
         "knn_bruteforce": A.knn_bruteforce,
         "knn_self_join": A.knn_self_join_exact,
+        "embedding_label_prop": A.embedding_label_prop,
         "knn_join_split": A.knn_join_split,
         "knn_ivf": A.knn_ivf,
         "knn_ivf_probed": A.knn_ivf_probed,
@@ -1417,6 +1418,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": O.hits_sql(),
         # hash-derandomized DeepWalk corpus replayed step by step
         "kg_random_walks": O.random_walks_sql(),
+        # seeded synchronous majority rounds over the exact kNN graph
+        "embedding_label_prop": O.label_prop_sql(),
         # Markov-chain power iteration over event-type transitions
         "event_type_stationary": O.stationary_sql(),
         # synchronous weighted LPA unrolled the same way

@@ -1799,3 +1799,55 @@ s0 AS MATERIALIZED (
 {union}
 ORDER BY start, walk, step
 """
+
+
+def label_prop_sql(k: int = 5, n_rounds: int = 3, seed_mod: int = 3) -> str:
+    """DuckDB oracle for analytics.embedding_label_prop: the exact-kNN
+    edge set (same ranking as the knn_self_join oracle) then the seeded
+    synchronous majority rounds unrolled as chained CTEs — unlabeled
+    neighbors don't vote, ties break to the smaller label, no labeled
+    neighbor keeps the previous state, seeds never change."""
+    steps = []
+    for h in range(1, n_rounds + 1):
+        steps.append(
+            f"""v{h} AS MATERIALIZED (
+  SELECT e.query_id AS vec_id, p.lab, count(*)::BIGINT AS n
+  FROM knn e JOIN l{h - 1} p ON p.vec_id = e.neighbor_id
+  WHERE p.lab >= 0 GROUP BY 1, 2),
+b{h} AS MATERIALIZED (
+  SELECT vec_id, lab FROM (
+    SELECT vec_id, lab,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY n DESC, lab) AS rn
+    FROM v{h}) t WHERE rn = 1),
+l{h} AS MATERIALIZED (
+  SELECT p.vec_id,
+         CASE WHEN p.vec_id % {seed_mod} = 0 THEN p.lab
+              WHEN b.lab IS NOT NULL THEN b.lab
+              ELSE p.lab END AS lab
+  FROM l{h - 1} p LEFT JOIN b{h} b USING (vec_id))"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH sims AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])) AS sim
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.vec_id),
+knn AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM sims) t WHERE rnk <= {k}),
+l0 AS MATERIALIZED (
+    SELECT vec_id,
+           CASE WHEN vec_id % {seed_mod} = 0
+                THEN label::BIGINT ELSE -1 END AS lab
+    FROM embeddings),
+{chain}
+SELECT vec_id, lab AS label, (vec_id % {seed_mod} = 0) AS is_seed
+FROM l{n_rounds} ORDER BY vec_id
+"""

@@ -9859,3 +9859,155 @@ def kg_random_walks(
         walk_len=walk_len,
     ).to_pandas()
     return out.sort_values(["start", "walk", "step"]).reset_index(drop=True)
+
+
+def embedding_label_prop(
+    sf_dir: str, k: int = 5, n_rounds: int = 3, seed_mod: int = 3
+) -> pd.DataFrame:
+    """Semi-supervised label propagation over the exact kNN graph of the
+    embedding table — the auto-labeling stage of a training-data pipeline
+    (spread a small set of trusted labels to the unlabeled majority via
+    embedding similarity).  Seeds are ``vec_id % seed_mod == 0`` (keep
+    their true label forever); everyone else starts unlabeled (-1) and,
+    each synchronous round, adopts the majority label among its k nearest
+    neighbors' CURRENT labels (unlabeled neighbors don't vote; ties break
+    to the smaller label; no labeled neighbor → keep the previous state).
+
+    Fully distributed state — no driver-side label map: per round, ONE
+    bucketed ``shuffle_join`` of the kNN edges onto the label table keyed
+    by neighbor (vote partials folded into the join bucket), a
+    (vec_id, lab) count combine, a bucketed arg-max (votes packed into a
+    single int64 so ``argmax_dedup`` breaks ties exactly), and a left
+    merge back onto the label table.  The kNN edge set reuses
+    ``similarity.knn_self_join`` (cell-partitioned exact mode)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import argmax_dedup
+    from ..stages.join import shuffle_join
+    from ..stages.similarity import knn_self_join
+
+    nb = _nb(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    edges = (
+        knn_self_join(
+            ds.select_columns(["vec_id", "embedding"]),
+            k=k,
+            n_centroids=16,
+            n_probe=16,
+        )
+        .select_columns(["query_id", "neighbor_id"])
+        .materialize()
+    )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "lab": pa.array(
+                    np.where(vid % seed_mod == 0, lab, -1), type=pa.int64()
+                ),
+            }
+        )
+
+    labels = (
+        ds.select_columns(["vec_id", "label"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def vote_partial(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        df = df[df["lab"] >= 0]
+        if not len(df):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "lab": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        g = (
+            df.groupby(["query_id", "lab"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(g["query_id"].to_numpy(np.int64)),
+                "lab": pa.array(g["lab"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def pack_score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # votes ≤ k < 2^31 and labels ≥ 0 < 2^31: majority-then-min-label
+        # as ONE descending int64 sort key
+        return batch.append_column(
+            "score", pa.array(n * (1 << 32) - lab, type=pa.int64())
+        )
+
+    def merge(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        vid = df["vec_id"].to_numpy(np.int64)
+        prev = df["lab"].to_numpy(np.int64)
+        new = df["new_lab"].to_numpy(np.float64)  # NaN where no votes
+        out = np.where(
+            vid % seed_mod == 0,
+            prev,
+            np.where(np.isnan(new), prev, np.nan_to_num(new)).astype(
+                np.int64
+            ),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, type=pa.int64()),
+                "lab": pa.array(out.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    for _ in range(n_rounds):
+        nbr = labels.map_batches(
+            lambda b: b.rename_columns(["neighbor_id", "lab"]),
+            batch_format="pyarrow",
+        )
+        votes = shuffle_join(
+            edges,
+            nbr,
+            keys="neighbor_id",
+            n_buckets=nb,
+            left_schema={"query_id": pa.int64(), "neighbor_id": pa.int64()},
+            right_schema={"neighbor_id": pa.int64(), "lab": pa.int64()},
+            bucket_post=vote_partial,
+        )
+        totals = votes.groupby(["vec_id", "lab"]).aggregate(
+            Sum(on="n", alias_name="n")
+        )
+        best = argmax_dedup(
+            totals.map_batches(pack_score, batch_format="pyarrow"),
+            ["vec_id"],
+            "score",
+            n_buckets=nb,
+        ).map_batches(
+            lambda b: pa.table(
+                {"vec_id": b["vec_id"], "new_lab": b["lab"]}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = shuffle_join(
+            labels,
+            best,
+            keys="vec_id",
+            n_buckets=nb,
+            join_type="left outer",
+            left_schema={"vec_id": pa.int64(), "lab": pa.int64()},
+            right_schema={"vec_id": pa.int64(), "new_lab": pa.int64()},
+            bucket_post=merge,
+        ).materialize()
+
+    out = labels.to_pandas().rename(columns={"lab": "label"})
+    out["is_seed"] = (out["vec_id"] % seed_mod == 0)
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -257,6 +257,8 @@ SUBSET = [
     "code_license_scan",
     # hash-derandomized DeepWalk corpus (argmin step function in SQL)
     "kg_random_walks",
+    # seeded synchronous majority rounds over the exact kNN graph
+    "embedding_label_prop",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
