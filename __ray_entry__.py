@@ -672,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_retrieval_per_doc": A.rag_retrieval_per_doc,
         "signup_survival_km": A.signup_survival_km,
         "revenue_forecast_ses": A.revenue_forecast_ses,
+        "holt_forecast": A.holt_forecast,
+        "daily_trend_theilsen": A.daily_trend_theilsen,
         "doc_span_corruption": A.doc_span_corruption,
         "knn_ivf_store": A.knn_ivf_store,
         "part_triple_copurchase": A.part_triple_copurchase,
@@ -904,6 +906,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.day, o.revenue, round_even(ses.s, 6) AS smoothed
             FROM ord o JOIN ses ON ses.rn = o.rn
             ORDER BY o.day
+        """,
+        # Holt's linear smoothing (α=β=1/2): exact float halvings in the
+        # same association order as the numpy recurrence
+        "holt_forecast": """
+            WITH RECURSIVE rev AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            ord AS (
+                SELECT day, cents / 100.0 AS revenue,
+                       row_number() OVER (ORDER BY day) AS rn
+                FROM rev),
+            init AS (
+                SELECT (SELECT revenue FROM ord WHERE rn = 1) AS x0,
+                       (SELECT revenue FROM ord WHERE rn = 2) AS x1),
+            holt(rn, l, b, f) AS (
+                SELECT 1, x0, x1 - x0, x0 FROM init
+                UNION ALL
+                SELECT h.rn + 1,
+                       (o.revenue + (h.l + h.b)) / 2,
+                       ((((o.revenue + (h.l + h.b)) / 2) - h.l) + h.b) / 2,
+                       h.l + h.b
+                FROM holt h JOIN ord o ON o.rn = h.rn + 1)
+            SELECT o.day, o.revenue,
+                   round_even(h.l, 6) AS level,
+                   round_even(h.b, 6) AS trend,
+                   round_even(h.f, 6) AS forecast
+            FROM ord o JOIN holt h ON h.rn = o.rn
+            WHERE (SELECT count(*) FROM ord) >= 2
+            ORDER BY o.day
+        """,
+        # Theil-Sen: median pairwise slope + median intercept, the
+        # interpolating quantile_cont matching the numpy read-off
+        "daily_trend_theilsen": """
+            WITH rev AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(round_even(o_totalprice * 100, 0)::BIGINT)
+                           AS cents
+                FROM orders GROUP BY 1),
+            pts AS (
+                SELECT (day::DATE - DATE '1970-01-01') AS x,
+                       cents::DOUBLE AS y
+                FROM rev),
+            sl AS (
+                SELECT quantile_cont((b.y - a.y) / (b.x - a.x)::DOUBLE, 0.5)
+                           AS slope
+                FROM pts a JOIN pts b ON b.x > a.x),
+            ic AS (
+                SELECT quantile_cont(p.y - s.slope * p.x::DOUBLE, 0.5)
+                           AS intercept
+                FROM pts p CROSS JOIN sl s)
+            SELECT (SELECT count(*)::BIGINT FROM pts) AS n_days,
+                   round_even(s.slope, 6) AS slope,
+                   round_even(i.intercept, 6) AS intercept
+            FROM sl s CROSS JOIN ic i
+            WHERE (SELECT count(*) FROM pts) >= 2
         """,
         # Kaplan-Meier signup→purchase survival with right-censoring;
         # windowed product() rebuilds the cumulative survival

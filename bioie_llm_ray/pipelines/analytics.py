@@ -10011,3 +10011,133 @@ def embedding_label_prop(
     out = labels.to_pandas().rename(columns={"lab": "label"})
     out["is_seed"] = (out["vec_id"] % seed_mod == 0)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _daily_revenue_cents(sf_dir: str) -> pd.DataFrame:
+    """Shared daily-revenue combiner for the time-series family: exact
+    int64 cents per calendar day, distributed partial+final aggregation;
+    only the BOUNDED per-day table (calendar-domain sized, never
+    corpus-sized) reaches the driver."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        )
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(d.astype("datetime64[us]")),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    rev = grouped_agg(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        keys=["day"],
+        aggs={"cents": ("cents", "sum")},
+        n_buckets=_nb(sf_dir, "orders", 16),
+        partial=True,
+    ).to_pandas()
+    if len(rev) == 0:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    return rev.sort_values("day").reset_index(drop=True)
+
+
+def holt_forecast(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear (double-exponential) smoothing over daily order
+    revenue, α = β = 1/2 — the trend-aware sibling of
+    ``revenue_forecast_ses``.  Init: level₀ = x₀, trend₀ = x₁ − x₀ (so the
+    one-step forecast for t = 1 is exactly x₁); recurrence
+    level_t = (x_t + (level + trend)) / 2,
+    trend_t = ((level_t − level) + trend) / 2 — every step is an exact
+    float halving evaluated in the SAME association order in both
+    engines, so the recursive-CTE oracle matches bit-for-bit.  The
+    distributed part is the daily combiner; the recurrence runs on the
+    driver over the bounded per-day table (same contract as SES)."""
+    rev = _daily_revenue_cents(sf_dir)
+    if len(rev) < 2:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "revenue": pd.Series([], dtype=np.float64),
+                "level": pd.Series([], dtype=np.float64),
+                "trend": pd.Series([], dtype=np.float64),
+                "forecast": pd.Series([], dtype=np.float64),
+            }
+        )
+    x = (rev["cents"] / 100.0).to_numpy(np.float64)
+    n = len(x)
+    lvl = np.empty(n)
+    trd = np.empty(n)
+    fc = np.empty(n)
+    lvl[0], trd[0], fc[0] = x[0], x[1] - x[0], x[0]
+    for i in range(1, n):
+        fc[i] = lvl[i - 1] + trd[i - 1]
+        lvl[i] = (x[i] + (lvl[i - 1] + trd[i - 1])) / 2.0
+        trd[i] = ((lvl[i] - lvl[i - 1]) + trd[i - 1]) / 2.0
+    return pd.DataFrame(
+        {
+            "day": rev["day"],
+            "revenue": x,
+            "level": np.round(lvl, 6),
+            "trend": np.round(trd, 6),
+            "forecast": np.round(fc, 6),
+        }
+    )
+
+
+def daily_trend_theilsen(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen robust trend over daily order revenue: the median of all
+    pairwise slopes (and the median intercept at that slope) — the
+    outlier-immune alternative to the OLS `lineitem_regression`.
+
+    The corpus-sized work is the distributed daily combiner; the O(d²)
+    pairwise-slope matrix runs on the driver over the BOUNDED per-day
+    table (d = days in the calendar window, ~2.4k at TPC-H scale →
+    ~3M float64 slopes — megabytes, independent of corpus size; the
+    same calendar-domain guard as the SES/quantile read-offs).  The
+    median interpolates exactly as DuckDB's ``quantile_cont(0.5)`` —
+    ``lo + (hi − lo) · 0.5`` — so the value hash matches."""
+    rev = _daily_revenue_cents(sf_dir)
+    if len(rev) < 2:
+        return pd.DataFrame(
+            {
+                "n_days": pd.Series([], dtype=np.int64),
+                "slope": pd.Series([], dtype=np.float64),
+                "intercept": pd.Series([], dtype=np.float64),
+            }
+        )
+    xd = (
+        rev["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    )
+    y = rev["cents"].to_numpy(np.float64)
+
+    def q_cont_median(v: np.ndarray) -> float:
+        v = np.sort(v)
+        p = 0.5 * (len(v) - 1)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        return float(v[lo] + (v[hi] - v[lo]) * 0.5)
+
+    dy = y[None, :] - y[:, None]
+    dx = (xd[None, :] - xd[:, None]).astype(np.float64)
+    iu = np.triu_indices(len(xd), k=1)
+    slopes = dy[iu] / dx[iu]
+    slope = q_cont_median(slopes)
+    intercept = q_cont_median(y - slope * xd.astype(np.float64))
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(xd))],
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+        }
+    )

@@ -259,6 +259,10 @@ SUBSET = [
     "kg_random_walks",
     # seeded synchronous majority rounds over the exact kNN graph
     "embedding_label_prop",
+    # Holt linear smoothing: exact float halvings, recursive-CTE oracle
+    "holt_forecast",
+    # Theil-Sen median slope/intercept via interpolating quantile_cont
+    "daily_trend_theilsen",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
