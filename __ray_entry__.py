@@ -167,7 +167,7 @@ def _kg_string_relation(sf_dir: str):
     return out.sort_values("src").reset_index(drop=True)
 
 
-def _kg_indra(sf_dir: str):
+def _indra_task_result(sf_dir: str):
     import ray
 
     base = _kg_fixture_dir(sf_dir)
@@ -180,7 +180,7 @@ def _kg_indra(sf_dir: str):
         s["id"]: s["rel_type"] for split in kb.indra.values() for s in split
     }
     stmts = readers.read_indra_statements(os.path.join(base, "INDRA/test.json"))
-    res = tasks.indra_relation_type_task(
+    return tasks.indra_relation_type_task(
         stmts,
         per_class=8,
         scorer_kwargs={
@@ -189,10 +189,19 @@ def _kg_indra(sf_dir: str):
             "flip_rate": 0.03,
         },
     )
-    out = res.triples.to_pandas()
+
+
+def _kg_indra(sf_dir: str):
+    out = _indra_task_result(sf_dir).triples.to_pandas()
     return out.sort_values(["subj", "pred", "obj", "src_sha"]).reset_index(
         drop=True
     )
+
+
+def _kg_predicate_stats(sf_dir: str):
+    from bioie_llm_ray.pipelines.kg import predicate_profile
+
+    return predicate_profile(_indra_task_result(sf_dir).triples)
 
 
 def _kg_kegg_entity(sf_dir: str):
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kegg_entity": _kg_kegg_entity,
         "kg_kegg_relation": _kg_kegg_relation,
         "kg_indra_triples": _kg_indra,
+        "kg_predicate_stats": _kg_predicate_stats,
         "kg_entity_types": _kg_entity_types,
         "kg_entity_extraction": _kg_entity_extraction,
         "kg_chain_agreement": _kg_chain_agreement,
@@ -848,6 +858,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_kegg_entity": O.values_sql(O.expected_kg_kegg_entity()),
         "kg_kegg_relation": O.values_sql(O.expected_kg_kegg_relation()),
         "kg_indra_triples": O.values_sql(O.expected_kg_indra_triples()),
+        # schema induction: per-predicate cardinality profile over the
+        # same serially-rebuilt triple relation
+        "kg_predicate_stats": (
+            "SELECT pred, count(*)::BIGINT AS n_triples,"
+            " count(DISTINCT subj)::BIGINT AS n_subj,"
+            " count(DISTINCT obj)::BIGINT AS n_obj,"
+            " round_even(count(*) / count(DISTINCT subj)::DOUBLE, 6)"
+            "     AS fanout_subj,"
+            " round_even(count(*) / count(DISTINCT obj)::DOUBLE, 6)"
+            "     AS fanout_obj"
+            " FROM (" + O.values_sql(O.expected_kg_indra_triples()) + ") t"
+            " GROUP BY pred ORDER BY pred"
+        ),
         "kg_entity_types": O.values_sql(O.expected_kg_entity_types()),
         "kg_entity_extraction": O.values_sql(O.expected_kg_entity_extraction()),
         "kg_chain_agreement": O.values_sql(O.expected_kg_chain_agreement()),

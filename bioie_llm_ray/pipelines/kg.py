@@ -170,3 +170,43 @@ def run_flagship_resumable(
     }
     parts = [(pid, make(path)) for pid, path in sorted(part_map.items())]
     return checkpoint.run_resumable(out_root, parts, lineage_fn=lineage)
+
+
+def predicate_profile(triples: "ray.data.Dataset") -> "pd.DataFrame":
+    """Schema induction over a materialized (subj, pred, obj) triple
+    store: per-predicate cardinality profile — triple count, distinct
+    subjects/objects, and the mean fan-outs (n_triples / n_subj,
+    n_triples / n_obj; a fanout_subj near 1.0 marks a functional
+    predicate, the signal ontology mappers use to type relations).
+
+    Fully distributed: one count combiner per pred plus two bucketed
+    (pred, endpoint) ``exact_dedup`` passes — the distinct counts never
+    build a driver-side set; only the |predicates|-row profile reaches
+    the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import exact_dedup
+
+    trip = triples.select_columns(["subj", "pred", "obj"]).materialize()
+    n_tr = trip.groupby("pred").aggregate(Count(alias_name="n_triples"))
+    n_s = (
+        exact_dedup(trip.select_columns(["pred", "subj"]), ["pred", "subj"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_subj"))
+    )
+    n_o = (
+        exact_dedup(trip.select_columns(["pred", "obj"]), ["pred", "obj"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_obj"))
+    )
+    df = (
+        n_tr.to_pandas()
+        .merge(n_s.to_pandas(), on="pred")
+        .merge(n_o.to_pandas(), on="pred")
+    )
+    df["fanout_subj"] = (df["n_triples"] / df["n_subj"]).round(6)
+    df["fanout_obj"] = (df["n_triples"] / df["n_obj"]).round(6)
+    for c in ("n_triples", "n_subj", "n_obj"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("pred").reset_index(drop=True)

@@ -263,6 +263,8 @@ SUBSET = [
     "holt_forecast",
     # Theil-Sen median slope/intercept via interpolating quantile_cont
     "daily_trend_theilsen",
+    # per-predicate cardinality/functionality profile (schema induction)
+    "kg_predicate_stats",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
