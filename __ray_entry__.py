@@ -705,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll_by_type": A.distinct_users_hll_by_type,
         "doc_language_id": A.doc_language_id,
         "doc_unigram_lm": A.doc_unigram_lm,
+        "ccnet_buckets": A.ccnet_buckets,
         "dsir_select": A.dsir_select,
         "doc_bigram_perplexity": A.doc_bigram_perplexity,
         "customer_order_counts": A.customer_order_counts,
@@ -2175,6 +2176,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(-avg(lp), 6) AS bits_per_token
             FROM scored GROUP BY doc_id
+        """,
+        # CCNet head/middle/tail stratification at the exact interpolated
+        # terciles of the unigram-LM score
+        "ccnet_buckets": f"""
+            WITH tok AS ({_TOKENS}),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT sum(n)::DOUBLE AS n_total FROM counts),
+            top AS (SELECT token, n FROM counts
+                    ORDER BY n DESC, token LIMIT 20),
+            oov AS (SELECT (SELECT n_total FROM tot)
+                           - (SELECT sum(n)::DOUBLE FROM top) AS m),
+            scored AS (
+                SELECT t.doc_id,
+                       coalesce(
+                           log2(tp.n::DOUBLE / (SELECT n_total FROM tot)),
+                           log2((SELECT m FROM oov)
+                                / (SELECT n_total FROM tot))) AS lp
+                FROM tok t LEFT JOIN top tp USING (token)),
+            agg AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(-avg(lp), 6) AS bits_per_token
+                FROM scored GROUP BY doc_id),
+            ts AS (
+                SELECT quantile_cont(bits_per_token, 1.0/3) AS t1,
+                       quantile_cont(bits_per_token, 2.0/3) AS t2
+                FROM agg)
+            SELECT a.doc_id, a.n_tokens, a.bits_per_token,
+                   CASE WHEN a.bits_per_token <= ts.t1 THEN 'head'
+                        WHEN a.bits_per_token <= ts.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM agg a CROSS JOIN ts
+            ORDER BY a.doc_id
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, count(o.o_orderkey) AS n_orders

@@ -3677,6 +3677,14 @@ def doc_bigram_perplexity(
 
 
 def doc_unigram_lm(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
+    """Per-document unigram-LM perplexity — pandas wrapper around
+    ``_unigram_lm_scores`` (the streaming Dataset shared with
+    ``ccnet_buckets``)."""
+    out = _unigram_lm_scores(sf_dir, top_v=top_v).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _unigram_lm_scores(sf_dir: str, top_v: int = 20) -> "ray.data.Dataset":
     """Unigram language-model perplexity score per document (bits/token).
 
     The CCNet-style quality signal: train a unigram LM on the corpus itself,
@@ -3772,7 +3780,39 @@ def doc_unigram_lm(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(sf_dir: str, top_v: int = 20) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus unigram LM, then split the corpus into
+    head / middle / tail at the exact interpolated terciles of
+    bits-per-token — the quality-stratification step CCNet uses to keep
+    the low-perplexity third of a web crawl.
+
+    The scores stream (``_unigram_lm_scores``); the tercile thresholds
+    come from the distributed ``exact_quantiles_cont`` read-off (value →
+    count combiner; the driver sees quantile boundaries, not documents);
+    the bucket assignment is one more vectorized pass over the scored
+    Dataset with the two thresholds closed over."""
+    from ..stages.sketch import exact_quantiles_cont
+
+    scored = _unigram_lm_scores(sf_dir, top_v=top_v).materialize()
+    qs = exact_quantiles_cont(
+        scored, "bits_per_token", [1.0 / 3.0, 2.0 / 3.0]
+    )
+    t1, t2 = qs[1.0 / 3.0], qs[2.0 / 3.0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bits = batch["bits_per_token"].to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            bits <= t1, "head", np.where(bits <= t2, "middle", "tail")
+        )
+        return batch.append_column(
+            "bucket", pa.array(bucket, type=pa.string())
+        )
+
+    out = scored.map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

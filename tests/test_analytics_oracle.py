@@ -265,6 +265,8 @@ SUBSET = [
     "daily_trend_theilsen",
     # per-predicate cardinality/functionality profile (schema induction)
     "kg_predicate_stats",
+    # CCNet head/middle/tail stratification at exact LM-score terciles
+    "ccnet_buckets",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
