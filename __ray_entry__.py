@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kegg_relation": _kg_kegg_relation,
         "kg_indra_triples": _kg_indra,
         "kg_predicate_stats": _kg_predicate_stats,
+        "kg_mention_contexts": A.kg_mention_contexts,
         "kg_entity_types": _kg_entity_types,
         "kg_entity_extraction": _kg_entity_extraction,
         "kg_chain_agreement": _kg_chain_agreement,
@@ -2176,6 +2177,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(-avg(lp), 6) AS bits_per_token
             FROM scored GROUP BY doc_id
+        """,
+        # distant-supervision context windows around vocabulary mentions
+        "kg_mention_contexts": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text,
+                           chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '),
+                           '\\s+') AS l
+                FROM documents),
+            m AS (
+                SELECT doc_id, l, unnest(l) AS token,
+                       generate_subscripts(l, 1) AS i
+                FROM tok)
+            SELECT doc_id, token AS mention, i::BIGINT AS pos,
+                   array_to_string(
+                       l[greatest(1, i - 3):least(len(l), i + 3)], ' ')
+                       AS context
+            FROM m
+            WHERE token IN ('spark','hash','join','merge','sort','filter',
+                            'window','vector','stream','batch')
+            ORDER BY doc_id, pos
         """,
         # CCNet head/middle/tail stratification at the exact interpolated
         # terciles of the unigram-LM score

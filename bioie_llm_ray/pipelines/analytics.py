@@ -10181,3 +10181,48 @@ def daily_trend_theilsen(sf_dir: str) -> pd.DataFrame:
             "intercept": [round(intercept, 6)],
         }
     )
+
+
+def kg_mention_contexts(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Distant-supervision context extraction — the example-generation
+    stage of KG construction (for every vocabulary-entity mention, emit
+    the ±``window``-token context the relation classifier would be
+    trained on; cf. the reference's prompt construction around entity
+    mentions).  One streaming pass: tokens split vectorized per batch,
+    mention positions located against the broadcast vocabulary, windows
+    sliced from the already-flattened token array — per-row Python work
+    is bounded by MENTION count, never token count.  Positions are
+    1-based (matching SQL ``generate_subscripts``)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = frozenset(DOC_VOCAB)
+
+    def contexts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        is_mention = np.isin(flat, list(vocab))
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_m, out_p, out_c = [], [], [], []
+        for j in np.flatnonzero(is_mention):
+            d = int(np.searchsorted(starts, j, side="right") - 1)
+            i = int(j - starts[d])  # 0-based within doc
+            lo = max(0, i - window)
+            hi = min(int(lens[d]), i + window + 1)
+            out_d.append(int(doc_ids[d]))
+            out_m.append(flat[j])
+            out_p.append(i + 1)
+            out_c.append(" ".join(flat[starts[d] + lo : starts[d] + hi]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "mention": pa.array(out_m, type=pa.string()),
+                "pos": pa.array(out_p, type=pa.int64()),
+                "context": pa.array(out_c, type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(contexts, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)

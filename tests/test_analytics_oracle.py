@@ -267,6 +267,8 @@ SUBSET = [
     "kg_predicate_stats",
     # CCNet head/middle/tail stratification at exact LM-score terciles
     "ccnet_buckets",
+    # distant-supervision context windows around vocabulary mentions
+    "kg_mention_contexts",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
