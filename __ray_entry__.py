@@ -525,6 +525,12 @@ def _code_call_triples(sf_dir: str):
     return C.call_triples_query(_code_fixture_path())
 
 
+def _code_fork_pairs(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.fork_pairs_query(_code_fixture_path())
+
+
 def _kg_code_triples(sf_dir: str):
     from bioie_llm_ray import fixtures
     from bioie_llm_ray.pipelines import code as C
@@ -800,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_vendored_files": _code_vendored_files,
         "code_license_scan": _code_license_scan,
         "code_call_triples": _code_call_triples,
+        "code_fork_pairs": _code_fork_pairs,
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
     }
@@ -1810,6 +1817,28 @@ def oracle_sql() -> dict[str, str]:
             FROM snap
             GROUP BY 1, 2
             ORDER BY repo, license
+        """,
+        "code_fork_pairs": f"""
+            WITH snap AS (
+                SELECT repo, path,
+                       arg_max(sha256(content), commit_ts) AS sha
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path),
+            rs AS (SELECT DISTINCT repo, sha FROM snap),
+            sz AS (SELECT repo, count(*)::BIGINT AS n FROM rs GROUP BY 1),
+            pr AS (
+                SELECT a.repo AS repo_a, b.repo AS repo_b,
+                       count(*)::BIGINT AS n_shared
+                FROM rs a JOIN rs b
+                    ON a.sha = b.sha AND a.repo < b.repo
+                GROUP BY 1, 2)
+            SELECT p.repo_a, p.repo_b, p.n_shared,
+                   round_even(p.n_shared
+                       / (sa.n + sb.n - p.n_shared)::DOUBLE, 6) AS jaccard
+            FROM pr p
+            JOIN sz sa ON sa.repo = p.repo_a
+            JOIN sz sb ON sb.repo = p.repo_b
+            ORDER BY p.repo_a, p.repo_b
         """,
         "code_call_triples": f"""
             WITH snap AS (

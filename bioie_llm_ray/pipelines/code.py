@@ -1183,3 +1183,93 @@ def call_triples_query(code_parquet: str) -> pd.DataFrame:
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
     return call_triples(ds, n_buckets=_nbf(code_parquet, 8))
+
+
+def fork_pairs(
+    ds: ray.data.Dataset, n_buckets: int = 32
+) -> pd.DataFrame:
+    """Fork / vendored-overlap detection between repos — container-level
+    near-dup analysis for code-corpus curation (training on both a repo
+    and its fork double-counts the content): Jaccard similarity of the
+    LATEST-snapshot content-sha sets for every repo pair sharing at
+    least one file.
+
+    Content never moves: files are projected to (repo, sha) inside the
+    snapshot pass; the pair explosion happens per sha-bucket (each sha's
+    repo list is copy-count sized, never corpus sized); set sizes are a
+    |repos|-row broadcast.  Output (repo_a, repo_b, n_shared, jaccard).
+    """
+    from ray.data.aggregate import Sum
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+    rs = exact_dedup(
+        snap.map_batches(
+            lambda b: add_sha256_column(b, column="content"),
+            batch_format="pyarrow",
+        ).select_columns(["repo", "content_sha256"]),
+        ["repo", "content_sha256"],
+        n_buckets=n_buckets,
+    ).materialize()
+    sizes = {
+        r["repo"]: int(r["count()"])
+        for r in rs.groupby("repo").count().take_all()
+    }
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                hash_bucket(batch["content_sha256"].to_pylist(), n_buckets)
+            ),
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_n = [], [], []
+        for _, grp in g.groupby("content_sha256", sort=False):
+            repos = sorted(set(grp["repo"]))
+            for x in range(len(repos)):
+                for y in range(x + 1, len(repos)):
+                    out_a.append(repos[x])
+                    out_b.append(repos[y])
+                    out_n.append(1)
+        return pa.table(
+            {
+                "repo_a": pa.array(out_a, type=pa.string()),
+                "repo_b": pa.array(out_b, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    shared = (
+        rs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["repo_a", "repo_b"])
+        .aggregate(Sum(on="n", alias_name="n_shared"))
+        .to_pandas()
+    )
+    if len(shared) == 0:
+        return pd.DataFrame(
+            {
+                "repo_a": pd.Series([], dtype=str),
+                "repo_b": pd.Series([], dtype=str),
+                "n_shared": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+    na = shared["repo_a"].map(sizes).to_numpy(np.int64)
+    nb = shared["repo_b"].map(sizes).to_numpy(np.int64)
+    ns = shared["n_shared"].to_numpy(np.int64)
+    shared["n_shared"] = ns
+    shared["jaccard"] = np.round(ns / (na + nb - ns).astype(np.float64), 6)
+    return shared.sort_values(["repo_a", "repo_b"]).reset_index(drop=True)
+
+
+def fork_pairs_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return fork_pairs(ds, n_buckets=_nbf(code_parquet, 8))

@@ -269,6 +269,8 @@ SUBSET = [
     "ccnet_buckets",
     # distant-supervision context windows around vocabulary mentions
     "kg_mention_contexts",
+    # repo-pair content-sha Jaccard (fork / vendored-overlap detection)
+    "code_fork_pairs",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
