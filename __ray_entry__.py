@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": A.kg_pagerank,
         "kg_hits": A.kg_hits,
         "kg_random_walks": A.kg_random_walks,
+        "kg_spanning_forest": A.kg_spanning_forest,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1511,6 +1512,41 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": O.random_walks_sql(),
         # seeded synchronous majority rounds over the exact kNN graph
         "embedding_label_prop": O.label_prop_sql(),
+        # unique MSF by the cycle property: an edge is in the forest iff
+        # its endpoints are NOT connected using strictly smaller edges
+        # (rank order = (w, subj, obj)); per-edge reachability as one
+        # recursive CTE keyed by edge rank
+        "kg_spanning_forest": """
+            WITH RECURSIVE m AS (
+                SELECT DISTINCT doc_id, token
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\\s+')) AS token
+                      FROM documents)
+                WHERE token IN ('spark','hash','join','merge','sort',
+                                'filter','window','vector','stream','batch')),
+            und AS (
+                SELECT a.token AS s, b.token AS o, count(*)::BIGINT AS w
+                FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2),
+            e AS (
+                SELECT s, o, w,
+                       row_number() OVER (ORDER BY w, s, o) AS rk
+                FROM und),
+            sym AS (
+                SELECT s, o, rk FROM e
+                UNION ALL SELECT o, s, rk FROM e),
+            reach(id, node) AS (
+                SELECT rk AS id, s AS node FROM e
+                UNION
+                SELECT r.id, sym.o
+                FROM reach r JOIN sym
+                    ON sym.s = r.node AND sym.rk < r.id)
+            SELECT e.s AS subj, e.o AS obj, e.w
+            FROM e
+            LEFT JOIN reach r ON r.id = e.rk AND r.node = e.o
+            WHERE r.node IS NULL
+            ORDER BY subj, obj
+        """,
         # Markov-chain power iteration over event-type transitions
         "event_type_stationary": O.stationary_sql(),
         # synchronous weighted LPA unrolled the same way

@@ -10226,3 +10226,19 @@ def kg_mention_contexts(sf_dir: str, window: int = 3) -> pd.DataFrame:
 
     out = ds.map_batches(contexts, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def kg_spanning_forest(sf_dir: str) -> pd.DataFrame:
+    """Minimum spanning forest of the co-occurrence KG under the total
+    order (weight = doc count, tie-break subj, obj) — the backbone
+    extraction used for taxonomy induction and single-linkage entity
+    clustering.  ``stages/graph.min_spanning_forest``: Borůvka rounds
+    with Dataset component labels and bucketed contraction (no driver
+    union-find); the uniqueness of the total order lets the SQL oracle
+    verify by the cycle property (endpoints not connected via strictly
+    smaller edges)."""
+    from ..stages.graph import min_spanning_forest
+
+    edges = _cooccur_edge_counts(sf_dir, alias="w")
+    out = min_spanning_forest(edges, weight="w").to_pandas()
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)

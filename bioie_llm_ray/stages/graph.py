@@ -2060,3 +2060,216 @@ def _random_walks_bucketed(
     for t in traj[1:]:
         out = out.union(t)
     return out
+
+
+def min_spanning_forest(
+    edges: ray.data.Dataset,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "w",
+    n_buckets: int = 32,
+    max_iters: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic minimum spanning forest (Borůvka) → (subj, obj, w).
+
+    Edges are undirected and distinct per (src, dst); the total order
+    (w, src, dst) makes the MSF unique, so the SQL oracle can verify via
+    the cycle property (an edge is in the forest iff its endpoints are
+    NOT connected using strictly smaller edges only).
+
+    Fully distributed state — no driver-side union-find: per round, the
+    component labels (a Dataset) join onto both edge endpoints (two
+    bucketed ``shuffle_join``s), each component picks its minimum
+    crossing edge with a bucketed lexicographic ``argmax_dedup``, and
+    the chosen edges' component pairs contract through the existing
+    bucketed ``connected_components`` (the contracted graph is
+    component-count sized and halves every round, so rounds ≤ log₂\\|V\\|).
+    Driver state is one crossing-edge count per round."""
+    import pandas as pd
+
+    from ..stages.dedup import argmax_dedup, exact_dedup
+    from .join import shuffle_join
+
+    e = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "u": pc.cast(b[src], pa.string()),
+                "v": pc.cast(b[dst], pa.string()),
+                "w": pc.cast(b[weight], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = exact_dedup(
+        e.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.append_column("comp", b["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    chosen_rounds: list[ray.data.Dataset] = []
+    for _ in range(max_iters):
+        with_cu = shuffle_join(
+            e.map_batches(
+                lambda b: b.rename_columns(["node", "v", "w"]),
+                batch_format="pyarrow",
+            ),
+            labels.map_batches(
+                lambda b: b.rename_columns(["node", "cu"]),
+                batch_format="pyarrow",
+            ),
+            keys="node",
+            n_buckets=n_buckets,
+            left_schema={
+                "node": pa.string(), "v": pa.string(), "w": pa.int64()
+            },
+            right_schema={"node": pa.string(), "cu": pa.string()},
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["node"], "node": b["v"], "w": b["w"],
+                    "cu": b["cu"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cross = shuffle_join(
+            with_cu,
+            labels.map_batches(
+                lambda b: b.rename_columns(["node", "cv"]),
+                batch_format="pyarrow",
+            ),
+            keys="node",
+            n_buckets=n_buckets,
+            left_schema={
+                "u": pa.string(), "node": pa.string(), "w": pa.int64(),
+                "cu": pa.string(),
+            },
+            right_schema={"node": pa.string(), "cv": pa.string()},
+            bucket_post=lambda t: t.filter(
+                pc.not_equal(t["cu"], t["cv"])
+            ),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"], "v": b["node"], "w": b["w"],
+                    "cu": b["cu"], "cv": b["cv"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if cross.count() == 0:
+            break
+        # each crossing edge is a candidate for BOTH its components
+        cand = cross.map_batches(
+            lambda b: pa.table(
+                {
+                    "comp": pa.concat_arrays(
+                        [b["cu"].combine_chunks(), b["cv"].combine_chunks()]
+                    ),
+                    "w": pa.concat_arrays(
+                        [b["w"].combine_chunks()] * 2
+                    ),
+                    "u": pa.concat_arrays(
+                        [b["u"].combine_chunks()] * 2
+                    ),
+                    "v": pa.concat_arrays(
+                        [b["v"].combine_chunks()] * 2
+                    ),
+                    "cu": pa.concat_arrays(
+                        [b["cu"].combine_chunks()] * 2
+                    ),
+                    "cv": pa.concat_arrays(
+                        [b["cv"].combine_chunks()] * 2
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        chosen = argmax_dedup(
+            cand, ["comp"], ["w", "u", "v"],
+            n_buckets=n_buckets, descending=False,
+        ).materialize()
+        chosen_rounds.append(
+            exact_dedup(
+                chosen.select_columns(["u", "v", "w"]),
+                ["u", "v"],
+                n_buckets=n_buckets,
+            )
+        )
+        # contract: relabel components through the chosen component pairs
+        relabel = connected_components(
+            chosen.select_columns(["cu", "cv"]),
+            src="cu",
+            dst="cv",
+            n_buckets=n_buckets,
+        )
+
+        def merge_lab(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            newc = df["newc"].where(df["newc"].notna(), df["comp"])
+            return pa.table(
+                {
+                    "node": pa.array(df["node"], type=pa.string()),
+                    "comp": pa.array(newc, type=pa.string()),
+                }
+            )
+
+        labels = shuffle_join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["node", "key"]),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "comp": b["key"], "key": b["key"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            relabel.map_batches(
+                lambda b: pa.table(
+                    {"key": b["node"], "newc": b["component"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            keys="key",
+            n_buckets=n_buckets,
+            join_type="left outer",
+            left_schema={
+                "node": pa.string(), "comp": pa.string(),
+                "key": pa.string(),
+            },
+            right_schema={"key": pa.string(), "newc": pa.string()},
+            bucket_post=merge_lab,
+        ).materialize()
+    else:
+        raise RuntimeError("min_spanning_forest did not converge")
+
+    if not chosen_rounds:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([], type=pa.string()),
+                    "obj": pa.array([], type=pa.string()),
+                    "w": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    out = chosen_rounds[0]
+    for t in chosen_rounds[1:]:
+        out = out.union(t)
+    return exact_dedup(out, ["u", "v"], n_buckets=n_buckets).map_batches(
+        lambda b: b.rename_columns(["subj", "obj", "w"]),
+        batch_format="pyarrow",
+    )

@@ -271,6 +271,8 @@ SUBSET = [
     "kg_mention_contexts",
     # repo-pair content-sha Jaccard (fork / vendored-overlap detection)
     "code_fork_pairs",
+    # Boruvka MSF vs the cycle-property recursive-CTE oracle
+    "kg_spanning_forest",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket

@@ -302,3 +302,56 @@ class TestRandomWalksBucketed:
             ns = list(grp["node"])
             for x, y in zip(ns, ns[1:]):
                 assert (x, y) in edges
+
+
+class TestMinSpanningForest:
+    def _kruskal(self, rows):
+        # serial reference under the (w, u, v) total order
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for u, v, w in sorted(rows, key=lambda r: (r[2], r[0], r[1])):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    def test_matches_kruskal(self, rnd_graph):
+        from bioie_llm_ray.stages.graph import min_spanning_forest
+
+        # undirected distinct edges: canonicalize (min, max) keep min w
+        best = {}
+        for a, b, w in rnd_graph:
+            key = (min(a, b), max(a, b))
+            if key not in best or w < best[key]:
+                best[key] = w
+        rows = [(a, b, w) for (a, b), w in best.items()]
+        edges = _edges_ds(rows, ["subj", "obj", "w"])
+        got = sorted(
+            (r["subj"], r["obj"], r["w"])
+            for r in min_spanning_forest(
+                edges, weight="w", n_buckets=4
+            ).take_all()
+        )
+        assert got == self._kruskal(rows)
+
+    def test_forest_on_disconnected(self):
+        from bioie_llm_ray.stages.graph import min_spanning_forest
+
+        edges = _edges_ds(
+            [("a", "b", 1), ("b", "c", 5), ("a", "c", 2),
+             ("x", "y", 7)],
+            ["subj", "obj", "w"],
+        )
+        got = sorted(
+            (r["subj"], r["obj"], r["w"])
+            for r in min_spanning_forest(edges, weight="w").take_all()
+        )
+        assert got == [("a", "b", 1), ("a", "c", 2), ("x", "y", 7)]
