@@ -684,3 +684,36 @@ class TestLicenseAndCallGraph:
         # cross-repo edges exist (the KG is not diagonal)
         assert (out["subj"] != out["obj"]).any()
         assert (out["n_fns"] <= out["n_calls"]).all()
+
+
+class TestCallTriplesScaleStress:
+    def test_amplified_versions_equal_base(self, code_parquet):
+        """~200k-row version history through call_triples: replicas only
+        add newer versions of the SAME content, so the latest-snapshot
+        call graph must equal the unamplified answer — exercises the
+        snapshot argmax + def/use shuffle join at 3 orders of magnitude
+        more rows with no driver materialization."""
+        import numpy as np
+
+        base = pq.read_table(code_parquet)
+        replicas = max(1, 200_000 // len(base) + 1)
+        ds = ray.data.from_arrow(base).map_batches(
+            lambda b: pa.concat_tables(
+                [
+                    b.set_column(
+                        b.column_names.index("commit_ts"),
+                        "commit_ts",
+                        pa.array(
+                            np.asarray(b["commit_ts"]) + i * 1_000_000,
+                            type=pa.int64(),
+                        ),
+                    )
+                    for i in range(replicas)
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        assert len(base) * replicas >= 200_000
+        got = C.call_triples(ds, n_buckets=8)
+        want = C.call_triples_query(code_parquet)
+        pd.testing.assert_frame_equal(got, want)
