@@ -874,10 +874,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pred, count(*)::BIGINT AS n_triples,"
             " count(DISTINCT subj)::BIGINT AS n_subj,"
             " count(DISTINCT obj)::BIGINT AS n_obj,"
-            " round_even(count(*) / count(DISTINCT subj)::DOUBLE, 6)"
-            "     AS fanout_subj,"
-            " round_even(count(*) / count(DISTINCT obj)::DOUBLE, 6)"
-            "     AS fanout_obj"
+            " round_even(count(*) / count(DISTINCT subj)::DOUBLE"
+            "     * 1000000.0, 0) / 1000000.0 AS fanout_subj,"
+            " round_even(count(*) / count(DISTINCT obj)::DOUBLE"
+            "     * 1000000.0, 0) / 1000000.0 AS fanout_obj"
             " FROM (" + O.values_sql(O.expected_kg_indra_triples()) + ") t"
             " GROUP BY pred ORDER BY pred"
         ),
@@ -963,10 +963,14 @@ def oracle_sql() -> dict[str, str]:
                        ((((o.revenue + (h.l + h.b)) / 2) - h.l) + h.b) / 2,
                        h.l + h.b
                 FROM holt h JOIN ord o ON o.rn = h.rn + 1)
+            -- round via scale → ties-to-even rint → divide, mirroring
+            -- np.round bit-for-bit (plain round_even(x, 6) computes the
+            -- true decimal digit and can disagree with np.round by one
+            -- ulp when the scaled double lands off the half boundary)
             SELECT o.day, o.revenue,
-                   round_even(h.l, 6) AS level,
-                   round_even(h.b, 6) AS trend,
-                   round_even(h.f, 6) AS forecast
+                   round_even(h.l * 1000000.0, 0) / 1000000.0 AS level,
+                   round_even(h.b * 1000000.0, 0) / 1000000.0 AS trend,
+                   round_even(h.f * 1000000.0, 0) / 1000000.0 AS forecast
             FROM ord o JOIN holt h ON h.rn = o.rn
             WHERE (SELECT count(*) FROM ord) >= 2
             ORDER BY o.day
@@ -1870,7 +1874,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT p.repo_a, p.repo_b, p.n_shared,
                    round_even(p.n_shared
-                       / (sa.n + sb.n - p.n_shared)::DOUBLE, 6) AS jaccard
+                       / (sa.n + sb.n - p.n_shared)::DOUBLE
+                       * 1000000.0, 0) / 1000000.0 AS jaccard
             FROM pr p
             JOIN sz sa ON sa.repo = p.repo_a
             JOIN sz sb ON sb.repo = p.repo_b
