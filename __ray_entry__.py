@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_colocated": A.q3_colocated,
         "q3_bloom": A.q3_bloom,
         "q5_nation_revenue": A.q5_nation_revenue,
+        "q8_market_share": A.q8_market_share,
         "top_brand_revenue": A.top_brand_revenue,
         "supplier_balance_by_nation": A.supplier_balance_by_nation,
         # events / stream-shaped
@@ -1943,6 +1944,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # q8 market share: per-row exact cents make both sums order-free
+        # integers; one float division at the end (np.round-mirrored)
+        "q8_market_share": """
+            WITH li AS (
+                SELECT l.l_orderkey,
+                       round_even(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0, 0)::BIGINT AS cents,
+                       sn.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                    AND p.p_type = 'ECONOMY'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey),
+            o AS (
+                SELECT o.o_orderkey, year(o.o_orderdate) AS o_year
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                    AND r.r_name = 'ASIA'
+                WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate <= TIMESTAMP '1996-12-31')
+            SELECT o.o_year::BIGINT AS o_year,
+                   round_even(
+                       sum(CASE WHEN li.supp_nation = 'NATION_2'
+                                THEN li.cents ELSE 0 END)::DOUBLE
+                       / sum(li.cents)::DOUBLE * 1000000.0, 0)
+                       / 1000000.0 AS mkt_share
+            FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "q5_nation_revenue": """
             SELECT n.n_name,

@@ -10242,3 +10242,159 @@ def kg_spanning_forest(sf_dir: str) -> pd.DataFrame:
     edges = _cooccur_edge_counts(sf_dir, alias="w")
     out = min_spanning_forest(edges, weight="w").to_pandas()
     return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+def q8_market_share(
+    sf_dir: str,
+    region_name: str = "ASIA",
+    supp_nation: str = "NATION_2",
+    p_type: str = "ECONOMY",
+) -> pd.DataFrame:
+    """TPC-H q8 shape (national market share): of the revenue a region's
+    customers spent on one part type in 1995–96, what share was supplied
+    by one nation, per order year.
+
+    All dims broadcast (filtered part keys, supplier→nation map,
+    region-customer set); lineitem rows reduce to EXACT int64 cents
+    (per-row half-even rounding identical in both engines), so the
+    numerator and denominator are order-free integer sums and the final
+    ratio is one float division — no float-summation-order hazard.  The
+    only wide op is the lineitem⋈orders shuffle join with the per-year
+    conditional rollup folded into the bucket."""
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part["p_type"], p_type))["p_partkey"]
+    supplier = _read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = _read_table(sf_dir, "nation")
+    region = _read_table(sf_dir, "region")
+    supp_map = supplier.join(
+        nation.select(["n_nationkey", "n_name"]),
+        keys="s_nationkey",
+        right_keys="n_nationkey",
+    ).select(["s_suppkey", "n_name"]).rename_columns(
+        ["l_suppkey", "supp_nation"]
+    )
+    rkeys = region.filter(pc.equal(region["r_name"], region_name))[
+        "r_regionkey"
+    ]
+    nat_in_region = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=rkeys)
+    )["n_nationkey"]
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ckeys = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=nat_in_region)
+    )["c_custkey"]
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-12-31")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    ck_ref = ray.put(ckeys.combine_chunks())
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+                pc.less_equal(batch["o_orderdate"], pa.scalar(hi)),
+            ),
+            pc.is_in(batch["o_custkey"], value_set=ray.get(ck_ref)),
+        )
+        b = batch.filter(keep)
+        yr = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pa.array(yr, type=pa.int64()),
+            }
+        )
+
+    ords = orders.map_batches(order_year, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    pk_ref = ray.put(pkeys.combine_chunks())
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.is_in(batch["l_partkey"], value_set=ray.get(pk_ref))
+        )
+        vol = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.round(vol).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    li = broadcast_join(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        supp_map,
+        keys="l_suppkey",
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        df["nat"] = np.where(
+            df["supp_nation"] == supp_nation, df["cents"], 0
+        )
+        g = df.groupby("o_year", as_index=False).agg(
+            nat=("nat", "sum"), tot=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    joined = shuffle_join(
+        li.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["l_orderkey"],
+                    "cents": b["cents"],
+                    "supp_nation": b["supp_nation"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ords,
+        keys="o_orderkey",
+        n_buckets=_nb(sf_dir, "lineitem", 16),
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "cents": pa.int64(),
+            "supp_nation": pa.string(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "o_year": pa.int64()},
+        bucket_post=rollup,
+    )
+    out = (
+        joined.groupby("o_year")
+        .aggregate(
+            Sum(on="nat", alias_name="nat"), Sum(on="tot", alias_name="tot")
+        )
+        .to_pandas()
+    )
+    share = out["nat"].to_numpy(np.float64) / out["tot"].to_numpy(np.float64)
+    out["mkt_share"] = np.round(share, 6)
+    return (
+        out[["o_year", "mkt_share"]]
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )

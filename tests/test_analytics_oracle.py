@@ -273,6 +273,8 @@ SUBSET = [
     "code_fork_pairs",
     # Boruvka MSF vs the cycle-property recursive-CTE oracle
     "kg_spanning_forest",
+    # q8 market share: exact integer-cents sums, one final division
+    "q8_market_share",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
