@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_bloom": A.q3_bloom,
         "q5_nation_revenue": A.q5_nation_revenue,
         "q8_market_share": A.q8_market_share,
+        "part_profit_by_nation": A.part_profit_by_nation,
+        "part_value_concentration": A.part_value_concentration,
+        "supplier_part_variety": A.supplier_part_variety,
+        "excess_quantity_suppliers": A.excess_quantity_suppliers,
         "top_brand_revenue": A.top_brand_revenue,
         "supplier_balance_by_nation": A.supplier_balance_by_nation,
         # events / stream-shaped
@@ -1975,6 +1979,76 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS mkt_share
             FROM li JOIN o ON o.o_orderkey = li.l_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        # q9 profit: per-row exact cents (identical numpy/DuckDB expression
+        # tree + half-even rounding) make the per-group sums order-free ints
+        "part_profit_by_nation": """
+            SELECT n.n_name AS nation,
+                   year(o.o_orderdate)::BIGINT AS o_year,
+                   sum(round_even((l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity) * 100.0,
+                       0)::BIGINT) / 100.0 AS profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                AND p.p_name LIKE '%red%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q11 value concentration: integer-cents sums, one global scalar
+        "part_value_concentration": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       sum(round_even(l_extendedprice * (1 - l_discount)
+                               * 100.0, 0)::BIGINT) AS cents
+                FROM lineitem GROUP BY 1)
+            SELECT l_partkey, cents / 100.0 AS value
+            FROM pp
+            WHERE cents::DOUBLE > (SELECT sum(cents) FROM pp)::DOUBLE * 0.0006
+            ORDER BY value DESC, l_partkey
+        """,
+        # q16 supplier variety: distinct-supplier count per part attrs with
+        # brand/size filters and a supplier blacklist (acctbal < 0 standing
+        # in for the complaints-comment scan; no s_comment in this corpus)
+        "supplier_part_variety": """
+            SELECT p.p_brand, p.p_size::BIGINT AS p_size,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#2'
+              AND p.p_size IN (1, 5, 11, 15, 23, 37, 41, 49)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p.p_brand, p_size
+        """,
+        # q20 excess quantity: nested pair/part aggregate -> supplier semi-join
+        "excess_quantity_suppliers": """
+            WITH pairs AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       sum(round_even(l.l_quantity * 100.0, 0)::BIGINT)
+                           AS q100
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                    AND p.p_name LIKE 'small%'
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2),
+            per_part AS (
+                SELECT l_partkey, sum(q100) AS part_sum,
+                       count(*) AS n_pairs
+                FROM pairs GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+                AND n.n_name = 'NATION_18'
+            WHERE s.s_suppkey IN (
+                SELECT pr.l_suppkey
+                FROM pairs pr JOIN per_part pp USING (l_partkey)
+                WHERE pr.q100::DOUBLE >
+                      0.6 * (pp.part_sum::DOUBLE / pp.n_pairs::DOUBLE))
+            ORDER BY s.s_suppkey
         """,
         "q5_nation_revenue": """
             SELECT n.n_name,

@@ -10398,3 +10398,353 @@ def q8_market_share(
         .sort_values("o_year")
         .reset_index(drop=True)
     )
+
+def part_profit_by_nation(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
+    """TPC-H q9 shape (product-type profit): per (supplier nation, order
+    year) profit on parts whose name contains one token, where profit =
+    l_extendedprice·(1−l_discount) − p_retailprice·l_quantity (retail price
+    standing in for ps_supplycost — this corpus has no partsupp table).
+
+    Same exactness discipline as `q8_market_share`: each lineitem row
+    reduces to EXACT int64 cents (per-row half-even rounding, identical
+    expression tree in numpy and DuckDB), so the per-group profit is an
+    order-free integer sum.  Dims broadcast (filtered part→retailprice map,
+    supplier→nation map); the one wide op is the lineitem⋈orders shuffle
+    join with the (nation, year) rollup folded into each join bucket."""
+    part = _read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    keep = pc.match_substring(part["p_name"], name_token)
+    part_map = part.filter(keep).select(
+        ["p_partkey", "p_retailprice"]
+    ).rename_columns(["l_partkey", "p_retailprice"])
+    supplier = _read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = _read_table(sf_dir, "nation")
+    supp_map = supplier.join(
+        nation.select(["n_nationkey", "n_name"]),
+        keys="s_nationkey",
+        right_keys="n_nationkey",
+    ).select(["s_suppkey", "n_name"]).rename_columns(["l_suppkey", "n_name"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        yr = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pa.array(yr, type=pa.int64()),
+            }
+        )
+
+    ords = orders.map_batches(order_year, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    pm_ref = ray.put(part_map.combine_chunks())
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # inner-join semantics vs the broadcast part map (filters to the
+        # name-token parts and attaches p_retailprice in one pass)
+        b = batch.join(ray.get(pm_ref), keys="l_partkey", join_type="inner")
+        amount = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            - b["p_retailprice"].to_numpy(zero_copy_only=False)
+            * b["l_quantity"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.round(amount * 100.0).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    li = broadcast_join(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        supp_map,
+        keys="l_suppkey",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "cents": b["cents"],
+                "n_name": b["n_name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        df = joined.to_pandas()
+        g = df.groupby(["n_name", "o_year"], as_index=False).agg(
+            cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    joined = shuffle_join(
+        li,
+        ords,
+        keys="o_orderkey",
+        n_buckets=_nb(sf_dir, "lineitem", 16),
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "cents": pa.int64(),
+            "n_name": pa.string(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "o_year": pa.int64()},
+        bucket_post=rollup,
+    )
+    out = (
+        joined.groupby(["n_name", "o_year"])
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .to_pandas()
+    )
+    out["profit"] = np.round(out["cents"].to_numpy(np.float64) / 100.0, 2)
+    return (
+        out[["n_name", "o_year", "profit"]]
+        .rename(columns={"n_name": "nation"})
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+
+
+def part_value_concentration(
+    sf_dir: str, fraction: float = 0.0006
+) -> pd.DataFrame:
+    """TPC-H q11 shape (important stock): parts whose lineitem revenue
+    exceeds ``fraction`` of TOTAL lineitem revenue — a grouped aggregate
+    filtered against a global scalar subquery.
+
+    Revenue reduces to exact int64 cents per row (order-free sums); the
+    per-part rollup is one groupby fed by per-batch combiners, the global
+    total is the sum of the per-part sums (one small reduce — no second
+    pass over lineitem), and the threshold compare is a single float
+    multiply identical on both sides."""
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_partkey": batch["l_partkey"].to_numpy(), "cents": cents}
+        )
+        g = df.groupby("l_partkey", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_part = (
+        li.map_batches(combine, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if per_part.empty:
+        return pd.DataFrame(
+            {
+                "l_partkey": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype=np.float64),
+            }
+        )
+    total = int(per_part["cents"].sum())
+    keep = per_part[
+        per_part["cents"].to_numpy(np.float64) > total * fraction
+    ].copy()
+    keep["value"] = np.round(keep["cents"].to_numpy(np.float64) / 100.0, 2)
+    keep["l_partkey"] = keep["l_partkey"].astype("int64")
+    return (
+        keep[["l_partkey", "value"]]
+        .sort_values(["value", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def supplier_part_variety(
+    sf_dir: str,
+    excluded_brand: str = "Brand#2",
+    sizes: tuple = (1, 5, 11, 15, 23, 37, 41, 49),
+) -> pd.DataFrame:
+    """TPC-H q16 shape (parts/supplier relationship): count of DISTINCT
+    suppliers that shipped each (p_brand, p_size) combination, excluding
+    one brand, a size whitelist, and a supplier blacklist (negative account
+    balance standing in for the complaints-comment scan — this corpus has
+    no s_comment).
+
+    Plan: both dims broadcast (filtered part→(brand,size) map, blacklisted
+    suppkey set); lineitem reduces to distinct (brand, size, suppkey)
+    via batch-local combiner + one bucketed exact dedup, then a small
+    groupby count.  No row ever carries text past the first projection."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+
+    part = _read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    keep = pc.and_(
+        pc.not_equal(part["p_brand"], excluded_brand),
+        pc.is_in(part["p_size"], value_set=pa.array(list(sizes))),
+    )
+    part_map = part.filter(keep).rename_columns(
+        ["l_partkey", "p_brand", "p_size"]
+    )
+    supplier = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    bad = supplier.filter(pc.less(supplier["s_acctbal"], 0.0))["s_suppkey"]
+    bad_ref = ray.put(bad.combine_chunks())
+    pm_ref = ray.put(part_map.combine_chunks())
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.invert(
+                pc.is_in(batch["l_suppkey"], value_set=ray.get(bad_ref))
+            )
+        )
+        b = b.join(ray.get(pm_ref), keys="l_partkey", join_type="inner")
+        return b.select(["p_brand", "p_size", "l_suppkey"])
+
+    triples = li.map_batches(project, batch_format="pyarrow")
+    distinct = exact_dedup(
+        batch_local_dedup(triples, ["p_brand", "p_size", "l_suppkey"]),
+        ["p_brand", "p_size", "l_suppkey"],
+        n_buckets=_nb(sf_dir, "lineitem", 16),
+    )
+    from ray.data.aggregate import Count
+
+    out = (
+        distinct.groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_size"],
+            ascending=[False, True, True],
+        ).reset_index(drop=True)
+    )
+
+
+def excess_quantity_suppliers(
+    sf_dir: str,
+    name_prefix: str = "small",
+    year: int = 1996,
+    factor: float = 0.6,
+    nation: str = "NATION_18",
+) -> pd.DataFrame:
+    """TPC-H q20 shape (potential part promotion): suppliers in one nation
+    that shipped, for some name-filtered part during one year, more than
+    ``factor`` × that part's mean per-supplier shipped quantity — a nested
+    per-pair / per-part aggregate feeding a semi-join up to the supplier
+    dim.
+
+    Quantities reduce to exact integer centiunits per row; the per-pair
+    sums AND the per-part mean both come out of ONE partkey-keyed exchange
+    (pair rollup + part rollup + threshold compare inside each bucket), so
+    the whole nested-aggregate subquery costs a single shuffle.  The
+    surviving supplier keys are a small set joined to the broadcast
+    supplier→nation dim on the driver."""
+    part = _read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pkeys = part.filter(
+        pc.starts_with(part["p_name"], name_prefix)
+    )["p_partkey"]
+    pk_ref = ray.put(pkeys.combine_chunks())
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.is_in(batch["l_partkey"], value_set=ray.get(pk_ref)),
+        )
+        b = batch.filter(keep)
+        q100 = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        # batch-local pair combiner shrinks the exchange
+        df = pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "q100": q100,
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["q100"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..functions.hashing import bucket_ids_for_column
+
+    n_buckets = _nb(sf_dir, "lineitem", 16)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["l_partkey"], n_buckets)),
+        )
+
+    def keep_excess(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "q100"
+        ].sum()
+        per_part = pairs.groupby("l_partkey")["q100"].agg(["sum", "count"])
+        pairs = pairs.join(per_part, on="l_partkey")
+        thresh = factor * (
+            pairs["sum"].to_numpy(np.float64)
+            / pairs["count"].to_numpy(np.float64)
+        )
+        kept = pairs[pairs["q100"].to_numpy(np.float64) > thresh]
+        return pd.DataFrame({"l_suppkey": kept["l_suppkey"].unique()})
+
+    supp_keys = (
+        li.map_batches(project, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(keep_excess, batch_format="pandas")
+        .to_pandas()
+    )
+    supplier = _read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    sdf = supplier.join(
+        nat, keys="s_nationkey", right_keys="n_nationkey"
+    ).to_pandas()
+    sdf = sdf[sdf["n_name"] == nation]
+    out = sdf[sdf["s_suppkey"].isin(set(supp_keys["l_suppkey"].tolist()))][
+        ["s_suppkey", "s_name"]
+    ].copy()
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)

@@ -275,6 +275,14 @@ SUBSET = [
     "kg_spanning_forest",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
+    # q9 profit rollup: per-row exact cents through a 3-dim broadcast
+    "part_profit_by_nation",
+    # q11 concentration: grouped sums vs a global-scalar threshold
+    "part_value_concentration",
+    # q16 variety: distinct-triple dedup + blacklist anti-semi-join
+    "supplier_part_variety",
+    # q20 excess quantity: nested pair/part aggregate in one exchange
+    "excess_quantity_suppliers",
     # cross-repo call-graph KG triples (def/use shuffle join on fn)
     "code_call_triples",
     # q4 shape: correlated EXISTS evaluated in the join bucket
