@@ -519,6 +519,12 @@ def _code_license_scan(sf_dir: str):
     return C.license_scan_query(_code_fixture_path())
 
 
+def _kg_reachability(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.fn_reachability_query(_code_fixture_path())
+
+
 def _code_call_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -812,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_vendored_files": _code_vendored_files,
         "code_license_scan": _code_license_scan,
         "code_call_triples": _code_call_triples,
+        "kg_reachability": _kg_reachability,
         "code_fork_pairs": _code_fork_pairs,
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
@@ -1909,6 +1916,27 @@ def oracle_sql() -> dict[str, str]:
             FROM calls c JOIN defs d USING (fn)
             GROUP BY 1, 2, 3
             ORDER BY subj, obj
+        """,
+        # recursive-CTE walk of the same fn-level call edges; the Ray side
+        # computes the identical closure by path doubling (log-round joins)
+        "kg_reachability": f"""
+            WITH RECURSIVE snap AS (
+                SELECT repo, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path),
+            pairs AS (
+                SELECT DISTINCT
+                       regexp_extract(content, 'def (fn_\\d+)\\(', 1) AS src,
+                       unnest(regexp_extract_all(content,
+                           '= (fn_\\d+)\\(\\)', 1)) AS dst
+                FROM snap
+                WHERE regexp_extract(content, 'def (fn_\\d+)\\(', 1) <> ''),
+            tc(src, dst) AS (
+                SELECT src, dst FROM pairs
+                UNION
+                SELECT tc.src, p.dst
+                FROM tc JOIN pairs p ON p.src = tc.dst)
+            SELECT src, dst FROM tc ORDER BY src, dst
         """,
     }
     q3_sql = """

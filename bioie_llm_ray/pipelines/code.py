@@ -1273,3 +1273,57 @@ def fork_pairs_query(code_parquet: str) -> pd.DataFrame:
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
     return fork_pairs(ds, n_buckets=_nbf(code_parquet, 8))
+
+
+def fn_reachability(
+    ds: ray.data.Dataset, n_buckets: int = 16
+) -> pd.DataFrame:
+    """Transitive call-graph closure over the latest snapshot: every
+    (caller_fn, reachable_fn) pair such that a chain of resolved call
+    sites leads from the definition of ``caller_fn`` to ``reachable_fn``
+    — the KG-construction step that turns direct ``calls`` triples into
+    a reachability relation (dependency impact analysis: "what does this
+    function transitively pull in?").
+
+    Direct edges are (defined fn → called fn) pairs extracted inside the
+    read task from each latest-snapshot file (one def per file in this
+    corpus; vendored copies collapse in the pair dedup); the closure is
+    ``stages/graph.transitive_closure`` — path doubling, O(log diameter)
+    bucketed exchanges.  The SQL oracle walks the same edge set with a
+    recursive CTE."""
+    from ..stages.graph import transitive_closure
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+
+    def extract_edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for content in batch["content"].to_pylist():
+            m = _DEF_RE.search(content)
+            if m is None:
+                continue
+            caller = m.group(1)
+            for c in _CALL_RE.finditer(content):
+                srcs.append(caller)
+                dsts.append(c.group(1))
+        return pa.table(
+            {
+                "src": pa.array(srcs, type=pa.string()),
+                "dst": pa.array(dsts, type=pa.string()),
+            }
+        )
+
+    edges = snap.map_batches(extract_edges, batch_format="pyarrow")
+    out = transitive_closure(
+        edges, src="src", dst="dst", n_buckets=n_buckets
+    ).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def fn_reachability_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return fn_reachability(ds, n_buckets=_nbf(code_parquet, 8))

@@ -273,6 +273,8 @@ SUBSET = [
     "code_fork_pairs",
     # Boruvka MSF vs the cycle-property recursive-CTE oracle
     "kg_spanning_forest",
+    # transitive call-graph closure (path doubling vs recursive CTE)
+    "kg_reachability",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
