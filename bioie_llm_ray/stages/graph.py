@@ -187,9 +187,13 @@ def connected_components(
     # and one round after the star shape is reached the output is the
     # canonical deduplicated star set — the fingerprint stabilizes on it.
     # Two shuffles per round instead of three.
-    edges = pairs.map_batches(
-        lambda b: _orient(b, src, dst), batch_format="pyarrow"
-    ).materialize()
+    edges = (
+        pairs.map_batches(lambda b: _orient(b, src, dst), batch_format="pyarrow")
+        # coalesce once: the star rounds keep whatever block count they
+        # start with, and the exchange costs O(blocks²) scheduling
+        .repartition(n_buckets)
+        .materialize()
+    )
     fp = _edge_fingerprint(edges)
     for _ in range(max_iters):
         edges = _small_star(
@@ -621,7 +625,9 @@ def _bfs_bucketed(
         ).materialize()
         if new.count() == 0:
             break
-        settled = settled.union(new).materialize()
+        # Coalesce: union compounds block counts round over round, and the
+        # bucket exchange costs O(blocks²) scheduling.
+        settled = settled.union(new).repartition(n_buckets).materialize()
         frontier = new.select_columns(["node"]).materialize()
     return settled
 
@@ -724,6 +730,9 @@ def _sssp_bucketed(
             .union(cand.map_batches(tag(True), batch_format="pyarrow"))
             .groupby(_B)
             .map_groups(merge, batch_format="pandas")
+            # coalesce: exchange output keeps input block count, which would
+            # otherwise compound round over round through dist
+            .repartition(n_buckets)
             .materialize()
         )
         dist = merged.map_batches(
@@ -875,6 +884,8 @@ def _lpa_bucketed(
             .union(best.map_batches(tag_lab(True), batch_format="pyarrow"))
             .groupby(_B)
             .map_groups(apply_votes, batch_format="pandas")
+            # coalesce: keep the per-round label table at n_buckets blocks
+            .repartition(n_buckets)
             .materialize()
         )
 
@@ -1070,6 +1081,8 @@ def _pagerank_bucketed(
             .union(contrib.map_batches(tag_contrib, batch_format="pyarrow"))
             .groupby(_B)
             .map_groups(apply, batch_format="pandas")
+            # coalesce: keep the per-round rank table at n_buckets blocks
+            .repartition(n_buckets)
             .materialize()
         )
 
@@ -1233,6 +1246,8 @@ def _hits_bucketed(
             .union(raw.map_batches(tag(True), batch_format="pyarrow"))
             .groupby(_B)
             .map_groups(merge, batch_format="pandas")
+            # coalesce: score tables feed the next half-round's exchange
+            .repartition(n_buckets)
             .materialize()
         )
 
@@ -1449,7 +1464,9 @@ def _kcore_bucketed(
                 n_buckets=n_buckets,
                 left_schema={"u": pa.string(), "v": pa.string()},
             )
-        e = e.materialize()
+        # coalesce: two semi-join exchanges per round otherwise compound
+        # the edge table's block count
+        e = e.repartition(n_buckets).materialize()
 
     return degrees(e).map_batches(
         lambda b: pa.table(
