@@ -764,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": A.kg_hits,
         "kg_random_walks": A.kg_random_walks,
         "kg_spanning_forest": A.kg_spanning_forest,
+        "kg_scc": A.kg_scc,
+        "kg_assortativity": A.kg_assortativity,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1562,6 +1564,60 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN reach r ON r.id = e.rk AND r.node = e.o
             WHERE r.node IS NULL
             ORDER BY subj, obj
+        """,
+        # SCC labels (min mutual-reach node) over the deterministic
+        # modular-key digraph; closure as a recursive CTE, mutuality as a
+        # closure self-join, label as a LEFT-JOIN min
+        "kg_scc": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            tc(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT t.src, e.dst FROM tc t JOIN e ON e.src = t.dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            mut AS (
+                SELECT a.src AS u, a.dst AS v
+                FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+                WHERE a.src <> a.dst)
+            SELECT n.node,
+                   CAST(least(n.node, coalesce(min(m.v), n.node)) AS BIGINT)
+                       AS scc
+            FROM nodes n LEFT JOIN mut m ON m.u = n.node
+            GROUP BY n.node
+            ORDER BY node
+        """,
+        # directed out-in degree assortativity (Newman 2002) over the same
+        # modular-key digraph; all moment sums exact BIGINTs, one float
+        # expression mirrored term-for-term against the numpy side
+        "kg_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            od AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*)::BIGINT AS d FROM e GROUP BY dst),
+            xy AS (
+                SELECT od.d AS x, idg.d AS y
+                FROM e JOIN od USING (src) JOIN idg USING (dst)),
+            s AS (
+                SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+                FROM xy)
+            SELECT n AS n_edges,
+                   round_even(
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                       AS assortativity
+            FROM s
         """,
         # Markov-chain power iteration over event-type transitions
         "event_type_stationary": O.stationary_sql(),

@@ -10748,3 +10748,133 @@ def excess_quantity_suppliers(
     ].copy()
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ kg_scc
+
+
+def _modular_key_edges(sf_dir: str, modulus: int = 997) -> ray.data.Dataset:
+    """Deterministic directed test graph from lineitem keys: one edge
+    (l_orderkey % modulus) → (l_partkey % modulus) per quantity-1 row,
+    self-loops dropped, exact-deduped.  ~1/50 of rows over a ~1000-node
+    domain gives the classic sparse-digraph shape (one giant SCC plus
+    singleton tendrils) — a structure stress for closure/SCC operators
+    that is trivially replayed in SQL."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_quantity"], 1.0))
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False) % modulus
+        d = t["l_partkey"].to_numpy(zero_copy_only=False) % modulus
+        keep = s != d
+        return pa.table(
+            {
+                "src": pa.array(s[keep], type=pa.int64()),
+                "dst": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    return exact_dedup(
+        batch_local_dedup(
+            ds.map_batches(edges, batch_format="pyarrow"), ["src", "dst"]
+        ),
+        ["src", "dst"],
+        n_buckets=_nb(sf_dir, "lineitem"),
+    )
+
+
+def kg_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components over the deterministic modular-key
+    digraph (``stages/graph.strongly_connected_components``: distributed
+    transitive closure by path doubling, one bucketed mutual-pair
+    exchange, grouped-min labels).  Oracle: recursive-CTE closure +
+    mutual self-join + LEFT-JOIN min in SQL."""
+    from ..stages.graph import strongly_connected_components
+
+    out = strongly_connected_components(
+        _modular_key_edges(sf_dir), n_buckets=_nb(sf_dir, "lineitem")
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["scc"] = out["scc"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the modular-key digraph: Pearson r over
+    edges of (out-degree(src), in-degree(dst)) — do hubs link to hubs?
+    (Newman 2002, the standard KG topology health metric.)
+
+    Distributed shape: distinct edges (bucketed dedup) → degree tables
+    (grouped count partials) → degrees broadcast back onto the edge
+    stream (|V| ≤ modulus by construction — the documented broadcast
+    bound) → per-batch int64 moment partials (degrees are integers, so
+    every Σ is exact in any order) → one fixed-size driver fold and a
+    single float expression mirrored term-for-term in SQL."""
+    from ..stages.rollup import grouped_agg
+
+    edges = _modular_key_edges(sf_dir).materialize()
+    nb = _nb(sf_dir, "lineitem")
+    outdeg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow"
+        ).map_batches(
+            lambda b: b.append_column("one", pa.array([1] * len(b), type=pa.int64())),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"d": ("one", "sum")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+    indeg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({"node": b["dst"]}), batch_format="pyarrow"
+        ).map_batches(
+            lambda b: b.append_column("one", pa.array([1] * len(b), type=pa.int64())),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"d": ("one", "sum")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+    od = dict(zip(outdeg["node"].astype("int64"), outdeg["d"].astype("int64")))
+    idg = dict(zip(indeg["node"].astype("int64"), indeg["d"].astype("int64")))
+    od_ref = ray.put(od)
+    id_ref = ray.put(idg)
+
+    def moments(b: pa.Table) -> pa.Table:
+        omap, imap = ray.get(od_ref), ray.get(id_ref)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        x = pd.Series(s).map(omap).to_numpy(dtype=np.int64)
+        y = pd.Series(d).map(imap).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    import math
+
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy)
+    )
+    r = round(num / den, 6) if den != 0.0 else None
+    return pd.DataFrame({"n_edges": pd.array([n], dtype="int64"),
+                         "assortativity": pd.array([r], dtype="float64")})

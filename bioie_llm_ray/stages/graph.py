@@ -2383,3 +2383,89 @@ def transitive_closure(
             f"transitive_closure did not converge in {max_rounds} rounds"
         )
     return reach
+
+
+def strongly_connected_components(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+    max_rounds: int = 20,
+) -> ray.data.Dataset:
+    """SCC labels over a directed edge Dataset → (node, scc) with
+    ``scc`` = the minimum node id of the mutual-reachability class
+    (condensing a call/dependency graph into its cycle classes — the
+    step before any topological processing of a KG with cycles).
+
+    Built on ``transitive_closure`` (paths ≥ 1): u and v are in the same
+    SCC iff both (u, v) and (v, u) are in the closure.  Mutual pairs are
+    detected with ONE bucketed exchange — every closure row maps to its
+    unordered key (a, b) = (min, max) plus a direction bit, buckets hash
+    on ``a`` alone (both directions of a pair share it), and a per-bucket
+    vectorized pass keeps pairs seen in both directions.  Labels are a
+    grouped min over peer contributions plus self rows.
+
+    Inherits the closure's scale contract: sized for graphs whose reach
+    sets are bounded (call graphs, dependency DAGs with small cycle
+    classes), NOT a single giant component over the whole corpus.
+    Bucketing mutual detection by the pair minimum concentrates a hub
+    min-node's pairs in one bucket; acceptable because the mutual table
+    is bounded by Σ|SCC|², already the operator's scale limit.
+    """
+    from .rollup import grouped_agg
+
+    reach = transitive_closure(
+        edges, src=src, dst=dst, n_buckets=n_buckets, max_rounds=max_rounds
+    )
+    _s = reach.schema()
+    id_type = _s.types[_s.names.index("src")]
+
+    def unordered(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        fwd = s < d
+        a = np.where(fwd, s, d)
+        bb = np.where(fwd, d, s)
+        return pa.table(
+            {
+                "a": pa.array(a, type=id_type),
+                "b": pa.array(bb, type=id_type),
+                "fwd": pa.array(fwd, type=pa.bool_()),
+                _B: pa.array(_bucket_ids(a, n_buckets)),
+            }
+        )
+
+    def mutual_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # distinct (a, b, fwd); pairs present with BOTH direction bits are
+        # mutual — emit peer contributions in both orders
+        g = group[["a", "b", "fwd"]].drop_duplicates()
+        counts = g.groupby(["a", "b"], sort=False)["fwd"].transform("size")
+        both = g[counts == 2].drop_duplicates(["a", "b"])
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([both["a"].to_numpy(), both["b"].to_numpy()]),
+                "peer": np.concatenate([both["b"].to_numpy(), both["a"].to_numpy()]),
+            }
+        )
+
+    contrib = (
+        reach.map_batches(unordered, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(mutual_pairs, batch_format="pandas")
+    )
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [b[src].cast(id_type).combine_chunks(), b[dst].cast(id_type).combine_chunks()]
+        )
+        return pa.table({"node": nodes, "peer": nodes})
+
+    return grouped_agg(
+        edges.map_batches(self_rows, batch_format="pyarrow").union(contrib),
+        keys=["node"],
+        aggs={"scc": ("peer", "min")},
+        n_buckets=n_buckets,
+        partial=True,
+    )

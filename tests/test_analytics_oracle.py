@@ -275,6 +275,10 @@ SUBSET = [
     "kg_spanning_forest",
     # transitive call-graph closure (path doubling vs recursive CTE)
     "kg_reachability",
+    # SCC labels via closure + mutual-pair exchange vs recursive CTE
+    "kg_scc",
+    # directed out-in degree assortativity, exact integer moments
+    "kg_assortativity",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast

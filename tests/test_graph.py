@@ -417,3 +417,49 @@ class TestSSSPWeighted:
             .to_dict()
         )
         assert out == {"a": 0, "b": 1, "d": 10}
+
+
+class TestTransitiveClosureScc:
+    def test_closure_planted_chain_and_cycle(self):
+        """Chain a→b→c plus cycle {x,y}: closure has every ≥1-length path,
+        self-pairs only inside the cycle."""
+        from bioie_llm_ray.stages.graph import transitive_closure
+
+        edges = ray.data.from_items(
+            [
+                {"src": "a", "dst": "b"},
+                {"src": "b", "dst": "c"},
+                {"src": "x", "dst": "y"},
+                {"src": "y", "dst": "x"},
+            ]
+        )
+        out = {
+            (r["src"], r["dst"])
+            for r in transitive_closure(edges, n_buckets=4).take_all()
+        }
+        assert out == {
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "x"), ("x", "x"), ("y", "y"),
+        }
+
+    def test_scc_planted_topology(self):
+        """Two cycles bridged one-way + a tail: labels = min of each
+        mutual-reach class; bridge and tail stay singletons."""
+        from bioie_llm_ray.stages.graph import strongly_connected_components
+
+        edges = ray.data.from_items(
+            [
+                {"src": 1, "dst": 2},
+                {"src": 2, "dst": 3},
+                {"src": 3, "dst": 1},
+                {"src": 10, "dst": 11},
+                {"src": 11, "dst": 10},
+                {"src": 3, "dst": 10},
+                {"src": 11, "dst": 20},
+            ]
+        )
+        out = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components(edges, n_buckets=4).take_all()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
