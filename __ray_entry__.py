@@ -766,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_spanning_forest": A.kg_spanning_forest,
         "kg_scc": A.kg_scc,
         "kg_assortativity": A.kg_assortativity,
+        "kg_condensation_levels": A.kg_condensation_levels,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1590,6 +1591,43 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mut m ON m.u = n.node
             GROUP BY n.node
             ORDER BY node
+        """,
+        # condensation DAG layering: SCC labels → distinct inter-SCC edges
+        # → longest-path level per SCC (recursive CTE from all-zero seeds)
+        "kg_condensation_levels": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            tc(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT t.src, e.dst FROM tc t JOIN e ON e.src = t.dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            mut AS (
+                SELECT a.src AS u, a.dst AS v
+                FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+                WHERE a.src <> a.dst),
+            lab AS (
+                SELECT n.node,
+                       least(n.node, coalesce(min(m.v), n.node)) AS scc
+                FROM nodes n LEFT JOIN mut m ON m.u = n.node
+                GROUP BY n.node),
+            cond AS (
+                SELECT DISTINCT la.scc AS src, lb.scc AS dst
+                FROM e JOIN lab la ON la.node = e.src
+                       JOIN lab lb ON lb.node = e.dst
+                WHERE la.scc <> lb.scc),
+            lev(node, l) AS (
+                SELECT scc, 0 FROM (SELECT DISTINCT scc FROM lab)
+                UNION
+                SELECT c.dst, lev.l + 1 FROM lev JOIN cond c ON c.src = lev.node)
+            SELECT CAST(node AS BIGINT) AS scc, CAST(max(l) AS BIGINT) AS level
+            FROM lev
+            GROUP BY node
+            ORDER BY scc
         """,
         # directed out-in degree assortativity (Newman 2002) over the same
         # modular-key digraph; all moment sums exact BIGINTs, one float

@@ -10878,3 +10878,70 @@ def kg_assortativity(sf_dir: str) -> pd.DataFrame:
     r = round(num / den, 6) if den != 0.0 else None
     return pd.DataFrame({"n_edges": pd.array([n], dtype="int64"),
                          "assortativity": pd.array([r], dtype="float64")})
+
+
+def kg_condensation_levels(sf_dir: str) -> pd.DataFrame:
+    """Topological strata of the condensation DAG: collapse the
+    modular-key digraph to its SCCs (``kg_scc`` labels), keep distinct
+    inter-SCC edges, and layer the resulting DAG by longest path from
+    any source (``stages/graph.dag_longest_levels`` — distributed max
+    relaxation, the step after cycle-collapse in any KG/dependency
+    topology analysis).  SCCs untouched by inter-SCC edges sit at level
+    0.  Label mapping broadcasts the (node, scc) table — bounded by the
+    modulus (≤ 997 rows) by construction; at open-vocabulary scale the
+    two lookups become src-/dst-keyed shuffle joins."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+    from ..stages.graph import dag_longest_levels, strongly_connected_components
+    from ..stages.join import broadcast_join
+    from ..stages.rollup import grouped_agg
+
+    nb = _nb(sf_dir, "lineitem")
+    edges = _modular_key_edges(sf_dir).materialize()
+    lab = strongly_connected_components(edges, n_buckets=nb).materialize()
+    lab_pdf = lab.to_pandas()
+    src_map = pa.table(
+        {
+            "src": pa.array(lab_pdf["node"].astype("int64"), type=pa.int64()),
+            "src_scc": pa.array(lab_pdf["scc"].astype("int64"), type=pa.int64()),
+        }
+    )
+    dst_map = src_map.rename_columns(["dst", "dst_scc"])
+    mapped = broadcast_join(
+        broadcast_join(edges, src_map, keys="src"), dst_map, keys="dst"
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["src_scc"], b["dst_scc"]))
+        return pa.table({"src": t["src_scc"], "dst": t["dst_scc"]})
+
+    cond = exact_dedup(
+        batch_local_dedup(
+            mapped.map_batches(proj, batch_format="pyarrow"), ["src", "dst"]
+        ),
+        ["src", "dst"],
+        n_buckets=nb,
+    )
+    levels = dag_longest_levels(cond, n_buckets=nb)
+    # isolated SCCs (no inter-SCC edge) sit at level 0: union distinct
+    # labels at 0 and take the grouped max
+    zero = exact_dedup(
+        lab.map_batches(
+            lambda b: pa.table({"node": b["scc"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        n_buckets=nb,
+    ).map_batches(
+        lambda b: b.append_column("level", pa.array([0] * len(b), type=pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = grouped_agg(
+        levels.union(zero),
+        keys=["node"],
+        aggs={"level": ("level", "max")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+    out = out.rename(columns={"node": "scc"})
+    out["scc"] = out["scc"].astype("int64")
+    out["level"] = out["level"].astype("int64")
+    return out.sort_values("scc").reset_index(drop=True)

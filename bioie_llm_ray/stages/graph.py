@@ -2469,3 +2469,152 @@ def strongly_connected_components(
         n_buckets=n_buckets,
         partial=True,
     )
+
+
+def dag_longest_levels(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Longest-path layering of a DAG → (node, level): sources (no
+    incoming edge) at level 0, every other node at 1 + max over its
+    predecessors — the topological strata of a condensation / dependency
+    graph (build scheduling, KG ontology depth).
+
+    Iterative max-relaxation with fully distributed state, the max twin
+    of ``_sssp_bucketed``: lev₀ ≡ 0, lev_{k+1}(v) = max(lev_k(v),
+    1 + max_{u→v} lev_k(u)).  Per round ONE src-keyed ``shuffle_join``
+    (per-bucket max combiner folded in), one grouped max, one tagged
+    per-bucket merge keeping strict improvements; converges in
+    depth(DAG) rounds and raises after ``max_rounds`` — a cycle never
+    converges, so feed condensation output, not raw edges.
+    """
+    from .dedup import exact_dedup
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b[src], "v": b[dst]})
+
+    e = (
+        edges.map_batches(project, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    _s = e.schema()
+    id_type = _s.types[_s.names.index("u")]
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )
+            }
+        )
+
+    lev = (
+        exact_dedup(
+            e.map_batches(both_ends, batch_format="pyarrow"),
+            ["node"],
+            n_buckets=n_buckets,
+        )
+        .map_batches(
+            lambda b: b.append_column(
+                "level", pa.array([0] * len(b), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(n_buckets)
+        .materialize()
+    )
+    changed = lev
+
+    for _ in range(max_rounds):
+        if changed.count() == 0:
+            return lev
+
+        def relax_post(joined: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "node": joined["v"],
+                    "l": pc.add(joined["lu"], 1),
+                }
+            )
+            g = t.group_by(["node"]).aggregate([("l", "max")])
+            return g.rename_columns(["node", "l"])
+
+        cand = grouped_agg(
+            shuffle_join(
+                e,
+                changed.map_batches(
+                    lambda b: b.rename_columns(["u", "lu"]),
+                    batch_format="pyarrow",
+                ),
+                keys="u",
+                n_buckets=n_buckets,
+                left_schema={"u": id_type, "v": id_type},
+                right_schema={"u": id_type, "lu": pa.int64()},
+                bucket_post=relax_post,
+            ),
+            keys=["node"],
+            aggs={"l": ("l", "max")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
+
+        def tag(is_cand: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                nodes = batch["node"]
+                lv = batch["l" if is_cand else "level"]
+                return pa.table(
+                    {
+                        "node": nodes,
+                        "level": pc.cast(lv, pa.int64()),
+                        "__cand": pa.array(
+                            [is_cand] * len(batch), type=pa.bool_()
+                        ),
+                        _B: pa.array(
+                            _bucket_ids(
+                                nodes.to_numpy(zero_copy_only=False),
+                                n_buckets,
+                            )
+                        ),
+                    }
+                )
+
+            return fn
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            old = group[~group["__cand"]].set_index("node")["level"]
+            cnd = group[group["__cand"]].set_index("node")["level"]
+            improved = cnd[cnd > old.reindex(cnd.index).fillna(-1)]
+            merged = pd.concat(
+                [old[~old.index.isin(improved.index)], improved]
+            )
+            out = merged.reset_index()
+            out.columns = ["node", "level"]
+            out["__improved"] = out["node"].isin(improved.index)
+            return out
+
+        merged = (
+            lev.map_batches(tag(False), batch_format="pyarrow")
+            .union(cand.map_batches(tag(True), batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(merge, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        lev = merged.map_batches(
+            lambda b: b.select(["node", "level"]), batch_format="pyarrow"
+        ).materialize()
+        changed = merged.map_batches(
+            lambda b: b.filter(b["__improved"]).select(["node", "level"]),
+            batch_format="pyarrow",
+        ).materialize()
+    raise RuntimeError(
+        f"dag_longest_levels did not converge in {max_rounds} rounds "
+        "(cyclic input? run on condensation output)"
+    )

@@ -279,6 +279,8 @@ SUBSET = [
     "kg_scc",
     # directed out-in degree assortativity, exact integer moments
     "kg_assortativity",
+    # condensation DAG longest-path strata vs recursive-CTE levels
+    "kg_condensation_levels",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast

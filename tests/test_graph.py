@@ -463,3 +463,34 @@ class TestTransitiveClosureScc:
             for r in strongly_connected_components(edges, n_buckets=4).take_all()
         }
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+class TestDagLongestLevels:
+    def test_planted_diamond_with_tail(self):
+        """a→b→d, a→c→d, d→e: levels are longest paths (d at 2, e at 3)."""
+        from bioie_llm_ray.stages.graph import dag_longest_levels
+
+        edges = ray.data.from_items(
+            [
+                {"src": "a", "dst": "b"},
+                {"src": "a", "dst": "c"},
+                {"src": "b", "dst": "d"},
+                {"src": "c", "dst": "d"},
+                {"src": "d", "dst": "e"},
+            ]
+        )
+        out = {
+            r["node"]: r["level"]
+            for r in dag_longest_levels(edges, n_buckets=4).take_all()
+        }
+        assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+    def test_cycle_raises(self):
+        from bioie_llm_ray.stages.graph import dag_longest_levels
+        import pytest
+
+        edges = ray.data.from_items(
+            [{"src": "x", "dst": "y"}, {"src": "y", "dst": "x"}]
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            dag_longest_levels(edges, n_buckets=2, max_rounds=6)
