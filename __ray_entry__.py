@@ -767,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": A.kg_scc,
         "kg_assortativity": A.kg_assortativity,
         "kg_condensation_levels": A.kg_condensation_levels,
+        "kg_wl_colors": A.kg_wl_colors,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1591,6 +1592,40 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mut m ON m.u = n.node
             GROUP BY n.node
             ORDER BY node
+        """,
+        # Weisfeiler-Leman color refinement: degree init, two rounds of
+        # md5-u64(own || '|' || lexicographically-ordered neighbor colors)
+        "kg_wl_colors": """
+            WITH e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            und AS (
+                SELECT src AS u, dst AS v FROM e
+                UNION
+                SELECT dst, src FROM e),
+            c0 AS (
+                SELECT v AS node, count(*)::VARCHAR AS color
+                FROM und GROUP BY v),
+            c1 AS (
+                SELECT n.node,
+                       (('0x' || substr(md5(n.color || '|' || ns.s), 1, 16))::UBIGINT)::VARCHAR AS color
+                FROM c0 n JOIN (
+                    SELECT und.v AS node,
+                           string_agg(c.color, ',' ORDER BY c.color) AS s
+                    FROM und JOIN c0 c ON c.node = und.u
+                    GROUP BY und.v) ns ON ns.node = n.node),
+            c2 AS (
+                SELECT n.node,
+                       (('0x' || substr(md5(n.color || '|' || ns.s), 1, 16))::UBIGINT)::VARCHAR AS color
+                FROM c1 n JOIN (
+                    SELECT und.v AS node,
+                           string_agg(c.color, ',' ORDER BY c.color) AS s
+                    FROM und JOIN c1 c ON c.node = und.u
+                    GROUP BY und.v) ns ON ns.node = n.node)
+            SELECT node, color FROM c2 ORDER BY node
         """,
         # condensation DAG layering: SCC labels → distinct inter-SCC edges
         # → longest-path level per SCC (recursive CTE from all-zero seeds)

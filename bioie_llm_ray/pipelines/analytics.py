@@ -10945,3 +10945,19 @@ def kg_condensation_levels(sf_dir: str) -> pd.DataFrame:
     out["scc"] = out["scc"].astype("int64")
     out["level"] = out["level"].astype("int64")
     return out.sort_values("scc").reset_index(drop=True)
+
+
+def kg_wl_colors(sf_dir: str) -> pd.DataFrame:
+    """Weisfeiler–Leman structural fingerprints (2 refinement rounds)
+    over the symmetrized modular-key graph — nodes sharing a color are
+    structurally indistinguishable at radius 2 (role discovery /
+    isomorphism screening).  ``stages/graph.wl_colors``; the SQL oracle
+    replays the identical chain: degree init, then per round
+    ``md5_u64(own || '|' || string_agg(neighbor ORDER BY neighbor))``."""
+    from ..stages.graph import wl_colors
+
+    out = wl_colors(
+        _modular_key_edges(sf_dir), n_rounds=2, n_buckets=_nb(sf_dir, "lineitem")
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -2618,3 +2618,144 @@ def dag_longest_levels(
         f"dag_longest_levels did not converge in {max_rounds} rounds "
         "(cyclic input? run on condensation output)"
     )
+
+
+def wl_colors(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 2,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Weisfeiler–Leman color refinement → (node, color): the structural
+    fingerprint behind graph-isomorphism screening and structural-role
+    discovery (Shervashidze et al., JMLR 2011).  The graph is
+    symmetrized and deduped; color₀ = distinct-neighbor degree as a
+    decimal string; each round rewrites every node's color to
+    ``md5_u64(own || '|' || ','.join(sorted(neighbor colors)))`` with
+    LEXICOGRAPHIC neighbor order, so the whole chain replays in SQL as
+    ``string_agg(... ORDER BY color)`` + the repo's md5-u64 expression.
+
+    Fully distributed state: per round one src-keyed ``shuffle_join``
+    ships colors onto edges, then one node-keyed bucket pass merges each
+    node's own color with its sorted neighbor-color list (the per-group
+    sort is the operator's cost — Θ(deg) per node, hub buckets spread by
+    node hash).  Fixed ``n_rounds`` keeps the output a pure function of
+    topology."""
+    from .dedup import batch_local_dedup, exact_dedup
+    from .join import shuffle_join
+    from .rollup import grouped_agg
+    from ..functions.hashing import stable_hash_u64
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = b[src].cast(pa.string()).combine_chunks()
+        v = b[dst].cast(pa.string()).combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
+            }
+        )
+
+    und = (
+        exact_dedup(
+            batch_local_dedup(
+                edges.map_batches(sym, batch_format="pyarrow"), ["u", "v"]
+            ),
+            ["u", "v"],
+            n_buckets=n_buckets,
+        )
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    colors = grouped_agg(
+        und.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["v"],
+                    "one": pa.array([1] * len(b), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"d": ("one", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "color": pc.cast(b["d"], pa.string())}
+        ),
+        batch_format="pyarrow",
+    ).repartition(n_buckets).materialize()
+
+    for _ in range(n_rounds):
+        neigh = shuffle_join(
+            und,
+            colors.map_batches(
+                lambda b: b.rename_columns(["u", "ncolor"]),
+                batch_format="pyarrow",
+            ),
+            keys="u",
+            n_buckets=n_buckets,
+            left_schema={"u": pa.string(), "v": pa.string()},
+            right_schema={"u": pa.string(), "ncolor": pa.string()},
+            # neighbor colors keyed by the receiving node
+            bucket_post=lambda j: pa.table(
+                {"node": j["v"], "ncolor": j["ncolor"]}
+            ),
+        )
+
+        def tag_own(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "c": b["color"],
+                    "__own": pa.array([True] * len(b), type=pa.bool_()),
+                    _B: pa.array(
+                        _bucket_ids(
+                            b["node"].to_numpy(zero_copy_only=False), n_buckets
+                        )
+                    ),
+                }
+            )
+
+        def tag_neigh(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "c": b["ncolor"],
+                    "__own": pa.array([False] * len(b), type=pa.bool_()),
+                    _B: pa.array(
+                        _bucket_ids(
+                            b["node"].to_numpy(zero_copy_only=False), n_buckets
+                        )
+                    ),
+                }
+            )
+
+        def refine(group: pd.DataFrame) -> pd.DataFrame:
+            own = group[group["__own"]].set_index("node")["c"]
+            ng = group[~group["__own"]].sort_values(
+                ["node", "c"], kind="mergesort"
+            )
+            agg = ng.groupby("node", sort=False)["c"].agg(",".join)
+            composed = (own + "|" + agg.reindex(own.index)).to_numpy()
+            new = stable_hash_u64(list(composed))
+            return pd.DataFrame(
+                {
+                    "node": own.index.to_numpy(),
+                    "color": [str(int(x)) for x in new],
+                }
+            )
+
+        colors = (
+            colors.map_batches(tag_own, batch_format="pyarrow")
+            .union(neigh.map_batches(tag_neigh, batch_format="pyarrow"))
+            .groupby(_B)
+            .map_groups(refine, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+    return colors

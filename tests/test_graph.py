@@ -494,3 +494,23 @@ class TestDagLongestLevels:
         )
         with pytest.raises(RuntimeError, match="converge"):
             dag_longest_levels(edges, n_buckets=2, max_rounds=6)
+
+
+class TestWlColors:
+    def test_path_vs_star_distinguished(self):
+        """P4 path ends vs middles get different colors; star center differs
+        from leaves; all four leaves of the star share a color."""
+        from bioie_llm_ray.stages.graph import wl_colors
+
+        path = ray.data.from_items(
+            [{"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
+             {"src": "c", "dst": "d"}]
+        )
+        star = ray.data.from_items(
+            [{"src": "hub", "dst": f"leaf{i}"} for i in range(4)]
+        )
+        p = {r["node"]: r["color"] for r in wl_colors(path, n_buckets=2).take_all()}
+        s = {r["node"]: r["color"] for r in wl_colors(star, n_buckets=2).take_all()}
+        assert p["a"] == p["d"] and p["b"] == p["c"] and p["a"] != p["b"]
+        leaves = {s[f"leaf{i}"] for i in range(4)}
+        assert len(leaves) == 1 and s["hub"] not in leaves
