@@ -525,6 +525,12 @@ def _kg_reachability(sf_dir: str):
     return C.fn_reachability_query(_code_fixture_path())
 
 
+def _kg_metapath_counts(sf_dir: str):
+    from bioie_llm_ray.pipelines import code as C
+
+    return C.metapath_counts_query(_code_fixture_path())
+
+
 def _code_call_triples(sf_dir: str):
     from bioie_llm_ray.pipelines import code as C
 
@@ -823,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_license_scan": _code_license_scan,
         "code_call_triples": _code_call_triples,
         "kg_reachability": _kg_reachability,
+        "kg_metapath_counts": _kg_metapath_counts,
         "code_fork_pairs": _code_fork_pairs,
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
@@ -2045,6 +2052,43 @@ def oracle_sql() -> dict[str, str]:
             FROM calls c JOIN defs d USING (fn)
             GROUP BY 1, 2, 3
             ORDER BY subj, obj
+        """,
+        # metapath (predicate-bigram) profile: distinct imports/defines/
+        # calls triples from latest-snapshot .py files, self-joined on the
+        # shared mid entity, counted per ordered predicate pair
+        "kg_metapath_counts": f"""
+            WITH snap AS (
+                SELECT repo, path, arg_max(content, commit_ts) AS content
+                FROM read_parquet('{code_pq}')
+                GROUP BY repo, path),
+            base AS (
+                SELECT regexp_extract(path, '([^/]+)\\.[A-Za-z0-9]+$', 1)
+                           AS stem,
+                       content
+                FROM snap
+                WHERE regexp_extract(path,
+                           '([^/]+)\\.[A-Za-z0-9]+$', 1) <> ''),
+            t AS (
+                SELECT DISTINCT stem AS subj, 'imports' AS pred,
+                       unnest(regexp_extract_all(content,
+                           'import ([A-Za-z_][A-Za-z0-9_]*)', 1)) AS obj
+                FROM base
+                UNION
+                SELECT DISTINCT stem, 'defines',
+                       unnest(regexp_extract_all(content,
+                           'def (fn_\\d+)\\(', 1))
+                FROM base
+                UNION
+                SELECT DISTINCT regexp_extract(content,
+                           'def (fn_\\d+)\\(', 1), 'calls',
+                       unnest(regexp_extract_all(content,
+                           '= (fn_\\d+)\\(\\)', 1))
+                FROM base
+                WHERE regexp_extract(content, 'def (fn_\\d+)\\(', 1) <> '')
+            SELECT a.pred AS p1, b.pred AS p2, count(*)::BIGINT AS n_paths
+            FROM t a JOIN t b ON a.obj = b.subj
+            GROUP BY 1, 2
+            ORDER BY p1, p2
         """,
         # recursive-CTE walk of the same fn-level call edges; the Ray side
         # computes the identical closure by path doubling (log-round joins)

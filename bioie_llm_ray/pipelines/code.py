@@ -1327,3 +1327,112 @@ def fn_reachability_query(code_parquet: str) -> pd.DataFrame:
         code_parquet, columns=["repo", "path", "commit_ts", "content"]
     )
     return fn_reachability(ds, n_buckets=_nbf(code_parquet, 8))
+
+
+_STEM_RE = re.compile(r"([^/]+)\.[A-Za-z0-9]+$")
+_MODULE_RE = re.compile(r"import ([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def metapath_counts(
+    ds: ray.data.Dataset, n_buckets: int = 16
+) -> pd.DataFrame:
+    """Metapath (predicate-bigram) profile of the heterogeneous code KG:
+    for every ordered predicate pair (p1, p2), the number of length-2
+    paths t1.obj = t2.subj — the schema-mining signal that tells an
+    ontology builder which relation compositions actually occur
+    (defines∘calls = "file reaches function", calls∘calls = call chains).
+
+    Triples are the union of three relations per latest-snapshot file
+    (any extension — the fn graph spans languages): stem -imports->
+    module, stem -defines-> fn (all defs), first def -calls-> fn (same
+    convention as ``fn_reachability``).  Distinct
+    triples, then ONE mid-entity-keyed ``shuffle_join`` with the (p1,
+    p2) count combiner folded into the join bucket, then a
+    |predicates|²-row groupby — path volume never leaves the bucket."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+    from ..stages.join import shuffle_join
+    from ..stages.rollup import grouped_agg
+
+    snap = latest_snapshot(
+        ds.select_columns(["repo", "path", "commit_ts", "content"]),
+        n_buckets=n_buckets,
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        subj, pred, obj = [], [], []
+        paths = batch["path"].to_pylist()
+        contents = batch["content"].to_pylist()
+        for p, content in zip(paths, contents):
+            m = _STEM_RE.search(p)
+            if m is None:
+                continue
+            stem = m.group(1)
+            for mod in _MODULE_RE.findall(content):
+                subj.append(stem)
+                pred.append("imports")
+                obj.append(mod)
+            for fn in _DEF_RE.findall(content):
+                subj.append(stem)
+                pred.append("defines")
+                obj.append(fn)
+            first = _DEF_RE.search(content)
+            if first is not None:
+                for callee in _CALL_RE.findall(content):
+                    subj.append(first.group(1))
+                    pred.append("calls")
+                    obj.append(callee)
+        return pa.table(
+            {
+                "subj": pa.array(subj, type=pa.string()),
+                "pred": pa.array(pred, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+            }
+        )
+
+    t = exact_dedup(
+        batch_local_dedup(
+            snap.map_batches(triples, batch_format="pyarrow"),
+            ["subj", "pred", "obj"],
+        ),
+        ["subj", "pred", "obj"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def pair_post(j: pa.Table) -> pa.Table:
+        t2 = j.select(["p1", "p2"]).append_column(
+            "one", pa.array([1] * len(j), type=pa.int64())
+        )
+        g = t2.group_by(["p1", "p2"]).aggregate([("one", "sum")])
+        return pa.table({"p1": g["p1"], "p2": g["p2"], "n": g["one_sum"]})
+
+    joined = shuffle_join(
+        t.map_batches(
+            lambda b: pa.table({"mid": b["obj"], "p1": b["pred"]}),
+            batch_format="pyarrow",
+        ),
+        t.map_batches(
+            lambda b: pa.table({"mid": b["subj"], "p2": b["pred"]}),
+            batch_format="pyarrow",
+        ),
+        keys="mid",
+        n_buckets=n_buckets,
+        left_schema={"mid": pa.string(), "p1": pa.string()},
+        right_schema={"mid": pa.string(), "p2": pa.string()},
+        bucket_post=pair_post,
+    )
+    out = grouped_agg(
+        joined,
+        keys=["p1", "p2"],
+        aggs={"n_paths": ("n", "sum")},
+        n_buckets=4,
+        partial=True,
+    ).to_pandas()
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(["p1", "p2"]).reset_index(drop=True)
+
+
+def metapath_counts_query(code_parquet: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        code_parquet, columns=["repo", "path", "commit_ts", "content"]
+    )
+    return metapath_counts(ds, n_buckets=_nbf(code_parquet, 8))

@@ -283,6 +283,8 @@ SUBSET = [
     "kg_condensation_levels",
     # Weisfeiler-Leman round-2 colors vs the chained md5/string_agg CTEs
     "kg_wl_colors",
+    # metapath (predicate-bigram) profile of the heterogeneous code KG
+    "kg_metapath_counts",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
