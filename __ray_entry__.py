@@ -774,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": A.kg_assortativity,
         "kg_condensation_levels": A.kg_condensation_levels,
         "kg_wl_colors": A.kg_wl_colors,
+        "part_price_band_pairs": A.part_price_band_pairs,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1599,6 +1600,19 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mut m ON m.u = n.node
             GROUP BY n.node
             ORDER BY node
+        """,
+        # numeric band self-join on exact integer cents (no equi key)
+        "part_price_band_pairs": """
+            WITH c AS (
+                SELECT p_partkey,
+                       round_even(p_retailprice * 100, 0)::BIGINT AS cents
+                FROM part)
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   abs(a.cents - b.cents) AS diff_cents
+            FROM c a JOIN c b
+              ON a.p_partkey < b.p_partkey
+             AND abs(a.cents - b.cents) <= 10
+            ORDER BY id_a, id_b
         """,
         # Weisfeiler-Leman color refinement: degree init, two rounds of
         # md5-u64(own || '|' || lexicographically-ordered neighbor colors)

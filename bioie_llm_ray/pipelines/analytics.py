@@ -10961,3 +10961,38 @@ def kg_wl_colors(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def part_price_band_pairs(sf_dir: str, width_cents: int = 10) -> pd.DataFrame:
+    """Price-collision audit: every unordered part pair whose retail
+    prices differ by ≤ ``width_cents`` — a numeric band self-join with
+    NO equi key (``stages/join.band_self_pairs``: cell partitioning,
+    adjacent-cell replication, exactly-once ownership, one vectorized
+    searchsorted per cell).  Prices become exact int64 cents first, so
+    the band predicate is integer on both engines."""
+    from ..stages.join import band_self_pairs
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    out = band_self_pairs(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        id_col="p_partkey",
+        value_col="cents",
+        width=width_cents,
+        n_buckets=_nb(sf_dir, "part"),
+    ).to_pandas()
+    out = out.rename(columns={"diff": "diff_cents"})
+    for c in ("id_a", "id_b", "diff_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

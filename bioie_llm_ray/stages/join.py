@@ -857,3 +857,107 @@ def auto_join(
         ),
         "shuffle",
     )
+
+
+def band_self_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    value_col: str,
+    width: int,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Numeric band self-join: every unordered pair of rows with
+    ``|v_a − v_b| ≤ width`` over an INTEGER value column → (id_a, id_b,
+    diff) with ``id_a < id_b`` — the numeric sibling of the text
+    similarity joins (price-collision audits, near-identical metric
+    detection), with no equi key for ``interval_join`` to lean on.
+
+    Cell partitioning keeps it one exchange with zero misses and zero
+    duplicates: cell = v // width, every row replicates to cells (c,
+    c + 1); any qualifying pair spans at most adjacent cells, so it
+    co-occurs in exactly the cell ``max(c_a, c_b)`` — the per-cell pass
+    emits a pair iff that cell is the one being processed.  Within a
+    cell the candidates are found by ONE vectorized ``searchsorted``
+    over the sorted values (no per-row Python); cells hash across
+    ``n_buckets`` groups.
+
+    Scale: the output is Θ(#qualifying pairs) — inherent to the
+    predicate, same caveat as every similarity join; pick ``width`` so
+    the densest cell fits one task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cell = v // width
+        out_ids = np.concatenate([ids, ids])
+        out_v = np.concatenate([v, v])
+        out_oc = np.concatenate([cell, cell])
+        out_cell = np.concatenate([cell, cell + 1])
+        return pa.table(
+            {
+                "id": pa.array(out_ids),
+                "v": pa.array(out_v, type=pa.int64()),
+                "oc": pa.array(out_oc, type=pa.int64()),
+                "cell": pa.array(out_cell, type=pa.int64()),
+                _BUCKET: pa.array(
+                    (out_cell % np.int64(n_buckets) + n_buckets)
+                    % np.int64(n_buckets)
+                ),
+            }
+        )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell_id, g in group.groupby("cell", sort=False):
+            g = g.sort_values("v", kind="mergesort")
+            v = g["v"].to_numpy()
+            ids = g["id"].to_numpy()
+            oc = g["oc"].to_numpy()
+            n = len(g)
+            if n < 2:
+                continue
+            hi = np.searchsorted(v, v + width, side="right")
+            starts = np.arange(n) + 1
+            counts = np.maximum(hi - starts, 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            offsets = np.cumsum(counts) - counts
+            ii = np.repeat(np.arange(n), counts)
+            jj = np.arange(total) - np.repeat(offsets, counts) + np.repeat(
+                starts, counts
+            )
+            # exactly-once rule: this cell owns the pair iff it is
+            # max(original cells)
+            keep = np.maximum(oc[ii], oc[jj]) == cell_id
+            ii, jj = ii[keep], jj[keep]
+            a, b = ids[ii], ids[jj]
+            lo = np.minimum(a, b)
+            hi_id = np.maximum(a, b)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": lo,
+                        "id_b": hi_id,
+                        "diff": np.abs(v[ii] - v[jj]),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "diff": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )

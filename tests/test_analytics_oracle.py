@@ -285,6 +285,8 @@ SUBSET = [
     "kg_wl_colors",
     # metapath (predicate-bigram) profile of the heterogeneous code KG
     "kg_metapath_counts",
+    # keyless numeric band self-join on exact cents (cell ownership rule)
+    "part_price_band_pairs",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
