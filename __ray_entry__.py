@@ -775,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_condensation_levels": A.kg_condensation_levels,
         "kg_wl_colors": A.kg_wl_colors,
         "part_price_band_pairs": A.part_price_band_pairs,
+        "kg_bowtie_regions": A.kg_bowtie_regions,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1599,6 +1600,46 @@ def oracle_sql() -> dict[str, str]:
                        AS scc
             FROM nodes n LEFT JOIN mut m ON m.u = n.node
             GROUP BY n.node
+            ORDER BY node
+        """,
+        # bow-tie decomposition: core = largest SCC (ties: min label);
+        # in/out via single-node closure probes against the core label
+        "kg_bowtie_regions": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            tc(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT t.src, e.dst FROM tc t JOIN e ON e.src = t.dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            mut AS (
+                SELECT a.src AS u, a.dst AS v
+                FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+                WHERE a.src <> a.dst),
+            lab AS (
+                SELECT n.node,
+                       least(n.node, coalesce(min(m.v), n.node)) AS scc
+                FROM nodes n LEFT JOIN mut m ON m.u = n.node
+                GROUP BY n.node),
+            core AS (
+                SELECT scc FROM lab GROUP BY scc
+                ORDER BY count(*) DESC, scc LIMIT 1)
+            SELECT l.node,
+                   CASE WHEN l.scc = (SELECT scc FROM core) THEN 'core'
+                        WHEN EXISTS (SELECT 1 FROM tc
+                                     WHERE tc.src = l.node
+                                       AND tc.dst = (SELECT scc FROM core))
+                            THEN 'in'
+                        WHEN EXISTS (SELECT 1 FROM tc
+                                     WHERE tc.dst = l.node
+                                       AND tc.src = (SELECT scc FROM core))
+                            THEN 'out'
+                        ELSE 'other' END AS region
+            FROM lab l
             ORDER BY node
         """,
         # numeric band self-join on exact integer cents (no equi key)

@@ -10996,3 +10996,116 @@ def part_price_band_pairs(sf_dir: str, width_cents: int = 10) -> pd.DataFrame:
     for c in ("id_a", "id_b", "diff_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def kg_bowtie_regions(sf_dir: str) -> pd.DataFrame:
+    """Bow-tie decomposition (Broder et al., WWW 2000) of the modular-key
+    digraph: every node classified as 'core' (member of the largest SCC),
+    'in' (reaches the core), 'out' (reachable from it), or 'other' —
+    the canonical structure report for any crawled/linked corpus.
+
+    Because the core is an SCC, reaching ANY member ⇔ reaching its label
+    node, so the in/out tests are single-node probes of the transitive
+    closure — no set semi-joins.  The closure (path doubling) is computed
+    once and shared with the SCC labeling; region assignment is one
+    node-keyed bucket merge of three tagged streams.  The SCC-size table
+    folded on the driver is |SCC|-rows, bounded by the modulus here (at
+    open-vocabulary scale, swap the argmax for a packed-int64
+    ``argmax_dedup``)."""
+    from ..stages.graph import strongly_connected_components, transitive_closure
+    from ..stages.rollup import grouped_agg
+
+    nb = _nb(sf_dir, "lineitem")
+    edges = _modular_key_edges(sf_dir).materialize()
+    reach = transitive_closure(edges, n_buckets=nb).materialize()
+    lab = strongly_connected_components(
+        edges, n_buckets=nb, closure=reach
+    ).materialize()
+
+    sizes = grouped_agg(
+        lab.map_batches(
+            lambda b: pa.table(
+                {
+                    "scc": b["scc"],
+                    "one": pa.array([1] * len(b), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["scc"],
+        aggs={"c": ("one", "sum")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+    sizes = sizes.sort_values(["c", "scc"], ascending=[False, True])
+    core_rep = int(sizes.iloc[0]["scc"])
+
+    def tag_lab(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "scc": pc.cast(b["scc"], pa.int64()),
+                "flag": pa.array(["lab"] * len(b), type=pa.string()),
+            }
+        )
+
+    def tag_in(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["dst"], core_rep))
+        return pa.table(
+            {
+                "node": t["src"],
+                "scc": pa.nulls(len(t), pa.int64()),
+                "flag": pa.array(["in"] * len(t), type=pa.string()),
+            }
+        )
+
+    def tag_out(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["src"], core_rep))
+        return pa.table(
+            {
+                "node": t["dst"],
+                "scc": pa.nulls(len(t), pa.int64()),
+                "flag": pa.array(["out"] * len(t), type=pa.string()),
+            }
+        )
+
+    tagged = (
+        lab.map_batches(tag_lab, batch_format="pyarrow")
+        .union(reach.map_batches(tag_in, batch_format="pyarrow"))
+        .union(reach.map_batches(tag_out, batch_format="pyarrow"))
+    )
+
+    from ..functions.hashing import hash_bucket_ints
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_bucket_ints(
+            b["node"].to_numpy(zero_copy_only=False).astype(np.int64), nb
+        )
+        return b.append_column("__b", pa.array(ids))
+
+    def assign(group: pd.DataFrame, _core=core_rep) -> pd.DataFrame:
+        lab_rows = group[group["flag"] == "lab"].set_index("node")["scc"]
+        has_in = set(group.loc[group["flag"] == "in", "node"].tolist())
+        has_out = set(group.loc[group["flag"] == "out", "node"].tolist())
+        nodes = lab_rows.index.to_numpy()
+        scc = lab_rows.to_numpy()
+        nodes_s = pd.Series(nodes)
+        region = np.where(
+            scc == _core,
+            "core",
+            np.where(
+                nodes_s.isin(has_in).to_numpy(),
+                "in",
+                np.where(nodes_s.isin(has_out).to_numpy(), "out", "other"),
+            ),
+        )
+        return pd.DataFrame({"node": nodes, "region": region})
+
+    out = (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -2391,6 +2391,7 @@ def strongly_connected_components(
     dst: str = "dst",
     n_buckets: int = 16,
     max_rounds: int = 20,
+    closure: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """SCC labels over a directed edge Dataset → (node, scc) with
     ``scc`` = the minimum node id of the mutual-reachability class
@@ -2414,8 +2415,14 @@ def strongly_connected_components(
     """
     from .rollup import grouped_agg
 
-    reach = transitive_closure(
-        edges, src=src, dst=dst, n_buckets=n_buckets, max_rounds=max_rounds
+    # callers that also need the closure (e.g. bow-tie regions) pass it in
+    # to pay the doubling rounds once
+    reach = (
+        closure
+        if closure is not None
+        else transitive_closure(
+            edges, src=src, dst=dst, n_buckets=n_buckets, max_rounds=max_rounds
+        )
     )
     _s = reach.schema()
     id_type = _s.types[_s.names.index("src")]

@@ -287,6 +287,8 @@ SUBSET = [
     "kg_metapath_counts",
     # keyless numeric band self-join on exact cents (cell ownership rule)
     "part_price_band_pairs",
+    # bow-tie core/in/out/other regions via single-node closure probes
+    "kg_bowtie_regions",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
