@@ -776,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wl_colors": A.kg_wl_colors,
         "part_price_band_pairs": A.part_price_band_pairs,
         "kg_bowtie_regions": A.kg_bowtie_regions,
+        "kg_ktruss": A.kg_ktruss,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1602,6 +1603,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.node
             ORDER BY node
         """,
+        # 4-truss: synchronous peeling unrolled (unique fixpoint — extra
+        # rounds are no-ops on both engines)
+        "kg_ktruss": O.ktruss_sql(),
         # bow-tie decomposition: core = largest SCC (ties: min label);
         # in/out via single-node closure probes against the core label
         "kg_bowtie_regions": """

@@ -1851,3 +1851,44 @@ l0 AS MATERIALIZED (
 SELECT vec_id, lab AS label, (vec_id % {seed_mod} = 0) AS is_seed
 FROM l{n_rounds} ORDER BY vec_id
 """
+
+
+def ktruss_sql(
+    modulus: int = 97, qty_le: int = 5, k: int = 4, n_rounds: int = 10
+) -> str:
+    """DuckDB oracle for analytics.kg_ktruss: synchronous truss peeling
+    unrolled as ``n_rounds`` chained CTE blocks (triangles from canonical
+    edges, 3 support contributions each, filter at k−2).  The truss
+    fixpoint is unique and peeling is monotone, so any ``n_rounds`` ≥ the
+    convergence depth yields the fixpoint — extra rounds are no-ops."""
+    rounds = []
+    prev = "e0"
+    for i in range(1, n_rounds + 1):
+        cur = f"e{i}"
+        rounds.append(
+            f"""tr{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS m, e2.v AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT a AS u, m AS v FROM tr{i}
+    UNION ALL SELECT m, c FROM tr{i}
+    UNION ALL SELECT a, c FROM tr{i})
+  GROUP BY u, v),
+{cur} AS MATERIALIZED (
+  SELECT p.u, p.v FROM {prev} p JOIN sup{i} s ON s.u = p.u AND s.v = p.v
+  WHERE s.s >= {k - 2})"""
+        )
+        prev = cur
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT least(l_orderkey % {modulus}, l_partkey % {modulus}) AS u,
+           greatest(l_orderkey % {modulus}, l_partkey % {modulus}) AS v
+    FROM lineitem
+    WHERE l_quantity <= {qty_le}
+      AND (l_orderkey % {modulus}) <> (l_partkey % {modulus})),
+{chain}
+SELECT u, v FROM {prev} ORDER BY u, v
+"""

@@ -10753,7 +10753,9 @@ def excess_quantity_suppliers(
 # ------------------------------------------------------------------ kg_scc
 
 
-def _modular_key_edges(sf_dir: str, modulus: int = 997) -> ray.data.Dataset:
+def _modular_key_edges(
+    sf_dir: str, modulus: int = 997, qty_le: "float | None" = None
+) -> ray.data.Dataset:
     """Deterministic directed test graph from lineitem keys: one edge
     (l_orderkey % modulus) → (l_partkey % modulus) per quantity-1 row,
     self-loops dropped, exact-deduped.  ~1/50 of rows over a ~1000-node
@@ -10767,7 +10769,10 @@ def _modular_key_edges(sf_dir: str, modulus: int = 997) -> ray.data.Dataset:
     )
 
     def edges(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b["l_quantity"], 1.0))
+        if qty_le is None:
+            t = b.filter(pc.equal(b["l_quantity"], 1.0))
+        else:
+            t = b.filter(pc.less_equal(b["l_quantity"], qty_le))
         s = t["l_orderkey"].to_numpy(zero_copy_only=False) % modulus
         d = t["l_partkey"].to_numpy(zero_copy_only=False) % modulus
         keep = s != d
@@ -11109,3 +11114,23 @@ def kg_bowtie_regions(sf_dir: str) -> pd.DataFrame:
     )
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """4-truss backbone of a denser modular-key graph (modulus 97,
+    quantity ≤ 5): the maximal subgraph where every edge closes ≥ 2
+    triangles — the cohesion core used for KG community backbones,
+    strictly stronger than k-core (``stages/graph.k_truss``: synchronous
+    peeling, two-exchange wedge-close support per round).  The truss
+    fixpoint is unique, so the SQL oracle unrolls 10 peel rounds —
+    converged rounds are no-ops on both engines."""
+    from ..stages.graph import k_truss
+
+    out = k_truss(
+        _modular_key_edges(sf_dir, modulus=97, qty_le=5.0),
+        k=k,
+        n_buckets=_nb(sf_dir, "lineitem"),
+    ).to_pandas()
+    out["u"] = out["u"].astype("int64")
+    out["v"] = out["v"].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -2766,3 +2766,128 @@ def wl_colors(
             .materialize()
         )
     return colors
+
+
+def k_truss(
+    edges: ray.data.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+    max_rounds: int = 24,
+) -> ray.data.Dataset:
+    """k-truss of an undirected graph → the surviving canonical edge set
+    (u < v): the maximal subgraph where every edge closes ≥ k−2
+    triangles (Cohen 2008) — a stronger cohesion core than k-core,
+    standard for KG community backbones.
+
+    Synchronous peeling with all-distributed state: per round the
+    two-exchange wedge-close plan of ``kg_triangles`` (edges ⋈ edges on
+    the middle vertex, multi-key semi join closes each wedge) computes
+    per-edge support — every triangle (a < m < c) contributes to its
+    three edges via a per-batch combiner + one grouped sum — then edges
+    below k−2 drop.  The edge set shrinks monotonically and the truss
+    fixpoint is UNIQUE (independent of peel order), so a SQL oracle can
+    unroll any round count ≥ the convergence depth: converged rounds are
+    no-ops on both engines.  Convergence test is one row count."""
+    from .dedup import batch_local_dedup, exact_dedup
+    from .join import shuffle_join, shuffle_semi_join
+    from .rollup import grouped_agg
+
+    if k < 3:
+        # k <= 2 truss is the whole graph; the support-table filter below
+        # would wrongly drop triangle-free edges at thresh <= 0
+        raise ValueError("k_truss requires k >= 3")
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False)
+        v = b[dst].to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    e = (
+        exact_dedup(
+            batch_local_dedup(
+                edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+            ),
+            ["u", "v"],
+            n_buckets=n_buckets,
+        )
+        .repartition(n_buckets)
+        .materialize()
+    )
+    n = e.count()
+    if n == 0:
+        return e
+    _s = e.schema()
+    id_type = _s.types[_s.names.index("u")]
+    thresh = k - 2
+
+    for _ in range(max_rounds):
+        wedges = shuffle_join(
+            e.map_batches(
+                lambda b: pa.table({"a": b["u"], "mid": b["v"]}),
+                batch_format="pyarrow",
+            ),
+            e.map_batches(
+                lambda b: pa.table({"mid": b["u"], "c": b["v"]}),
+                batch_format="pyarrow",
+            ),
+            keys="mid",
+            n_buckets=n_buckets,
+            left_schema={"a": id_type, "mid": id_type},
+            right_schema={"mid": id_type, "c": id_type},
+        )
+        tris = shuffle_semi_join(
+            wedges,
+            e.map_batches(
+                lambda b: pa.table({"a": b["u"], "c": b["v"]}),
+                batch_format="pyarrow",
+            ),
+            keys=["a", "c"],
+            left_schema={"a": id_type, "mid": id_type, "c": id_type},
+        )
+
+        def edge_contribs(b: pa.Table) -> pa.Table:
+            us = pa.concat_arrays(
+                [b["a"].combine_chunks(), b["mid"].combine_chunks(),
+                 b["a"].combine_chunks()]
+            )
+            vs = pa.concat_arrays(
+                [b["mid"].combine_chunks(), b["c"].combine_chunks(),
+                 b["c"].combine_chunks()]
+            )
+            t = pa.table(
+                {
+                    "u": us,
+                    "v": vs,
+                    "one": pa.array([1] * len(us), type=pa.int64()),
+                }
+            )
+            g = t.group_by(["u", "v"]).aggregate([("one", "sum")])
+            return pa.table({"u": g["u"], "v": g["v"], "s": g["one_sum"]})
+
+        survivors = (
+            grouped_agg(
+                tris.map_batches(edge_contribs, batch_format="pyarrow"),
+                keys=["u", "v"],
+                aggs={"s": ("s", "sum")},
+                n_buckets=n_buckets,
+                partial=True,
+            )
+            .filter(expr=f"s >= {thresh}")
+            .select_columns(["u", "v"])
+            .repartition(n_buckets)
+            .materialize()
+        )
+        m = survivors.count()
+        if m == n:
+            return survivors
+        e = survivors
+        if m == 0:
+            return e
+        n = m
+    raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")

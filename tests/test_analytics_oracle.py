@@ -289,6 +289,8 @@ SUBSET = [
     "part_price_band_pairs",
     # bow-tie core/in/out/other regions via single-node closure probes
     "kg_bowtie_regions",
+    # 4-truss backbone vs the unrolled synchronous-peel oracle
+    "kg_ktruss",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast

@@ -514,3 +514,32 @@ class TestWlColors:
         assert p["a"] == p["d"] and p["b"] == p["c"] and p["a"] != p["b"]
         leaves = {s[f"leaf{i}"] for i in range(4)}
         assert len(leaves) == 1 and s["hub"] not in leaves
+
+
+class TestKTruss:
+    def test_k4_clique_survives_shared_edge_pair_dies(self):
+        """K4 is its own 4-truss (every edge in 2 triangles); two triangles
+        sharing one edge peel to nothing at k=4."""
+        from bioie_llm_ray.stages.graph import k_truss
+
+        k4 = ray.data.from_items(
+            [{"src": a, "dst": b}
+             for i, a in enumerate([1, 2, 3, 4])
+             for b in [1, 2, 3, 4][i + 1:]]
+        )
+        out = {(r["u"], r["v"]) for r in k_truss(k4, k=4, n_buckets=2).take_all()}
+        assert out == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+        shared = ray.data.from_items(
+            [{"src": 1, "dst": 2}, {"src": 1, "dst": 3}, {"src": 2, "dst": 3},
+             {"src": 2, "dst": 4}, {"src": 3, "dst": 4}]
+        )
+        assert k_truss(shared, k=4, n_buckets=2).count() == 0
+
+    def test_k_below_3_rejected(self):
+        from bioie_llm_ray.stages.graph import k_truss
+        import pytest
+
+        edges = ray.data.from_items([{"src": 1, "dst": 2}])
+        with pytest.raises(ValueError):
+            k_truss(edges, k=2)
