@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_band_pairs": A.part_price_band_pairs,
         "kg_bowtie_regions": A.kg_bowtie_regions,
         "kg_ktruss": A.kg_ktruss,
+        "kg_modularity": A.kg_modularity,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1606,6 +1607,8 @@ def oracle_sql() -> dict[str, str]:
         # 4-truss: synchronous peeling unrolled (unique fixpoint — extra
         # rounds are no-ops on both engines)
         "kg_ktruss": O.ktruss_sql(),
+        # per-community Newman modularity terms over the same LPA chain
+        "kg_modularity": O.modularity_sql(),
         # bow-tie decomposition: core = largest SCC (ties: min label);
         # in/out via single-node closure probes against the core label
         "kg_bowtie_regions": """

@@ -1317,6 +1317,17 @@ def lpa_sql(n_iters: int = 4, min_support: int = 326) -> str:
     smallest label; nodes without votes keep their label (LEFT JOIN +
     COALESCE).  Integer-valued float64 vote sums are exact, so the match
     is bit-for-bit, not tolerance-based."""
+    body, final = _lpa_with_body(n_iters, min_support)
+    return f"""
+{body}
+SELECT node, label AS community FROM {final} ORDER BY node
+"""
+
+
+def _lpa_with_body(n_iters: int, min_support: int) -> "tuple[str, str]":
+    """Shared WITH-body of the LPA chain (edge CTEs + unrolled rounds) and
+    the name of the final label CTE — composed by ``lpa_sql`` and
+    ``modularity_sql``."""
     steps = []
     prev = "l0"
     for i in range(1, n_iters + 1):
@@ -1354,8 +1365,43 @@ edges AS MATERIALIZED (SELECT s, o, w FROM und UNION ALL SELECT o, s, w FROM und
 l0 AS MATERIALIZED (
     SELECT node, node AS label
     FROM (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
-{chain}
-SELECT node, label AS community FROM {prev} ORDER BY node
+{chain}""", prev
+
+
+def modularity_sql(n_iters: int = 4, min_support: int = 326) -> str:
+    """DuckDB oracle for analytics.kg_modularity: per-community Newman
+    modularity contributions over the SAME LPA chain as ``lpa_sql``.
+    Over the direction-doubled edge CTE: 2m = sum(w); e_c = intra-
+    community doubled weight; d_c = community degree sum — all
+    integer-valued float64, cast to exact BIGINTs; the one float
+    expression e_c/2m − (d_c/2m)·(d_c/2m) is spelled with explicit
+    multiplication on both engines and rounded half-even at 6 dp."""
+    body, final = _lpa_with_body(n_iters, min_support)
+    return f"""
+{body},
+tm AS MATERIALIZED (SELECT sum(w) AS t FROM edges),
+lab AS MATERIALIZED (SELECT node, label AS community FROM {final}),
+intra AS MATERIALIZED (
+    SELECT la.community, sum(e.w) AS e_c
+    FROM edges e
+    JOIN lab la ON la.node = e.s
+    JOIN lab lb ON lb.node = e.o
+    WHERE la.community = lb.community
+    GROUP BY 1),
+deg AS MATERIALIZED (
+    SELECT la.community, sum(e.w) AS d_c
+    FROM edges e JOIN lab la ON la.node = e.s
+    GROUP BY 1)
+SELECT d.community,
+       coalesce(i.e_c, 0)::BIGINT AS intra_w,
+       d.d_c::BIGINT AS deg_w,
+       round_even(
+           coalesce(i.e_c, 0) / tm.t
+           - (d.d_c / tm.t) * (d.d_c / tm.t), 6) AS q_term
+FROM deg d
+LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN tm
+ORDER BY d.community
 """
 
 

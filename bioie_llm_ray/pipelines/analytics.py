@@ -11134,3 +11134,90 @@ def kg_ktruss(sf_dir: str, k: int = 4) -> pd.DataFrame:
     out["u"] = out["u"].astype("int64")
     out["v"] = out["v"].astype("int64")
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def kg_modularity(
+    sf_dir: str, n_iters: int = 4, min_support: int = 326
+) -> pd.DataFrame:
+    """Per-community Newman modularity contributions for the LPA
+    communities of ``kg_communities`` — the standard clustering-quality
+    report (Q = Σ_c q_term): intra-community doubled edge weight e_c,
+    community degree sum d_c, and q_term = e_c/2m − (d_c/2m)², all over
+    the direction-doubled strong-edge graph.
+
+    Weights are integer-valued, so e_c / d_c / 2m are exact int64 on both
+    engines; the one float expression is spelled with explicit
+    multiplication and rounded half-even at 6 dp (``oracle.modularity_sql``
+    replays the identical LPA chain).  Labels broadcast (vocab-bounded,
+    the kg_pagerank contract); per-batch (community, w) combiners fold to
+    a |communities|-row driver merge."""
+    from ..stages.graph import label_propagation
+
+    und = _cooccur_edge_counts(sf_dir, min_support=min_support).map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b["subj"],
+                "obj": b["obj"],
+                "w": pc.cast(b["n_docs"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = und.union(
+        und.map_batches(
+            lambda b: pa.table({"subj": b["obj"], "obj": b["subj"], "w": b["w"]}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    lab = label_propagation(
+        edges, src="subj", dst="obj", weight="w", n_iters=n_iters
+    ).to_pandas()
+    cmap = dict(zip(lab["node"], lab["community"]))
+    cmap_ref = ray.put(cmap)
+
+    def partials(b: pa.Table) -> pa.Table:
+        m = ray.get(cmap_ref)
+        cs = pd.Series(b["subj"].to_pylist()).map(m)
+        co = pd.Series(b["obj"].to_pylist()).map(m)
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = pd.DataFrame({"community": cs, "w": w}).groupby(
+            "community", as_index=False
+        )["w"].sum()
+        deg["kind"] = "deg"
+        intra_mask = (cs == co).to_numpy()
+        intra = pd.DataFrame(
+            {"community": cs[intra_mask], "w": w[intra_mask]}
+        ).groupby("community", as_index=False)["w"].sum()
+        intra["kind"] = "intra"
+        out = pd.concat([deg, intra], ignore_index=True)
+        return pa.table(
+            {
+                "community": pa.array(out["community"], type=pa.string()),
+                "w": pa.array(out["w"].astype("int64"), type=pa.int64()),
+                "kind": pa.array(out["kind"], type=pa.string()),
+            }
+        )
+
+    parts = edges.map_batches(partials, batch_format="pyarrow").to_pandas()
+    deg = (
+        parts[parts["kind"] == "deg"]
+        .groupby("community", as_index=False)["w"].sum()
+        .rename(columns={"w": "deg_w"})
+    )
+    intra = (
+        parts[parts["kind"] == "intra"]
+        .groupby("community", as_index=False)["w"].sum()
+        .rename(columns={"w": "intra_w"})
+    )
+    out = deg.merge(intra, on="community", how="left")
+    out["intra_w"] = out["intra_w"].fillna(0).astype("int64")
+    out["deg_w"] = out["deg_w"].astype("int64")
+    tm = float(out["deg_w"].sum())
+    e = out["intra_w"].to_numpy(np.int64)
+    d = out["deg_w"].to_numpy(np.int64)
+    out["q_term"] = np.round(e / tm - (d / tm) * (d / tm), 6)
+    return (
+        out[["community", "intra_w", "deg_w", "q_term"]]
+        .sort_values("community")
+        .reset_index(drop=True)
+    )

@@ -291,6 +291,8 @@ SUBSET = [
     "kg_bowtie_regions",
     # 4-truss backbone vs the unrolled synchronous-peel oracle
     "kg_ktruss",
+    # per-community Newman modularity terms over the shared LPA chain
+    "kg_modularity",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
