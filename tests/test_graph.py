@@ -543,3 +543,47 @@ class TestKTruss:
         edges = ray.data.from_items([{"src": 1, "dst": 2}])
         with pytest.raises(ValueError):
             k_truss(edges, k=2)
+
+
+class TestGraphScaleStress:
+    """Structure-scaled stress for the closure/SCC family: node and pair
+    counts well beyond the bucket count, shapes chosen so the closure
+    stays linear-ish (a path) or bounded (many small cycles) — proving
+    the iteration holds no per-node driver state and the doubling-round
+    count stays logarithmic."""
+
+    def test_closure_long_path_log_rounds(self):
+        """256-node directed path: closure = C(256,2) pairs in ⌈log2(255)⌉=8
+        doubling rounds (max_rounds=9 would fail if rounds were linear)."""
+        from bioie_llm_ray.stages.graph import transitive_closure
+
+        n = 256
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": [f"n{i:04d}" for i in range(n - 1)],
+                    "dst": [f"n{i + 1:04d}" for i in range(n - 1)],
+                }
+            )
+        )
+        out = transitive_closure(edges, n_buckets=8, max_rounds=9)
+        assert out.count() == n * (n - 1) // 2
+
+    def test_scc_many_small_cycles(self):
+        """600 disjoint 3-cycles (1800 nodes): every node labeled with its
+        cycle's minimum — closure stays bounded (9 pairs per cycle)."""
+        from bioie_llm_ray.stages.graph import strongly_connected_components
+
+        rows = []
+        for c in range(600):
+            a, b, d = 3 * c, 3 * c + 1, 3 * c + 2
+            rows += [
+                {"src": a, "dst": b},
+                {"src": b, "dst": d},
+                {"src": d, "dst": a},
+            ]
+        out = strongly_connected_components(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), n_buckets=8
+        ).to_pandas()
+        assert len(out) == 1800
+        assert (out["scc"].to_numpy() == (out["node"].to_numpy() // 3) * 3).all()
