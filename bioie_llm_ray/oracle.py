@@ -1900,13 +1900,23 @@ FROM l{n_rounds} ORDER BY vec_id
 
 
 def ktruss_sql(
-    modulus: int = 97, qty_le: int = 5, k: int = 4, n_rounds: int = 10
+    modulus: int = 97,
+    qty_le: int = 5,
+    k: int = 4,
+    n_rounds: "int | None" = None,
 ) -> str:
     """DuckDB oracle for analytics.kg_ktruss: synchronous truss peeling
     unrolled as ``n_rounds`` chained CTE blocks (triangles from canonical
     edges, 3 support contributions each, filter at k−2).  The truss
     fixpoint is unique and peeling is monotone, so any ``n_rounds`` ≥ the
-    convergence depth yields the fixpoint — extra rounds are no-ops."""
+    convergence depth yields the fixpoint — extra rounds are no-ops.
+    ``n_rounds`` defaults to ``stages.graph.K_TRUSS_MAX_ROUNDS``, the
+    exact point where the Ray side raises instead of continuing, so the
+    two engines can never silently disagree past the budget."""
+    if n_rounds is None:
+        from .stages.graph import K_TRUSS_MAX_ROUNDS
+
+        n_rounds = K_TRUSS_MAX_ROUNDS
     rounds = []
     prev = "e0"
     for i in range(1, n_rounds + 1):

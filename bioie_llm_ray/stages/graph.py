@@ -2425,6 +2425,23 @@ def strongly_connected_components(
         )
     )
     _s = reach.schema()
+    if _s is None or reach.count() == 0:
+        # closure empty ⇔ edge set empty (length-1 paths are in the
+        # closure): an edge-free graph has no labeled nodes
+        es = edges.schema()
+        id_type = (
+            es.types[es.names.index(src)]
+            if es is not None and src in es.names
+            else pa.string()
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=id_type),
+                    "scc": pa.array([], type=id_type),
+                }
+            )
+        )
     id_type = _s.types[_s.names.index("src")]
 
     def unordered(b: pa.Table) -> pa.Table:
@@ -2494,9 +2511,12 @@ def dag_longest_levels(
     of ``_sssp_bucketed``: lev₀ ≡ 0, lev_{k+1}(v) = max(lev_k(v),
     1 + max_{u→v} lev_k(u)).  Per round ONE src-keyed ``shuffle_join``
     (per-bucket max combiner folded in), one grouped max, one tagged
-    per-bucket merge keeping strict improvements; converges in
-    depth(DAG) rounds and raises after ``max_rounds`` — a cycle never
-    converges, so feed condensation output, not raw edges.
+    per-bucket merge keeping strict improvements; a DAG of longest-path
+    depth ≤ ``max_rounds`` always converges (the loop budgets two extra
+    rounds: one drain where the deepest frontier has no out-edges, one
+    empty-frontier detection) and anything still improving past that
+    raises — a cycle never converges, so feed condensation output, not
+    raw edges.
     """
     from .dedup import exact_dedup
     from .join import shuffle_join
@@ -2511,6 +2531,22 @@ def dag_longest_levels(
         .materialize()
     )
     _s = e.schema()
+    if _s is None or e.count() == 0:
+        # a DAG with no edges has no constrained nodes — empty layering
+        es = edges.schema()
+        id_type = (
+            es.types[es.names.index(src)]
+            if es is not None and src in es.names
+            else pa.string()
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=id_type),
+                    "level": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     id_type = _s.types[_s.names.index("u")]
 
     def both_ends(b: pa.Table) -> pa.Table:
@@ -2539,7 +2575,8 @@ def dag_longest_levels(
     )
     changed = lev
 
-    for _ in range(max_rounds):
+    # depth+2 iterations suffice for depth ≤ max_rounds: see docstring
+    for _ in range(max_rounds + 2):
         if changed.count() == 0:
             return lev
 
@@ -2768,13 +2805,19 @@ def wl_colors(
     return colors
 
 
+# Shared with oracle.ktruss_sql: the Ray side RAISES if peeling has not
+# converged by this many rounds, exactly where the unrolled SQL stops —
+# a loud failure instead of a silent two-engines-disagree mismatch.
+K_TRUSS_MAX_ROUNDS = 12
+
+
 def k_truss(
     edges: ray.data.Dataset,
     k: int,
     src: str = "src",
     dst: str = "dst",
     n_buckets: int = 16,
-    max_rounds: int = 24,
+    max_rounds: int = K_TRUSS_MAX_ROUNDS,
 ) -> ray.data.Dataset:
     """k-truss of an undirected graph → the surviving canonical edge set
     (u < v): the maximal subgraph where every edge closes ≥ k−2

@@ -587,3 +587,45 @@ class TestGraphScaleStress:
         ).to_pandas()
         assert len(out) == 1800
         assert (out["scc"].to_numpy() == (out["node"].to_numpy() // 3) * 3).all()
+
+
+class TestGraphEdgeCases:
+    def test_scc_and_levels_empty_input(self):
+        from bioie_llm_ray.stages.graph import (
+            dag_longest_levels,
+            strongly_connected_components,
+        )
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], type=pa.string()),
+                    "dst": pa.array([], type=pa.string()),
+                }
+            )
+        )
+        assert strongly_connected_components(empty, n_buckets=2).count() == 0
+        assert dag_longest_levels(empty, n_buckets=2).count() == 0
+
+    def test_levels_depth_equals_max_rounds(self):
+        """A depth-3 chain must succeed at max_rounds=3 (the loop budgets
+        the drain + detection rounds on top of the depth)."""
+        from bioie_llm_ray.stages.graph import dag_longest_levels
+
+        chain = ray.data.from_items(
+            [{"src": "a", "dst": "b"}, {"src": "b", "dst": "c"},
+             {"src": "c", "dst": "d"}]
+        )
+        out = {
+            r["node"]: r["level"]
+            for r in dag_longest_levels(chain, n_buckets=2, max_rounds=3).take_all()
+        }
+        assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_ktruss_budget_shared_with_oracle(self):
+        from bioie_llm_ray.oracle import ktruss_sql
+        from bioie_llm_ray.stages.graph import K_TRUSS_MAX_ROUNDS
+
+        # the oracle's deepest unrolled CTE must match the Ray raise point
+        assert f"e{K_TRUSS_MAX_ROUNDS} AS MATERIALIZED" in ktruss_sql()
+        assert f"e{K_TRUSS_MAX_ROUNDS + 1}" not in ktruss_sql()
