@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie_regions": A.kg_bowtie_regions,
         "kg_ktruss": A.kg_ktruss,
         "kg_modularity": A.kg_modularity,
+        "user_event_trigrams": A.user_event_trigrams,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1609,6 +1610,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": O.ktruss_sql(),
         # per-community Newman modularity terms over the same LPA chain
         "kg_modularity": O.modularity_sql(),
+        # second-order sequence patterns: double LAG within user order
+        "user_event_trigrams": """
+            WITH lagged AS (
+                SELECT lag(event_type, 2) OVER w AS t1,
+                       lag(event_type, 1) OVER w AS t2,
+                       event_type AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, count(*)::BIGINT AS n
+            FROM lagged
+            WHERE t1 IS NOT NULL
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+            ORDER BY t1, t2, t3
+        """,
         # bow-tie decomposition: core = largest SCC (ties: min label);
         # in/out via single-node closure probes against the core label
         "kg_bowtie_regions": """

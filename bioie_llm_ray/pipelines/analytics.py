@@ -11221,3 +11221,55 @@ def kg_modularity(
         .sort_values("community")
         .reset_index(drop=True)
     )
+
+
+def user_event_trigrams(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Second-order sequence patterns: global counts of every
+    (t1 → t2 → t3) event-type trigram within a user's (ts, event_id)
+    order, kept at ≥ ``min_count`` — the next step up from
+    ``event_type_transitions`` for sequence mining / next-event models.
+
+    Same shape: ONE hash(user_id)-keyed exchange, a vectorized double
+    ``groupby.shift`` per bucket, then the trigram rollup rides the
+    combiner aggregate (per-batch partials, one tiny keyed exchange)."""
+    from ..functions.hashing import bucket_ids_for_column
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _nb(sf_dir, "events")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def lag2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        by = g.groupby("user_id")["event_type"]
+        p1 = by.shift(1)
+        p2 = by.shift(2)
+        keep = p2.notna()
+        return pd.DataFrame(
+            {
+                "t1": p2[keep],
+                "t2": p1[keep],
+                "t3": g["event_type"][keep],
+            }
+        )
+
+    tri = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lag2_bucket, batch_format="pandas")
+    )
+    out = grouped_agg(
+        tri,
+        keys=["t1", "t2", "t3"],
+        aggs={"n": ("t3", "count")},
+        n_buckets=8,
+        partial=True,
+    ).to_pandas()
+    out = out[out["n"] >= min_count].copy()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)

@@ -293,6 +293,8 @@ SUBSET = [
     "kg_ktruss",
     # per-community Newman modularity terms over the shared LPA chain
     "kg_modularity",
+    # second-order sequence patterns via double per-user LAG
+    "user_event_trigrams",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
