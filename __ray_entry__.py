@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": A.kg_ktruss,
         "kg_modularity": A.kg_modularity,
         "user_event_trigrams": A.user_event_trigrams,
+        "kg_landmark_distances": A.kg_landmark_distances,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1610,6 +1611,34 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": O.ktruss_sql(),
         # per-community Newman modularity terms over the same LPA chain
         "kg_modularity": O.modularity_sql(),
+        # landmark BFS hop histograms: one recursive CTE keyed
+        # (seed, node, d), min(d) per pair, depth-guarded at 64 like the
+        # Ray side's max_iters
+        "kg_landmark_distances": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            seeds AS (
+                SELECT node FROM (
+                    SELECT src AS node FROM e UNION SELECT dst FROM e)
+                ORDER BY node LIMIT 3),
+            walk(seed, node, d) AS (
+                SELECT node, node, 0 FROM seeds
+                UNION
+                SELECT w.seed, e.dst, w.d + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.d < 64),
+            dist AS (
+                SELECT seed, node, min(d) AS dd
+                FROM walk GROUP BY 1, 2)
+            SELECT seed AS landmark, dd AS dist, count(*)::BIGINT AS n_nodes
+            FROM dist
+            GROUP BY 1, 2
+            ORDER BY landmark, dist
+        """,
         # second-order sequence patterns: double LAG within user order
         "user_event_trigrams": """
             WITH lagged AS (

@@ -11273,3 +11273,59 @@ def user_event_trigrams(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
     out = out[out["n"] >= min_count].copy()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def kg_landmark_distances(sf_dir: str, n_landmarks: int = 3) -> pd.DataFrame:
+    """Distance-distribution diagnostics from landmark nodes (the ANF /
+    hyperANF-style reachability profile, exact at landmark granularity):
+    for each of the ``n_landmarks`` smallest node ids, the BFS hop
+    histogram (landmark, dist, n_nodes) over the modular-key digraph —
+    how far and how fast the graph expands from fixed probes.
+
+    Three broadcast-frontier BFS runs (``stages/graph.bfs_levels``,
+    max_iters=64 aligned with the oracle's depth guard) + one combiner
+    rollup each; the landmark pick reads the 3 smallest ids from the
+    modulus-bounded distinct-node table.  The SQL oracle explores all
+    landmarks in ONE recursive CTE keyed (seed, node, d) and takes
+    min(d) per pair."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.graph import bfs_levels
+
+    nb = _nb(sf_dir, "lineitem")
+    edges = _modular_key_edges(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "subj": pc.cast(b["src"], pa.string()),
+                "obj": pc.cast(b["dst"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                )
+            }
+        )
+
+    nodes = exact_dedup(
+        edges.map_batches(ends, batch_format="pyarrow"), ["node"], n_buckets=nb
+    ).to_pandas()
+    seeds = sorted(nodes["node"].astype(int).tolist())[:n_landmarks]
+
+    frames = []
+    for s in seeds:
+        lev = bfs_levels(
+            edges, seed=str(s), src="subj", dst="obj", max_iters=64
+        ).to_pandas()
+        h = lev.groupby("dist", as_index=False).agg(n_nodes=("node", "count"))
+        h.insert(0, "landmark", s)
+        frames.append(h)
+    out = pd.concat(frames, ignore_index=True)
+    out["landmark"] = out["landmark"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values(["landmark", "dist"]).reset_index(drop=True)

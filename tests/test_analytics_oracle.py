@@ -295,6 +295,8 @@ SUBSET = [
     "kg_modularity",
     # second-order sequence patterns via double per-user LAG
     "user_event_trigrams",
+    # landmark BFS hop histograms vs the (seed, node, d) recursive CTE
+    "kg_landmark_distances",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
