@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": A.kg_modularity,
         "user_event_trigrams": A.user_event_trigrams,
         "kg_landmark_distances": A.kg_landmark_distances,
+        "kg_personalized_pagerank": A.kg_personalized_pagerank,
         "kg_two_hop_paths": A.kg_two_hop_paths,
         "kg_triangles": A.kg_triangles,
         "kg_clustering_coeff": A.kg_clustering_coeff,
@@ -1611,6 +1612,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": O.ktruss_sql(),
         # per-community Newman modularity terms over the same LPA chain
         "kg_modularity": O.modularity_sql(),
+        # random walk with restart to the 3 smallest node ids, unrolled
+        "kg_personalized_pagerank": O.ppr_sql(),
         # landmark BFS hop histograms: one recursive CTE keyed
         # (seed, node, d), min(d) per pair, depth-guarded at 64 like the
         # Ray side's max_iters

@@ -1948,3 +1948,56 @@ WITH e0 AS MATERIALIZED (
 {chain}
 SELECT u, v FROM {prev} ORDER BY u, v
 """
+
+
+def ppr_sql(
+    modulus: int = 997, damping: float = 0.85, n_iters: int = 12
+) -> str:
+    """DuckDB oracle for analytics.kg_personalized_pagerank: random walk
+    with restart to the 3 smallest node ids, unrolled as chained CTEs.
+    Each round mirrors the Ray recurrence term-for-term:
+    rank = ((1−d) + d·dangling)·p + d·Σ rank/outdeg, where dangling is
+    the rank mass on nodes with no outgoing edge."""
+    steps = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT p.node,
+         ((1 - {damping}) + {damping} * dg{i}.m) * p.pv
+         + {damping} * COALESCE(mv{i}.v, 0) AS rank
+  FROM p
+  LEFT JOIN (
+      SELECT e.dst AS node, sum(rp.rank / od.od) AS v
+      FROM e JOIN {prev} rp ON rp.node = e.src
+             JOIN od ON od.node = e.src
+      GROUP BY 1) mv{i} ON mv{i}.node = p.node
+  CROSS JOIN (
+      SELECT COALESCE(sum(rp.rank), 0) AS m
+      FROM {prev} rp LEFT JOIN od ON od.node = rp.node
+      WHERE od.node IS NULL) dg{i})"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT (l_orderkey % {modulus}) AS src,
+           (l_partkey % {modulus}) AS dst
+    FROM lineitem
+    WHERE l_quantity = 1
+      AND (l_orderkey % {modulus}) <> (l_partkey % {modulus})),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 3),
+ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS c FROM seeds),
+od AS MATERIALIZED (
+    SELECT src AS node, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+p AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT c FROM ns)
+                ELSE 0.0 END AS pv
+    FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+r0 AS MATERIALIZED (SELECT node, pv AS rank FROM p),
+{chain}
+SELECT node, round_even(rank, 6) AS rank FROM {prev} ORDER BY node
+"""

@@ -11329,3 +11329,47 @@ def kg_landmark_distances(sf_dir: str, n_landmarks: int = 3) -> pd.DataFrame:
     out["dist"] = out["dist"].astype("int64")
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return out.sort_values(["landmark", "dist"]).reset_index(drop=True)
+
+
+def kg_personalized_pagerank(sf_dir: str, n_iters: int = 12) -> pd.DataFrame:
+    """Random walk with restart to the 3 smallest node ids over the
+    modular-key digraph — seed-anchored local relevance (Jeh & Widom,
+    the recommendation/local-community primitive), as opposed to the
+    global ``kg_pagerank``.  ``stages/graph.personalized_pagerank``;
+    ``oracle.ppr_sql`` unrolls the identical recurrence with the same
+    dangling-restart term; ranks rounded half-even at 6 dp (iteration
+    drift across engines is ~1e-12)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.graph import personalized_pagerank
+
+    nb = _nb(sf_dir, "lineitem")
+    edges = _modular_key_edges(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "subj": pc.cast(b["src"], pa.string()),
+                "obj": pc.cast(b["dst"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                )
+            }
+        )
+
+    nodes = exact_dedup(
+        edges.map_batches(ends, batch_format="pyarrow"), ["node"], n_buckets=nb
+    ).to_pandas()
+    seeds = [str(s) for s in sorted(nodes["node"].astype(int).tolist())[:3]]
+
+    out = personalized_pagerank(
+        edges, seeds=seeds, src="subj", dst="obj", n_iters=n_iters
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["rank"] = np.round(out["rank"].to_numpy(np.float64), 6)
+    return out.sort_values("node").reset_index(drop=True)

@@ -297,6 +297,8 @@ SUBSET = [
     "user_event_trigrams",
     # landmark BFS hop histograms vs the (seed, node, d) recursive CTE
     "kg_landmark_distances",
+    # random walk with restart to seed set vs the unrolled recurrence
+    "kg_personalized_pagerank",
     # q8 market share: exact integer-cents sums, one final division
     "q8_market_share",
     # q9 profit rollup: per-row exact cents through a 3-dim broadcast
