@@ -840,6 +840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_fork_pairs": _code_fork_pairs,
         "kg_code_triples": _kg_code_triples,
         "kg_incremental_triples": _kg_incremental_triples,
+        # round-3 late additions
+        "kg_reciprocity": A.kg_reciprocity,
+        "part_fd_violations": A.part_fd_violations,
+        "events_autocorrelation": A.events_autocorrelation,
     }
 
 
@@ -4822,4 +4826,62 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": O.ivf_probed_sql(
             sample_pred=f"(({O.splitmix64_sql('vec_id::UBIGINT')}) % 3) = 0"
         ),
+        # directed-edge reciprocity over the modular-key digraph
+        "kg_reciprocity": """
+            WITH e AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            r AS (SELECT count(*)::BIGINT AS n
+                  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+            t AS (SELECT count(*)::BIGINT AS n FROM e)
+            SELECT t.n AS n_edges, r.n AS n_reciprocal,
+                   round_even(r.n / t.n::DOUBLE, 6) AS reciprocity
+            FROM r, t
+        """,
+        # functional-dependency discovery profile over part
+        "part_fd_violations": " UNION ALL ".join(
+            f"""
+            SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_violating,
+                   max(n_rhs)::BIGINT AS max_rhs_variants
+            FROM (SELECT l, count(*)::BIGINT AS n_rhs
+                  FROM (SELECT DISTINCT {lhs}::VARCHAR AS l,
+                               {rhs}::VARCHAR AS r FROM part)
+                  GROUP BY l)
+            """
+            for lhs, rhs in (
+                ("p_brand", "p_type"),
+                ("p_type", "p_brand"),
+                ("p_brand", "p_size"),
+                ("p_name", "p_partkey"),
+            )
+        )
+        + " ORDER BY lhs, rhs",
+        # sample ACF of the daily value series on the dense day grid
+        "events_autocorrelation": """
+            WITH dayx AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       sum(value) AS x
+                FROM events GROUP BY 1),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM dayx),
+            grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+            s AS (SELECT g.day, coalesce(d.x, 0.0) AS x
+                  FROM grid g LEFT JOIN dayx d USING (day)),
+            m AS (SELECT avg(x) AS mu,
+                         sum((x - (SELECT avg(x) FROM s))
+                             * (x - (SELECT avg(x) FROM s))) AS denom
+                  FROM s),
+            l AS (SELECT unnest(range(1, 8)) AS k)
+            SELECT l.k::BIGINT AS lag,
+                   round_even(
+                       coalesce((SELECT sum((a.x - m.mu) * (bb.x - m.mu))
+                                 FROM s a JOIN s bb ON bb.day = a.day + l.k),
+                                0.0) / m.denom, 6) AS acf
+            FROM l, m ORDER BY lag
+        """,
     }

@@ -11373,3 +11373,154 @@ def kg_personalized_pagerank(sf_dir: str, n_iters: int = 12) -> pd.DataFrame:
     out["node"] = out["node"].astype("int64")
     out["rank"] = np.round(out["rank"].to_numpy(np.float64), 6)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Edge reciprocity of the modular-key digraph — the fraction of
+    directed edges whose reverse edge also exists (Garlaschelli & Loffredo
+    2004), the standard directed-KG symmetry diagnostic (a predicate like
+    `interacts_with` should be near 1, `imports` near 0).
+
+    Distributed shape: the deduped edge table is semi-joined against its
+    own reversal (`join.shuffle_semi_join` on (src, dst) — one bucketed
+    exchange, no driver edge set); both counts fold as per-batch int64
+    partials.  All terms are exact integers, so the single final division
+    is the only float."""
+    from ..stages.join import shuffle_semi_join
+
+    nb = _nb(sf_dir, "lineitem")
+    edges = _modular_key_edges(sf_dir).materialize()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    recip = shuffle_semi_join(
+        edges, edges.map_batches(rev, batch_format="pyarrow"),
+        keys=["src", "dst"], n_buckets=nb,
+    )
+
+    def n_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64())})
+
+    def count(ds) -> int:
+        return int(
+            sum(
+                r["n"]
+                for r in ds.map_batches(
+                    n_rows, batch_format="pyarrow"
+                ).take_all()
+            )
+        )
+
+    n_edges, n_recip = count(edges), count(recip)
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "n_reciprocal": [n_recip],
+            "reciprocity": [round(n_recip / n_edges, 6)],
+        }
+    )
+
+
+# candidate functional dependencies profiled by part_fd_violations: each
+# LHS -> RHS pair is checked for exact FD violations over the part table
+_FD_CANDIDATES = [
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_brand", "p_size"),
+    ("p_name", "p_partkey"),
+]
+
+
+def part_fd_violations(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery profile (the Papenbrock/Naumann
+    data-profiling primitive): for each candidate LHS→RHS dependency over
+    the part table, how many LHS groups exist, how many violate the FD
+    (|distinct RHS| > 1), and the worst violation width.
+
+    Scale shape per candidate: project to the two columns, collapse to the
+    DISTINCT (lhs, rhs) pair table (bucketed `exact_dedup` — the corpus
+    never reaches any single task), then a grouped count per lhs whose
+    cardinality is the distinct-pair count, not the row count.  Integers
+    end-to-end."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.rollup import grouped_agg
+
+    nb = _nb(sf_dir, "part", 8)
+    frames = []
+    for lhs, rhs in _FD_CANDIDATES:
+        ds = _read(sf_dir, "part", columns=[lhs, rhs])
+
+        def to_pairs(b: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            return pa.table(
+                {
+                    "l": pc.cast(b[lhs], pa.string()),
+                    "r": pc.cast(b[rhs], pa.string()),
+                }
+            )
+
+        pairs = exact_dedup(
+            ds.map_batches(to_pairs, batch_format="pyarrow"),
+            ["l", "r"],
+            n_buckets=nb,
+        )
+        per_lhs = grouped_agg(
+            pairs, keys=["l"], aggs={"n_rhs": ("r", "count")},
+            n_buckets=nb, partial=True,
+        ).to_pandas()
+        n_rhs = per_lhs["n_rhs"].to_numpy(np.int64)
+        frames.append(
+            {
+                "lhs": lhs,
+                "rhs": rhs,
+                "n_groups": int(len(per_lhs)),
+                "n_violating": int((n_rhs > 1).sum()),
+                "max_rhs_variants": int(n_rhs.max()) if len(n_rhs) else 0,
+            }
+        )
+    out = pd.DataFrame(frames)
+    return out.sort_values(["lhs", "rhs"]).reset_index(drop=True)
+
+
+def events_autocorrelation(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Sample autocorrelation of the daily event-value series at lags
+    1..max_lag (the statsmodels ``acf`` convention: both factors centered
+    on the GLOBAL mean, denominator Σ(x-m)² over all days) on the dense
+    day grid (missing days contribute 0.0 totals) — the seasonality /
+    burstiness diagnostic next to `events_changepoint` and
+    `holt_forecast`.
+
+    One grouped-sum exchange collapses the stream to day totals (≤ a few
+    thousand rows at any corpus scale — days, not events); the ACF itself
+    is O(days·lags) driver arithmetic on that bounded series, mirrored
+    term-for-term by the oracle's LAG windows over the same generated
+    grid."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"day": day, "value": b["value"]})
+
+    daily = grouped_agg(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        keys=["day"],
+        aggs={"x": ("value", "sum")},
+        n_buckets=_nb(sf_dir, "events", 8),
+        partial=True,
+    ).to_pandas()
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    x = np.zeros(hi - lo + 1, dtype=np.float64)
+    x[daily["day"].to_numpy(np.int64) - lo] = daily["x"].to_numpy(np.float64)
+    m = x.mean()
+    c = x - m
+    denom = float((c * c).sum())
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = float((c[:-k] * c[k:]).sum()) if k < len(x) else 0.0
+        rows.append({"lag": k, "acf": round(num / denom, 6)})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype("int64")
+    return out

@@ -333,6 +333,12 @@ SUBSET = [
     "revenue_gini",
     # closed-form NB training + eval (one-exchange sufficient statistics)
     "nb_lang_classifier",
+    # directed-edge reciprocity via self-reversal semi-join
+    "kg_reciprocity",
+    # functional-dependency discovery profile (distinct-pair reduction)
+    "part_fd_violations",
+    # sample ACF of the daily value series on the dense day grid
+    "events_autocorrelation",
 ]
 
 
