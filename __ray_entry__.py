@@ -844,6 +844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": A.kg_reciprocity,
         "part_fd_violations": A.part_fd_violations,
         "events_autocorrelation": A.events_autocorrelation,
+        "embedding_pca_power": A.embedding_pca_power,
+        "gopher_quality_rules": A.gopher_quality_rules,
+        "events_mannwhitney": A.events_mannwhitney,
     }
 
 
@@ -4883,5 +4886,69 @@ def oracle_sql() -> dict[str, str]:
                                  FROM s a JOIN s bb ON bb.day = a.day + l.k),
                                 0.0) / m.denom, 6) AS acf
             FROM l, m ORDER BY lag
+        """,
+        # top principal component: unrolled normalized power iteration
+        "embedding_pca_power": O.pca_power_sql(),
+        # Gopher rule-based quality report (empty tokens masked like the
+        # Ray side; whitespace-only docs count 0 words and fail)
+        "gopher_quality_rules": rf"""
+            WITH toks AS (
+                SELECT doc_id, t.w AS w
+                FROM documents,
+                     unnest(regexp_split_to_array(
+                         trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '),
+                         '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            f AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_words,
+                       avg(length(w)) AS mean_word_len,
+                       avg(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                                THEN 1.0 ELSE 0.0 END) AS alpha_frac,
+                       sum(CASE WHEN w IN ({", ".join(
+                           "'" + s + "'" for s in (
+                               "the", "be", "to", "of",
+                               "and", "that", "have", "with"))})
+                                THEN 1 ELSE 0 END)::BIGINT AS stopword_hits
+                FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(f.n_words, 0)::BIGINT AS n_words,
+                   round_even(coalesce(f.mean_word_len, 0.0), 6)
+                       AS mean_word_len,
+                   round_even(coalesce(f.alpha_frac, 0.0), 6) AS alpha_frac,
+                   coalesce(f.stopword_hits, 0)::BIGINT AS stopword_hits,
+                   (CASE WHEN f.n_words BETWEEN 50 AND 100000
+                          AND f.mean_word_len BETWEEN 3.0 AND 10.0
+                          AND f.alpha_frac >= 0.8
+                          AND f.stopword_hits >= 2
+                         THEN 1 ELSE 0 END)::BIGINT AS passes
+            FROM documents d LEFT JOIN f USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # Mann-Whitney rank-sum with midranks and the tie-corrected z
+        "events_mannwhitney": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+                FROM events WHERE event_type IN ('click', 'error')),
+            g AS (SELECT v, sum(ia)::BIGINT AS na, count(*)::BIGINT AS nt
+                  FROM s GROUP BY v),
+            o AS (SELECT na, nt,
+                         sum(nt) OVER (ORDER BY v) - nt AS cumt
+                  FROM g),
+            agg AS (SELECT sum(na * (cumt + (nt + 1) / 2.0)) AS ra,
+                           sum(nt * nt * nt - nt)::DOUBLE AS tie,
+                           sum(na)::BIGINT AS n1,
+                           sum(nt - na)::BIGINT AS n2
+                    FROM o)
+            SELECT n1 AS n_a, n2 AS n_b,
+                   round_even(ra - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+                   round_even(
+                       (ra - n1 * (n1 + 1) / 2.0 - n1::DOUBLE * n2 / 2.0)
+                       / sqrt(n1::DOUBLE * n2 / 12.0
+                              * ((n1 + n2 + 1)
+                                 - tie / ((n1 + n2)::DOUBLE
+                                          * (n1 + n2 - 1)))), 6) AS z
+            FROM agg
         """,
     }

@@ -2001,3 +2001,53 @@ r0 AS MATERIALIZED (SELECT node, pv AS rank FROM p),
 {chain}
 SELECT node, round_even(rank, 6) AS rank FROM {prev} ORDER BY node
 """
+
+
+def pca_power_sql(n_iters: int = 8) -> str:
+    """Unrolled power-iteration SQL for the top principal component of the
+    embedding covariance: the long-form (i, j, cov) matrix (same
+    double-unnest CTE as the ``embedding_covariance`` oracle) drives
+    ``n_iters`` chained matrix-vector CTEs, each a GROUP-BY sum followed by
+    an L2 normalization — the identical recurrence
+    ``v_{k+1} = C v_k / ||C v_k||`` the Ray side evaluates on its
+    driver-folded dim² matrix (iteration drift across engines ~1e-12,
+    absorbed by the 6-dp round).  The sign is pinned by the coordinate of
+    largest |loading| (smallest i on ties); eigenvalue = ||C v_{last-1}||,
+    explained ratio = eigenvalue / trace(C)."""
+    chain = []
+    prev = "v0"
+    for k in range(1, n_iters + 1):
+        # every CTE MATERIALIZED: inlining would re-expand the cov
+        # subquery once per reference, doubling the plan per iteration
+        chain.append(
+            f"w{k} AS MATERIALIZED (SELECT cov.i AS i, sum(cov.c * {prev}.v) AS w"
+            f"         FROM cov JOIN {prev} ON cov.j = {prev}.i GROUP BY cov.i),"
+            f" n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),"
+            f" v{k} AS MATERIALIZED (SELECT i, w / n{k}.nrm AS v FROM w{k}, n{k})"
+        )
+        prev = f"v{k}"
+    last = n_iters
+    return f"""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+        cov AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   sum(a.x * b.x) / count(*)
+                   - (sum(a.x) / count(*)) * (sum(b.x) / count(*)) AS c
+            FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
+        d AS (SELECT count(*)::DOUBLE AS d FROM (SELECT DISTINCT i FROM cov)),
+        v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(d.d) AS v
+               FROM (SELECT DISTINCT i FROM cov), d),
+        {", ".join(chain)},
+        sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+                FROM v{last} ORDER BY abs(v) DESC, i LIMIT 1),
+        tr AS (SELECT sum(c) AS t FROM cov WHERE i = j)
+        SELECT v{last}.i::BIGINT AS i,
+               round_even(v{last}.v * sgn.s, 6) AS loading,
+               round_even(n{last}.nrm, 6) AS eigenvalue,
+               round_even(n{last}.nrm / tr.t, 6) AS explained_ratio
+        FROM v{last}, n{last}, sgn, tr
+        ORDER BY i
+    """

@@ -11524,3 +11524,191 @@ def events_autocorrelation(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["lag"] = out["lag"].astype("int64")
     return out
+
+
+def embedding_pca_power(sf_dir: str, n_iters: int = 8) -> pd.DataFrame:
+    """Top principal component of the embedding corpus by power iteration
+    over the distributed covariance matrix — the PCA-whitening /
+    dimensionality-diagnostic step of an embedding pipeline.
+
+    Scale shape: ONE streaming pass folds the corpus to a dim² Gram
+    partial per batch (`similarity.embedding_covariance` — zero shuffle,
+    never a row on the driver); the power iteration itself is O(dim²)
+    driver arithmetic on that fixed-size matrix, the documented
+    broadcast-scale exception.  The SQL oracle (`oracle.pca_power_sql`)
+    unrolls the identical normalized recurrence from the same v0 =
+    1/sqrt(dim) start, so the two sides agree to float-association drift
+    (~1e-12, absorbed by the 6-dp round).  Sign pinned at the largest
+    |loading| coordinate (smallest i on ties)."""
+    from ..stages.similarity import embedding_covariance as _cov
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    cov, _, _ = _cov(ds, "embedding")
+    d = cov.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d), dtype=np.float64)
+    nrm = 0.0
+    for _ in range(n_iters):
+        w = cov @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        v = w / nrm
+    k = np.lexsort((np.arange(d), -np.abs(v)))[0]
+    if v[k] < 0:
+        v = -v
+    evr = nrm / float(np.trace(cov))
+    return pd.DataFrame(
+        {
+            "i": np.arange(1, d + 1, dtype=np.int64),
+            "loading": np.round(v, 6),
+            "eigenvalue": np.round(np.full(d, nrm), 6),
+            "explained_ratio": np.round(np.full(d, evr), 6),
+        }
+    )
+
+
+# the 8 Gopher stopwords (Rae et al. 2021, Table A1 "stop word filter")
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style rule-based quality report (Rae et al. 2021 §A1.1):
+    per document, the word count, mean word length, alpha-word fraction
+    and stopword hits, plus each rule's verdict folded into a single
+    0/1 ``passes`` — the rule-REPORT complement of `curate_corpus` (which
+    gates) and `doc_quality` (which scores).
+
+    Zero shuffle: every metric is a per-batch Arrow kernel pass — tokens
+    flattened once with parent indices, empty tokens masked exactly like
+    the oracle's ``w <> ''`` predicate (whitespace-only docs count 0
+    words), per-doc sums via np.add.at.  Rule thresholds follow Gopher:
+    50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, ≥ 80% words
+    containing an ASCII letter, ≥ 2 stopword hits."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def features(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+").combine_chunks()
+        flat = toks.flatten()
+        parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        stop = pc.is_in(
+            flat, value_set=pa.array(_GOPHER_STOPWORDS)
+        ).to_numpy(zero_copy_only=False)
+
+        n_words = np.zeros(n, dtype=np.int64)
+        sum_len = np.zeros(n, dtype=np.int64)
+        n_alpha = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        p = parent[keep]
+        np.add.at(n_words, p, 1)
+        np.add.at(sum_len, p, lens[keep])
+        np.add.at(n_alpha, p, alpha[keep].astype(np.int64))
+        np.add.at(n_stop, p, stop[keep].astype(np.int64))
+
+        nw = np.maximum(n_words, 1).astype(np.float64)  # 0-word docs → 0.0
+        mean_len = np.where(n_words > 0, sum_len / nw, 0.0)
+        alpha_frac = np.where(n_words > 0, n_alpha / nw, 0.0)
+        passes = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (alpha_frac >= 0.8)
+            & (n_stop >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(np.round(mean_len, 6)),
+                "alpha_frac": pa.array(np.round(alpha_frac, 6)),
+                "stopword_hits": pa.array(n_stop),
+                "passes": pa.array(passes.astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(features, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_mannwhitney(
+    sf_dir: str, type_a: str = "click", type_b: str = "error"
+) -> pd.DataFrame:
+    """Mann-Whitney rank-sum test between two event types' value
+    distributions — U statistic from midranks plus the tie-corrected
+    normal z score (the significance companion of the pair-counting AUC
+    in `events_score_auc`).
+
+    Scale shape (shared with the AUC/KS pipelines): one hash exchange
+    collapses the stream to the distinct-value count table (v, n_a, n_t);
+    `scan.ordered_count_scan` range-buckets it (sampled splitters, driver
+    holds B int64 offsets); each bucket folds its midrank-sum and tie-term
+    contributions to two scalars.  Midranks are exact halves, so every
+    partial is exactly representable and the two sides agree bit-for-bit
+    before the final round."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.scan import ordered_count_scan
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array([type_a, type_b]))
+        )
+        ia = pc.cast(pc.equal(t["event_type"], type_a), pa.int64())
+        return pa.table(
+            {
+                "v": pc.cast(t["value"], pa.float64()),
+                "ia": ia,
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(to_counts, batch_format="pyarrow"),
+        keys=["v"],
+        aggs={"na": ("ia", "sum"), "nt": ("one", "sum")},
+        n_buckets=_nb(sf_dir, "events", 32),
+        partial=True,
+    )
+    tagged, offsets, totals = ordered_count_scan(g, "v", ["na", "nt"])
+    off_ref = ray.put(offsets["nt"])
+
+    def contrib(gdf: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        gdf = gdf.sort_values("v", kind="mergesort")
+        na = gdf["na"].to_numpy(np.float64)
+        nt = gdf["nt"].to_numpy(np.float64)
+        cumt = np.cumsum(nt) - nt + off[int(gdf["__b"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "ra": [(na * (cumt + (nt + 1.0) / 2.0)).sum()],
+                "tie": [(nt * nt * nt - nt).sum()],
+            }
+        )
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(contrib, batch_format="pandas")
+        .to_pandas()
+    )
+    ra = float(parts["ra"].sum())
+    tie = float(parts["tie"].sum())
+    n1 = float(totals["na"])
+    n2 = float(totals["nt"] - totals["na"])
+    n = n1 + n2
+    u = ra - n1 * (n1 + 1.0) / 2.0
+    sigma = np.sqrt(n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))))
+    z = (u - n1 * n2 / 2.0) / sigma
+    return pd.DataFrame(
+        {
+            "n_a": [int(n1)],
+            "n_b": [int(n2)],
+            "u_stat": [round(u, 6)],
+            "z": [round(z, 6)],
+        }
+    )

@@ -339,6 +339,12 @@ SUBSET = [
     "part_fd_violations",
     # sample ACF of the daily value series on the dense day grid
     "events_autocorrelation",
+    # top principal component via unrolled normalized power iteration
+    "embedding_pca_power",
+    # Gopher rule-based quality report (flattened-token Arrow kernels)
+    "gopher_quality_rules",
+    # Mann-Whitney rank-sum z via the shared ordered-count scan
+    "events_mannwhitney",
 ]
 
 
