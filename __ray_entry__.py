@@ -847,6 +847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_power": A.embedding_pca_power,
         "gopher_quality_rules": A.gopher_quality_rules,
         "events_mannwhitney": A.events_mannwhitney,
+        "doc_fusion_rrf": A.doc_fusion_rrf,
+        "kg_mis": A.kg_mis,
     }
 
 
@@ -4951,4 +4953,66 @@ def oracle_sql() -> dict[str, str]:
                                           * (n1 + n2 - 1)))), 6) AS z
             FROM agg
         """,
+        # reciprocal-rank fusion of BM25 and Dirichlet query likelihood
+        "doc_fusion_rrf": r"""
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, t.w AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            len AS MATERIALIZED (
+                SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             sum(dl) / count(*) AS avgdl,
+                             sum(dl) AS t_total FROM len),
+            tf AS MATERIALIZED (
+                SELECT doc_id, token, count(*)::DOUBLE AS tf
+                FROM toks WHERE token IN ('spark', 'join', 'stream')
+                GROUP BY 1, 2),
+            dft AS (SELECT token, count(*)::DOUBLE AS df,
+                           sum(tf) AS ctf FROM tf GROUP BY 1),
+            sc AS MATERIALIZED (
+                SELECT tf.doc_id,
+                       sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                           AS score
+                FROM tf JOIN dft USING (token) JOIN len USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY 1),
+            hits AS (SELECT DISTINCT doc_id FROM tf),
+            terms AS (SELECT unnest(['spark', 'join', 'stream']) AS token),
+            ql AS MATERIALIZED (
+                SELECT h.doc_id,
+                       sum(ln((coalesce(tf.tf, 0.0)
+                               + 2000.0 * dft.ctf / stats.t_total)
+                              / (len.dl + 2000.0))) AS score
+                FROM hits h
+                CROSS JOIN terms t
+                JOIN dft ON dft.token = t.token
+                JOIN len ON len.doc_id = h.doc_id
+                CROSS JOIN stats
+                LEFT JOIN tf ON tf.doc_id = h.doc_id AND tf.token = t.token
+                GROUP BY 1),
+            topb AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                                AS r
+                     FROM sc QUALIFY r <= 20),
+            topq AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                                AS r
+                     FROM ql QUALIFY r <= 20),
+            fused AS (
+                SELECT doc_id,
+                       coalesce(1.0 / (60 + b.r), 0.0)
+                       + coalesce(1.0 / (60 + q.r), 0.0) AS rrf,
+                       coalesce(b.r, 0)::BIGINT AS bm25_rank,
+                       coalesce(q.r, 0)::BIGINT AS ql_rank
+                FROM topb b FULL JOIN topq q USING (doc_id))
+            SELECT doc_id, round_even(rrf, 6) AS rrf_score,
+                   bm25_rank, ql_rank
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        # Luby maximal independent set, unrolled hash-derandomized rounds
+        "kg_mis": O.mis_sql(),
     }

@@ -2051,3 +2051,69 @@ def pca_power_sql(n_iters: int = 8) -> str:
         FROM v{last}, n{last}, sgn, tr
         ORDER BY i
     """
+
+
+def mis_sql(n_rounds: int = 6, modulus: int = 997) -> str:
+    """Unrolled Luby-MIS SQL over the modular-key digraph (symmetrized):
+    node priority is splitmix64(node) — the identical bijective
+    hash-derandomization ``stages/graph.maximal_independent_set`` uses, so
+    each round's winner / removed / alive sets replay exactly.  Every CTE
+    is MATERIALIZED (inlining would re-expand the whole previous round per
+    reference)."""
+
+    def p(col: str) -> str:
+        return splitmix64_sql(f"({col})::UBIGINT")
+
+    parts = []
+    prev_e, prev_a = "e0", "a0"
+    decided = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+            mn{r} AS MATERIALIZED (
+                SELECT u AS node, min({p('v')}) AS m
+                FROM {prev_e} GROUP BY u),
+            w{r} AS MATERIALIZED (
+                SELECT node FROM mn{r} WHERE {p('node')} < m
+                UNION ALL
+                SELECT node FROM {prev_a}
+                WHERE node NOT IN (SELECT node FROM mn{r})),
+            rm{r} AS MATERIALIZED (
+                SELECT DISTINCT e.v AS node
+                FROM {prev_e} e JOIN w{r} w ON e.u = w.node),
+            d{r} AS MATERIALIZED (
+                SELECT node FROM w{r} UNION ALL SELECT node FROM rm{r}),
+            a{r} AS MATERIALIZED (
+                SELECT node FROM {prev_a}
+                WHERE node NOT IN (SELECT node FROM d{r})),
+            e{r} AS MATERIALIZED (
+                SELECT u, v FROM {prev_e}
+                WHERE u IN (SELECT node FROM a{r})
+                  AND v IN (SELECT node FROM a{r}))"""
+        )
+        decided.append(
+            f"SELECT node, 1 AS in_mis, {r} AS round_decided FROM w{r}"
+            f" UNION ALL "
+            f"SELECT node, 0 AS in_mis, {r} AS round_decided FROM rm{r}"
+        )
+        prev_e, prev_a = f"e{r}", f"a{r}"
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT DISTINCT (l_orderkey % {modulus}) AS src,
+                   (l_partkey % {modulus}) AS dst
+            FROM lineitem
+            WHERE l_quantity = 1
+              AND (l_orderkey % {modulus}) <> (l_partkey % {modulus})),
+        e0 AS MATERIALIZED (
+            SELECT src AS u, dst AS v FROM base
+            UNION
+            SELECT dst AS u, src AS v FROM base),
+        a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0),
+        {", ".join(parts)},
+        dec AS ({" UNION ALL ".join(decided)})
+        SELECT a0.node::BIGINT AS node,
+               coalesce(dec.in_mis, -1)::BIGINT AS in_mis,
+               coalesce(dec.round_decided, -1)::BIGINT AS round_decided
+        FROM a0 LEFT JOIN dec ON a0.node = dec.node
+        ORDER BY node
+    """

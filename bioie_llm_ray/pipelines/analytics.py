@@ -11712,3 +11712,160 @@ def events_mannwhitney(
             "z": [round(z, 6)],
         }
     )
+
+
+def doc_fusion_rrf(
+    sf_dir: str,
+    terms: tuple = ("spark", "join", "stream"),
+    k0: int = 20,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    mu: float = 2000.0,
+    rrf_k: int = 60,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two lexical
+    retrievers over the corpus: BM25 (the `doc_bm25` scorer) and a
+    Dirichlet-smoothed query-likelihood model (Zhai & Lafferty 2001,
+    ``Σ_t ln((tf_t + μ·ctf_t/T) / (dl + μ))`` over qualifying docs) —
+    the standard hybrid-retrieval merge where rank lists, not raw scores,
+    are combined: ``rrf(d) = Σ_lists 1/(60 + rank_d)``.
+
+    Scale shape: ONE combiner pass folds corpus stats (N, avgdl, per-term
+    df and ctf — len(terms)+3 scalars on the driver); one scoring pass
+    emits BOTH scores per qualifying doc; each list's top-k0 cut is the
+    distributed ORDER-BY-LIMIT primitive; the fusion itself touches
+    2·k0 rows.  Raw-score ordering (doc_id tiebreak) decides membership
+    on both sides; 1/(60+r) terms are identical IEEE doubles in numpy and
+    SQL, so the fused order matches bit-for-bit."""
+    from ..stages.sample import distributed_sort_top_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    term_list = list(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        doc_idx = pc.list_parent_indices(toks)
+        dl = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(
+            dl,
+            doc_idx.to_numpy(zero_copy_only=False),
+            pc.cast(nonempty, pa.int64()).to_numpy(zero_copy_only=False),
+        )
+        cols = {
+            "n_docs": pa.array([int((dl > 0).sum())], type=pa.int64()),
+            "n_toks": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        for t in term_list:
+            hit = pc.and_(pc.equal(flat, t), nonempty)
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            n_df = len(
+                np.unique(doc_idx.filter(hit).to_numpy(zero_copy_only=False))
+            )
+            cols[f"df_{t}"] = pa.array([n_df], type=pa.int64())
+            cols[f"ctf_{t}"] = pa.array([int(hit_np.sum())], type=pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    total_toks = float(st["n_toks"].sum())
+    avgdl = total_toks / n_docs
+    dfs = {t: int(st[f"df_{t}"].sum()) for t in term_list}
+    ctfs = {t: float(st[f"ctf_{t}"].sum()) for t in term_list}
+    idf = {
+        t: float(np.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0))
+        for t in term_list
+    }
+    stats_ref = ray.put((idf, ctfs, avgdl, total_toks))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_b, ctf_b, avg_b, tot_b = ray.get(stats_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        doc_idx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(batch), dtype=np.float64)
+        np.add.at(
+            dl, doc_idx, pc.cast(nonempty, pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        bm25 = np.zeros(len(batch), dtype=np.float64)
+        ql = np.zeros(len(batch), dtype=np.float64)
+        any_hit = np.zeros(len(batch), dtype=bool)
+        norm = k1 * (1.0 - b + b * dl / avg_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for t in term_list:
+                hits = pc.and_(pc.equal(flat, t), nonempty).to_numpy(
+                    zero_copy_only=False
+                )
+                tf = np.zeros(len(batch), dtype=np.float64)
+                np.add.at(tf, doc_idx, hits.astype(np.float64))
+                any_hit |= tf > 0
+                bm25 += idf_b[t] * tf * (k1 + 1.0) / (tf + norm)
+                ql += np.log((tf + mu * ctf_b[t] / tot_b) / (dl + mu))
+        keep = any_hit
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "bm25": pa.array(bm25[keep], type=pa.float64()),
+                "ql": pa.array(ql[keep], type=pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    top_b = distributed_sort_top_k(
+        scored.select_columns(["doc_id", "bm25"]),
+        sort_cols=["bm25", "doc_id"], ascending=[False, True], k=k0,
+    )
+    top_q = distributed_sort_top_k(
+        scored.select_columns(["doc_id", "ql"]),
+        sort_cols=["ql", "doc_id"], ascending=[False, True], k=k0,
+    )
+    rank_b = {int(d): i + 1 for i, d in enumerate(top_b["doc_id"])}
+    rank_q = {int(d): i + 1 for i, d in enumerate(top_q["doc_id"])}
+    rows = []
+    for d in sorted(set(rank_b) | set(rank_q)):
+        rb, rq = rank_b.get(d, 0), rank_q.get(d, 0)
+        rrf = (1.0 / (rrf_k + rb) if rb else 0.0) + (
+            1.0 / (rrf_k + rq) if rq else 0.0
+        )
+        rows.append((d, rrf, rb, rq))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "rrf_score": np.round([r[1] for r in rows], 6),
+            "bm25_rank": np.array([r[2] for r in rows], dtype=np.int64),
+            "ql_rank": np.array([r[3] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def kg_mis(sf_dir: str, n_rounds: int = 6) -> pd.DataFrame:
+    """Maximal independent set over the (symmetrized) modular-key graph by
+    hash-derandomized Luby rounds (`stages/graph.maximal_independent_set`)
+    — the distributed symmetry-breaking primitive behind parallel greedy
+    coloring and matching.  splitmix64 priorities are a uint64 bijection,
+    so the rounds are RNG-free and strict-ordered; `oracle.mis_sql`
+    unrolls the identical recurrence.  Exactly ``n_rounds`` rounds run on
+    both sides (any node still undecided emits in_mis = -1), and all
+    round state (alive nodes/edges, decided sets) stays in bucketed
+    Datasets — nothing per-node ever reaches the driver."""
+    from ..stages.graph import maximal_independent_set
+
+    out = maximal_independent_set(
+        _modular_key_edges(sf_dir),
+        src="src",
+        dst="dst",
+        n_rounds=n_rounds,
+        n_buckets=_nb(sf_dir, "lineitem"),
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -3042,3 +3042,185 @@ def personalized_pagerank(
             }
         )
     )
+
+
+def maximal_independent_set(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 6,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Luby-style synchronous maximal-independent-set rounds over an int64
+    digraph (symmetrized internally) — the classic distributed
+    symmetry-breaking primitive (Luby 1986), hash-derandomized: node
+    priority is ``splitmix64(node)``, a BIJECTION on uint64, so the total
+    order is strict (no ties, no RNG) and — being a pure function — the
+    per-edge neighbor priority needs NO join: each exchange computes
+    ``min(splitmix64(dst))`` per src directly.
+
+    Per round (all state distributed, kcore-style): a node joins the MIS
+    if its priority beats every remaining neighbor's (or it is isolated);
+    MIS neighbors are removed; both sets leave the alive node/edge tables
+    via anti semi joins.  Exactly ``n_rounds`` rounds run — the SQL
+    oracle unrolls the identical recurrence, so results match even if
+    the graph is not exhausted (leftovers emit in_mis = -1).
+
+    Returns (node, in_mis, round_decided): in_mis 1 = MIS member,
+    0 = removed neighbor, -1 = undecided after n_rounds (round_decided
+    -1)."""
+    from ..functions.hashing import _splitmix64
+    from .dedup import exact_dedup
+    from .join import shuffle_semi_join
+    from .rollup import grouped_agg
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b[src].combine_chunks()
+        d = b[dst].combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([s, d]),
+                "v": pa.concat_arrays([d, s]),
+            }
+        )
+
+    e = exact_dedup(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        ["u", "v"],
+        n_buckets=n_buckets,
+    ).materialize()
+    alive = exact_dedup(
+        e.map_batches(
+            lambda b: pa.table({"node": b["u"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def prio(arr: "pa.Array | np.ndarray") -> np.ndarray:
+        a = (
+            arr.to_numpy(zero_copy_only=False)
+            if not isinstance(arr, np.ndarray)
+            else arr
+        )
+        return _splitmix64(a.astype(np.uint64))
+
+    decided_parts: list[ray.data.Dataset] = []
+
+    for r in range(1, n_rounds + 1):
+        def nbr_prio(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["u"],
+                    # stored as int64 bit pattern; min over uint64 order
+                    # == min over the shifted int64 order, so flip the
+                    # sign bit to keep grouped_agg's signed min correct
+                    "p": pa.array(
+                        (prio(b["v"]) ^ np.uint64(1 << 63)).astype(np.int64)
+                    ),
+                }
+            )
+
+        mn = grouped_agg(
+            e.map_batches(nbr_prio, batch_format="pyarrow"),
+            keys=["node"],
+            aggs={"m": ("p", "min")},
+            n_buckets=n_buckets,
+            partial=True,
+        ).materialize()
+
+        def edge_winners(b: pa.Table) -> pa.Table:
+            own = (prio(b["node"]) ^ np.uint64(1 << 63)).astype(np.int64)
+            keep = own < b["m"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": b["node"].filter(pa.array(keep))})
+
+        win_e = mn.map_batches(edge_winners, batch_format="pyarrow")
+        iso = shuffle_semi_join(
+            alive,
+            mn.select_columns(["node"]),
+            keys="node",
+            anti=True,
+            n_buckets=n_buckets,
+            left_schema={"node": pa.int64()},
+        )
+        # unions + semi joins compound block counts (hundreds of empty
+        # blocks by round 4 — measured 176 s/round); coalesce every
+        # node-scale table back to n_buckets blocks
+        winners = win_e.union(iso).repartition(n_buckets).materialize()
+        removed = exact_dedup(
+            shuffle_semi_join(
+                e,
+                winners.map_batches(
+                    lambda b: b.rename_columns(["u"]), batch_format="pyarrow"
+                ),
+                keys="u",
+                n_buckets=n_buckets,
+                left_schema={"u": pa.int64(), "v": pa.int64()},
+            ).map_batches(
+                lambda b: pa.table({"node": b["v"]}), batch_format="pyarrow"
+            ),
+            ["node"],
+            n_buckets=n_buckets,
+        ).materialize()
+
+        def tag(flag: int, rnd: int):
+            def _tag(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                return pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.int64()),
+                        "in_mis": pa.array(np.full(n, flag, dtype=np.int64)),
+                        "round_decided": pa.array(
+                            np.full(n, rnd, dtype=np.int64)
+                        ),
+                    }
+                )
+
+            return _tag
+
+        for tbl, flag in ((winners, 1), (removed, 0)):
+            decided_parts.append(
+                tbl.map_batches(tag(flag, r), batch_format="pyarrow")
+            )
+        gone = winners.union(removed).repartition(n_buckets).materialize()
+        alive = (
+            shuffle_semi_join(
+                alive, gone, keys="node", anti=True, n_buckets=n_buckets,
+                left_schema={"node": pa.int64()},
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+        for end in ("u", "v"):
+            e = shuffle_semi_join(
+                e,
+                gone.map_batches(
+                    lambda b, _e=end: b.rename_columns([_e]),
+                    batch_format="pyarrow",
+                ),
+                keys=end,
+                anti=True,
+                n_buckets=n_buckets,
+                left_schema={"u": pa.int64(), "v": pa.int64()},
+            )
+        e = e.repartition(n_buckets).materialize()
+        # once nothing is alive, every later round decides nothing on
+        # BOTH sides (the SQL unrolls them as empty sets), so stopping
+        # early is output-identical and skips dead exchanges
+        if alive.count() == 0:
+            break
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": pc.cast(b["node"], pa.int64()),
+                "in_mis": pa.array(np.full(n, -1, dtype=np.int64)),
+                "round_decided": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    out = alive.map_batches(tag_left, batch_format="pyarrow")
+    for part in decided_parts:
+        out = out.union(part)
+    return out

@@ -345,6 +345,10 @@ SUBSET = [
     "gopher_quality_rules",
     # Mann-Whitney rank-sum z via the shared ordered-count scan
     "events_mannwhitney",
+    # reciprocal-rank fusion of BM25 and Dirichlet query likelihood
+    "doc_fusion_rrf",
+    # Luby maximal independent set (hash-derandomized rounds)
+    "kg_mis",
 ]
 
 

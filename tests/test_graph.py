@@ -629,3 +629,51 @@ class TestGraphEdgeCases:
         # the oracle's deepest unrolled CTE must match the Ray raise point
         assert f"e{K_TRUSS_MAX_ROUNDS} AS MATERIALIZED" in ktruss_sql()
         assert f"e{K_TRUSS_MAX_ROUNDS + 1}" not in ktruss_sql()
+
+
+class TestMaximalIndependentSet:
+    def _run(self, pairs, n_rounds=6):
+        import ray
+
+        from bioie_llm_ray.stages.graph import maximal_independent_set
+
+        edges = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in pairs]
+        )
+        out = maximal_independent_set(
+            edges, n_rounds=n_rounds, n_buckets=4
+        ).to_pandas()
+        return out.set_index("node")
+
+    def test_independence_and_maximality(self):
+        # path 0-1-2-3-4 plus a triangle 5-6-7 and an isolated pair 8-9
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (8, 9)]
+        out = self._run(pairs)
+        status = out["in_mis"].to_dict()
+        # every node decided (graph exhausts well inside 6 rounds)
+        assert set(status.values()) <= {0, 1}
+        adj: dict[int, set] = {}
+        for s, d in pairs:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        # independence: no edge inside the MIS
+        for s, d in pairs:
+            assert not (status[s] == 1 and status[d] == 1), (s, d)
+        # maximality: every removed node has an MIS neighbor
+        for n, st in status.items():
+            if st == 0:
+                assert any(status[m] == 1 for m in adj[n]), n
+
+    def test_rounds_monotone_and_self_consistent(self):
+        pairs = [(i, i + 1) for i in range(12)]
+        out = self._run(pairs)
+        # winners and their removed neighbors share the decision round
+        assert (out["round_decided"] >= 1).all()
+        assert set(out["in_mis"].unique()) <= {0, 1}
+
+    def test_undecided_when_rounds_exhausted(self):
+        # a single round cannot finish a long path; leftovers emit -1
+        pairs = [(i, i + 1) for i in range(30)]
+        out = self._run(pairs, n_rounds=1)
+        assert (out["in_mis"] == -1).sum() > 0
+        assert (out.loc[out["in_mis"] == -1, "round_decided"] == -1).all()
