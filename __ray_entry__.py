@@ -849,6 +849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": A.events_mannwhitney,
         "doc_fusion_rrf": A.doc_fusion_rrf,
         "kg_mis": A.kg_mis,
+        "orders_consistent_sample": A.orders_consistent_sample,
+        "referential_integrity": A.referential_integrity,
+        "events_l_diversity": A.events_l_diversity,
     }
 
 
@@ -5015,4 +5018,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Luby maximal independent set, unrolled hash-derandomized rounds
         "kg_mis": O.mis_sql(),
+        # join-consistent hash sampling with exact-integer revenue folds
+        "orders_consistent_sample": f"""
+            WITH f AS (
+                SELECT round_even(l_extendedprice * 100, 0)::BIGINT
+                       * (100 - round_even(l_discount * 100, 0)::BIGINT)
+                           AS rev_u,
+                       (({O.splitmix64_sql('l_orderkey::UBIGINT')}) % 10) = 0
+                           AS samp
+                FROM lineitem),
+            a AS (SELECT count(*)::BIGINT AS n_rows,
+                         sum(CASE WHEN samp THEN 1 ELSE 0 END)::BIGINT
+                             AS n_sampled,
+                         sum(rev_u)::BIGINT AS rev_u,
+                         sum(CASE WHEN samp THEN rev_u ELSE 0 END)::BIGINT
+                             AS rev_s
+                  FROM f)
+            SELECT n_rows, n_sampled,
+                   round_even(rev_s / 10000.0, 2) AS sample_revenue,
+                   round_even(rev_s / 10000.0 * 10, 2) AS est_revenue,
+                   round_even(rev_u / 10000.0, 2) AS exact_revenue,
+                   round_even(abs(rev_s / 10000.0 * 10 - rev_u / 10000.0)
+                              / (rev_u / 10000.0), 6) AS rel_error
+            FROM a
+        """,
+        # inclusion-dependency (foreign-key) audit
+        "referential_integrity": " UNION ALL ".join(
+            f"""
+            SELECT '{child}.{ckey}' AS child, '{parent}.{pkey}' AS parent,
+                   (SELECT count(*) FROM {child})::BIGINT AS n_rows,
+                   (SELECT count(DISTINCT {ckey}) FROM {child})::BIGINT
+                       AS n_keys,
+                   (SELECT count(*)
+                    FROM (SELECT DISTINCT {ckey} FROM {child})
+                    WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent}))::BIGINT
+                       AS orphan_keys,
+                   (SELECT count(*) FROM {child}
+                    WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent}))::BIGINT
+                       AS orphan_rows
+            """
+            for child, ckey, parent, pkey in (
+                ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                ("lineitem", "l_partkey", "part", "p_partkey"),
+                ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+                ("orders", "o_custkey", "customer", "c_custkey"),
+                ("nation", "n_regionkey", "region", "r_regionkey"),
+            )
+        )
+        + " ORDER BY child",
+        # l-diversity audit over the k-anonymity quasi-id classes
+        "events_l_diversity": """
+            WITH cls AS (
+                SELECT isodow(ts) AS dow, hour(ts) AS hour,
+                       count(DISTINCT event_type)::BIGINT AS l,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n)::BIGINT AS n_rows FROM cls)
+            SELECT (SELECT count(*) FROM cls)::BIGINT AS n_classes,
+                   (SELECT count(*) FROM cls WHERE l < 3)::BIGINT
+                       AS n_low_diversity,
+                   (SELECT min(l) FROM cls)::BIGINT AS min_l,
+                   coalesce((SELECT sum(n) FROM cls WHERE l < 3), 0)::BIGINT
+                       AS rows_exposed,
+                   round_even(
+                       coalesce((SELECT sum(n) FROM cls WHERE l < 3), 0)
+                       / t.n_rows::DOUBLE, 6) AS exposed_frac
+            FROM t
+        """,
     }

@@ -11869,3 +11869,195 @@ def kg_mis(sf_dir: str, n_rounds: int = 6) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def orders_consistent_sample(sf_dir: str, rate_mod: int = 10) -> pd.DataFrame:
+    """Join-consistent hash sampling (the warehouse "sample a fact table
+    AND its children coherently" primitive): an order is in the sample iff
+    ``splitmix64(orderkey) % rate_mod == 0``, and because the predicate is
+    a pure function of the join key, the lineitem side applies the SAME
+    filter join-free — no key-set exchange, the property broadcast joins
+    cannot give.  Reports the scaled revenue estimate next to the exact
+    total: revenue folds as exact integer micro-cents
+    (``round(price·100) · (100 − round(disc·100))``, the q8/q9 trick) so
+    both sides sum order-free."""
+    from ..functions.hashing import _splitmix64
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev_u = price_c * (100 - disc_c)
+        samp = _splitmix64(keys.astype(np.uint64)) % rate_mod == 0
+        return pa.table(
+            {
+                "n_rows": pa.array([len(keys)], type=pa.int64()),
+                "n_samp": pa.array([int(samp.sum())], type=pa.int64()),
+                "rev_u": pa.array([int(rev_u.sum())], type=pa.int64()),
+                "rev_samp_u": pa.array(
+                    [int(rev_u[samp].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n_rows = int(p["n_rows"].sum())
+    n_samp = int(p["n_samp"].sum())
+    exact = float(p["rev_u"].sum()) / 10000.0
+    samp_rev = float(p["rev_samp_u"].sum()) / 10000.0
+    est = samp_rev * rate_mod
+    return pd.DataFrame(
+        {
+            "n_rows": [n_rows],
+            "n_sampled": [n_samp],
+            "sample_revenue": [round(samp_rev, 2)],
+            "est_revenue": [round(est, 2)],
+            "exact_revenue": [round(exact, 2)],
+            "rel_error": [round(abs(est - exact) / exact, 6)],
+        }
+    )
+
+
+# candidate foreign-key (inclusion) dependencies audited by
+# referential_integrity: (child table, child key, parent table, parent key)
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Inclusion-dependency audit (foreign-key discovery / dbt-style
+    relationship tests): for each candidate child→parent key pair, the
+    child row count, its distinct-key count, and the orphan counts
+    (distinct keys and rows with no parent).
+
+    Scale shape per candidate: the child collapses to its DISTINCT key
+    table (bucketed dedup with per-batch local dedup — the fact table
+    never shuffles raw), orphan keys come from one distributed anti semi
+    join against the parent key column, and orphan ROWS are counted by a
+    second anti semi join that streams the fact side.  Integer counts
+    end-to-end."""
+    from ..stages.dedup import batch_local_dedup, exact_dedup
+    from ..stages.join import shuffle_semi_join
+
+    frames = []
+    for child, ckey, parent, pkey in _FK_CANDIDATES:
+        nb = _nb(sf_dir, child, 8)
+        cds = _read(sf_dir, child, columns=[ckey]).map_batches(
+            lambda b, _c=ckey: pa.table({_c: pc.cast(b[_c], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        pds = _read(sf_dir, parent, columns=[pkey]).map_batches(
+            lambda b, _c=ckey, _p=pkey: pa.table(
+                {_c: pc.cast(b[_p], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        ckeys = exact_dedup(
+            batch_local_dedup(cds, [ckey]), [ckey], n_buckets=nb
+        ).materialize()
+        orphan_keys = shuffle_semi_join(
+            ckeys, pds, keys=ckey, anti=True, n_buckets=nb,
+            left_schema={ckey: pa.int64()},
+        )
+        orphan_rows = shuffle_semi_join(
+            cds, pds, keys=ckey, anti=True, n_buckets=nb,
+            left_schema={ckey: pa.int64()},
+        )
+
+        def n_of(ds) -> int:
+            return int(
+                sum(
+                    r["n"]
+                    for r in ds.map_batches(
+                        lambda b: pa.table(
+                            {"n": pa.array([b.num_rows], type=pa.int64())}
+                        ),
+                        batch_format="pyarrow",
+                    ).take_all()
+                )
+            )
+
+        frames.append(
+            {
+                "child": f"{child}.{ckey}",
+                "parent": f"{parent}.{pkey}",
+                "n_rows": n_of(cds),
+                "n_keys": n_of(ckeys),
+                "orphan_keys": n_of(orphan_keys),
+                "orphan_rows": n_of(orphan_rows),
+            }
+        )
+    out = pd.DataFrame(frames)
+    for c in ("n_rows", "n_keys", "orphan_keys", "orphan_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("child").reset_index(drop=True)
+
+
+def events_l_diversity(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion of
+    `events_k_anonymity`: with quasi-identifiers (ISO weekday, hour) and
+    the event type as the SENSITIVE attribute, every equivalence class
+    must contain ≥ l distinct sensitive values or releases are
+    attribute-disclosable.  Reports class count, the classes below
+    ``l_min``, the worst (minimum) diversity, and the row fraction
+    exposed.
+
+    One combiner exchange over the bounded (dow, hour, type) domain
+    (7·24·5 tuples) then driver arithmetic on ≤168 classes — same shape
+    at any stream size."""
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def quasi(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        dt = pd.DatetimeIndex(ts)
+        return pa.table(
+            {
+                "dow": pa.array(
+                    dt.dayofweek.to_numpy().astype(np.int64) + 1,
+                    type=pa.int64(),
+                ),
+                "hour": pa.array(
+                    dt.hour.to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(quasi, batch_format="pyarrow"),
+        keys=["dow", "hour", "event_type"],
+        aggs={"n": ("hour", "count")},
+        n_buckets=_nb(sf_dir, "events", 16),
+        partial=True,
+    ).to_pandas()
+    cls = g.groupby(["dow", "hour"], as_index=False).agg(
+        l=("event_type", "count"), n=("n", "sum")
+    )
+    n_rows = int(cls["n"].sum())
+    low = cls[cls["l"] < l_min]
+    return pd.DataFrame(
+        {
+            "n_classes": [int(len(cls))],
+            "n_low_diversity": [int(len(low))],
+            "min_l": [int(cls["l"].min())],
+            "rows_exposed": [int(low["n"].sum())],
+            "exposed_frac": [round(float(low["n"].sum()) / n_rows, 6)],
+        }
+    )

@@ -349,6 +349,12 @@ SUBSET = [
     "doc_fusion_rrf",
     # Luby maximal independent set (hash-derandomized rounds)
     "kg_mis",
+    # join-consistent hash sampling (pure-function key predicate)
+    "orders_consistent_sample",
+    # inclusion-dependency (foreign-key) audit via anti semi joins
+    "referential_integrity",
+    # l-diversity audit over the k-anonymity quasi-id classes
+    "events_l_diversity",
 ]
 
 
