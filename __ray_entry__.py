@@ -852,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_consistent_sample": A.orders_consistent_sample,
         "referential_integrity": A.referential_integrity,
         "events_l_diversity": A.events_l_diversity,
+        "events_score_pr_auc": A.events_score_pr_auc,
     }
 
 
@@ -5084,5 +5085,28 @@ def oracle_sql() -> dict[str, str]:
                        coalesce((SELECT sum(n) FROM cls WHERE l < 3), 0)
                        / t.n_rows::DOUBLE, 6) AS exposed_frac
             FROM t
+        """,
+        # exact average precision over descending distinct thresholds
+        "events_score_pr_auc": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events),
+            g AS (SELECT v, sum(y)::BIGINT AS np,
+                         sum(1 - y)::BIGINT AS nn
+                  FROM s GROUP BY v),
+            t AS (SELECT sum(np)::DOUBLE AS p_tot,
+                         sum(nn)::DOUBLE AS n_tot FROM g),
+            o AS (SELECT np,
+                         sum(np) OVER (ORDER BY v) - np AS cp,
+                         sum(nn) OVER (ORDER BY v) - nn AS cn
+                  FROM g)
+            SELECT t.p_tot::BIGINT AS n_pos, t.n_tot::BIGINT AS n_neg,
+                   round_even(
+                       sum(np * (t.p_tot - cp)
+                           / ((t.p_tot + t.n_tot) - (cp + cn)))
+                       / t.p_tot, 6) AS pr_auc
+            FROM o, t GROUP BY t.p_tot, t.n_tot
         """,
     }

@@ -12061,3 +12061,72 @@ def events_l_diversity(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
             "exposed_frac": [round(float(low["n"].sum()) / n_rows, 6)],
         }
     )
+
+
+def events_score_pr_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
+    """Exact average precision (area under the precision-recall step
+    curve, the sklearn ``average_precision_score`` definition:
+    ``AP = Σ_t (R_t − R_{t−1})·P_t`` over DESCENDING distinct score
+    thresholds) — the imbalanced-class companion of the ROC-AUC in
+    `events_score_auc`, over the same "does value separate ``pos_type``
+    events" task.
+
+    Shares the AUC pipeline's scale shape exactly: corpus → distinct-score
+    count table (one hash exchange) → `scan.ordered_count_scan` range
+    buckets with exclusive-prefix offsets for BOTH class counts → one
+    vectorized pass per bucket emits its AP contribution
+    ``Σ_v np_v · prec_v`` where ``prec_v = (P − cp(v)) / (P+N − cp(v) −
+    cn(v))`` counts from the top via the ascending exclusive prefixes.
+    Every term is an exact-integer ratio; one final division per distinct
+    value."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.scan import ordered_count_scan
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_sy(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch["event_type"], pos_type), pa.int64())
+        return pa.table(
+            {
+                "s": pc.cast(batch["value"], pa.float64()),
+                "y": y,
+                "ny": pc.subtract(pa.scalar(1, type=pa.int64()), y),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(to_sy, batch_format="pyarrow"),
+        keys=["s"],
+        aggs={"np": ("y", "sum"), "nn": ("ny", "sum")},
+        n_buckets=_nb(sf_dir, "events", 32),
+        partial=True,
+    )
+    tagged, offsets, totals = ordered_count_scan(g, "s", ["np", "nn"])
+    P, N = float(totals["np"]), float(totals["nn"])
+    offs_ref = ray.put((offsets["np"], offsets["nn"], P, N))
+
+    def contrib(gdf: pd.DataFrame) -> pd.DataFrame:
+        off_p, off_n, p_tot, n_tot = ray.get(offs_ref)
+        gdf = gdf.sort_values("s", kind="mergesort")
+        b = int(gdf["__b"].iloc[0])
+        npos = gdf["np"].to_numpy(np.float64)
+        nneg = gdf["nn"].to_numpy(np.float64)
+        cp = np.cumsum(npos) - npos + off_p[b]  # exclusive, ascending
+        cn = np.cumsum(nneg) - nneg + off_n[b]
+        top_p = p_tot - cp  # inclusive-from-top positives at threshold v
+        top_t = (p_tot + n_tot) - (cp + cn)
+        return pd.DataFrame({"c": [(npos * top_p / top_t).sum()]})
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(contrib, batch_format="pandas")
+        .to_pandas()
+    )
+    ap = float(parts["c"].sum()) / P
+    return pd.DataFrame(
+        {
+            "n_pos": [int(P)],
+            "n_neg": [int(N)],
+            "pr_auc": [round(ap, 6)],
+        }
+    )

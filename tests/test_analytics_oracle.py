@@ -355,6 +355,8 @@ SUBSET = [
     "referential_integrity",
     # l-diversity audit over the k-anonymity quasi-id classes
     "events_l_diversity",
+    # exact average precision (PR-AUC) via the shared ordered scan
+    "events_score_pr_auc",
 ]
 
 
