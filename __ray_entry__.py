@@ -853,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": A.referential_integrity,
         "events_l_diversity": A.events_l_diversity,
         "events_score_pr_auc": A.events_score_pr_auc,
+        "kg_maximal_matching": A.kg_maximal_matching,
     }
 
 
@@ -5109,4 +5110,6 @@ def oracle_sql() -> dict[str, str]:
                        / t.p_tot, 6) AS pr_auc
             FROM o, t GROUP BY t.p_tot, t.n_tot
         """,
+        # hash-greedy maximal matching, unrolled arg-min rounds
+        "kg_maximal_matching": O.matching_sql(),
     }

@@ -2117,3 +2117,56 @@ def mis_sql(n_rounds: int = 6, modulus: int = 997) -> str:
         FROM a0 LEFT JOIN dec ON a0.node = dec.node
         ORDER BY node
     """
+
+
+def matching_sql(
+    n_rounds: int = 6, modulus: int = 997, key_base: int = 1_000_000
+) -> str:
+    """Unrolled hash-greedy maximal-matching SQL over the canonicalized
+    (u < v) modular-key graph: edge priority splitmix64(u·key_base + v),
+    per-node arg_min pick, matched iff both endpoints picked (grouped
+    count = 2) — the identical recurrence of
+    ``stages/graph.maximal_matching``."""
+    p0 = splitmix64_sql(f"((u * {key_base} + v))::UBIGINT")
+    parts, decided = [], []
+    prev = "px0"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+            mn{r} AS MATERIALIZED (
+                SELECT node, arg_min(ek, p) AS ek
+                FROM (SELECT u AS node, p, ek FROM {prev}
+                      UNION ALL SELECT v AS node, p, ek FROM {prev})
+                GROUP BY node),
+            w{r} AS MATERIALIZED (
+                SELECT ek FROM mn{r} GROUP BY ek HAVING count(*) = 2),
+            g{r} AS MATERIALIZED (
+                SELECT ek // {key_base} AS node FROM w{r}
+                UNION SELECT ek % {key_base} FROM w{r}),
+            px{r} AS MATERIALIZED (
+                SELECT u, v, ek, p FROM {prev}
+                WHERE u NOT IN (SELECT node FROM g{r})
+                  AND v NOT IN (SELECT node FROM g{r}))"""
+        )
+        decided.append(
+            f"SELECT (ek // {key_base})::BIGINT AS u,"
+            f" (ek % {key_base})::BIGINT AS v,"
+            f" {r}::BIGINT AS round_matched FROM w{r}"
+        )
+        prev = f"px{r}"
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT DISTINCT (l_orderkey % {modulus}) AS src,
+                   (l_partkey % {modulus}) AS dst
+            FROM lineitem
+            WHERE l_quantity = 1
+              AND (l_orderkey % {modulus}) <> (l_partkey % {modulus})),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM base),
+        px0 AS MATERIALIZED (
+            SELECT u, v, (u * {key_base} + v) AS ek, {p0} AS p FROM e0),
+        {", ".join(parts)}
+        {" UNION ALL ".join(decided)}
+        ORDER BY u, v
+    """

@@ -12130,3 +12130,26 @@ def events_score_pr_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame
             "pr_auc": [round(ap, 6)],
         }
     )
+
+
+def kg_maximal_matching(sf_dir: str, n_rounds: int = 6) -> pd.DataFrame:
+    """Hash-greedy maximal matching over the canonicalized modular-key
+    graph (`stages/graph.maximal_matching`) — the distributed matching
+    primitive next to `kg_mis`'s independent set: per round every node
+    picks its minimum-splitmix-priority incident edge (bucketed arg-min),
+    an edge is matched iff BOTH endpoints picked it (grouped count — only
+    an edge's own endpoints can pick it, so no join), and matched
+    endpoints leave via anti semi joins.  `oracle.matching_sql` unrolls
+    the identical rounds."""
+    from ..stages.graph import maximal_matching
+
+    out = maximal_matching(
+        _modular_key_edges(sf_dir),
+        src="src",
+        dst="dst",
+        n_rounds=n_rounds,
+        n_buckets=_nb(sf_dir, "lineitem"),
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -3224,3 +3224,146 @@ def maximal_independent_set(
     for part in decided_parts:
         out = out.union(part)
     return out
+
+
+def maximal_matching(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 6,
+    n_buckets: int = 32,
+    key_base: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Hash-greedy maximal matching over an int64 graph (canonicalized to
+    u < v) — the distributed matching primitive (Israeli & Itai 1986
+    shape), derandomized like ``maximal_independent_set``: edge priority
+    is ``splitmix64(u·key_base + v)``, injective for node ids below
+    ``key_base``, so priorities are a strict total order with no RNG.
+
+    Round r: every node picks its minimum-priority incident edge (one
+    bucketed arg-min exchange — a node's endpoint rows co-locate in its
+    hash bucket); an edge is MATCHED iff BOTH endpoints picked it, which
+    is one grouped count == 2 — no join, because only an edge's two
+    endpoints can ever pick it.  Matched endpoints leave the edge table
+    via anti semi joins.  The loop stops early once no edges remain
+    (output-identical: later unrolled rounds match nothing).
+
+    Returns (u, v, round_matched) for the matched edges only."""
+    from ..functions.hashing import _splitmix64, bucket_ids_for_column
+    from .dedup import exact_dedup
+    from .join import shuffle_semi_join
+    from .rollup import grouped_agg
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        keep = u != v
+        return pa.table(
+            {"u": pa.array(u[keep]), "v": pa.array(v[keep])}
+        )
+
+    e = exact_dedup(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    matched_parts: list[ray.data.Dataset] = []
+    for r in range(1, n_rounds + 1):
+
+        def ends(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            ek = u * key_base + v
+            p = (
+                _splitmix64(ek.astype(np.uint64)) ^ np.uint64(1 << 63)
+            ).astype(np.int64)
+            node = np.concatenate([u, v])
+            t = pa.table(
+                {
+                    "node": pa.array(node),
+                    "p": pa.array(np.concatenate([p, p])),
+                    "ek": pa.array(np.concatenate([ek, ek])),
+                }
+            )
+            return t.append_column(
+                "__bucket",
+                pa.array(bucket_ids_for_column(t["node"], n_buckets)),
+            )
+
+        def node_argmin(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "p"], kind="mergesort")
+            first = g.groupby("node", sort=False).head(1)
+            return first[["node", "ek"]]
+
+        mn = (
+            e.map_batches(ends, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(node_argmin, batch_format="pandas")
+        )
+        wins = grouped_agg(
+            mn,
+            keys=["ek"],
+            aggs={"n": ("node", "count")},
+            n_buckets=n_buckets,
+            partial=True,
+        ).filter(expr="n == 2")
+
+        def to_edge(b: pa.Table, rnd: int = r) -> pa.Table:
+            ek = b["ek"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "u": pa.array(ek // key_base),
+                    "v": pa.array(ek % key_base),
+                    "round_matched": pa.array(
+                        np.full(len(ek), rnd, dtype=np.int64)
+                    ),
+                }
+            )
+
+        we = (
+            wins.map_batches(to_edge, batch_format="pyarrow")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        matched_parts.append(we)
+
+        def gone_nodes(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            b["u"].combine_chunks(),
+                            b["v"].combine_chunks(),
+                        ]
+                    )
+                }
+            )
+
+        gone = (
+            we.map_batches(gone_nodes, batch_format="pyarrow")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        for end in ("u", "v"):
+            e = shuffle_semi_join(
+                e,
+                gone.map_batches(
+                    lambda b, _e=end: b.rename_columns([_e]),
+                    batch_format="pyarrow",
+                ),
+                keys=end,
+                anti=True,
+                n_buckets=n_buckets,
+                left_schema={"u": pa.int64(), "v": pa.int64()},
+            )
+        e = e.repartition(n_buckets).materialize()
+        if e.count() == 0:
+            break
+
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.union(part)
+    return out

@@ -357,6 +357,8 @@ SUBSET = [
     "events_l_diversity",
     # exact average precision (PR-AUC) via the shared ordered scan
     "events_score_pr_auc",
+    # hash-greedy maximal matching (arg-min pick, count==2 winners)
+    "kg_maximal_matching",
 ]
 
 

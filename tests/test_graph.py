@@ -677,3 +677,38 @@ class TestMaximalIndependentSet:
         out = self._run(pairs, n_rounds=1)
         assert (out["in_mis"] == -1).sum() > 0
         assert (out.loc[out["in_mis"] == -1, "round_decided"] == -1).all()
+
+
+class TestMaximalMatching:
+    def _run(self, pairs, n_rounds=6):
+        import ray
+
+        from bioie_llm_ray.stages.graph import maximal_matching
+
+        edges = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in pairs]
+        )
+        return maximal_matching(
+            edges, n_rounds=n_rounds, n_buckets=4
+        ).to_pandas()
+
+    def test_matching_valid_and_maximal(self):
+        # two squares joined by a bridge plus a pendant
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (4, 5), (5, 6),
+                 (6, 7), (7, 4), (7, 8)]
+        out = self._run(pairs)
+        matched_nodes: list = []
+        for u, v in zip(out["u"], out["v"]):
+            matched_nodes += [u, v]
+        # validity: no node appears in two matched edges
+        assert len(matched_nodes) == len(set(matched_nodes))
+        # maximality: every input edge touches a matched node
+        ms = set(matched_nodes)
+        for s, d in pairs:
+            assert s in ms or d in ms, (s, d)
+
+    def test_canonicalization_dedups_directions(self):
+        # the same undirected edge in both directions is ONE edge
+        out = self._run([(1, 2), (2, 1)])
+        assert len(out) == 1
+        assert (out.iloc[0]["u"], out.iloc[0]["v"]) == (1, 2)
