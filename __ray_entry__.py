@@ -854,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": A.events_l_diversity,
         "events_score_pr_auc": A.events_score_pr_auc,
         "kg_maximal_matching": A.kg_maximal_matching,
+        "value_mad_outliers": A.value_mad_outliers,
+        "user_time_weighted_value": A.user_time_weighted_value,
     }
 
 
@@ -5112,4 +5114,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash-greedy maximal matching, unrolled arg-min rounds
         "kg_maximal_matching": O.matching_sql(),
+        # Hampel/MAD robust outlier audit (exact interpolated medians)
+        "value_mad_outliers": """
+            WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+            d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad,
+                         any_value(m.med) AS med
+                  FROM events, m),
+            c AS (SELECT count(*)::BIGINT AS n,
+                         sum(CASE WHEN abs(value - d.med)
+                                       > (3.0 * 1.4826) * d.mad
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_out
+                  FROM events, d)
+            SELECT round_even(d.med, 6) AS median,
+                   round_even(d.mad, 6) AS mad,
+                   c.n_out AS n_outliers,
+                   round_even(c.n_out / c.n::DOUBLE, 6) AS outlier_frac
+            FROM c, d
+        """,
+        # per-user time-weighted average value (LEAD holding intervals)
+        "user_time_weighted_value": """
+            WITH w AS (
+                SELECT user_id, value,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dur
+                FROM events)
+            SELECT user_id,
+                   round_even(sum(value * dur) / sum(dur), 6) AS twap,
+                   sum(dur)::BIGINT AS held_us
+            FROM w WHERE dur IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
     }

@@ -12153,3 +12153,105 @@ def kg_maximal_matching(sf_dir: str, n_rounds: int = 6) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def value_mad_outliers(sf_dir: str, k: float = 3.0) -> pd.DataFrame:
+    """Robust outlier audit by median absolute deviation (the
+    Hampel-filter cutoff ``|x − median| > k·1.4826·MAD``) — the
+    heavy-tail-safe complement of `value_outliers`' z-score rule, which a
+    single extreme value can mask.
+
+    Three streaming passes, each the exact-interpolated-quantile shape
+    (`sketch.exact_quantiles_cont`): the global median, the median of
+    |x − median| (the MAD), and one combiner fold counting rows beyond
+    the cutoff.  The cutoff is evaluated with the identical float
+    expression on both sides, so membership never straddles the round."""
+    from ..stages.sketch import exact_quantiles_cont
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    nb = _nb(sf_dir, "events", 16)
+    med = exact_quantiles_cont(ds, "value", [0.5], n_buckets=nb)[0.5]
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(np.abs(v - med))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = exact_quantiles_cont(dev, "d", [0.5], n_buckets=nb)[0.5]
+    cut = (k * 1.4826) * mad
+
+    def count_out(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        out = np.abs(v - med) > cut
+        return pa.table(
+            {
+                "n": pa.array([len(v)], type=pa.int64()),
+                "n_out": pa.array([int(out.sum())], type=pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(count_out, batch_format="pyarrow").to_pandas()
+    n, n_out = int(p["n"].sum()), int(p["n_out"].sum())
+    return pd.DataFrame(
+        {
+            "median": [round(med, 6)],
+            "mad": [round(mad, 6)],
+            "n_outliers": [n_out],
+            "outlier_frac": [round(n_out / n, 6)],
+        }
+    )
+
+
+def user_time_weighted_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average value (TWAP: each observation
+    weighted by how long it was the user's current value, i.e. the gap to
+    the next event) — the duration-aware mean a last-value-carried-forward
+    stream needs, vs the count-weighted means everywhere else.  Users with
+    a single event have no holding interval and emit nothing (LEAD is
+    NULL), matching the oracle's cardinality.
+
+    Same bucket-group shape as `user_event_gaps`: one exchange keyed
+    ``hash(user_id) % B``, one vectorized pandas pass per bucket
+    (sort + per-user shift(-1)); durations are exact integer µs."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def twap_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id")["ts"].shift(-1)
+        dur = (nxt - g["ts"]) // pd.Timedelta(microseconds=1)
+        keep = dur.notna()
+        h = pd.DataFrame(
+            {
+                "user_id": g["user_id"][keep].astype("int64"),
+                "wv": g["value"][keep].to_numpy(np.float64)
+                * dur[keep].to_numpy(np.float64),
+                "dur": dur[keep].astype("int64"),
+            }
+        )
+        out = h.groupby("user_id", as_index=False).agg(
+            wv=("wv", "sum"), dur=("dur", "sum")
+        )
+        out["twap"] = out["wv"] / out["dur"]
+        return out[["user_id", "twap", "dur"]].rename(
+            columns={"dur": "held_us"}
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(twap_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["twap"] = out["twap"].round(6)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["held_us"] = out["held_us"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -359,6 +359,10 @@ SUBSET = [
     "events_score_pr_auc",
     # hash-greedy maximal matching (arg-min pick, count==2 winners)
     "kg_maximal_matching",
+    # Hampel/MAD robust outlier audit (exact interpolated medians)
+    "value_mad_outliers",
+    # per-user time-weighted average (LEAD holding intervals)
+    "user_time_weighted_value",
 ]
 
 
