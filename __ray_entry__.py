@@ -856,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_maximal_matching": A.kg_maximal_matching,
         "value_mad_outliers": A.value_mad_outliers,
         "user_time_weighted_value": A.user_time_weighted_value,
+        "kg_rich_club": A.kg_rich_club,
+        "events_burstiness": A.events_burstiness,
     }
 
 
@@ -5144,5 +5146,62 @@ def oracle_sql() -> dict[str, str]:
                    sum(dur)::BIGINT AS held_us
             FROM w WHERE dur IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        # rich-club coefficient: edge density among degree>k nodes
+        "kg_rich_club": """
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM base),
+            deg AS MATERIALIZED (
+                SELECT node, count(*)::BIGINT AS deg
+                FROM (SELECT u AS node FROM und
+                      UNION ALL SELECT v FROM und)
+                GROUP BY 1)
+            SELECT k::BIGINT AS k,
+                   (SELECT count(*) FROM deg WHERE deg > k)::BIGINT
+                       AS n_rich,
+                   (SELECT count(*) FROM und
+                    WHERE u IN (SELECT node FROM deg WHERE deg > k)
+                      AND v IN (SELECT node FROM deg WHERE deg > k))::BIGINT
+                       AS e_rich,
+                   round_even(
+                       CASE WHEN (SELECT count(*) FROM deg WHERE deg > k) > 1
+                            THEN 2.0 * (SELECT count(*) FROM und
+                                 WHERE u IN (SELECT node FROM deg
+                                             WHERE deg > k)
+                                   AND v IN (SELECT node FROM deg
+                                             WHERE deg > k))
+                                 / ((SELECT count(*) FROM deg WHERE deg > k)
+                                    * ((SELECT count(*) FROM deg
+                                        WHERE deg > k) - 1))
+                            ELSE 0.0 END, 6) AS phi
+            FROM (SELECT unnest([2, 4, 8]) AS k)
+            ORDER BY k
+        """,
+        # Goh-Barabasi burstiness over pooled per-user inter-event gaps
+        "events_burstiness": """
+            WITH w AS (
+                SELECT event_type,
+                       (epoch_us(ts)
+                        - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)))
+                           ::DOUBLE AS g
+                FROM events),
+            m AS (SELECT event_type, count(g)::DOUBLE AS n,
+                         sum(g) AS sg, sum(g * g) AS sgg
+                  FROM w WHERE g IS NOT NULL GROUP BY 1)
+            SELECT event_type, n::BIGINT AS n_gaps,
+                   round_even(sg / n, 6) AS mean_gap_us,
+                   round_even(
+                       (sqrt(sgg / n - (sg / n) * (sg / n)) - sg / n)
+                       / (sqrt(sgg / n - (sg / n) * (sg / n)) + sg / n),
+                       6) AS burstiness
+            FROM m ORDER BY event_type
         """,
     }

@@ -12255,3 +12255,161 @@ def user_time_weighted_value(sf_dir: str) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     out["held_us"] = out["held_us"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def kg_rich_club(sf_dir: str, degree_thresholds: tuple = (2, 4, 8)) -> pd.DataFrame:
+    """Rich-club coefficient of the undirected modular-key graph (Zhou &
+    Mondragón 2004): for each degree threshold k, the edge density among
+    the nodes of degree > k — do hubs preferentially interconnect?
+    ``φ(k) = 2·E_k / (N_k·(N_k−1))`` over the induced rich-node subgraph.
+
+    Scale shape: undirected degrees are one grouped-count exchange; the
+    rich node set per threshold broadcasts implicitly via TWO semi joins
+    of the (deduped, canonical u<v) edge table against it — the edge
+    stream is touched once per threshold, counts fold as int64 partials,
+    and the density is the only float."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import shuffle_semi_join
+    from ..stages.rollup import grouped_agg
+
+    nb = _nb(sf_dir, "lineitem")
+    raw = _modular_key_edges(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    und = exact_dedup(
+        raw.map_batches(canon, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=nb,
+    ).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )
+            }
+        )
+
+    deg = grouped_agg(
+        und.map_batches(ends, batch_format="pyarrow"),
+        keys=["node"],
+        aggs={"deg": ("node", "count")},
+        n_buckets=nb,
+        partial=True,
+    ).materialize()
+
+    def n_rows(ds) -> int:
+        return int(
+            sum(
+                r["n"]
+                for r in ds.map_batches(
+                    lambda b: pa.table(
+                        {"n": pa.array([b.num_rows], type=pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                ).take_all()
+            )
+        )
+
+    rows = []
+    for k in degree_thresholds:
+        rich = deg.filter(expr=f"deg > {k}").select_columns(["node"])
+        n_rich = n_rows(rich)
+        e = und
+        for end in ("u", "v"):
+            e = shuffle_semi_join(
+                e,
+                rich.map_batches(
+                    lambda b, _e=end: b.rename_columns([_e]),
+                    batch_format="pyarrow",
+                ),
+                keys=end,
+                n_buckets=nb,
+                left_schema={"u": pa.int64(), "v": pa.int64()},
+            )
+        e_rich = n_rows(e)
+        phi = (
+            2.0 * e_rich / (n_rich * (n_rich - 1)) if n_rich > 1 else 0.0
+        )
+        rows.append(
+            {
+                "k": int(k),
+                "n_rich": n_rich,
+                "e_rich": e_rich,
+                "phi": round(phi, 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("k", "n_rich", "e_rich"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type burstiness of the user-level inter-event time
+    process (Goh & Barabási 2008): ``B = (σ − μ) / (σ + μ)`` over the
+    pooled per-user gaps — −1 for a perfect clock, 0 Poisson, →1 for
+    heavy-tailed bursts.  The temporal-texture diagnostic next to
+    `events_autocorrelation` (daily rhythm) and `user_event_gaps` (raw
+    LAG rows).
+
+    One bucket-grouped LAG pass (hash(user) % B, vectorized per-user
+    shift) emits per-(bucket, type) moment partials — n, Σg, Σg² — so
+    the shuffle payload is 3 floats per type per bucket; σ/μ/B are
+    driver arithmetic mirrored term-for-term in SQL from the same raw
+    moments."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
+        )
+
+    def moments_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["ts"].shift()
+        gap = ((g["ts"] - prev) // pd.Timedelta(microseconds=1)).astype(
+            "float64"
+        )
+        keep = gap.notna()
+        h = pd.DataFrame(
+            {"event_type": g["event_type"][keep], "g": gap[keep]}
+        )
+        h["gg"] = h["g"] * h["g"]
+        out = h.groupby("event_type", as_index=False).agg(
+            n=("g", "count"), sg=("g", "sum"), sgg=("gg", "sum")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(moments_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    m = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sg=("sg", "sum"), sgg=("sgg", "sum")
+    )
+    n = m["n"].to_numpy(np.float64)
+    mu = m["sg"].to_numpy(np.float64) / n
+    var = m["sgg"].to_numpy(np.float64) / n - mu * mu
+    sd = np.sqrt(var)
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n_gaps": m["n"].astype("int64"),
+            "mean_gap_us": np.round(mu, 6),
+            "burstiness": np.round((sd - mu) / (sd + mu), 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

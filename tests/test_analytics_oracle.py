@@ -363,6 +363,10 @@ SUBSET = [
     "value_mad_outliers",
     # per-user time-weighted average (LEAD holding intervals)
     "user_time_weighted_value",
+    # rich-club coefficient: hub-interconnection density per threshold
+    "kg_rich_club",
+    # Goh-Barabasi burstiness over pooled per-user inter-event gaps
+    "events_burstiness",
 ]
 
 
