@@ -858,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": A.user_time_weighted_value,
         "kg_rich_club": A.kg_rich_club,
         "events_burstiness": A.events_burstiness,
+        "join_size_countmin": A.join_size_countmin,
     }
 
 
@@ -5204,4 +5205,6 @@ def oracle_sql() -> dict[str, str]:
                        6) AS burstiness
             FROM m ORDER BY event_type
         """,
+        # Count-Min inner-product join-size estimate vs the exact answer
+        "join_size_countmin": O.join_size_cm_sql(),
     }

@@ -2170,3 +2170,38 @@ def matching_sql(
         {" UNION ALL ".join(decided)}
         ORDER BY u, v
     """
+
+
+def join_size_cm_sql(d: int = 4, w: int = 256) -> str:
+    """DuckDB oracle for analytics.join_size_countmin: rebuilds the
+    Count-Min sketch of events.user_id bit-equal (same md5+splitmix cell
+    kernel as ``countmin_sql``) and takes the row-wise minimum of the
+    squared-cell inner product, next to the exact Σc² self-join size."""
+    gold = 0x9E3779B97F4A7C15
+
+    def cell(v: str) -> str:
+        u = _MD5_U64.format(v=v)
+        x = (
+            f"((({u})::HUGEINT + (r::HUGEINT * {gold})) "
+            f"% 18446744073709551616)::UBIGINT"
+        )
+        return f"(({splitmix64_sql(x)}) % {w})"
+
+    return f"""
+        WITH reps AS (
+            SELECT user_id::VARCHAR AS v, r
+            FROM events CROSS JOIN range(0, {d}) AS t(r)),
+        cells AS (
+            SELECT r, {cell("v")} AS b, count(*)::BIGINT AS n
+            FROM reps GROUP BY 1, 2),
+        est AS (
+            SELECT min(s)::BIGINT AS est
+            FROM (SELECT r, sum(n * n) AS s FROM cells GROUP BY r)),
+        ex AS (
+            SELECT sum(n * n)::BIGINT AS exact
+            FROM (SELECT count(*)::BIGINT AS n FROM events
+                  GROUP BY user_id))
+        SELECT ex.exact AS exact_pairs, est.est AS cm_estimate,
+               round_even(est.est / ex.exact::DOUBLE, 6) AS over_ratio
+        FROM est, ex
+    """

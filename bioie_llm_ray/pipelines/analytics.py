@@ -12413,3 +12413,41 @@ def events_burstiness(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def join_size_countmin(sf_dir: str, d: int = 4, w: int = 256) -> pd.DataFrame:
+    """Join-cardinality estimation by Count-Min inner product (Cormode &
+    Muthukrishnan's F2/join-size estimator, the query-optimizer
+    primitive): the self-equi-join size ``|events ⋈ events ON user_id| =
+    Σ_u c(u)²`` is estimated as ``min_r Σ_b cm[r,b]²`` from the same
+    mergeable d×w sketch `word_countmin` uses — an always-over-estimate
+    whose accuracy this query reports against the exact answer.
+
+    Two streaming passes, neither shuffling rows: the sketch is the
+    existing `sketch.count_min` cell-combiner (d·w ints to the driver);
+    the exact Σc² folds per-user counts through one grouped exchange over
+    the bounded user domain.  All terms integers; the ratio is the only
+    float."""
+    from ..stages.rollup import grouped_agg
+    from ..stages.sketch import count_min
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    sk = count_min(ds, "user_id", d=d, w=w, n_buckets=_nb(sf_dir, "events", 8))
+    est = int(min((row * row).sum() for row in sk.astype(object)))
+
+    g = grouped_agg(
+        ds,
+        keys=["user_id"],
+        aggs={"n": ("user_id", "count")},
+        n_buckets=_nb(sf_dir, "events", 8),
+        partial=True,
+    ).to_pandas()
+    n = g["n"].to_numpy(np.int64).astype(object)
+    exact = int((n * n).sum())
+    return pd.DataFrame(
+        {
+            "exact_pairs": [exact],
+            "cm_estimate": [est],
+            "over_ratio": [round(est / exact, 6)],
+        }
+    )

@@ -367,6 +367,8 @@ SUBSET = [
     "kg_rich_club",
     # Goh-Barabasi burstiness over pooled per-user inter-event gaps
     "events_burstiness",
+    # Count-Min inner-product join-size estimate vs the exact answer
+    "join_size_countmin",
 ]
 
 
