@@ -859,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": A.kg_rich_club,
         "events_burstiness": A.events_burstiness,
         "join_size_countmin": A.join_size_countmin,
+        "kg_square_count": A.kg_square_count,
     }
 
 
@@ -5207,4 +5208,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Count-Min inner-product join-size estimate vs the exact answer
         "join_size_countmin": O.join_size_cm_sql(),
+        # 4-cycle count via the co-degree formula (halved diagonal pairs)
+        "kg_square_count": """
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM base),
+            bidir AS MATERIALIZED (
+                SELECT u AS mid, v AS endpoint FROM und
+                UNION ALL SELECT v, u FROM und),
+            wedges AS MATERIALIZED (
+                SELECT x.endpoint AS a, y.endpoint AS b,
+                       count(*)::BIGINT AS w
+                FROM bidir x JOIN bidir y
+                  ON x.mid = y.mid AND x.endpoint < y.endpoint
+                GROUP BY 1, 2)
+            SELECT sum(CASE WHEN w >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_codeg2_pairs,
+                   sum(w * (w - 1) // 2)::BIGINT AS n_diag_pairs,
+                   (sum(w * (w - 1) // 2) // 2)::BIGINT AS n_squares
+            FROM wedges
+        """,
     }

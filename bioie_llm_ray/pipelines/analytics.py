@@ -12451,3 +12451,89 @@ def join_size_countmin(sf_dir: str, d: int = 4, w: int = 256) -> pd.DataFrame:
             "over_ratio": [round(est / exact, 6)],
         }
     )
+
+
+def kg_square_count(sf_dir: str) -> pd.DataFrame:
+    """4-cycle (square) count of the undirected modular-key graph via the
+    co-degree formula ``#C4 = ½ Σ_{u<v} C(codeg(u,v), 2)`` — the motif
+    counter one up from `kg_triangles` (squares detect bipartite-ish /
+    co-citation structure triangles miss).
+
+    Scale shape: canonical edges → bidirected (mid, endpoint) halves →
+    ONE partitioned shuffle join keyed by the middle node (the same path
+    -concatenation exchange as `kg_two_hop_paths`, ordered inside the
+    bucket) → grouped wedge counts per endpoint pair → per-batch
+    ``C(w,2)`` partials fold to three driver ints.  Every 4-cycle is
+    counted exactly twice (once per diagonal pair), so the halving is
+    exact."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import exact_dedup
+
+    nb = _nb(sf_dir, "lineitem")
+    raw = _modular_key_edges(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d)),
+                "v": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    und = exact_dedup(
+        raw.map_batches(canon, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=nb,
+    ).materialize()
+
+    def bidir(b: pa.Table) -> pa.Table:
+        u = b["u"].combine_chunks()
+        v = b["v"].combine_chunks()
+        return pa.table(
+            {
+                "mid": pa.concat_arrays([u, v]),
+                "endpoint": pa.concat_arrays([v, u]),
+            }
+        )
+
+    half = und.map_batches(bidir, batch_format="pyarrow").materialize()
+    right = half.map_batches(
+        lambda b: b.rename_columns(["mid", "endpoint_b"]),
+        batch_format="pyarrow",
+    )
+
+    def keep_ordered(joined: pa.Table) -> pa.Table:
+        return joined.filter(pc.less(joined["endpoint"], joined["endpoint_b"]))
+
+    wedges = shuffle_join(
+        half,
+        right,
+        keys="mid",
+        n_buckets=nb,
+        left_schema={"mid": pa.int64(), "endpoint": pa.int64()},
+        right_schema={"mid": pa.int64(), "endpoint_b": pa.int64()},
+        bucket_post=keep_ordered,
+    ).groupby(["endpoint", "endpoint_b"]).aggregate(Count(alias_name="w"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_pairs": pa.array([int((w >= 2).sum())], type=pa.int64()),
+                "diag": pa.array(
+                    [int((w * (w - 1) // 2).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    p = wedges.map_batches(fold, batch_format="pyarrow").to_pandas()
+    diag = int(p["diag"].sum())
+    return pd.DataFrame(
+        {
+            "n_codeg2_pairs": [int(p["n_pairs"].sum())],
+            "n_diag_pairs": [diag],
+            "n_squares": [diag // 2],
+        }
+    )

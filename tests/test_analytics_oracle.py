@@ -369,6 +369,8 @@ SUBSET = [
     "events_burstiness",
     # Count-Min inner-product join-size estimate vs the exact answer
     "join_size_countmin",
+    # 4-cycle motif count via the halved co-degree formula
+    "kg_square_count",
 ]
 
 
