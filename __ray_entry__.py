@@ -860,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": A.events_burstiness,
         "join_size_countmin": A.join_size_countmin,
         "kg_square_count": A.kg_square_count,
+        "kg_harmonic_centrality": A.kg_harmonic_centrality,
     }
 
 
@@ -5233,5 +5234,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(w * (w - 1) // 2)::BIGINT AS n_diag_pairs,
                    (sum(w * (w - 1) // 2) // 2)::BIGINT AS n_squares
             FROM wedges
+        """,
+        # bounded-radius harmonic centrality, all nodes as BFS seeds
+        "kg_harmonic_centrality": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT (l_orderkey % 997) AS src,
+                       (l_partkey % 997) AS dst
+                FROM lineitem
+                WHERE l_quantity = 1
+                  AND (l_orderkey % 997) <> (l_partkey % 997)),
+            -- DuckDB gives plain UNION anchor/step semantics inside
+            -- WITH RECURSIVE even without self-reference: spell the
+            -- dedup as DISTINCT over UNION ALL
+            nodes AS (SELECT DISTINCT n FROM (
+                          SELECT src AS n FROM base
+                          UNION ALL SELECT dst FROM base)),
+            walk(seed, node, d) AS (
+                SELECT n, n, 0 FROM nodes
+                UNION
+                SELECT w.seed, b.dst, w.d + 1
+                FROM walk w JOIN base b ON b.src = w.node
+                WHERE w.d < 6),
+            dist AS (SELECT seed, node, min(d) AS d
+                     FROM walk GROUP BY 1, 2 HAVING min(d) > 0),
+            agg AS (SELECT seed,
+                           count(*)::BIGINT AS n_reached,
+                           sum(1.0 / d) AS harmonic
+                    FROM dist GROUP BY seed)
+            SELECT n.n::BIGINT AS node,
+                   coalesce(a.n_reached, 0)::BIGINT AS n_reached,
+                   round_even(coalesce(a.harmonic, 0.0), 6) AS harmonic
+            FROM nodes n LEFT JOIN agg a ON a.seed = n.n
+            ORDER BY node
         """,
     }

@@ -12537,3 +12537,78 @@ def kg_square_count(sf_dir: str) -> pd.DataFrame:
             "n_squares": [diag // 2],
         }
     )
+
+
+def kg_harmonic_centrality(sf_dir: str, horizon: int = 6) -> pd.DataFrame:
+    """Exact bounded-radius harmonic centrality of every node of the
+    modular-key digraph: ``H(s) = Σ_{0 < d(s,t) ≤ horizon} 1/d(s,t)``
+    (Boldi & Vigna's harmonic variant of closeness, which handles
+    disconnected graphs; the horizon bounds work identically on both
+    sides — each hop beyond 6 would add < 1/7).
+
+    Runs on `stages/graph.multi_source_bfs` — ALL nodes are seeds and the
+    (seed, node, dist) table stays a bucketed Dataset end-to-end (85k+
+    pairs at sf0.01, never on the driver); the per-seed rollup is one
+    grouped combiner over inverse distances.  The oracle replays the
+    distances with a depth-guarded recursive CTE and the same left-join
+    zero-fill for sink nodes."""
+    from ..stages.graph import multi_source_bfs
+    from ..stages.rollup import grouped_agg
+
+    nb = _nb(sf_dir, "lineitem")
+    settled = multi_source_bfs(
+        _modular_key_edges(sf_dir),
+        src="src",
+        dst="dst",
+        max_iters=horizon,
+        n_buckets=nb,
+    )
+
+    def inv(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = d > 0
+        return pa.table(
+            {
+                "seed": b["seed"].filter(pa.array(keep)),
+                "h": pa.array(1.0 / d[keep]),
+            }
+        )
+
+    agg = grouped_agg(
+        settled.map_batches(inv, batch_format="pyarrow"),
+        keys=["seed"],
+        aggs={"harmonic": ("h", "sum"), "n_reached": ("h", "count")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+
+    # sink nodes reach nobody: zero-fill from the full node set
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.cast(b["src"], pa.int64()).combine_chunks(),
+                        pc.cast(b["dst"], pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    from ..stages.dedup import exact_dedup
+
+    nodes = exact_dedup(
+        _modular_key_edges(sf_dir).map_batches(ends, batch_format="pyarrow"),
+        ["node"],
+        n_buckets=nb,
+    ).to_pandas()
+    out = nodes.rename(columns={"node": "seed"}).merge(
+        agg, on="seed", how="left"
+    )
+    out["harmonic"] = out["harmonic"].fillna(0.0).round(6)
+    out["n_reached"] = out["n_reached"].fillna(0).astype("int64")
+    out = out.rename(columns={"seed": "node"})
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "n_reached", "harmonic"]
+    ]

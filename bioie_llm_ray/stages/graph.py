@@ -3367,3 +3367,109 @@ def maximal_matching(
     for part in matched_parts[1:]:
         out = out.union(part)
     return out
+
+
+def multi_source_bfs(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 6,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """All-sources BFS over an int64 digraph with DISTRIBUTED (seed, node)
+    state — the all-pairs-distances-within-horizon engine op behind exact
+    (bounded-radius) centralities: every node is a seed, the settled set
+    and the frontier are Datasets of (seed, node[, dist]) pairs, and each
+    level costs one frontier⋈edges shuffle join plus one composite-key
+    anti semi join — the `_bfs_bucketed` recurrence lifted to pair state,
+    so the O(V²)-worst-case distance table never touches the driver.
+
+    Exactly ``max_iters`` levels run (early exit on an empty frontier is
+    output-identical); distances beyond the horizon are absent, which is
+    the bounded-radius semantics the SQL oracle's depth-guarded recursive
+    CTE replays.  Returns (seed, node, dist) including dist = 0 self
+    rows."""
+    from .dedup import exact_dedup
+    from .join import shuffle_join, shuffle_semi_join
+
+    def to_e(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(b[src], pa.int64()),
+                "v": pc.cast(b[dst], pa.int64()),
+            }
+        )
+
+    e = exact_dedup(
+        edges.map_batches(to_e, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )
+            }
+        )
+
+    nodes = exact_dedup(
+        e.map_batches(node_rows, batch_format="pyarrow"), ["node"],
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def seed_self(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seed": b["node"],
+                "node": b["node"],
+                "dist": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    settled = nodes.map_batches(seed_self, batch_format="pyarrow").materialize()
+    frontier = settled.select_columns(["seed", "node"]).materialize()
+
+    for level in range(1, max_iters + 1):
+
+        def pair_dedup(joined: pa.Table) -> pa.Table:
+            t = pa.table({"seed": joined["seed"], "node": joined["v"]})
+            return t.group_by(["seed", "node"]).aggregate([])
+
+        cand = shuffle_join(
+            frontier.map_batches(
+                lambda b: pa.table({"seed": b["seed"], "u": b["node"]}),
+                batch_format="pyarrow",
+            ),
+            e,
+            keys="u",
+            n_buckets=n_buckets,
+            left_schema={"seed": pa.int64(), "u": pa.int64()},
+            right_schema={"u": pa.int64(), "v": pa.int64()},
+            bucket_post=pair_dedup,
+        )
+        new = shuffle_semi_join(
+            cand,
+            settled.select_columns(["seed", "node"]),
+            keys=["seed", "node"],
+            anti=True,
+            n_buckets=n_buckets,
+            left_schema={"seed": pa.int64(), "node": pa.int64()},
+            bucket_post=lambda kept: kept.group_by(
+                ["seed", "node"]
+            ).aggregate([]),
+        ).map_batches(
+            lambda b, _l=level: b.append_column(
+                "dist", pa.array(np.full(b.num_rows, _l, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # semi-join output is already ≤ n_buckets blocks
+        if new.count() == 0:
+            break
+        settled = settled.union(new).repartition(n_buckets).materialize()
+        frontier = new.select_columns(["seed", "node"]).materialize()
+
+    return settled

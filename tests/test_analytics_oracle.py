@@ -371,6 +371,8 @@ SUBSET = [
     "join_size_countmin",
     # 4-cycle motif count via the halved co-degree formula
     "kg_square_count",
+    # bounded-radius harmonic centrality (all-sources distributed BFS)
+    "kg_harmonic_centrality",
 ]
 
 

@@ -712,3 +712,38 @@ class TestMaximalMatching:
         out = self._run([(1, 2), (2, 1)])
         assert len(out) == 1
         assert (out.iloc[0]["u"], out.iloc[0]["v"]) == (1, 2)
+
+
+class TestMultiSourceBfs:
+    def test_all_pairs_distances_on_chain(self):
+        import ray
+
+        from bioie_llm_ray.stages.graph import multi_source_bfs
+
+        # directed chain 0 -> 1 -> 2 -> 3
+        edges = ray.data.from_items(
+            [{"src": i, "dst": i + 1} for i in range(3)]
+        )
+        got = {
+            (r["seed"], r["node"]): r["dist"]
+            for r in multi_source_bfs(
+                edges, max_iters=6, n_buckets=2
+            ).take_all()
+        }
+        want = {
+            (s, t): t - s for s in range(4) for t in range(s, 4)
+        }
+        assert got == want
+
+    def test_horizon_truncates_identically(self):
+        import ray
+
+        from bioie_llm_ray.stages.graph import multi_source_bfs
+
+        edges = ray.data.from_items(
+            [{"src": i, "dst": i + 1} for i in range(5)]
+        )
+        got = multi_source_bfs(edges, max_iters=2, n_buckets=2).take_all()
+        # no pair beyond 2 hops is emitted
+        assert max(r["dist"] for r in got) == 2
+        assert all(r["dist"] >= 0 for r in got)
