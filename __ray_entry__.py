@@ -756,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_return_suppliers": A.sole_return_suppliers,
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
+        "doc_cross_dup_spans": A.doc_cross_dup_spans,
         "doc_split_assign": A.doc_split_assign,
         "er_blocking_pairs": A.er_blocking_pairs,
         "er_entity_clusters": A.er_entity_clusters,
@@ -2980,6 +2981,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT win AS window, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
             FROM w GROUP BY 1 HAVING count(*) >= 2
+        """,
+        # cross-document duplicated spans: w-gram anchors shared by >= 2
+        # docs, merged per doc into maximal runs via gaps-and-islands
+        "doc_cross_dup_spans": r"""
+            WITH arr AS (
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
+            w AS (
+                SELECT doc_id, i,
+                       array_to_string(a[i + 1 : i + 5], ' ') AS win
+                FROM arr, unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5),
+            shared AS (
+                SELECT win FROM w GROUP BY 1
+                HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT doc_id, i FROM w
+                WHERE win IN (SELECT win FROM shared)),
+            isl AS (
+                SELECT doc_id, i,
+                       i - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY i) AS grp
+                FROM hits)
+            SELECT doc_id, min(i) AS span_start, max(i) + 5 AS span_end,
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, grp
         """,
         "doc_split_assign": """
             SELECT doc_id,

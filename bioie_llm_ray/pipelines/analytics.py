@@ -12612,3 +12612,109 @@ def kg_harmonic_centrality(sf_dir: str, horizon: int = 6) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)[
         ["node", "n_reached", "harmonic"]
     ]
+
+
+def doc_cross_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """Maximal cross-document duplicated token spans — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") exact
+    substring-dedup signal at w-gram anchor granularity: for every document,
+    the maximal runs of consecutive token positions whose w-gram also occurs
+    in at least one OTHER document.  These are exactly the spans a
+    train-dedup pass would cut.
+
+    Two bucketed exchanges, one tokenize pass, fully vectorized:
+
+    1. window pass (zero shuffle): tokens flattened once per batch with
+       parent indices; w-grams built by ``binary_join_element_wise`` over w
+       shifted slices of the flat token array (no Python per-gram loop);
+       windows straddling a document boundary masked by comparing the
+       parent id at both ends.  Emits (doc_id, pos, window).
+    2. exchange 1 — by ``hash(window) % B``: every occurrence of one window
+       lands in one bucket, so a per-bucket vectorized ``nunique`` transform
+       keeps exactly the rows of windows seen in ≥ 2 distinct docs.  Only
+       (doc_id, pos) survive the bucket (window strings never leave it).
+    3. exchange 2 — by ``hash(doc_id) % B``: gaps-and-islands per document
+       (one vectorized pandas pass per bucket, not per doc) merges
+       consecutive positions into maximal spans [span_start, span_end).
+
+    Skew note: a degenerate hyper-common window concentrates its rows in one
+    bucket, but the bucket pass is O(rows) with no cross-row product, and B
+    derives from input bytes (``_nb``), so per-task memory stays bounded.
+    At 100 TB stage 1's output would be hashed (u64 fingerprints) instead of
+    shipping window strings; kept as strings here for oracle exactness.
+    """
+    from ..functions.hashing import bucket_ids_for_column, hash_bucket_ints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = _nb(sf_dir, "documents")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "window": pa.array([], type=pa.string()),
+            }
+        )
+        if n < w:
+            return empty.append_column(
+                "__bucket", pa.array([], type=pa.int64())
+            )
+        parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+        starts = np.asarray(toks.offsets.to_numpy(zero_copy_only=False))
+        m = n - w + 1
+        wins = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(w)], " "
+        )
+        p0, pw = parent[:m], parent[w - 1 :]
+        valid = p0 == pw  # window entirely inside one document
+        pos = np.arange(m, dtype=np.int64) - starts[p0]
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)[p0]
+        keep = np.flatnonzero(valid)
+        wins = wins.take(pa.array(keep))
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "pos": pa.array(pos[keep], type=pa.int64()),
+                "window": wins,
+            }
+        )
+        return t.append_column(
+            "__bucket", pa.array(bucket_ids_for_column(t["window"], nb))
+        )
+
+    def shared_rows(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("window")["doc_id"].transform("nunique")
+        kept = g.loc[nd >= 2, ["doc_id", "pos"]].copy()
+        kept["__b2"] = hash_bucket_ints(kept["doc_id"].to_numpy(), nb)
+        return kept
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        brk = g["doc_id"].ne(g["doc_id"].shift()) | g["pos"].diff().ne(1)
+        grp = brk.cumsum()
+        agg = g.groupby(grp).agg(
+            doc_id=("doc_id", "first"),
+            span_start=("pos", "min"),
+            span_end=("pos", "max"),
+            n_windows=("pos", "size"),
+        )
+        agg["span_end"] = agg["span_end"] + w
+        return agg[["doc_id", "span_start", "span_end", "n_windows"]]
+
+    out = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(shared_rows, batch_format="pandas")
+        .groupby("__b2")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)

@@ -373,6 +373,8 @@ SUBSET = [
     "kg_square_count",
     # bounded-radius harmonic centrality (all-sources distributed BFS)
     "kg_harmonic_centrality",
+    # cross-document duplicated spans (Lee et al. exact-substring signal)
+    "doc_cross_dup_spans",
 ]
 
 
