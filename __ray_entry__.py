@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_split": A.knn_join_split,
         "knn_ivf": A.knn_ivf,
         "knn_ivf_probed": A.knn_ivf_probed,
+        "knn_lsh": A.knn_lsh,
         "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_jaccard": A.dedup_jaccard,
@@ -4861,6 +4862,9 @@ def oracle_sql() -> dict[str, str]:
         # quantizer — probe sets, list assignments and within-list cosine
         # ranking all recomputed independently in SQL.
         "knn_ivf_probed": O.ivf_probed_sql(),
+        # sign-LSH banded ANN: planes, bands, candidate rule and ranking
+        # all regenerated in SQL (deterministic Rademacher planes)
+        "knn_lsh": O.lsh_topk_sql(),
         # the persisted-IVF path returns exactly the in-memory probed
         # results (same quantizer, probes, tie-breaks) — same oracle
         "knn_ivf_store": O.ivf_probed_sql(),

@@ -2205,3 +2205,72 @@ def join_size_cm_sql(d: int = 4, w: int = 256) -> str:
                round_even(est.est / ex.exact::DOUBLE, 6) AS over_ratio
         FROM est, ex
     """
+
+
+def lsh_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of ``stages.similarity.lsh_topk``: the deterministic
+    Rademacher planes are regenerated here (pure function of (plane, dim) via
+    splitmix64 bit 0) and embedded as DOUBLE[] literals; sign bits, band
+    codes, the shared-band candidate rule and the exact cosine ranking all
+    re-run in DuckDB, so the approximate result is value-hash exact."""
+    from .stages.similarity import lsh_signs
+
+    signs = lsh_signs(n_bits, dim)
+    per = n_bits // n_bands
+    bit_cols = ",\n                   ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ",".join(f"{v:.1f}" for v in signs[j])
+        + f"]) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(n_bits)
+    )
+    band_cols = ",\n                   ".join(
+        " + ".join(
+            f"b{b * per + i} * {1 << (per - 1 - i)}" for i in range(per)
+        )
+        + f" AS band{b}"
+        for b in range(n_bands)
+    )
+    band_match = " OR ".join(f"q.band{b} = c.band{b}" for b in range(n_bands))
+    qbands = ", ".join(f"band{b}" for b in range(n_bands))
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        bits AS (
+            SELECT vec_id,
+                   {bit_cols}
+            FROM sig),
+        band AS (
+            SELECT vec_id,
+                   {band_cols}
+            FROM bits),
+        q AS (
+            SELECT vec_id AS query_id, {qbands}
+            FROM band WHERE vec_id < {n_queries}),
+        cand AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id
+            FROM q JOIN band c
+              ON ({band_match}) AND c.vec_id <> q.query_id),
+        sims AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS sim
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               round(sim, 6) AS cosine
+        FROM ranked WHERE rnk <= {k}
+    """

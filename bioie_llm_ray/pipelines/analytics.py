@@ -12718,3 +12718,23 @@ def doc_cross_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """ANN via sign-LSH banding (the LSH-bucketed scale path next to the
+    IVF family): candidates share >= 1 of 4 four-bit hyperplane-sign band
+    codes with the query, then exact cosine ranks them.  Recall < 1 vs
+    ``knn_bruteforce`` by design; the SQL oracle replays the identical
+    planes/bands, so the approximate answer itself is value-hash exact."""
+    from ..stages.similarity import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = lsh_topk(ds, queries, qids, k=k).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1004,3 +1004,102 @@ def pq_topk(
             "d2": pa.array([r[3] for r in rows], type=pa.float64()),
         }
     )
+
+
+def lsh_signs(n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes for sign-LSH (Charikar
+    2002 SimHash for vectors): plane j, dim d is +1 iff bit 0 of
+    ``splitmix64(j * dim + d + 1)`` — a pure function of (j, d), so the SQL
+    oracle regenerates the identical planes (``oracle.lsh_topk_sql``)."""
+    from ..functions.hashing import _splitmix64
+
+    idx = np.arange(n_bits * dim, dtype=np.uint64) + np.uint64(1)
+    bits = _splitmix64(idx) & np.uint64(1)
+    return np.where(bits.astype(bool), 1.0, -1.0).reshape(n_bits, dim)
+
+
+def _band_values(emb: np.ndarray, signs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_bands) int band codes: sign bits of emb @ signs.T packed
+    big-endian per band.  Strict ``> 0`` (a zero dot hashes to 0) on the
+    float64 dot product — sign decisions are margin-safe unless a dot is
+    within summation-reorder noise of zero; ``tests`` assert the corpus
+    margin, and the data is fixed, so Ray (BLAS order) and DuckDB
+    (sequential ``list_dot_product``) agree bit."""
+    bits = (emb @ signs.T) > 0  # (n, n_bits)
+    n_bits = signs.shape[0]
+    per = n_bits // n_bands
+    weights = 1 << np.arange(per - 1, -1, -1)
+    return np.stack(
+        [bits[:, b * per : (b + 1) * per] @ weights for b in range(n_bands)],
+        axis=1,
+    )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Sign-LSH-bucketed approximate cosine top-k: a corpus vector is a
+    candidate for a query iff they share at least one of ``n_bands`` band
+    codes (``n_bits / n_bands`` sign bits each); exact cosine ranks the
+    candidates.  The LSH rule itself defines the answer (replayed by the
+    SQL oracle), so correctness is exact even though recall < 1 vs brute
+    force by design.
+
+    Scale shape matches ``brute_force_topk``: the corpus streams once,
+    queries + planes broadcast (``ray.put``), per-batch masked matmul +
+    partial top-k, driver merges k rows per query per batch.  An indexed
+    variant would persist the corpus partitioned by band code and prune
+    reads to the probed buckets (see ``state/ivf_store.py`` for that
+    pattern); this is the scan-side formulation.
+    """
+    dim = np.asarray(queries).shape[1]
+    signs = lsh_signs(n_bits, dim)
+    q64 = np.asarray(queries, dtype=np.float64)
+    q_bands = _band_values(q64, signs, n_bands)  # (n_q, n_bands)
+    qn = _normalize(q64)
+    ref = ray.put((qn, q_bands, signs))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn, q_bands, signs = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        emb = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        bands = _band_values(emb, signs, n_bands)  # (n_batch, n_bands)
+        # (n_q, n_batch): share >= 1 band code at the same band index
+        cand = (q_bands[:, None, :] == bands[None, :, :]).any(axis=2)
+        sims = qn @ _normalize(emb).T
+        sims[~cand] = -np.inf
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1: self occupies a slot
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            fin = np.flatnonzero(np.isfinite(row))
+            if not len(fin):
+                continue
+            if kk < len(fin):
+                seed = fin[np.argpartition(-row[fin], kk - 1)[:kk]]
+                idx = fin[row[fin] >= row[seed].min()]
+            else:
+                idx = fin
+            order = idx[np.lexsort((ids[idx], -row[idx]))][:kk]
+            out_q.extend([qi] * len(order))
+            out_n.extend(int(i) for i in ids[order])
+            out_s.extend(float(s) for s in row[order])
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int32()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, query_ids, k, exclude_self=True)

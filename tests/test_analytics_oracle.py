@@ -375,6 +375,8 @@ SUBSET = [
     "kg_harmonic_centrality",
     # cross-document duplicated spans (Lee et al. exact-substring signal)
     "doc_cross_dup_spans",
+    # sign-LSH banded ANN with the planes regenerated in SQL
+    "knn_lsh",
 ]
 
 

@@ -1322,3 +1322,47 @@ class TestRagScaleStress:
         top = out[out["rank"] == 1].iloc[0]
         assert top["neighbor_id"] == planted * 100000
         assert abs(top["cosine"] - 1.0) < 1e-12
+
+
+class TestLshTopk:
+    """Sign-LSH banded ANN (`similarity.lsh_topk`)."""
+
+    def test_sign_margin_is_safe(self, sf_dir):
+        """Every plane dot over the corpus clears summation-reorder noise
+        by >= 9 orders of magnitude, so BLAS (Ray) and sequential
+        (DuckDB list_dot_product) summation produce identical sign bits."""
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.stages.similarity import lsh_signs
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        signs = lsh_signs(16, emb.shape[1])
+        dots = emb @ signs.T
+        assert np.abs(dots).min() > 1e-6
+
+    def test_candidates_share_a_band_and_recall(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import knn_bruteforce, knn_lsh
+        from bioie_llm_ray.stages.similarity import _band_values, lsh_signs
+
+        ann = knn_lsh(sf_dir)
+        exact = knn_bruteforce(sf_dir)
+        assert list(ann.columns) == ["query_id", "neighbor_id", "rank", "cosine"]
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        bands = _band_values(emb, lsh_signs(16, emb.shape[1]), 4)
+        by_id = {int(i): bands[j] for j, i in enumerate(ids)}
+        for q, n in zip(ann["query_id"], ann["neighbor_id"]):
+            assert (by_id[int(q)] == by_id[int(n)]).any()
+
+        key = lambda df: set(zip(df["query_id"], df["neighbor_id"]))
+        recall = len(key(ann) & key(exact)) / len(key(exact))
+        assert 0.3 <= recall <= 1.0
