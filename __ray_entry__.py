@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_retrieval": A.rag_retrieval,
         "rag_retrieval_eval": A.rag_retrieval_eval,
         "rag_rerank": A.rag_rerank,
+        "rag_mmr": A.rag_mmr,
         "doc_decontaminate": A.doc_decontaminate,
         "doc_pii_scrub": A.doc_pii_scrub,
         "doc_repetition": A.doc_repetition,
@@ -3314,6 +3315,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= 5
             ORDER BY query_id, rank
         """,
+        # MMR diversified retrieval: the greedy selection chain unrolled
+        # as one single-pick CTE per round
+        "rag_mmr": O.mmr_sql(),
         # two-stage retrieval: the rag_retrieval chain proposes top-20, the
         # cross-encoder md5 score (exact dyadic arithmetic) reranks to top-5
         "rag_rerank": r"""

@@ -2274,3 +2274,51 @@ def lsh_topk_sql(
                round(sim, 6) AS cosine
         FROM ranked WHERE rnk <= {k}
     """
+
+
+def mmr_sql(
+    k: int = 8, n_cand: int = 20, lam: float = 0.7, query_id: int = 0
+) -> str:
+    """SQL replay of ``pipelines.analytics.rag_mmr``: the greedy MMR chain
+    unrolled as one single-pick CTE per round (the same unrolled-iteration
+    pattern as ``pagerank_sql``); ``(1 - lam)`` is written as the literal
+    subtraction so both sides compute the identical double."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+            SELECT CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id = {query_id})""",
+        f"""cand AS MATERIALIZED (
+            SELECT e.vec_id,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.e) AS rel,
+                   CAST(e.embedding AS DOUBLE[]) AS emb
+            FROM embeddings e, q WHERE e.vec_id <> {query_id}
+            ORDER BY rel DESC, e.vec_id LIMIT {n_cand})""",
+        """ps AS MATERIALIZED (
+            SELECT a.vec_id AS ai, b.vec_id AS bi,
+                   list_cosine_similarity(a.emb, b.emb) AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)""",
+        f"""p1 AS MATERIALIZED (
+            SELECT vec_id, rel, {lam} * rel AS score
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, r)
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel,
+                   {lam} * c.rel - (1 - {lam}) * (
+                       SELECT max(sim) FROM ps
+                       WHERE ai = c.vec_id AND bi IN ({prev})) AS score
+            FROM cand c WHERE c.vec_id NOT IN ({prev})
+            ORDER BY score DESC, c.vec_id LIMIT 1)"""
+        )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id,"
+        f" round_even(rel, 6) AS relevance,"
+        f" round_even(score, 6) AS mmr_score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + sel

@@ -12738,3 +12738,69 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     out = lsh_topk(ds, queries, qids, k=k).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def rag_mmr(
+    sf_dir: str, k: int = 8, n_cand: int = 20, lam: float = 0.7
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): greedy top-k where each pick maximizes
+    ``lam * rel(c) - (1 - lam) * max_sim(c, selected)`` — the diversity
+    complement of ``rag_rerank`` (pure relevance) and ``doc_fusion_rrf``
+    (rank fusion).
+
+    Scale split: candidate generation is the distributed part (the corpus
+    streams through ``brute_force_topk`` against the broadcast query); the
+    greedy loop runs on the driver over the bounded candidate set
+    (``n_cand`` vectors — MMR is inherently sequential, and its state is
+    O(n_cand²) sims, not O(corpus)).  The SQL oracle replays the greedy
+    chain as ``k`` unrolled single-pick CTEs, so every selection decision
+    is value-hash checked."""
+    from ..stages.similarity import _normalize, brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = ds.filter(expr="vec_id == 0").take_all()[0]
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+
+    cand = brute_force_topk(ds, qv[None, :], [0], k=n_cand).to_pandas()
+    rel = dict(zip(cand["neighbor_id"].astype(int), cand["cosine"]))
+
+    ids_arr = pa.array(sorted(rel), type=pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vec_id"], value_set=ids_arr))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    ids = [int(r["vec_id"]) for r in rows]
+    E = _normalize(
+        np.stack([np.asarray(r["embedding"]) for r in rows]).astype(
+            np.float64
+        )
+    )
+    psim = E @ E.T
+    pos = {cid: i for i, cid in enumerate(ids)}
+
+    selected: list[int] = []
+    out = {"rank": [], "vec_id": [], "relevance": [], "mmr_score": []}
+    remaining = sorted(rel)
+    for rnk in range(1, k + 1):
+        best_id, best_score = None, None
+        for cid in remaining:
+            ms = (
+                max(psim[pos[cid], pos[s]] for s in selected)
+                if selected
+                else 0.0
+            )
+            score = lam * rel[cid] - (1 - lam) * ms
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+        out["rank"].append(rnk)
+        out["vec_id"].append(best_id)
+        out["relevance"].append(round(float(rel[best_id]), 6))
+        out["mmr_score"].append(round(float(best_score), 6))
+    df = pd.DataFrame(out)
+    df["rank"] = df["rank"].astype("int64")
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df

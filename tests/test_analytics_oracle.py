@@ -377,6 +377,8 @@ SUBSET = [
     "doc_cross_dup_spans",
     # sign-LSH banded ANN with the planes regenerated in SQL
     "knn_lsh",
+    # MMR diversified retrieval (unrolled greedy-selection oracle)
+    "rag_mmr",
 ]
 
 
