@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": A.doc_bm25,
         "word_zipf_fit": A.word_zipf_fit,
         "word_pmi_bigrams": A.word_pmi_bigrams,
+        "word_cooccur_window": A.word_cooccur_window,
+        "token_vocab": A.token_vocab,
         "doc_quality": A.doc_quality,
         "q6_discount_revenue": A.q6_discount_revenue,
         "distinct_counts": A.distinct_counts,
@@ -3200,6 +3202,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
                    round(tfidf_raw, 6) AS tfidf, CAST(rnk AS BIGINT) AS rank
             FROM scored WHERE rnk <= 3
+        """,
+        # GloVe-style distance-weighted co-occurrence (1/d, d <= 2);
+        # weights are dyadic-rational sums so float addition is exact
+        "word_cooccur_window": r"""
+            WITH arr AS (
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents WHERE trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' ') <> ''),
+            pos AS (
+                SELECT doc_id, i, a[i + 1] AS tok
+                FROM arr, unnest(range(0, len(a))) AS t(i)),
+            pr AS (
+                SELECT p1.tok AS w1, p2.tok AS w2,
+                       1.0::DOUBLE / (p2.i - p1.i) AS wt
+                FROM pos p1 JOIN pos p2
+                  ON p1.doc_id = p2.doc_id
+                 AND p2.i - p1.i BETWEEN 1 AND 2),
+            agg AS (
+                SELECT w1, w2, sum(wt) AS weight FROM pr GROUP BY 1, 2)
+            SELECT w1, w2, weight FROM agg
+            ORDER BY weight DESC, w1, w2 LIMIT 50
+        """,
+        # frequency-ranked vocabulary: contiguous token ids by
+        # (count DESC, token)
+        "token_vocab": r"""
+            WITH toks AS (
+                SELECT t.w AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            wc AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY n DESC, token) - 1
+                       AS token_id,
+                   token, n
+            FROM wc
         """,
         "word_pmi_bigrams": f"""
             WITH arr AS (

@@ -12804,3 +12804,136 @@ def rag_mmr(
     df["rank"] = df["rank"].astype("int64")
     df["vec_id"] = df["vec_id"].astype("int64")
     return df
+
+
+def token_vocab(sf_dir: str) -> pd.DataFrame:
+    """Frequency-ranked tokenizer vocabulary build: every distinct corpus
+    token gets a contiguous id ordered by (count DESC, token) — the id
+    assignment step of word-level vocab construction (``bpe_merges`` /
+    ``bpe_token_counts`` cover the subword side).
+
+    Distributed end to end: per-batch ``value_counts`` combiner → one
+    bucketed Sum groupby → ``global_order_ranks`` range-partitioned ranking
+    on the NEGATED count (sampled splitters + per-bucket offset fold), so a
+    web-corpus vocabulary of billions of distinct tokens never
+    single-threads through one reducer or the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.scan import global_order_ranks
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        counts = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.append_column("neg_n", pc.multiply(b["n"], -1)),
+            batch_format="pyarrow",
+        )
+    )
+    ranked = global_order_ranks(
+        counts,
+        "neg_n",
+        tiebreak=["token"],
+        n_buckets=_nb(sf_dir, "documents"),
+    )
+    out = ranked.to_pandas()[["token", "n", "row_number"]]
+    out["token_id"] = (out["row_number"] - 1).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("token_id").reset_index(drop=True)[
+        ["token_id", "token", "n"]
+    ]
+
+
+def word_cooccur_window(
+    sf_dir: str, window: int = 2, top_n: int = 50
+) -> pd.DataFrame:
+    """GloVe-style distance-weighted co-occurrence counts (Pennington et
+    al. 2014): for every ordered token pair at distance d ≤ ``window``
+    within a document, accumulate weight 1/d; top ``top_n`` pairs by
+    (weight DESC, w1, w2).  The raw material of co-occurrence-factorization
+    embeddings — the skip-gram widening of ``word_pmi_bigrams`` (d = 1
+    only).
+
+    Zero Python loops: tokens flatten once per batch with parent indices;
+    for each d the pair lists are two shifted slices of the flat array,
+    document boundaries masked by one shifted-equality compare; a per-batch
+    pandas groupby combines before the single (w1, w2) exchange.  Weights
+    are sums of 1/d ∈ {1, 0.5} — dyadic rationals, so float addition is
+    exact and order-independent (no rounding hazard between Ray's partial
+    sums and SQL's aggregate order)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+        frames = []
+        for d in range(1, window + 1):
+            if n <= d:
+                continue
+            valid = parent[:-d] == parent[d:]
+            keep = pa.array(np.flatnonzero(valid))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "w1": flat.slice(0, n - d).take(keep).to_pylist(),
+                        "w2": flat.slice(d, n - d).take(keep).to_pylist(),
+                        "weight": 1.0 / d,
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "weight": pa.array([], type=pa.float64()),
+                }
+            )
+        g = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["w1", "w2"], as_index=False)["weight"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        # groupby output blocks are key-disjoint, so per-block top-n then a
+        # driver merge of n-row partials is exact — the full pair table
+        # never reaches the driver
+        return b.sort_values(
+            ["weight", "w1", "w2"], ascending=[False, True, True]
+        ).head(top_n)
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("weight", alias_name="weight"))
+        .map_batches(local_top, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["weight", "w1", "w2"], ascending=[False, True, True]
+    ).head(top_n)
+    return out.reset_index(drop=True)[["w1", "w2", "weight"]]

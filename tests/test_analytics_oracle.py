@@ -379,6 +379,9 @@ SUBSET = [
     "knn_lsh",
     # MMR diversified retrieval (unrolled greedy-selection oracle)
     "rag_mmr",
+    # GloVe-style windowed co-occurrence + frequency-ranked vocabulary
+    "word_cooccur_window",
+    "token_vocab",
 ]
 
 
