@@ -12715,6 +12715,9 @@ def doc_cross_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
         .map_groups(islands, batch_format="pandas")
         .to_pandas()
     )
+    cols = ["doc_id", "span_start", "span_end", "n_windows"]
+    if out.empty:  # no shared window anywhere: typed empty frame
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)

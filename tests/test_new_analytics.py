@@ -1044,3 +1044,67 @@ class TestAttributionScaleStress:
         assert int(out.loc["view", "n_purchases"]) == n_users // 2
         assert int(out.loc["direct", "n_purchases"]) == 5_000
         assert float(out.loc["click", "total_value"]) == n_users // 2
+
+
+class TestCrossDupSpansScaleStress:
+    def test_planted_duplicate_blocks_50k_docs(self, tmp_path):
+        """50k docs (~1.4M windows) with one planted 8-token shared block
+        per doc (100 distinct blocks, 500 docs each): every doc must emit
+        exactly one maximal span covering the block's 4 interior 5-gram
+        positions — analytic expectation, no serial reference needed."""
+        from bioie_llm_ray.pipelines.analytics import doc_cross_dup_spans
+
+        n_docs, n_blocks = 50_000, 100
+        texts, ids = [], []
+        for i in range(n_docs):
+            b = i % n_blocks
+            pre = " ".join(f"u{i}x{t}" for t in range(10))
+            blk = " ".join(f"s{b}y{t}" for t in range(8))
+            suf = " ".join(f"v{i}x{t}" for t in range(10))
+            texts.append(f"{pre} {blk} {suf}")
+            ids.append(i)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = doc_cross_dup_spans(str(tmp_path))
+        assert len(out) == n_docs
+        assert (out["span_start"] == 10).all()
+        assert (out["span_end"] == 18).all()
+        assert (out["n_windows"] == 4).all()
+        assert out["doc_id"].is_unique
+
+    def test_no_shared_windows_is_empty(self, tmp_path):
+        from bioie_llm_ray.pipelines.analytics import doc_cross_dup_spans
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(
+                        [
+                            "a b c d e f g h",
+                            "p q r s t u v w",
+                        ]
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = doc_cross_dup_spans(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "doc_id",
+            "span_start",
+            "span_end",
+            "n_windows",
+        ]
