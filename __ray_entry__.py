@@ -860,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_score_pr_auc": A.events_score_pr_auc,
         "kg_maximal_matching": A.kg_maximal_matching,
         "value_mad_outliers": A.value_mad_outliers,
+        "value_mean_blb": A.value_mean_blb,
         "user_time_weighted_value": A.user_time_weighted_value,
         "kg_rich_club": A.kg_rich_club,
         "events_burstiness": A.events_burstiness,
@@ -5190,6 +5191,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash-greedy maximal matching, unrolled arg-min rounds
         "kg_maximal_matching": O.matching_sql(),
+        # Bag-of-Little-Bootstraps CI: bag hash, resample weights and
+        # per-bag percentile bounds replayed in SQL
+        "value_mean_blb": O.blb_sql(),
         # Hampel/MAD robust outlier audit (exact interpolated medians)
         "value_mad_outliers": """
             WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),

@@ -2322,3 +2322,35 @@ def mmr_sql(
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n        ".join(ctes) + "\n        " + sel
+
+
+def blb_sql(n_subsets: int = 8, n_resamples: int = 20) -> str:
+    """SQL replay of ``analytics.value_mean_blb``: the bag hash, per-
+    resample integer weights, weighted means and per-bag percentile_cont
+    bounds all recomputed in DuckDB (linear interpolation == numpy
+    default)."""
+    bag = f"({splitmix64_sql('event_id::UBIGINT')}) % {n_subsets}"
+    wt = (
+        f"(({splitmix64_sql(f'(event_id * {n_resamples} + r + 1)::UBIGINT')})"
+        " % 4)::DOUBLE"
+    )
+    return f"""
+        WITH w AS (
+            SELECT {bag} AS bag, r, {wt} AS wt, value
+            FROM events CROSS JOIN range(0, {n_resamples}) AS t(r)),
+        m AS (
+            SELECT bag, r, sum(wt * value) / sum(wt) AS mean_jr
+            FROM w GROUP BY 1, 2),
+        q AS (
+            SELECT bag,
+                   percentile_cont(0.025)
+                       WITHIN GROUP (ORDER BY mean_jr) AS lo,
+                   percentile_cont(0.975)
+                       WITHIN GROUP (ORDER BY mean_jr) AS hi
+            FROM m GROUP BY 1)
+        SELECT count(*)::BIGINT AS n_subsets,
+               round(avg(lo), 6) AS ci_lo,
+               round(avg(hi), 6) AS ci_hi,
+               round(avg(hi - lo), 6) AS ci_width
+        FROM q
+    """

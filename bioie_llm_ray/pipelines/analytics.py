@@ -12940,3 +12940,83 @@ def word_cooccur_window(
         ["weight", "w1", "w2"], ascending=[False, True, True]
     ).head(top_n)
     return out.reset_index(drop=True)[["w1", "w2", "weight"]]
+
+
+def value_mean_blb(
+    sf_dir: str, n_subsets: int = 8, n_resamples: int = 20
+) -> pd.DataFrame:
+    """Bag of Little Bootstraps (Kleiner et al. 2014) confidence interval
+    for the mean event value — the bootstrap reshaped for clusters: data is
+    hash-partitioned into ``n_subsets`` disjoint bags, each bag is
+    resampled ``n_resamples`` times by integer weights (never by copying
+    rows), the per-bag CIs average.  Nothing but
+    ``n_subsets × n_resamples`` (Σw, Σwx) float pairs ever leaves the
+    scan, so the cost is one streaming pass regardless of corpus size —
+    the reason BLB exists.
+
+    Derandomized: bag = ``splitmix64(event_id) % n_subsets``; resample-r
+    weight = ``splitmix64(event_id·n_resamples + r + 1) % 4`` (a
+    Bayesian-bootstrap-style iid positive weight; the weighted mean is
+    invariant to the weight scale).  Both hashes are pure functions of the
+    id, replayed exactly by the SQL oracle.  Per-bag 2.5/97.5 percentiles
+    use linear interpolation (numpy default == SQL percentile_cont)."""
+    from ..functions.hashing import _splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vals = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        bag = (
+            _splitmix64(ids.astype(np.uint64)) % np.uint64(n_subsets)
+        ).astype(np.int64)
+        out_b, out_r, out_sw, out_swx = [], [], [], []
+        for r in range(n_resamples):
+            wt = (
+                _splitmix64(
+                    (ids * n_resamples + r + 1).astype(np.uint64)
+                )
+                % np.uint64(4)
+            ).astype(np.float64)
+            out_b.extend(range(n_subsets))
+            out_r.extend([r] * n_subsets)
+            out_sw.extend(np.bincount(bag, weights=wt, minlength=n_subsets))
+            out_swx.extend(
+                np.bincount(bag, weights=wt * vals, minlength=n_subsets)
+            )
+        return pa.table(
+            {
+                "bag": pa.array(out_b, type=pa.int64()),
+                "r": pa.array(out_r, type=pa.int64()),
+                "sw": pa.array(out_sw, type=pa.float64()),
+                "swx": pa.array(out_swx, type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bag", "r"])
+        .aggregate(Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"))
+        .to_pandas()
+    )
+    parts["mean_jr"] = parts["swx"] / parts["sw"]
+    per_bag = parts.groupby("bag")["mean_jr"].agg(
+        lo=lambda s: np.percentile(s, 2.5),
+        hi=lambda s: np.percentile(s, 97.5),
+    )
+    return pd.DataFrame(
+        {
+            "n_subsets": pd.array([n_subsets], dtype="int64"),
+            "ci_lo": [round(float(per_bag["lo"].mean()), 6)],
+            "ci_hi": [round(float(per_bag["hi"].mean()), 6)],
+            "ci_width": [
+                round(float((per_bag["hi"] - per_bag["lo"]).mean()), 6)
+            ],
+        }
+    )

@@ -382,6 +382,8 @@ SUBSET = [
     # GloVe-style windowed co-occurrence + frequency-ranked vocabulary
     "word_cooccur_window",
     "token_vocab",
+    # Bag-of-Little-Bootstraps CI (hash-derandomized weights)
+    "value_mean_blb",
 ]
 
 

@@ -1108,3 +1108,22 @@ class TestCrossDupSpansScaleStress:
             "span_end",
             "n_windows",
         ]
+
+
+class TestBlbSanity:
+    def test_ci_brackets_true_mean(self, sf_dir):
+        """The averaged per-bag bootstrap interval must bracket the plain
+        corpus mean (the estimator BLB approximates the sampling
+        distribution of)."""
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.pipelines.analytics import value_mean_blb
+
+        out = value_mean_blb(sf_dir)
+        true_mean = (
+            pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])
+            .to_pandas()["value"]
+            .mean()
+        )
+        assert out["ci_lo"][0] <= true_mean <= out["ci_hi"][0]
+        assert out["ci_width"][0] > 0
