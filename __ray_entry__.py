@@ -709,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_forecast_ses": A.revenue_forecast_ses,
         "holt_forecast": A.holt_forecast,
         "daily_trend_theilsen": A.daily_trend_theilsen,
+        "dow_seasonality": A.dow_seasonality,
+        "lang_source_infogain": A.lang_source_infogain,
         "doc_span_corruption": A.doc_span_corruption,
         "knn_ivf_store": A.knn_ivf_store,
         "part_triple_copurchase": A.part_triple_copurchase,
@@ -1031,6 +1033,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ord o JOIN holt h ON h.rn = o.rn
             WHERE (SELECT count(*) FROM ord) >= 2
             ORDER BY o.day
+        """,
+        # day-of-week seasonal indices over calendar-bounded daily sums
+        # (cents-exact doubles: every sum/mean is bit-identical)
+        "dow_seasonality": """
+            WITH daily AS (
+                SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1),
+            g AS (SELECT avg(rev) AS grand FROM daily)
+            SELECT isodow(d)::BIGINT AS dow,
+                   count(*)::BIGINT AS n_days,
+                   round(avg(rev), 2) AS avg_revenue,
+                   round(avg(rev) / g.grand, 6) AS seasonal_index
+            FROM daily, g GROUP BY dow, g.grand
+        """,
+        # information gain of source about lang (natural-log entropies)
+        "lang_source_infogain": """
+            WITH c AS (
+                SELECT source, lang, count(*)::DOUBLE AS n
+                FROM documents GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS n FROM c),
+            pl AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1),
+            hl AS (
+                SELECT -sum((nl / tot.n) * ln(nl / tot.n)) AS h
+                FROM pl, tot),
+            ps AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+            hw AS (
+                SELECT c.source,
+                       -sum((c.n / ps.ns) * ln(c.n / ps.ns)) AS h
+                FROM c JOIN ps USING (source) GROUP BY 1),
+            hc AS (
+                SELECT sum((ps.ns / tot.n) * hw.h) AS h
+                FROM hw JOIN ps USING (source), tot)
+            SELECT round(hl.h, 6) AS h_lang,
+                   round(hc.h, 6) AS h_lang_given_source,
+                   round(hl.h - hc.h, 6) AS info_gain,
+                   round((hl.h - hc.h) / hl.h, 6) AS ig_ratio
+            FROM hl, hc
         """,
         # Theil-Sen: median pairwise slope + median intercept, the
         # interpolating quantile_cont matching the numpy read-off

@@ -13020,3 +13020,88 @@ def value_mean_blb(
             ],
         }
     )
+
+
+def dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonal decomposition of daily order revenue — the
+    classical-decomposition seasonal step (index = per-DOW mean daily
+    revenue over the grand mean daily revenue), the complement of the trend
+    extractors (`holt_forecast`, `daily_trend_theilsen`) and the
+    changepoint/burstiness diagnostics.
+
+    One combiner exchange: per-batch (date, revenue) partial sums →
+    groupby(date) Sum — after which the daily series is calendar-bounded
+    (365 rows/year regardless of corpus size), so the 7-row DOW fold runs
+    on the driver by construction, not by luck."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"d": batch["o_orderdate"], "rev": batch["o_totalprice"]}
+        )
+        g = t.group_by("d").aggregate([("rev", "sum")])
+        return g.rename_columns(["d", "rev"])
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    daily["dow"] = pd.to_datetime(daily["d"]).dt.dayofweek + 1  # ISO: Mon=1
+    grand = daily["rev"].mean()
+    out = daily.groupby("dow", as_index=False).agg(
+        n_days=("rev", "size"), avg_revenue=("rev", "mean")
+    )
+    out["seasonal_index"] = (out["avg_revenue"] / grand).round(6)
+    out["avg_revenue"] = out["avg_revenue"].round(2)
+    out["dow"] = out["dow"].astype("int64")
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+def lang_source_infogain(sf_dir: str) -> pd.DataFrame:
+    """Information-gain audit of one metadata column against another:
+    how many bits of the document language the source field explains —
+    ``IG = H(lang) − H(lang | source)`` with the ratio ``IG / H(lang)``
+    (the feature-selection / leakage-detection primitive over categorical
+    columns).
+
+    Per-batch (source, lang) count combiner → one tiny groupby (domain
+    cross product, not rows) → closed-form entropy arithmetic on the
+    driver.  Natural-log entropies, matching the SQL oracle's ``ln``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = counts["n"].sum()
+    p_lang = counts.groupby("lang")["n"].sum() / n
+    h_lang = float(-(p_lang * np.log(p_lang)).sum())
+    p_src = counts.groupby("source")["n"].sum() / n
+    ns = counts.groupby("source")["n"].transform("sum")
+    p_in = counts["n"] / ns
+    within = (
+        (-p_in * np.log(p_in)).groupby(counts["source"]).sum()
+    )
+    h_cond = float((p_src * within).sum())
+    ig = h_lang - h_cond
+    return pd.DataFrame(
+        {
+            "h_lang": [round(h_lang, 6)],
+            "h_lang_given_source": [round(h_cond, 6)],
+            "info_gain": [round(ig, 6)],
+            "ig_ratio": [round(ig / h_lang, 6)],
+        }
+    )

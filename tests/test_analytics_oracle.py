@@ -384,6 +384,9 @@ SUBSET = [
     "token_vocab",
     # Bag-of-Little-Bootstraps CI (hash-derandomized weights)
     "value_mean_blb",
+    # DOW seasonal decomposition + categorical information-gain audit
+    "dow_seasonality",
+    "lang_source_infogain",
 ]
 
 
