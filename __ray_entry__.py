@@ -762,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": A.user_cumulative_value,
         "doc_dup_ngram_spans": A.doc_dup_ngram_spans,
         "doc_cross_dup_spans": A.doc_cross_dup_spans,
+        "doc_cut_dup_spans": A.doc_cut_dup_spans,
+        "source_ngram_overlap": A.source_ngram_overlap,
         "doc_split_assign": A.doc_split_assign,
         "er_blocking_pairs": A.er_blocking_pairs,
         "er_entity_clusters": A.er_entity_clusters,
@@ -3051,6 +3053,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(i) AS span_start, max(i) + 5 AS span_end,
                    count(*) AS n_windows
             FROM isl GROUP BY doc_id, grp
+        """,
+        # APPLY half of the substring-dedup cut: per-doc removed-token
+        # accounting over ALL docs (zero-filled where nothing matched)
+        "doc_cut_dup_spans": r"""
+            WITH arr AS (
+                SELECT doc_id, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents),
+            w AS (
+                SELECT doc_id, i,
+                       array_to_string(a[i + 1 : i + 5], ' ') AS win
+                FROM arr, unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5),
+            shared AS (
+                SELECT win FROM w GROUP BY 1
+                HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT doc_id, i FROM w
+                WHERE win IN (SELECT win FROM shared)),
+            isl AS (
+                SELECT doc_id, i,
+                       i - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY i) AS grp
+                FROM hits),
+            sp AS (
+                SELECT doc_id, min(i) AS s, max(i) + 5 AS e
+                FROM isl GROUP BY doc_id, grp),
+            dup AS (
+                SELECT doc_id, sum(e - s)::BIGINT AS n_dup_tokens
+                FROM sp GROUP BY 1)
+            SELECT arr.doc_id, len(arr.a)::BIGINT AS n_tokens,
+                   coalesce(dup.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+                   round_even(coalesce(dup.n_dup_tokens, 0)
+                              / len(arr.a)::DOUBLE, 6) AS dup_ratio
+            FROM arr LEFT JOIN dup USING (doc_id)
+        """,
+        # cross-source n-gram containment matrix (corpus-slice
+        # contamination screen over distinct w-grams)
+        "source_ngram_overlap": r"""
+            WITH arr AS (
+                SELECT source, string_split_regex(trim(text, chr(9)||chr(10)||chr(13)||chr(12)||chr(11)||' '), '\s+') AS a
+                FROM documents),
+            w AS (
+                SELECT DISTINCT source,
+                       array_to_string(a[i + 1 : i + 5], ' ') AS win
+                FROM arr, unnest(range(0, GREATEST(len(a) - 4, 0))) AS t(i)
+                WHERE len(a) >= 5),
+            tot AS (
+                SELECT source, count(*)::BIGINT AS n FROM w GROUP BY 1),
+            pr AS (
+                SELECT a.source AS s1, b.source AS s2,
+                       count(*)::BIGINT AS n_shared
+                FROM w a JOIN w b
+                  ON a.win = b.win AND a.source <> b.source
+                GROUP BY 1, 2)
+            SELECT pr.s1, pr.s2, pr.n_shared, tot.n AS n_windows_s1,
+                   round_even(pr.n_shared / tot.n::DOUBLE, 6) AS containment
+            FROM pr JOIN tot ON tot.source = pr.s1
         """,
         "doc_split_assign": """
             SELECT doc_id,

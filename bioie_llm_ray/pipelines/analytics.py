@@ -12643,6 +12643,19 @@ def doc_cross_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
     At 100 TB stage 1's output would be hashed (u64 fingerprints) instead of
     shipping window strings; kept as strings here for oracle exactness.
     """
+    out = _cross_dup_islands_ds(sf_dir, w).to_pandas()
+    cols = ["doc_id", "span_start", "span_end", "n_windows"]
+    if out.empty:  # no shared window anywhere: typed empty frame
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def _cross_dup_islands_ds(sf_dir: str, w: int = 5) -> ray.data.Dataset:
+    """Shared plan of the cross-document span family: the maximal-span
+    Dataset (doc_id, span_start, span_end, n_windows) — consumed whole by
+    `doc_cross_dup_spans` and joined per doc by `doc_cut_dup_spans`."""
     from ..functions.hashing import bucket_ids_for_column, hash_bucket_ints
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -12707,20 +12720,76 @@ def doc_cross_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
         agg["span_end"] = agg["span_end"] + w
         return agg[["doc_id", "span_start", "span_end", "n_windows"]]
 
-    out = (
+    return (
         ds.map_batches(windows, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(shared_rows, batch_format="pandas")
         .groupby("__b2")
         .map_groups(islands, batch_format="pandas")
-        .to_pandas()
     )
-    cols = ["doc_id", "span_start", "span_end", "n_windows"]
-    if out.empty:  # no shared window anywhere: typed empty frame
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def doc_cut_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """APPLY half of exact substring dedup: per document, how many tokens
+    the `doc_cross_dup_spans` cut removes — (n_tokens, n_dup_tokens,
+    dup_ratio) for EVERY document, zero-filled where nothing matched.
+    Maximal islands are disjoint by construction, so the removed-token
+    count is a plain per-doc sum of span lengths.
+
+    The per-doc token counts come from one zero-shuffle combiner pass (a
+    doc lives in one row); counts ⟕ span sums is a left-outer
+    `shuffle_join` on doc_id — both sides are corpus-sized, so neither
+    broadcasts."""
+    spans = _cross_dup_islands_ds(sf_dir, w)
+
+    def span_len(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "dup": pc.subtract(b["span_end"], b["span_start"]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    dup = (
+        spans.map_batches(span_len, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dup", alias_name="n_dup_tokens"))
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(toks), pa.int64()
+                ),
+            }
+        )
+
+    joined = shuffle_join(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        dup,
+        keys="doc_id",
+        join_type="left outer",
+        n_buckets=_nb(sf_dir, "documents"),
+    ).to_pandas()
+    joined["n_dup_tokens"] = (
+        joined["n_dup_tokens"].fillna(0).astype("int64")
+    )
+    joined["n_tokens"] = joined["n_tokens"].astype("int64")
+    joined["dup_ratio"] = (
+        joined["n_dup_tokens"] / joined["n_tokens"]
+    ).round(6)
+    return joined.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_tokens", "n_dup_tokens", "dup_ratio"]
+    ]
 
 
 def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
@@ -13105,3 +13174,91 @@ def lang_source_infogain(sf_dir: str) -> pd.DataFrame:
             "ig_ratio": [round(ig / h_lang, 6)],
         }
     )
+
+
+def source_ngram_overlap(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """Cross-source n-gram containment matrix — corpus-slice contamination
+    screening (the source-level generalization of ``doc_decontaminate``'s
+    doc-vs-eval-set check): for every ordered source pair (s1, s2), the
+    fraction of s1's distinct token w-grams that also occur in s2.
+
+    One bucketed exchange: distinct (source, window) pairs combine per
+    batch, bucket by ``hash(window) % B`` so each window's source set is
+    bucket-local; the per-bucket pass emits pair co-counts via one
+    vectorized self-merge on window plus per-source distinct-window
+    partials.  Only the (≤ |sources|²) matrix and per-source totals reach
+    the driver."""
+    from ..functions.hashing import bucket_ids_for_column
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    nb = _nb(sf_dir, "documents")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < w:
+            t = pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "window": pa.array([], type=pa.string()),
+                }
+            )
+            return t.append_column("__bucket", pa.array([], type=pa.int64()))
+        parent = toks.value_parent_indices().to_numpy(zero_copy_only=False)
+        m = n - w + 1
+        wins = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(w)], " "
+        )
+        keep = np.flatnonzero(parent[:m] == parent[w - 1 :])
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)[
+            parent[:m][keep]
+        ]
+        df = pd.DataFrame(
+            {"source": srcs, "window": wins.take(pa.array(keep))}
+        ).drop_duplicates()  # per-batch combiner on (source, window)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(
+            "__bucket", pa.array(bucket_ids_for_column(t["window"], nb))
+        )
+
+    def bucket_pass(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["source", "window"]].drop_duplicates()
+        pairs = g.merge(g, on="window")
+        pairs = pairs[pairs["source_x"] != pairs["source_y"]]
+        pair_counts = pairs.groupby(
+            ["source_x", "source_y"], as_index=False
+        ).size()
+        pair_counts.columns = ["s1", "s2", "n"]
+        pair_counts["kind"] = "pair"
+        totals = g.groupby("source", as_index=False).size()
+        totals.columns = ["s1", "n"]
+        totals["s2"] = ""
+        totals["kind"] = "total"
+        return pd.concat(
+            [pair_counts, totals[["s1", "s2", "n", "kind"]]],
+            ignore_index=True,
+        )
+
+    parts = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pass, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["kind", "s1", "s2"], as_index=False)["n"].sum()
+    tot = dict(
+        zip(agg.loc[agg["kind"] == "total", "s1"],
+            agg.loc[agg["kind"] == "total", "n"])
+    )
+    out = agg[agg["kind"] == "pair"].copy()
+    out["n_shared"] = out["n"].astype("int64")
+    out["n_windows_s1"] = out["s1"].map(tot).astype("int64")
+    out["containment"] = (
+        out["n_shared"] / out["n_windows_s1"]
+    ).round(6)
+    return out.sort_values(["s1", "s2"]).reset_index(drop=True)[
+        ["s1", "s2", "n_shared", "n_windows_s1", "containment"]
+    ]

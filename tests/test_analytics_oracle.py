@@ -387,6 +387,9 @@ SUBSET = [
     # DOW seasonal decomposition + categorical information-gain audit
     "dow_seasonality",
     "lang_source_infogain",
+    # substring-dedup cut apply + cross-source contamination matrix
+    "doc_cut_dup_spans",
+    "source_ngram_overlap",
 ]
 
 
