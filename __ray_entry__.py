@@ -807,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": A.knn_ivf,
         "knn_ivf_probed": A.knn_ivf_probed,
         "knn_lsh": A.knn_lsh,
+        "knn_lsh_store": A.knn_lsh_store,
         "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
         "dedup_jaccard": A.dedup_jaccard,
@@ -5004,6 +5005,8 @@ def oracle_sql() -> dict[str, str]:
         # sign-LSH banded ANN: planes, bands, candidate rule and ranking
         # all regenerated in SQL (deterministic Rademacher planes)
         "knn_lsh": O.lsh_topk_sql(),
+        # persisted per-band LSH index: same rule, so same oracle
+        "knn_lsh_store": O.lsh_topk_sql(),
         # the persisted-IVF path returns exactly the in-memory probed
         # results (same quantizer, probes, tie-breaks) — same oracle
         "knn_ivf_store": O.ivf_probed_sql(),

@@ -13262,3 +13262,29 @@ def source_ngram_overlap(sf_dir: str, w: int = 5) -> pd.DataFrame:
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)[
         ["s1", "s2", "n_shared", "n_windows_s1", "containment"]
     ]
+
+
+def knn_lsh_store(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """ANN against the PERSISTED sign-LSH layout (``state/lsh_store``):
+    the corpus is written once per band partitioned by
+    ``band=<b>/bval=<v>/`` (each band a hash table, the classic LSH
+    index), then the search reads ONLY the queries' matching partitions —
+    storage-enforced read pruning, the on-disk counterpart of ``knn_lsh``
+    (identical candidate rule, cosines and tie-breaks, so the same
+    end-to-end SQL oracle certifies the stored path byte-for-byte)."""
+    import tempfile
+
+    from ..state.lsh_store import build_lsh_store, lsh_store_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    store = tempfile.mkdtemp(prefix="lsh_store_", dir="/tmp")
+    build_lsh_store(ds, store)
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    out = lsh_store_topk(store, queries, qids, k=k).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

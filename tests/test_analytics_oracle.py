@@ -390,6 +390,8 @@ SUBSET = [
     # substring-dedup cut apply + cross-source contamination matrix
     "doc_cut_dup_spans",
     "source_ngram_overlap",
+    # persisted per-band LSH index (same oracle as the scan path)
+    "knn_lsh_store",
 ]
 
 

@@ -1366,3 +1366,34 @@ class TestLshTopk:
         key = lambda df: set(zip(df["query_id"], df["neighbor_id"]))
         recall = len(key(ann) & key(exact)) / len(key(exact))
         assert 0.3 <= recall <= 1.0
+
+
+class TestLshStore:
+    def test_store_equals_scan(self, sf_dir, tmp_path):
+        """The persisted per-band LSH index returns exactly the scan-side
+        lsh_topk answer (same candidate rule, cosines, tie-breaks), while
+        only reading the queries' (band, bval) partitions."""
+        import os
+
+        import ray.data
+
+        from bioie_llm_ray.stages.similarity import lsh_topk
+        from bioie_llm_ray.state.lsh_store import (
+            build_lsh_store,
+            lsh_store_topk,
+        )
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        store = str(tmp_path / "lsh")
+        build_lsh_store(ds, store)
+        rows = sorted(
+            ds.filter(expr="vec_id < 6").take_all(), key=lambda r: r["vec_id"]
+        )
+        q = np.stack([np.asarray(r["embedding"]) for r in rows])
+        qids = [r["vec_id"] for r in rows]
+        got = lsh_store_topk(store, q, qids, k=5).to_pandas()
+        want = lsh_topk(ds, q, qids, k=5).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # the layout really is one hash table per band
+        bands = [d for d in os.listdir(store) if d.startswith("band=")]
+        assert len(bands) == 4
