@@ -1127,3 +1127,60 @@ class TestBlbSanity:
         )
         assert out["ci_lo"][0] <= true_mean <= out["ci_hi"][0]
         assert out["ci_width"][0] > 0
+
+
+class TestLshStoreScaleStress:
+    def test_store_path_equals_scan_at_200k(self, tmp_path):
+        """200k vectors through build_lsh_store + lsh_store_topk: the
+        persisted per-band hash tables return EXACTLY what the scan-side
+        lsh_topk returns on the same corpus."""
+        from bioie_llm_ray.stages.similarity import lsh_topk
+        from bioie_llm_ray.state.lsh_store import (
+            build_lsh_store,
+            lsh_store_topk,
+        )
+
+        n, dim = 200_000, 16
+
+        def gen(batch):
+            ids = np.asarray(batch["id"], dtype=np.int64)
+            base = np.zeros((len(ids), dim))
+            base[np.arange(len(ids)), ids % 8] = 1.0
+            noise = np.stack(
+                [np.sin(ids * (j + 1) * 0.001) for j in range(dim)], axis=1
+            )
+            emb = base + 0.05 * noise
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        list(emb.astype(np.float32)),
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+        ds = ray.data.range(n).map_batches(gen, batch_format="numpy")
+        store = str(tmp_path / "lsh")
+        build_lsh_store(ds, store)
+
+        qrows = sorted(
+            ds.filter(expr="vec_id < 4").take_all(),
+            key=lambda r: r["vec_id"],
+        )
+        queries = np.stack([np.asarray(r["embedding"]) for r in qrows])
+        qids = [r["vec_id"] for r in qrows]
+
+        got = (
+            lsh_store_topk(store, queries, qids, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            lsh_topk(ds, queries, qids, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
