@@ -1046,8 +1046,8 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT avg(rev) AS grand FROM daily)
             SELECT isodow(d)::BIGINT AS dow,
                    count(*)::BIGINT AS n_days,
-                   round(avg(rev), 2) AS avg_revenue,
-                   round(avg(rev) / g.grand, 6) AS seasonal_index
+                   round_even(avg(rev), 2) AS avg_revenue,
+                   round_even(avg(rev) / g.grand, 6) AS seasonal_index
             FROM daily, g GROUP BY dow, g.grand
         """,
         # information gain of source about lang (natural-log entropies)
@@ -1068,10 +1068,10 @@ def oracle_sql() -> dict[str, str]:
             hc AS (
                 SELECT sum((ps.ns / tot.n) * hw.h) AS h
                 FROM hw JOIN ps USING (source), tot)
-            SELECT round(hl.h, 6) AS h_lang,
-                   round(hc.h, 6) AS h_lang_given_source,
-                   round(hl.h - hc.h, 6) AS info_gain,
-                   round((hl.h - hc.h) / hl.h, 6) AS ig_ratio
+            SELECT round_even(hl.h, 6) AS h_lang,
+                   round_even(hc.h, 6) AS h_lang_given_source,
+                   round_even(hl.h - hc.h, 6) AS info_gain,
+                   round_even((hl.h - hc.h) / hl.h, 6) AS ig_ratio
             FROM hl, hc
         """,
         # Theil-Sen: median pairwise slope + median intercept, the

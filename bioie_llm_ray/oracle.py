@@ -2271,7 +2271,7 @@ def lsh_topk_sql(
                        ORDER BY sim DESC, neighbor_id) AS rnk
             FROM sims)
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
-               round(sim, 6) AS cosine
+               round_even(sim, 6) AS cosine
         FROM ranked WHERE rnk <= {k}
     """
 
@@ -2349,8 +2349,8 @@ def blb_sql(n_subsets: int = 8, n_resamples: int = 20) -> str:
                        WITHIN GROUP (ORDER BY mean_jr) AS hi
             FROM m GROUP BY 1)
         SELECT count(*)::BIGINT AS n_subsets,
-               round(avg(lo), 6) AS ci_lo,
-               round(avg(hi), 6) AS ci_hi,
-               round(avg(hi - lo), 6) AS ci_width
+               round_even(avg(lo), 6) AS ci_lo,
+               round_even(avg(hi), 6) AS ci_hi,
+               round_even(avg(hi - lo), 6) AS ci_width
         FROM q
     """

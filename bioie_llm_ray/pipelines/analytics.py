@@ -13074,6 +13074,11 @@ def value_mean_blb(
         .aggregate(Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"))
         .to_pandas()
     )
+    # A (bag, resample) whose weights all drew 0 has no resampled rows:
+    # SQL's sum(wt*value)/sum(wt) yields NULL there and percentile_cont
+    # skips it — drop the sw == 0 rows to match instead of feeding NaN
+    # into np.percentile.
+    parts = parts[parts["sw"] > 0]
     parts["mean_jr"] = parts["swx"] / parts["sw"]
     per_bag = parts.groupby("bag")["mean_jr"].agg(
         lo=lambda s: np.percentile(s, 2.5),

@@ -164,6 +164,13 @@ def lsh_store_topk(
                 continue
             row = qm[qi] @ emb[idx_all].T
             sub_ids = ids[idx_all]
+            # A vector matching this query in >1 band appears once per
+            # probed partition; if a batch ever spans partitions (explicit
+            # batch_size, block coalescing) the duplicates would occupy
+            # several of the kk slots and could evict a genuine neighbor.
+            # Duplicates carry identical cosines, so keep one occurrence.
+            sub_ids, first_idx = np.unique(sub_ids, return_index=True)
+            row = row[first_idx]
             if kk < len(row):
                 seed = np.argpartition(-row, kk - 1)[:kk]
                 sel = np.flatnonzero(row >= row[seed].min())
