@@ -810,6 +810,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_store": A.knn_lsh_store,
         "knn_ivf_exact": A.knn_ivf_exact,
         "dedup_minhash": A.dedup_minhash,
+        "doc_near_dedup": A.doc_near_dedup,
+        "pca_project_2d": A.pca_project_2d,
+        "click_purchase_attribution": A.click_purchase_attribution,
         "dedup_jaccard": A.dedup_jaccard,
         "dedup_components": A.dedup_components,
         "dedup_keep_best": A.dedup_keep_best,
@@ -957,6 +960,19 @@ def oracle_sql() -> dict[str, str]:
         # oracle.simhash_sql / oracle.minhash_sql / oracle.hll_distinct_sql
         "dedup_simhash": O.simhash_sql(),
         "dedup_minhash": O.minhash_sql(),
+        "doc_near_dedup": O.near_dedup_sql(),
+        "pca_project_2d": O.pca2d_sql(),
+        # salted-join output is hot-set-invariant (pair-meet-once is
+        # structural), so the oracle is the plain SQL join + rollup
+        "click_purchase_attribution": """
+            SELECT c.user_id, count(*)::BIGINT AS n_pairs,
+                   round_even(sum(p.value), 2) AS purchase_value_sum
+            FROM (SELECT user_id FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT user_id, value FROM events
+                  WHERE event_type = 'purchase') p USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
         "embedding_clusters": O.kmeans_sql(),
         "embedding_pq_codes": O.pq_sql(),
         "knn_pq": O.pq_adc_sql(),

@@ -35,6 +35,14 @@ def parse_entity_response(response: str, gold: Sequence[str]) -> list[str]:
     Returns the subset of ``gold`` names found in ``response`` with clean
     boundaries, in gold order (the reference appends in gold-iteration order
     too, base_processor.py:1269-1298).  Gold names are ``strip()``-ed first.
+
+    INTENTIONAL fidelity deviation: the reference passes the raw gold name
+    to ``re.finditer`` (base_processor.py:1275), so a name containing regex
+    metacharacters (``C(2)``, ``IL-1+``) is silently treated as a PATTERN —
+    matching wrong spans or raising.  This implementation escapes the name
+    (``re.escape``) and matches it literally; for metacharacter-free names
+    (all benchmark vocabularies) the two are identical.  A parity audit
+    should expect divergence only on metacharacter-bearing gold names.
     """
     found: list[str] = []
     for item in gold:

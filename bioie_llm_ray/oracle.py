@@ -2354,3 +2354,91 @@ def blb_sql(n_subsets: int = 8, n_resamples: int = 20) -> str:
                round_even(avg(hi - lo), 6) AS ci_width
         FROM q
     """
+
+
+def near_dedup_sql(threshold: float = 0.8) -> str:
+    """SQL replay of ``neardup.near_dedup_docs`` — the composed recipe:
+    the bit-exact minhash/LSH/Jaccard chain of ``minhash_sql`` at the same
+    threshold produces the verified pair graph, a recursive transitive
+    closure labels components, and survivorship keeps each component's
+    minimum doc_id (plus every document in no component)."""
+    return f"""
+        WITH RECURSIVE mh AS ({minhash_sql(threshold=threshold)}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh
+            UNION SELECT id_b, id_a FROM mh),
+        r(n, x) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.x),
+        comp AS (SELECT n AS doc_id, min(x) AS rep FROM r GROUP BY n)
+        SELECT d.doc_id
+        FROM documents d LEFT JOIN comp USING (doc_id)
+        WHERE comp.rep IS NULL OR comp.rep = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def pca2d_sql() -> str:
+    """SQL replay of ``similarity.pca_project`` over a 2-d embedding slice:
+    population covariance from one-pass moments, the CLOSED-FORM 2×2
+    symmetric eigendecomposition (λ = (a+c)/2 ± sqrt(((a−c)/2)² + b²);
+    the eigenvector from whichever diagonal branch is numerically stable —
+    (λ−c, b) when a ≥ c, (b, λ−a) otherwise, both algebraically exact),
+    the same largest-|coordinate|-positive sign convention (ties to the
+    first coordinate, matching ``np.argmax``), then the per-row projection
+    (x − mean)·v.  LAPACK ``eigh`` and the closed form agree to ~1e-12 on
+    a well-separated 2×2; the 6-dp round absorbs it."""
+    return """
+        WITH e AS (
+            SELECT vec_id, embedding[1]::DOUBLE AS x,
+                   embedding[2]::DOUBLE AS y
+            FROM embeddings),
+        m AS (
+            SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM e),
+        cv AS (
+            SELECT sx / n AS mx, sy / n AS my,
+                   sxx / n - (sx / n) * (sx / n) AS a,
+                   sxy / n - (sx / n) * (sy / n) AS b,
+                   syy / n - (sy / n) * (sy / n) AS c
+            FROM m),
+        eg AS (
+            SELECT *,
+                   (a + c) / 2
+                   + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS l1,
+                   (a + c) / 2
+                   - sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS l2
+            FROM cv),
+        raw AS (
+            SELECT *,
+                   CASE WHEN a >= c THEN l1 - c ELSE b END AS r1x,
+                   CASE WHEN a >= c THEN b ELSE l1 - a END AS r1y,
+                   CASE WHEN a >= c THEN b ELSE l2 - c END AS r2x,
+                   CASE WHEN a >= c THEN l2 - a ELSE b END AS r2y
+            FROM eg),
+        vs AS (
+            SELECT *,
+                   sqrt(r1x * r1x + r1y * r1y) AS n1,
+                   sqrt(r2x * r2x + r2y * r2y) AS n2,
+                   CASE WHEN (CASE WHEN abs(r1x) >= abs(r1y)
+                              THEN r1x ELSE r1y END) < 0
+                        THEN -1.0 ELSE 1.0 END AS s1,
+                   CASE WHEN (CASE WHEN abs(r2x) >= abs(r2y)
+                              THEN r2x ELSE r2y END) < 0
+                        THEN -1.0 ELSE 1.0 END AS s2
+            FROM raw),
+        v AS (
+            SELECT mx, my,
+                   s1 * r1x / n1 AS v1x, s1 * r1y / n1 AS v1y,
+                   s2 * r2x / n2 AS v2x, s2 * r2y / n2 AS v2y
+            FROM vs)
+        SELECT e.vec_id,
+               round_even((e.x - v.mx) * v.v1x
+                          + (e.y - v.my) * v.v1y, 6) AS pc1,
+               round_even((e.x - v.mx) * v.v2x
+                          + (e.y - v.my) * v.v2y, 6) AS pc2
+        FROM e, v
+        ORDER BY e.vec_id
+    """

@@ -18,11 +18,14 @@ written as if inputs were 100 TB):
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import pyarrow.compute as pc
 import ray.data
 
@@ -80,8 +83,28 @@ def _read(
     path = os.path.join(sf_dir, f"{table}.parquet")
     nblocks = max(min_blocks, os.path.getsize(path) // _BYTES_PER_BLOCK)
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=int(nblocks)
+        path,
+        columns=columns,
+        schema=_clean_schema(path, tuple(columns) if columns else None),
+        override_num_blocks=int(nblocks),
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _clean_schema(path: str, columns: "tuple | list | None") -> pa.Schema:
+    """Column-pruned file schema with ALL metadata stripped.  Passing this
+    to ``read_parquet`` makes the read tasks emit metadata-free blocks:
+    pandas-written parquet carries a ``b'pandas'`` schema blob that makes
+    ``hash(schema)`` raise in pyarrow 16, which defeats Ray's block-schema
+    dedup and spams ``Failed to hash the schemas`` from every read/sort
+    worker — stripping downstream can't help because the warning fires
+    inside the ReadParquet task itself."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c).remove_metadata() for c in columns])
 
 
 def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
@@ -123,7 +146,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                 count_order=("l_quantity", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -1213,7 +1236,7 @@ def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
         nation, left_on="c_nationkey", right_on="n_nationkey"
     )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
 
-    joined = broadcast_join(orders, pa.Table.from_pandas(dim), keys="o_custkey")
+    joined = broadcast_join(orders, from_pandas_clean(dim), keys="o_custkey")
     per_nation = grouped_agg(
         joined,
         keys=["n_name"],
@@ -3622,7 +3645,7 @@ def doc_bigram_perplexity(
             {"doc_id": joined["doc_id"].to_numpy(zero_copy_only=False), "bits": bits}
         )
         agg = df.groupby("doc_id").agg(bits=("bits", "sum"), n=("bits", "size"))
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        return from_pandas_clean(agg.reset_index(), preserve_index=False)
 
     scored = shuffle_join(
         emis,
@@ -3730,7 +3753,7 @@ def _unigram_lm_scores(sf_dir: str, top_v: int = 20) -> "ray.data.Dataset":
         )
         total = int(df["n"].sum())
         head = df.head(top_v)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             head.assign(block_total=total), preserve_index=False
         )
 
@@ -3933,7 +3956,7 @@ def dsir_select(
         top = df.sort_values(
             ["weight", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return from_pandas_clean(top, preserve_index=False)
 
     parts = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
     return (
@@ -4254,7 +4277,7 @@ def user_cumulative_value(sf_dir: str) -> pd.DataFrame:
                 "cum_value": np.round(cum.values, 4),
             }
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             res, schema=out_schema, preserve_index=False
         )
 
@@ -6691,7 +6714,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         out.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__cb")
         .map_groups(
-            lambda g: best_per_component(pa.Table.from_pandas(g)),
+            lambda g: best_per_component(from_pandas_clean(g)),
             batch_format="pandas",
         )
         .to_pandas()
@@ -7230,7 +7253,7 @@ def kg_link_prediction(
         agg = df.groupby(["src", "dst"]).agg(
             aa=("aa", "sum"), cn=("aa", "size")
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             agg.reset_index(), preserve_index=False
         )
 
@@ -8047,7 +8070,7 @@ def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out = broadcast_join(
-        winners, pa.Table.from_pandas(supp), keys="s_suppkey"
+        winners, from_pandas_clean(supp), keys="s_suppkey"
     ).to_pandas()
     return (
         out[["p_partkey", "min_price", "s_suppkey", "s_name"]]
@@ -9400,7 +9423,7 @@ def brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     joined = broadcast_join(
-        li, pa.Table.from_pandas(part), keys="l_partkey", right_keys="p_partkey"
+        li, from_pandas_clean(part), keys="l_partkey", right_keys="p_partkey"
     )
 
     def pair_dedup(batch: pa.Table) -> pa.Table:
@@ -10358,7 +10381,7 @@ def q8_market_share(
         g = df.groupby("o_year", as_index=False).agg(
             nat=("nat", "sum"), tot=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -10496,7 +10519,7 @@ def part_profit_by_nation(sf_dir: str, name_token: str = "red") -> pd.DataFrame:
         g = df.groupby(["n_name", "o_year"], as_index=False).agg(
             cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -10553,7 +10576,7 @@ def part_value_concentration(
             {"l_partkey": batch["l_partkey"].to_numpy(), "cents": cents}
         )
         g = df.groupby("l_partkey", as_index=False)["cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -10703,7 +10726,7 @@ def excess_quantity_suppliers(
             }
         )
         g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["q100"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ..functions.hashing import bucket_ids_for_column
 
@@ -12988,7 +13011,7 @@ def word_cooccur_window(
             .groupby(["w1", "w2"], as_index=False)["weight"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def local_top(b: pd.DataFrame) -> pd.DataFrame:
         # groupby output blocks are key-disjoint, so per-block top-n then a
@@ -13224,7 +13247,7 @@ def source_ngram_overlap(sf_dir: str, w: int = 5) -> pd.DataFrame:
         df = pd.DataFrame(
             {"source": srcs, "window": wins.take(pa.array(keep))}
         ).drop_duplicates()  # per-batch combiner on (source, window)
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = from_pandas_clean(df, preserve_index=False)
         return t.append_column(
             "__bucket", pa.array(bucket_ids_for_column(t["window"], nb))
         )
@@ -13293,3 +13316,121 @@ def knn_lsh_store(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     out = lsh_store_topk(store, queries, qids, k=k).to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def doc_near_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Corpus minus near-duplicates — the full composed recipe
+    (``neardup.near_dedup_docs``): MinHash-LSH candidates → distributed
+    Jaccard verify (≥ ``threshold``) → connected components of the verified
+    pair graph → keep each component's minimum doc_id.  Returns the
+    surviving doc_ids.
+
+    This is the single-call dedup operator the per-stage queries
+    (`dedup_minhash`, `doc_dedup_exact`) decompose; its SQL oracle replays
+    the identical chain — the bit-exact minhash/LSH/Jaccard pipeline of
+    ``oracle.minhash_sql`` at the same threshold, then a recursive
+    transitive closure and min-id survivorship."""
+    from ..stages.neardup import near_dedup_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = near_dedup_docs(
+        ds, text_col="text", id_col="doc_id", threshold=threshold
+    )
+    out = kept.select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pca_project_2d(sf_dir: str) -> pd.DataFrame:
+    """Per-vector principal-component scores over a 2-d slice of the
+    embedding column — the full-oracle certification of
+    ``similarity.pca_project`` (streaming covariance fold → driver ``eigh``
+    → sign convention → broadcast projection pass).
+
+    2 dims because a 2×2 symmetric eigendecomposition has a closed form
+    (λ = (a+c)/2 ± sqrt(((a−c)/2)² + b²), eigenvector from the stable
+    diagonal branch) that the SQL oracle evaluates exactly — the one
+    matrix size where the ``eigh`` chain is replayable in SQL.  The
+    distributed machinery under test (Gram/moment partials, broadcast
+    matmul projection) is identical at any dim; full-dim covariance is
+    certified separately (`embedding_covariance` / `embedding_pca_power`
+    oracles)."""
+    from ..stages.similarity import pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def first2(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.array(
+                    list(emb[:, :2]), type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    ds2 = ds.map_batches(first2, batch_format="pyarrow")
+    proj, _comps, _ev = pca_project(ds2, k=2)
+    out = proj.to_pandas()
+    pcs = np.stack(out["pc"].to_numpy())
+    res = pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype("int64"),
+            "pc1": pcs[:, 0].round(6),
+            "pc2": pcs[:, 1].round(6),
+        }
+    )
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
+def click_purchase_attribution(sf_dir: str) -> pd.DataFrame:
+    """Per-user (click × purchase) pair counts and pair-summed purchase
+    value — a deliberately skew-shaped fact-fact self-join certified
+    end-to-end: hot keys come from ``sketch.heavy_hitters`` (exact
+    Misra-Gries frequent items) and the join runs through
+    ``join.salted_shuffle_join``, scattering each hot user's click rows
+    over ``n_salt`` sub-buckets while its purchase rows replicate to all
+    of them — pair-meet-once is structural, so the result is invariant to
+    the hot set and the oracle is the plain SQL join.
+
+    No ``bucket_post``: a salted key spans buckets, so the rollup happens
+    downstream (``grouped_agg`` combiner).  θ = 0.0004 makes every test
+    user hot at both sf0.01 and sf0.1 — the salted path, not the cold-key
+    fallback, is what executes."""
+    from ..stages.join import salted_shuffle_join
+    from ..stages.sketch import heavy_hitters
+    from ..stages.rollup import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    clicks = ds.filter(expr="event_type == 'click'").select_columns(
+        ["user_id"]
+    )
+    purchases = ds.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "value"]
+    )
+    hot = [k for k, _ in heavy_hitters(clicks, "user_id", theta=0.0004)]
+    joined = salted_shuffle_join(
+        clicks,
+        purchases,
+        keys="user_id",
+        hot_keys=hot,
+        n_salt=8,
+        n_buckets=_nb(sf_dir, "events", 16),
+        left_schema={"user_id": pa.int64()},
+        right_schema={"user_id": pa.int64(), "value": pa.float64()},
+    )
+    out = grouped_agg(
+        joined,
+        keys=["user_id"],
+        aggs={
+            "n_pairs": ("value", "count"),
+            "purchase_value_sum": ("value", "sum"),
+        },
+        n_buckets=_nb(sf_dir, "events", 16),
+        partial=True,
+    ).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["purchase_value_sum"] = out["purchase_value_sum"].round(2)
+    return out.sort_values("user_id").reset_index(drop=True)

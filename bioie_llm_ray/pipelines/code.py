@@ -31,6 +31,8 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import ray
 
 from ..functions.hashing import (
@@ -131,7 +133,7 @@ def vendored_files(
         # explicit Arrow schema: buckets that filter to zero rows must not
         # emit object-dtype pandas blocks (Ray block unification warns and
         # can't size them)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out, schema=out_schema, preserve_index=False
         )
 
@@ -209,7 +211,7 @@ def commit_diff(
             ),
         )
         out = m[["repo", "path"]].assign(status=status)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out, schema=out_schema, preserve_index=False
         )
 
@@ -280,7 +282,7 @@ def file_history(
                 "is_current": nxt.isna(),
             }
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out, schema=out_schema, preserve_index=False
         )
 
@@ -638,7 +640,7 @@ def clone_pairs(
                 "n": np.ones(len(m), dtype="int64"),
             }
         )
-        return pa.Table.from_pandas(out, schema=pair_schema, preserve_index=False)
+        return from_pandas_clean(out, schema=pair_schema, preserve_index=False)
 
     fps = snap.select_columns(["repo", "path", "content"]).map_batches(
         fingerprints, batch_format="pyarrow"
@@ -682,7 +684,7 @@ def clone_pairs(
             }
         )
         out = out[out["repo_a"] != out["repo_b"]]  # cross-repo only
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return from_pandas_clean(out, schema=out_schema, preserve_index=False)
 
     return counts.map_batches(finish, batch_format="pyarrow")
 
@@ -1148,7 +1150,7 @@ def call_triples(
             .agg(n_calls=("fn", "size"), n_fns=("fn", "nunique"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     joined = shuffle_join(
         calls,

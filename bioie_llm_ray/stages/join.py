@@ -30,6 +30,8 @@ global shuffle — so the explicit join stays the engine default.
 from __future__ import annotations
 
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import pyarrow.compute as pc
 import ray
 
@@ -659,7 +661,7 @@ def asof_join(
         merged = merged[merged[on + suffix].notna()]
         # merge_asof left-joins, so unmatched-left NaNs promoted right int
         # columns to float64; the notna filter removed those rows — cast back.
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             merged[out_schema.names], schema=out_schema, preserve_index=False
         )
 
@@ -800,7 +802,7 @@ def interval_join(
         r = r_t.to_pandas()
         m = l.merge(r, on=[by, _CHUNK], how="inner")
         m = m[(m[start_o] <= m[on]) & (m[on] <= m[end_o])]
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             m[out_schema.names], schema=out_schema, preserve_index=False
         )
 

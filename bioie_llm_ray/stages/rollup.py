@@ -20,6 +20,8 @@ caller.  Rolled-up key columns are NULL, as in SQL ROLLUP.
 from __future__ import annotations
 
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import pyarrow.compute as pc
 import ray
 
@@ -241,7 +243,7 @@ def pivot_counts(
         )
         wide = wide.reindex(columns=values, fill_value=0).astype("int64")
         wide.columns = [prefix + v for v in val_list]
-        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+        return from_pandas_clean(wide.reset_index(), preserve_index=False)
 
     return (
         ds.map_batches(local, batch_format="pyarrow")

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import ray
 
 from ..functions.hashing import stable_hash_u64
@@ -165,7 +167,7 @@ def distributed_sort_top_k(
         df = batch.to_pandas().sort_values(
             sort_cols, ascending=ascending, kind="stable"
         ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     return (

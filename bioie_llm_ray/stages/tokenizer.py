@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.arrowio import from_pandas_clean
 import pyarrow.compute as pc
 import ray.data
 
@@ -119,7 +121,7 @@ def _block_argmax(batch: pa.Table) -> pa.Table:
     best = df.sort_values(
         ["cnt", "left", "right"], ascending=[False, True, True], kind="stable"
     ).iloc[:1]
-    return pa.Table.from_pandas(best, preserve_index=False)
+    return from_pandas_clean(best, preserve_index=False)
 
 
 def merge_word(symbols: list[str], left: str, right: str) -> list[str]:

@@ -25,12 +25,12 @@ streaming side.
 from __future__ import annotations
 
 import json
-import os
 
 import pyarrow as pa
 import ray
 
 from ..functions.hashing import bucket_ids_for_column
+from .fs import join, listdir, ray_fs, resolve
 
 _META = "_BUCKETS.json"
 
@@ -40,6 +40,7 @@ def write_bucketed(
     path: str,
     key: str,
     n_buckets: int = 32,
+    filesystem=None,
 ) -> dict:
     """Write ``ds`` hash-partitioned by ``key`` into ``bucket=<i>/`` dirs."""
 
@@ -48,43 +49,48 @@ def write_bucketed(
             "bucket", pa.array(bucket_ids_for_column(batch[key], n_buckets))
         )
 
-    os.makedirs(path, exist_ok=True)
+    fs, root = resolve(path, filesystem)
+    fs.makedirs(root, exist_ok=True)
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["bucket"]
+        root, partition_cols=["bucket"], filesystem=ray_fs(fs)
     )
     meta = {"key": key, "n_buckets": n_buckets}
-    with open(os.path.join(path, _META), "w") as f:
+    with fs.open(join(root, _META), "w") as f:
         json.dump(meta, f)
     return meta
 
 
-def bucketed_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
+def bucketed_meta(path: str, filesystem=None) -> dict:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         return json.load(f)
 
 
 def _bucket_dir(path: str, i: int) -> str:
-    return os.path.join(path, f"bucket={i}")
+    return join(path, f"bucket={i}")
 
 
-def read_bucketed(path: str, bucket: int | None = None) -> ray.data.Dataset:
+def read_bucketed(
+    path: str, bucket: int | None = None, filesystem=None
+) -> ray.data.Dataset:
     """Read the table (or a single bucket) back; bucket column dropped."""
-    meta = bucketed_meta(path)
+    fs, root = resolve(path, filesystem)
+    meta = bucketed_meta(root, fs)
     if bucket is None:
         dirs = [
-            _bucket_dir(path, i)
+            _bucket_dir(root, i)
             for i in range(meta["n_buckets"])
-            if os.path.isdir(_bucket_dir(path, i))
+            if fs.isdir(_bucket_dir(root, i))
         ]
     else:
-        dirs = [_bucket_dir(path, bucket)]
+        dirs = [_bucket_dir(root, bucket)]
     files = [
-        os.path.join(d, f)
+        join(d, f)
         for d in dirs
-        for f in sorted(os.listdir(d))
+        for f in listdir(fs, d)
         if f.endswith(".parquet")
     ]
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, filesystem=ray_fs(fs))
 
 
 def colocated_join(
@@ -92,6 +98,7 @@ def colocated_join(
     right_path: str,
     join_type: str = "inner",
     keys: list[str] | str | None = None,
+    filesystem=None,
 ) -> ray.data.Dataset:
     """Shuffle-free join of two tables bucketed by the same (key, B).
 
@@ -100,7 +107,9 @@ def colocated_join(
     Raises if the layouts disagree (different key or bucket count) — a
     misaligned co-located join would be silently wrong.
     """
-    lm, rm = bucketed_meta(left_path), bucketed_meta(right_path)
+    fs, left_root = resolve(left_path, filesystem)
+    right_root = resolve(right_path, filesystem)[1]
+    lm, rm = bucketed_meta(left_root, fs), bucketed_meta(right_root, fs)
     if (lm["key"], lm["n_buckets"]) != (rm["key"], rm["n_buckets"]):
         raise ValueError(
             f"bucket layouts disagree: left {lm} vs right {rm}; re-bucket "
@@ -114,12 +123,12 @@ def colocated_join(
     l_dirs = {
         i
         for i in range(lm["n_buckets"])
-        if os.path.isdir(_bucket_dir(left_path, i))
+        if fs.isdir(_bucket_dir(left_root, i))
     }
     r_dirs = {
         i
         for i in range(rm["n_buckets"])
-        if os.path.isdir(_bucket_dir(right_path, i))
+        if fs.isdir(_bucket_dir(right_root, i))
     }
     if join_type == "inner":
         buckets = sorted(l_dirs & r_dirs)
@@ -130,24 +139,27 @@ def colocated_join(
     # right-side schema for empty-partner buckets (left outer joins)
     r_schema = None
     if r_dirs:
-        some = _bucket_dir(right_path, min(r_dirs))
-        f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
-        r_schema = pq.read_schema(os.path.join(some, f))
+        some = _bucket_dir(right_root, min(r_dirs))
+        f = next(p for p in listdir(fs, some) if p.endswith(".parquet"))
+        with fs.open(join(some, f), "rb") as fh:
+            r_schema = pq.read_schema(fh)
     elif join_type != "inner":
         raise ValueError(
             "left-outer colocated_join needs at least one right-side bucket "
             "to establish the joined schema; the right table is empty"
         )
 
+    wfs = None if ray_fs(fs) is None else fs
+
     @ray.remote
     def join_bucket(i: int) -> pa.Table:
         import pyarrow.parquet as _pq
 
-        lt = _pq.read_table(_bucket_dir(left_path, i))
+        lt = _pq.read_table(_bucket_dir(left_root, i), filesystem=wfs)
         if "bucket" in lt.column_names:
             lt = lt.drop_columns(["bucket"])
         if i in r_dirs:
-            rt = _pq.read_table(_bucket_dir(right_path, i))
+            rt = _pq.read_table(_bucket_dir(right_root, i), filesystem=wfs)
             if "bucket" in rt.column_names:
                 rt = rt.drop_columns(["bucket"])
         elif r_schema is not None:
@@ -170,6 +182,7 @@ def merge_upsert(
     out_path: str,
     seq_cols: list[str] | str,
     delete_col: str = "deleted",
+    filesystem=None,
 ) -> dict:
     """CDC MERGE: apply an upsert/delete changeset to a bucketed table.
 
@@ -201,41 +214,48 @@ def merge_upsert(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    meta = bucketed_meta(base_path)
+    fs, base_root = resolve(base_path, filesystem)
+    out_root = resolve(out_path, filesystem)[1]
+    meta = bucketed_meta(base_root, fs)
     key, n_buckets = meta["key"], meta["n_buckets"]
     seq_cols = [seq_cols] if isinstance(seq_cols, str) else list(seq_cols)
 
     # 1) one streaming partitioned write of the delta (no exchange)
-    delta_path = out_path.rstrip("/") + ".delta"
-    write_bucketed(changes, delta_path, key=key, n_buckets=n_buckets)
+    delta_root = out_root.rstrip("/") + ".delta"
+    write_bucketed(
+        changes, delta_root, key=key, n_buckets=n_buckets, filesystem=fs
+    )
 
-    os.makedirs(out_path, exist_ok=True)
+    fs.makedirs(out_root, exist_ok=True)
     b_dirs = {
-        i for i in range(n_buckets) if os.path.isdir(_bucket_dir(base_path, i))
+        i for i in range(n_buckets) if fs.isdir(_bucket_dir(base_root, i))
     }
     d_dirs = {
-        i for i in range(n_buckets) if os.path.isdir(_bucket_dir(delta_path, i))
+        i for i in range(n_buckets) if fs.isdir(_bucket_dir(delta_root, i))
     }
-    some = _bucket_dir(base_path, min(b_dirs)) if b_dirs else None
-    if some is not None:
-        f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
-        base_schema = pq.read_schema(os.path.join(some, f))
-    else:  # empty base: delta defines the schema
-        some = _bucket_dir(delta_path, min(d_dirs))
-        f = next(p for p in sorted(os.listdir(some)) if p.endswith(".parquet"))
-        base_schema = pq.read_schema(os.path.join(some, f))
+    some = _bucket_dir(base_root, min(b_dirs)) if b_dirs else None
+    if some is None:  # empty base: delta defines the schema
+        some = _bucket_dir(delta_root, min(d_dirs))
+    f = next(p for p in listdir(fs, some) if p.endswith(".parquet"))
+    with fs.open(join(some, f), "rb") as fh:
+        base_schema = pq.read_schema(fh)
     keep_names = [n for n in base_schema.names if n != "bucket"]
+
+    wfs = None if ray_fs(fs) is None else fs
 
     @ray.remote
     def merge_bucket(i: int) -> int:
+        import os as _os
+
         import pyarrow.parquet as _pq
 
         parts = []
-        for src, path in ((0, base_path), (1, delta_path)):
+        for src, path in ((0, base_root), (1, delta_root)):
             d = _bucket_dir(path, i)
-            if not os.path.isdir(d):
+            exists = wfs.isdir(d) if wfs is not None else _os.path.isdir(d)
+            if not exists:
                 continue
-            t = _pq.read_table(d)
+            t = _pq.read_table(d, filesystem=wfs)
             if "bucket" in t.column_names:
                 t = t.drop_columns(["bucket"])
             if delete_col not in t.column_names:
@@ -262,19 +282,24 @@ def merge_upsert(
         out = alive.select(keep_names)
         # schema fidelity: the merged table must read back as the base wrote
         out = out.cast(pa.schema([base_schema.field(n) for n in keep_names]))
-        od = _bucket_dir(out_path, i)
-        os.makedirs(od, exist_ok=True)
-        _pq.write_table(out, os.path.join(od, "part-0.parquet"))
+        od = _bucket_dir(out_root, i)
+        if wfs is not None:
+            wfs.makedirs(od, exist_ok=True)
+            with wfs.open(join(od, "part-0.parquet"), "wb") as fh:
+                _pq.write_table(out, fh)
+        else:
+            _os.makedirs(od, exist_ok=True)
+            _pq.write_table(out, join(od, "part-0.parquet"))
         return len(out)
 
     ray.get([merge_bucket.remote(i) for i in sorted(b_dirs | d_dirs)])
     out_meta = {"key": key, "n_buckets": n_buckets}
-    with open(os.path.join(out_path, _META), "w") as f:
+    with fs.open(join(out_root, _META), "w") as f:
         json.dump(out_meta, f)
     return out_meta
 
 
-def rebucket_double(path: str, out_path: str) -> dict:
+def rebucket_double(path: str, out_path: str, filesystem=None) -> dict:
     """Double a bucketed layout's bucket count WITHOUT a shuffle.
 
     Because the bucket id is ``hash % B``, growing to ``2B`` moves a row
@@ -286,7 +311,9 @@ def rebucket_double(path: str, out_path: str) -> dict:
     data growth (resize at powers of two) while keeping every existing
     reader/join contract — the new layout validates against ``2B`` like
     any directly-written store."""
-    meta = bucketed_meta(path)
+    fs, root = resolve(path, filesystem)
+    out_root = resolve(out_path, filesystem)[1]
+    meta = bucketed_meta(root, fs)
     key, nb2 = meta["key"], meta["n_buckets"] * 2
 
     def split(batch: pa.Table) -> pa.Table:
@@ -296,11 +323,13 @@ def rebucket_double(path: str, out_path: str) -> dict:
             "bucket", pa.array(bucket_ids_for_column(batch[key], nb2))
         )
 
-    os.makedirs(out_path, exist_ok=True)
-    read_bucketed(path).map_batches(
+    fs.makedirs(out_root, exist_ok=True)
+    read_bucketed(root, filesystem=fs).map_batches(
         split, batch_format="pyarrow"
-    ).write_parquet(out_path, partition_cols=["bucket"])
+    ).write_parquet(
+        out_root, partition_cols=["bucket"], filesystem=ray_fs(fs)
+    )
     out_meta = {"key": key, "n_buckets": nb2}
-    with open(os.path.join(out_path, _META), "w") as f:
+    with fs.open(join(out_root, _META), "w") as f:
         json.dump(out_meta, f)
     return out_meta

@@ -20,13 +20,13 @@ layout rather than an in-memory filter.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pyarrow as pa
 import ray
 
 from ..stages.similarity import _merge_topk, _normalize, distributed_kmeans
+from .fs import join, listdir, ray_fs, resolve
 
 _META = "_IVF.json"
 
@@ -38,9 +38,11 @@ def build_ivf_store(
     n_iters: int = 3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    filesystem=None,
 ) -> np.ndarray:
     """Quantize, partition by list id, persist centroids.  Returns the
-    centroid matrix."""
+    centroid matrix.  ``path`` may be a local path, a ``file://``-style
+    URI, or any fsspec URI paired with ``filesystem=`` (see ``state.fs``)."""
     cent = distributed_kmeans(
         ds, k=n_centroids, n_iters=n_iters, emb_col=emb_col, id_col=id_col
     )
@@ -56,11 +58,12 @@ def build_ivf_store(
             "list", pa.array(np.argmin(d2, axis=1).astype(np.int64))
         )
 
-    os.makedirs(path, exist_ok=True)
+    fs, root = resolve(path, filesystem)
+    fs.makedirs(root, exist_ok=True)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["list"]
+        root, partition_cols=["list"], filesystem=ray_fs(fs)
     )
-    with open(os.path.join(path, _META), "w") as f:
+    with fs.open(join(root, _META), "w") as f:
         json.dump(
             {"centroids": cent.tolist(), "emb_col": emb_col, "id_col": id_col},
             f,
@@ -75,9 +78,11 @@ def ivf_store_topk(
     k: int = 5,
     n_probe: int = 4,
     exclude_self: bool = True,
+    filesystem=None,
 ) -> pa.Table:
     """Search the store reading ONLY the probed list partitions."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
     emb_col, id_col = meta["emb_col"], meta["id_col"]
@@ -103,16 +108,14 @@ def ivf_store_topk(
 
     parts = []
     for li in needed:
-        d = os.path.join(path, f"list={li}")
-        files = sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        d = join(root, f"list={li}")
+        files = [
+            join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
+        ]
         parts.append(
-            ray.data.read_parquet(files).map_batches(
-                _inject_list(li), batch_format="pyarrow"
-            )
+            ray.data.read_parquet(
+                files, filesystem=ray_fs(fs)
+            ).map_batches(_inject_list(li), batch_format="pyarrow")
         )
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     probe_ref = ray.put(probes)

@@ -18,13 +18,13 @@ same end-to-end SQL oracle (``oracle.lsh_topk_sql``).
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pyarrow as pa
 import ray
 
 from ..stages.similarity import _band_values, _normalize, lsh_signs
+from .fs import join, listdir, ray_fs, resolve
 
 _META = "_LSH.json"
 
@@ -36,6 +36,7 @@ def build_lsh_store(
     n_bands: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    filesystem=None,
 ) -> None:
     """One streaming pass: band codes per vector, one row per (band,
     vector), partitioned write.  The planes are pure splitmix64 functions
@@ -62,11 +63,12 @@ def build_lsh_store(
             parts.append(t)
         return pa.concat_tables(parts)
 
-    os.makedirs(path, exist_ok=True)
+    fs, root = resolve(path, filesystem)
+    fs.makedirs(root, exist_ok=True)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["band", "bval"]
+        root, partition_cols=["band", "bval"], filesystem=ray_fs(fs)
     )
-    with open(os.path.join(path, _META), "w") as f:
+    with fs.open(join(root, _META), "w") as f:
         json.dump(
             {
                 "n_bits": n_bits,
@@ -85,11 +87,13 @@ def lsh_store_topk(
     query_ids: list,
     k: int = 5,
     exclude_self: bool = True,
+    filesystem=None,
 ) -> pa.Table:
     """Search the store reading ONLY the queries' (band, band-code)
     partitions; per-batch partial top-k, duplicate candidates (shared >1
     band) deduped at the driver merge."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     n_bits, n_bands = meta["n_bits"], meta["n_bands"]
     emb_col, id_col = meta["emb_col"], meta["id_col"]
@@ -105,12 +109,12 @@ def lsh_store_topk(
     )
     parts = []
     for b, v in needed:
-        d = os.path.join(path, f"band={b}", f"bval={v}")
-        if not os.path.isdir(d):  # empty hash slot: no corpus vector here
+        d = join(root, f"band={b}", f"bval={v}")
+        if not fs.isdir(d):  # empty hash slot: no corpus vector here
             continue
-        files = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
+        files = [
+            join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
+        ]
 
         def _inject(bb: int, vv: int):
             def inject(batch: pa.Table) -> pa.Table:
@@ -128,9 +132,9 @@ def lsh_store_topk(
             return inject
 
         parts.append(
-            ray.data.read_parquet(files).map_batches(
-                _inject(b, v), batch_format="pyarrow"
-            )
+            ray.data.read_parquet(
+                files, filesystem=ray_fs(fs)
+            ).map_batches(_inject(b, v), batch_format="pyarrow")
         )
     if not parts:
         return pa.table(

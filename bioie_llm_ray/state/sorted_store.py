@@ -20,11 +20,12 @@ between scanning a day and scanning three years.
 from __future__ import annotations
 
 import json
-import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+
+from .fs import join, listdir, ray_fs, resolve
 
 _META = "_ZONES.json"
 
@@ -34,16 +35,20 @@ def write_sorted(
     path: str,
     col: str,
     n_files: int = 16,
+    filesystem=None,
 ) -> dict:
     """Sort by ``col`` and write ``n_files`` zone-mapped Parquet files."""
-    os.makedirs(path, exist_ok=True)
-    ds.sort(col).repartition(n_files).write_parquet(path)
+    fs, root = resolve(path, filesystem)
+    fs.makedirs(root, exist_ok=True)
+    ds.sort(col).repartition(n_files).write_parquet(
+        root, filesystem=ray_fs(fs)
+    )
     zones = []
-    for f in sorted(os.listdir(path)):
+    for f in listdir(fs, root):
         if not f.endswith(".parquet"):
             continue
-        fp = os.path.join(path, f)
-        md = pq.read_metadata(fp)
+        with fs.open(join(root, f), "rb") as fh:
+            md = pq.read_metadata(fh)
         idx = md.schema.names.index(col)
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
@@ -53,29 +58,30 @@ def write_sorted(
         if mins:
             zones.append({"file": f, "min": min(mins), "max": max(maxs)})
     meta = {"col": col, "zones": zones}
-    with open(os.path.join(path, _META), "w") as f:
+    with fs.open(join(root, _META), "w") as f:
         json.dump(meta, f, default=str)
     return meta
 
 
-def read_range(path: str, lo, hi) -> "ray.data.Dataset":
+def read_range(path: str, lo, hi, filesystem=None) -> "ray.data.Dataset":
     """Dataset of rows with ``lo <= col <= hi`` — zone-pruned file list +
     residual in-scan filter.  Returns an empty-but-schema'd Dataset when
     no file overlaps."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     col = meta["col"]
     keep = [
-        os.path.join(path, z["file"])
+        join(root, z["file"])
         for z in meta["zones"]
         if not (_lt(hi, z["min"]) or _lt(z["max"], lo))
     ]
     if not keep:
-        any_file = os.path.join(path, meta["zones"][0]["file"])
-        schema = pq.read_schema(any_file)
+        with fs.open(join(root, meta["zones"][0]["file"]), "rb") as fh:
+            schema = pq.read_schema(fh)
         return ray.data.from_arrow(schema.empty_table())
 
-    ds = ray.data.read_parquet(keep)
+    ds = ray.data.read_parquet(keep, filesystem=ray_fs(fs))
 
     def residual(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -88,10 +94,11 @@ def read_range(path: str, lo, hi) -> "ray.data.Dataset":
     return ds.map_batches(residual, batch_format="pyarrow")
 
 
-def pruned_fraction(path: str, lo, hi) -> float:
+def pruned_fraction(path: str, lo, hi, filesystem=None) -> float:
     """Fraction of files SKIPPED for this range — the observability hook
     tests assert on (pruning must actually prune)."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     zones = meta["zones"]
     kept = sum(

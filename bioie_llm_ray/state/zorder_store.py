@@ -28,13 +28,14 @@ scaling, and JSON zone bounds stay lossless).
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
+
+from .fs import join, listdir, ray_fs, resolve
 
 _META = "_ZONES2D.json"
 _Z = "__z"
@@ -69,15 +70,17 @@ def write_zordered(
     x_col: str,
     y_col: str,
     n_files: int = 16,
+    filesystem=None,
 ) -> dict:
     """Cluster by the Morton curve of (x_col, y_col); write zone maps."""
-    os.makedirs(path, exist_ok=True)
+    fs, root = resolve(path, filesystem)
+    fs.makedirs(root, exist_ok=True)
     # Idempotent on retry: a crashed run may have left data files but no
     # _META marker; the zone-map sweep below reads EVERY *.parquet in the
     # dir, so stale files from a partial write would double-count rows.
-    for stale in os.listdir(path):
+    for stale in listdir(fs, root):
         if stale.endswith(".parquet") or stale == _META:
-            os.remove(os.path.join(path, stale))
+            fs.rm(join(root, stale))
 
     # pass 1: global [min, max] per dimension — one streaming fold,
     # two scalars per block reach the driver
@@ -108,14 +111,15 @@ def write_zordered(
         .map_batches(
             lambda b: b.drop_columns([_Z]), batch_format="pyarrow"
         )
-        .write_parquet(path)
+        .write_parquet(root, filesystem=ray_fs(fs))
     )
 
     zones = []
-    for f in sorted(os.listdir(path)):
+    for f in listdir(fs, root):
         if not f.endswith(".parquet"):
             continue
-        md = pq.read_metadata(os.path.join(path, f))
+        with fs.open(join(root, f), "rb") as fh:
+            md = pq.read_metadata(fh)
         xi = md.schema.names.index(x_col)
         yi = md.schema.names.index(y_col)
         spans = {"file": f}
@@ -129,7 +133,7 @@ def write_zordered(
                 spans[f"{key}min"], spans[f"{key}max"] = min(mins), max(maxs)
         zones.append(spans)
     meta = {"x_col": x_col, "y_col": y_col, "zones": zones}
-    with open(os.path.join(path, _META), "w") as f:
+    with fs.open(join(root, _META), "w") as f:
         json.dump(meta, f, default=str)
     return meta
 
@@ -138,19 +142,22 @@ def _overlaps(z: dict, key: str, lo, hi) -> bool:
     return not (hi < z[f"{key}min"] or z[f"{key}max"] < lo)
 
 
-def read_box(path: str, x_range: tuple, y_range: tuple) -> ray.data.Dataset:
+def read_box(
+    path: str, x_range: tuple, y_range: tuple, filesystem=None
+) -> ray.data.Dataset:
     """Rows inside the box [x_range] × [y_range]; zone-pruned + residual."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     xc, yc = meta["x_col"], meta["y_col"]
     keep = [
-        os.path.join(path, z["file"])
+        join(root, z["file"])
         for z in meta["zones"]
         if _overlaps(z, "x", *x_range) and _overlaps(z, "y", *y_range)
     ]
     if not keep:
-        any_file = os.path.join(path, meta["zones"][0]["file"])
-        return ray.data.from_arrow(pq.read_schema(any_file).empty_table())
+        with fs.open(join(root, meta["zones"][0]["file"]), "rb") as fh:
+            return ray.data.from_arrow(pq.read_schema(fh).empty_table())
 
     def residual(batch: pa.Table) -> pa.Table:
         x, y = batch[xc], batch[yc]
@@ -164,14 +171,17 @@ def read_box(path: str, x_range: tuple, y_range: tuple) -> ray.data.Dataset:
         )
         return batch.filter(m)
 
-    return ray.data.read_parquet(keep).map_batches(
+    return ray.data.read_parquet(keep, filesystem=ray_fs(fs)).map_batches(
         residual, batch_format="pyarrow"
     )
 
 
-def pruned_fraction(path: str, x_range: tuple, y_range: tuple) -> float:
+def pruned_fraction(
+    path: str, x_range: tuple, y_range: tuple, filesystem=None
+) -> float:
     """Fraction of files skipped for this box query."""
-    with open(os.path.join(path, _META)) as f:
+    fs, root = resolve(path, filesystem)
+    with fs.open(join(root, _META), "r") as f:
         meta = json.load(f)
     zones = meta["zones"]
     kept = sum(

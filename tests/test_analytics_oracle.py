@@ -392,6 +392,10 @@ SUBSET = [
     "source_ngram_overlap",
     # persisted per-band LSH index (same oracle as the scan path)
     "knn_lsh_store",
+    # round-4: full oracles for the last three unit-only engine ops
+    "doc_near_dedup",
+    "pca_project_2d",
+    "click_purchase_attribution",
 ]
 
 

@@ -6,7 +6,7 @@ import ray
 
 from bioie_llm_ray.functions.metrics import metrics_from_predictions
 from bioie_llm_ray.pipelines.tasks import containment_task
-from bioie_llm_ray.stages.scorer import HFScorer, MockScorer
+from bioie_llm_ray.stages.scorer import HF_LOAD_SPECS, HFScorer, MockScorer
 
 
 CHOICES = ["growth", "decay", "transport"]
@@ -361,3 +361,77 @@ class TestHFScorerWithFakeTransformers:
     def test_quantization_flags(self):
         s = self._scorer("tiiuae/falcon-7b", quantization="4bit")
         assert s.model.load_kwargs.get("load_in_4bit") is True
+
+
+class TestFullLoadMatrix:
+    """Round-4 hardening: EVERY family in HF_LOAD_SPECS × every
+    quantization flag × a non-default device_map executes through the real
+    ``HFScorer.__init__`` + one tokenize→generate→slice→decode round, with
+    every spec knob asserted from the spec itself (data-driven — a new
+    family added to the matrix is covered automatically)."""
+
+    @pytest.mark.parametrize("quant", [None, "4bit", "8bit"])
+    @pytest.mark.parametrize("fam", sorted(HF_LOAD_SPECS))
+    def test_family_spec_applies(self, fam, quant):
+        import pyarrow as pa
+
+        from bioie_llm_ray.stages.scorer import HF_LOAD_SPECS as SPECS
+
+        tr, to = _fake_mods()
+        s = HFScorer(
+            f"org/{fam}-model",
+            family=fam,
+            quantization=quant,
+            device_map="balanced",
+            transformers_mod=tr,
+            torch_mod=to,
+        )
+        spec = SPECS[fam]
+        tok = s.tokenizer
+        assert tok.padding_side == spec.padding_side
+        if spec.truncation_side is not None:
+            assert tok.truncation_side == spec.truncation_side
+        if spec.pad_strategy == "fixed_ids":
+            for want, got in (
+                (spec.bos_id, tok.bos_token_id),
+                (spec.pad_id, tok.pad_token_id),
+                (spec.eos_id, tok.eos_token_id),
+            ):
+                if want is not None:
+                    assert got == want
+        elif spec.pad_strategy == "add_pad_token":
+            assert {"pad_token": "<PAD>"} in tok.added
+        elif spec.pad_strategy == "eos":
+            assert tok.pad_token_id == tok.eos_token_id
+        elif spec.pad_strategy == "unk":
+            assert tok.pad_token_id == tok.unk_token_id
+        for t in spec.add_tokens:
+            assert t in tok.added
+        if spec.resize_embeddings:
+            assert s.model.resized == len(tok)
+        else:
+            assert s.model.resized is None
+        # load kwargs: device_map always, trust/quant only when requested
+        assert s.model.load_kwargs.get("device_map") == "balanced"
+        assert (
+            s.model.load_kwargs.get("trust_remote_code", False)
+            is spec.trust_remote_code
+        )
+        assert s.model.load_kwargs.get("load_in_4bit", False) is (
+            quant == "4bit"
+        )
+        assert s.model.load_kwargs.get("load_in_8bit", False) is (
+            quant == "8bit"
+        )
+        if spec.tokenizer_id is not None:
+            assert tok.model_id == spec.tokenizer_id
+        else:
+            assert tok.model_id == f"org/{fam}-model"
+        assert isinstance(s.model, _FakeSeq2Seq) is spec.seq2seq
+        src = spec.gen_config_from or f"org/{fam}-model"
+        assert s.generation_config.source == src
+        for k, v in spec.gen_overrides.items():
+            assert getattr(s.generation_config, k) == v
+        # one full batched round: the echoed prompt slices off cleanly
+        out = s(pa.table({"text": ["alpha beta gamma", "delta epsilon x"]}))
+        assert out["response"].to_pylist() == ["gamma", "x"]

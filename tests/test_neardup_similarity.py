@@ -1397,3 +1397,75 @@ class TestLshStore:
         # the layout really is one hash table per band
         bands = [d for d in os.listdir(store) if d.startswith("band=")]
         assert len(bands) == 4
+
+
+class TestBatchVectorizedMinhash:
+    def test_batch_shingles_match_per_doc(self):
+        """The batch-vectorized shingle builder returns, per doc, exactly
+        the ``_token_hashes`` array (order included) across every token
+        regime: empty, whitespace-only, 1/2-token, duplicates, unicode
+        whitespace, long docs."""
+        import pyarrow as pa
+
+        from bioie_llm_ray.stages.neardup import (
+            _batch_shingle_hashes,
+            _token_hashes,
+        )
+
+        docs = [
+            "",
+            "  \t\n",
+            "one",
+            "one two",
+            "a b c d e f g",
+            " lead\ttab\n",
+            "x " + "y " * 60,
+            "dup dup dup dup",
+            "uni space here",
+            "a  b   c",
+        ]
+        S, soff = _batch_shingle_hashes(pa.array(docs), 3)
+        for d, t in enumerate(docs):
+            want = _token_hashes(t, 3)
+            got = S[soff[d] : soff[d + 1]]
+            assert np.array_equal(got, want), (d, t)
+
+    def test_bands_match_per_doc_reference(self, sf_dir):
+        """minhash_bands_batch (vectorized) is bit-identical to the
+        per-doc ``minhash_signature`` + md5 reference path."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.stages.neardup import (
+            _cached_minhash_params,
+            minhash_bands_batch,
+            minhash_signature,
+        )
+
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).slice(0, 120)
+        a, b = _cached_minhash_params(64)
+        got = minhash_bands_batch(tbl)
+        out_id, out_band, out_hash = [], [], []
+        for i, t in zip(
+            tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            sig = minhash_signature(t, a, b, 3)
+            bands = sig.reshape(16, 4)
+            for bi in range(16):
+                out_id.append(i)
+                out_band.append(bi)
+                out_hash.append(
+                    hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
+                )
+        want = pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.string()),
+            }
+        )
+        assert got.equals(want)

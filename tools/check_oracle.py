@@ -72,25 +72,32 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_ray = time.perf_counter()
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
             print(f"[ERR ] {name}: query raised {type(e).__name__}: {e}")
             continue
+        t_ray = time.perf_counter() - t_ray
         if name not in oracles:
-            print(f"[rows] {name}: {len(got)} rows (rows-only check)")
+            print(f"[rows] {name}: {len(got)} rows (rows-only check)"
+                  f"  [ray {t_ray:.1f}s]")
             continue
+        t_sql = time.perf_counter()
         try:
             want = canon(con.sql(oracles[name]).df())
         except Exception as e:
             failures.append(name)
             print(f"[ERR ] {name}: oracle raised {type(e).__name__}: {e}")
             continue
+        t_sql = time.perf_counter() - t_sql
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = False
@@ -103,7 +110,10 @@ def main() -> int:
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
         if ok_rows and ok_cols and ok_vals:
-            print(f"[ OK ] {name}: {len(got)} rows")
+            print(
+                f"[ OK ] {name}: {len(got)} rows"
+                f"  [ray {t_ray:.1f}s sql {t_sql:.1f}s]"
+            )
         else:
             failures.append(name)
             print(
