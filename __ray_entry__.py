@@ -1014,7 +1014,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT ses.rn + 1, (o.revenue + ses.s) / 2
                 FROM ses JOIN ord o ON o.rn = ses.rn + 1)
-            SELECT o.day, o.revenue, round_even(ses.s, 6) AS smoothed
+            -- np.round(x, 6) = rint(x * 1e6) / 1e6: replicate the scaled
+            -- form (plain round_even(x, 6) disagrees by 1 ulp when the
+            -- scaled double lands off the half boundary)
+            SELECT o.day, o.revenue,
+                   round_even(ses.s * 1000000.0, 0) / 1000000.0 AS smoothed
             FROM ord o JOIN ses ON ses.rn = o.rn
             ORDER BY o.day
         """,
@@ -1471,8 +1475,8 @@ def oracle_sql() -> dict[str, str]:
                        sum(svv - sv * sv / n) AS ssw
                 FROM g)
             SELECT nt::BIGINT AS n, k::BIGINT AS k,
-                   round_even(ssb, 6) AS ss_between,
-                   round_even(ssw, 6) AS ss_within,
+                   round_even(ssb, 2) AS ss_between,
+                   round_even(ssw, 2) AS ss_within,
                    round_even((ssb / (k - 1)) / (ssw / (nt - k)), 6)
                        AS f_stat,
                    round_even(ssb / (ssb + ssw), 6) AS eta_sq

@@ -84,6 +84,35 @@ def bucket_ids_for_column(col, n_buckets: int) -> np.ndarray:
     return hash_bucket([str(v) for v in vals], n_buckets)
 
 
+def bucket_ids_for_columns(cols, n_buckets: int) -> np.ndarray:
+    """Bucket ids for a COMPOSITE key: fully vectorized when every column
+    is integer (chained splitmix64 mixing — same-key-same-bucket is the
+    only contract a shuffle key needs), md5-joined-string fallback
+    otherwise.  The multi-int path removes the per-row ``"a\\x1fb"`` build
+    + md5 that made composite-key exchanges Python-bound on large batches.
+    """
+    import pyarrow as pa
+
+    def _is_int(c):
+        return isinstance(
+            c, (pa.Array, pa.ChunkedArray)
+        ) and pa.types.is_integer(c.type)
+
+    if cols and all(_is_int(c) for c in cols):
+        acc = np.zeros(len(cols[0]), dtype=np.uint64)
+        for c in cols:
+            v = np.asarray(
+                c.to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False).astype(np.uint64)
+            acc = _splitmix64(acc ^ (v + np.uint64(0x9E3779B97F4A7C15)))
+        return (acc % np.uint64(n_buckets)).astype(np.int64)
+    keys = [
+        "\x1f".join(map(str, vals))
+        for vals in zip(*(list(c) if not hasattr(c, "to_pylist") else c.to_pylist() for c in cols))
+    ]
+    return hash_bucket(keys, n_buckets)
+
+
 def hash_sample_mask(values, keep_num: int, keep_den: int) -> np.ndarray:
     """Keep rows whose stable hash mod keep_den < keep_num.
 

@@ -4327,14 +4327,17 @@ def doc_dup_ngram_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from ..stages.rollup import grouped_agg
 
-    out = (
-        ds.map_batches(windows, batch_format="pyarrow")
-        .groupby("window")
-        .aggregate(Sum("cnt", alias_name="n_occ"), Count(alias_name="n_docs"))
-        .to_pandas()
-    )
+    # combiner exchange, not Dataset.aggregate: ~240k distinct windows at
+    # sf0.1 would pay O(distinct) Python in Ray's native aggregate
+    out = grouped_agg(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        keys=["window"],
+        aggs={"n_occ": ("cnt", "sum"), "n_docs": ("cnt", "count")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
+    ).to_pandas()
     out = out[out["n_occ"] >= 2]
     out["n_occ"] = out["n_occ"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
@@ -5423,12 +5426,25 @@ def part_copurchase(sf_dir: str, min_support: int = 3) -> pd.DataFrame:
             }
         )
 
-    out = (
+    from ..stages.rollup import grouped_agg
+
+    pair_rows = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Count(alias_name="n_orders"))
+    )
+    # support count via the combiner exchange (grouped_agg), NOT a raw
+    # multi-key Dataset.aggregate: Ray's sort-based aggregate merges
+    # accumulators per input row in Python — at sf0.1's 1.2M pair rows
+    # that is minutes of single-core work; the bucketed combiner is <1 s
+    out = (
+        grouped_agg(
+            pair_rows,
+            keys=["part_a", "part_b"],
+            aggs={"n_orders": ("part_a", "count")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
         .filter(expr=f"n_orders >= {min_support}")
         .to_pandas()
     )
@@ -7307,6 +7323,15 @@ def kg_link_prediction(
         ascending=[False, True, True],
         k=top_n,
     )
+    if top.empty:  # dense graph: every wedge pair already adjacent
+        top = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="object"),
+                "dst": pd.Series([], dtype="object"),
+                "aa": pd.Series([], dtype="float64"),
+                "cn": pd.Series([], dtype="int64"),
+            }
+        )
     top["cn"] = top["cn"].astype("int64")
     return top.rename(
         columns={"cn": "common_neighbors", "aa": "adamic_adar"}
@@ -8116,9 +8141,14 @@ def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    touches = (
-        ev.filter(expr="event_type == 'click' or event_type == 'view'")
-        .map_batches(
+    # combiner form of the (user, ts) dedup-max: ~20k distinct keys make
+    # Ray's native aggregate pay O(keys) Python
+    from ..stages.rollup import grouped_agg
+
+    touches = grouped_agg(
+        ev.filter(
+            expr="event_type == 'click' or event_type == 'view'"
+        ).map_batches(
             lambda b: pa.table(
                 {
                     "user_id": b["user_id"],
@@ -8127,9 +8157,11 @@ def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
                 }
             ),
             batch_format="pyarrow",
-        )
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("channel", alias_name="channel"))
+        ),
+        keys=["user_id", "ts"],
+        aggs={"channel": ("channel", "max")},
+        n_buckets=_nb(sf_dir, "events", 16),
+        partial=True,
     )
 
     j = asof_join(purchases, touches, by="user_id", on="ts")
@@ -8396,8 +8428,12 @@ def value_anova_by_type(sf_dir: str) -> pd.DataFrame:
     (chi-square: `events_type_dow_chi2`; KS: `events_value_ks`; drift:
     `events_drift_psi`).
 
-    The SQL oracle computes the SAME raw-moment expressions; cross-order
-    float drift is ~1e-11, far inside the 6-dp round."""
+    The SQL oracle computes the SAME raw-moment expressions.  The sum
+    columns round to 2 dp, not 6: at sf0.1 ``ss_within`` is ~2.4e8 and
+    cross-engine summation-order drift (~4e-15 relative) reaches the 1e-6
+    digit — 6-dp agreement on a 1e8-magnitude float is beyond what two
+    independent summation orders can promise.  The dimensionless outputs
+    (f_stat, eta²) stay at 6 dp."""
     from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
@@ -8435,8 +8471,8 @@ def value_anova_by_type(sf_dir: str) -> pd.DataFrame:
         {
             "n": [int(N)],
             "k": [int(k)],
-            "ss_between": [round(ssb, 6)],
-            "ss_within": [round(ssw, 6)],
+            "ss_between": [round(ssb, 2)],
+            "ss_within": [round(ssw, 2)],
             "f_stat": [round(f_stat, 6)],
             "eta_sq": [round(ssb / (ssb + ssw), 6)],
         }
@@ -9114,11 +9150,21 @@ def part_triple_copurchase(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
             }
         )
 
+    from ..stages.rollup import grouped_agg
+
+    # pair/triple support counts go through the combiner exchange — Ray's
+    # native aggregate pays O(distinct keys) driver-side Python (1.2M pair
+    # keys at sf0.1 → minutes); grouped_agg is the house pattern
     freq_pairs = (
-        bucketed.groupby("__bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Count(alias_name="n"))
+        grouped_agg(
+            bucketed.groupby("__bucket").map_groups(
+                pairs, batch_format="pandas"
+            ),
+            keys=["part_a", "part_b"],
+            aggs={"n": ("part_a", "count")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
         .filter(expr=f"n >= {min_support}")
         .to_pandas()
     )
@@ -9151,13 +9197,25 @@ def part_triple_copurchase(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
         )
 
     out = (
-        bucketed.groupby("__bucket")
-        .map_groups(triples, batch_format="pandas")
-        .groupby(["part_a", "part_b", "part_c"])
-        .aggregate(Count(alias_name="n_orders"))
+        grouped_agg(
+            bucketed.groupby("__bucket").map_groups(
+                triples, batch_format="pandas"
+            ),
+            keys=["part_a", "part_b", "part_c"],
+            aggs={"n_orders": ("part_a", "count")},
+            n_buckets=n_buckets,
+            partial=True,
+        )
         .filter(expr=f"n_orders >= {min_support}")
         .to_pandas()
     )
+    if out.empty:  # empty grouped result loses its schema through to_pandas
+        out = pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("part_a", "part_b", "part_c", "n_orders")
+            }
+        )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values(
         ["part_a", "part_b", "part_c"]

@@ -190,10 +190,18 @@ def _bands_table(
     )
     step = rows_per_band * 8
     mv = memoryview(flat_bands.tobytes())
-    out_hash = [
-        hashlib.md5(mv[i * step : (i + 1) * step]).hexdigest()[:16]
-        for i in range(n_docs * n_bands)
-    ]
+    # band key = first 8 md5 bytes as int64 (same 64 collision bits as the
+    # old 16-hex-char prefix, but groupable/bucketable without per-row
+    # string building)
+    md5 = hashlib.md5
+    out_hash = np.fromiter(
+        (
+            int.from_bytes(md5(mv[i * step : (i + 1) * step]).digest()[:8], "big")
+            for i in range(n_docs * n_bands)
+        ),
+        dtype=np.uint64,
+        count=n_docs * n_bands,
+    ).astype(np.int64)
     ids_arr = pa.array(ids) if not isinstance(ids, (pa.Array, pa.ChunkedArray)) else ids
     rep_idx = pa.array(np.repeat(np.arange(n_docs, dtype=np.int64), n_bands))
     return pa.table(
@@ -202,7 +210,7 @@ def _bands_table(
             "band_id": pa.array(
                 np.tile(np.arange(n_bands, dtype=np.int32), n_docs)
             ),
-            "band_hash": pa.array(out_hash, type=pa.string()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
         }
     )
 
@@ -356,15 +364,16 @@ def minhash_lsh_candidates(
     n_hash_buckets = 64
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{b}|{h}"
-            for b, h in zip(
-                batch["band_id"].to_pylist(), batch["band_hash"].to_pylist()
-            )
-        ]
-        return batch.append_column(
-            "__bucket", pa.array(hash_bucket(keys, n_hash_buckets))
-        )
+        # fully vectorized: the int64 band key is already md5-derived, so
+        # one splitmix mix of (key, band_id) replaces the old per-row
+        # "b|hash" string build + md5 pass
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            _splitmix64(bh + bid * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(n_hash_buckets)
+        ).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bucket))
 
     def bucket_pairs(group: pa.Table):
         import pandas as pd
@@ -737,14 +746,22 @@ def simhash_neardup_pairs(
             ]
         ) if n else np.array([], dtype=np.int64)
         sim64 = np.tile(sigs.astype(np.int64), n_bands) if n else np.array([], dtype=np.int64)
-        keys = [f"{b}|{v}" for b, v in zip(band_id, band_val)]
+        # vectorized bucket of the (band_id, band_val) group key — any
+        # deterministic mix works (grouping only needs same-key-same-bucket)
+        bucket = (
+            _splitmix64(
+                band_val.astype(np.uint64)
+                + band_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            )
+            % np.uint64(n_hash_buckets)
+        ).astype(np.int64)
         return pa.table(
             {
                 id_col: out_id,
                 "band_id": pa.array(band_id, type=pa.int32()),
                 "band_val": pa.array(band_val, type=pa.int64()),
                 "simhash": pa.array(sim64, type=pa.int64()),
-                "__bucket": pa.array(hash_bucket(keys, n_hash_buckets)),
+                "__bucket": pa.array(bucket),
             }
         )
 

@@ -25,7 +25,7 @@ from ..functions.arrowio import from_pandas_clean
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashing import bucket_ids_for_column, hash_bucket
+from ..functions.hashing import bucket_ids_for_column, bucket_ids_for_columns
 
 _BUCKET = "__bucket"
 
@@ -88,12 +88,8 @@ def grouped_agg(
             if len(keys) == 1:
                 ids = bucket_ids_for_column(g[keys[0]], n_buckets)
             else:
-                ids = hash_bucket(
-                    [
-                        "\x1f".join(map(str, vals))
-                        for vals in zip(*(g[k].to_pylist() for k in keys))
-                    ],
-                    n_buckets,
+                ids = bucket_ids_for_columns(
+                    [g[k] for k in keys], n_buckets
                 )
             g = g.append_column(_BUCKET, pa.array(ids))
         else:

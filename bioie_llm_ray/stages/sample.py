@@ -170,6 +170,10 @@ def distributed_sort_top_k(
         return from_pandas_clean(df, preserve_index=False)
 
     cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        # an all-filtered input loses its schema through to_pandas; there
+        # is nothing to sort — return the (possibly column-less) empty
+        return cand.reset_index(drop=True)
     return (
         cand.sort_values(sort_cols, ascending=ascending, kind="stable")
         .head(k)

@@ -1458,14 +1458,22 @@ class TestBatchVectorizedMinhash:
             for bi in range(16):
                 out_id.append(i)
                 out_band.append(bi)
+                # band key = first 8 md5 bytes big-endian as wrapped int64
                 out_hash.append(
-                    hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
+                    np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(bands[bi].tobytes()).digest()[:8],
+                            "big",
+                        )
+                    ).astype(np.int64)
                 )
         want = pa.table(
             {
                 "doc_id": pa.array(out_id),
                 "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
+                "band_hash": pa.array(
+                    np.array(out_hash, dtype=np.int64)
+                ),
             }
         )
         assert got.equals(want)
