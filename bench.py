@@ -147,7 +147,10 @@ def run_scaling_job() -> dict:
     """
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "128"))
+    # 512× amplification ≈ 2.6M docs: long enough that per-task fixed costs
+    # amortize at both parallelism levels (at 128× the round-4 vectorized
+    # minhash made the job so short that startup/tail dominated the ratio)
+    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "512"))
 
     import ray
 
