@@ -844,14 +844,15 @@ def word_frequency(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.rollup import grouped_agg
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
+    ).to_pandas()
     out = out.sort_values(["n", "token"], ascending=[False, True]).head(top_n)
     return out.reset_index(drop=True)
 
@@ -2537,8 +2538,17 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=14)["estimate"]
     # count() drains only per-block row counts — no distinct-user rows
-    # ever reach the driver
-    exact = ds.groupby("user_id").aggregate(Count()).count()
+    # ever reach the driver; the distinct itself is the combiner exchange
+    # (native Dataset.aggregate is O(distinct keys) driver Python)
+    from ..stages.rollup import grouped_agg
+
+    exact = grouped_agg(
+        ds,
+        keys=["user_id"],
+        aggs={"n": ("user_id", "count")},
+        n_buckets=_nb(sf_dir, "events", 16),
+        partial=True,
+    ).count()
     return pd.DataFrame(
         [
             {
@@ -2583,13 +2593,17 @@ def doc_tfidf(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return g.rename_columns(["doc_id", "token", "tf"])
 
     tf = ds.map_batches(term_freqs, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from ..stages.rollup import grouped_agg
 
     df_counts = {
         r["token"]: r["df"]
-        for r in tf.groupby("token")
-        .aggregate(Count(alias_name="df"))
-        .take_all()
+        for r in grouped_agg(
+            tf,
+            keys=["token"],
+            aggs={"df": ("token", "count")},
+            n_buckets=_nb(sf_dir, "documents", 16),
+            partial=True,
+        ).take_all()
     }
 
     import ray as _ray
@@ -2662,20 +2676,23 @@ def word_pmi_bigrams(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
         g = t.group_by("token").aggregate([([], "count_all")])
         return g.rename_columns(["token", "c"])
 
-    from ray.data.aggregate import Sum
+    from ..stages.rollup import grouped_agg
 
-    bi = (
-        ds.map_batches(grams, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-    )
-    uni = (
-        ds.map_batches(unigrams, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-    )
+    nb = _nb(sf_dir, "documents", 16)
+    bi = grouped_agg(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        keys=["w1", "w2"],
+        aggs={"n": ("c", "sum")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
+    uni = grouped_agg(
+        ds.map_batches(unigrams, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("c", "sum")},
+        n_buckets=nb,
+        partial=True,
+    ).to_pandas()
     total_bi = float(bi["n"].sum())
     total_uni = float(uni["n"].sum())
     uni_map = dict(zip(uni["token"], uni["n"].astype(float)))
@@ -2799,14 +2816,18 @@ def _cooccur_edge_counts(
     kg_graph_nodes / kg_pagerank / kg_two_hop_paths / kg_bfs_levels /
     kg_negative_samples / kg_communities and their shared SQL CTEs
     (``m``/``und``) all depend on."""
-    from ray.data.aggregate import Count
+    from ..stages.rollup import grouped_agg
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     vocab = tuple(DOC_VOCAB)
-    edges = (
-        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow")
-        .groupby(["subj", "obj"])
-        .aggregate(Count(alias_name=alias))
+    # the KG edge count IS the unbounded aggregate at corpus scale —
+    # combiner exchange, never the O(distinct keys) native aggregate
+    edges = grouped_agg(
+        ds.map_batches(lambda b: _emit_pairs(b, vocab), batch_format="pyarrow"),
+        keys=["subj", "obj"],
+        aggs={alias: ("subj", "count")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
     )
     if min_support is not None:
         edges = edges.filter(expr=f"{alias} >= {min_support}")
@@ -3617,11 +3638,16 @@ def doc_bigram_perplexity(
         flat = pc.list_flatten(toks)
         return pa.table({"token": flat.filter(pc.not_equal(flat, "")).unique()})
 
+    from ..stages.rollup import grouped_agg
+
     vsz = float(
-        ds.map_batches(uni, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count())
-        .count()
+        grouped_agg(
+            ds.map_batches(uni, batch_format="pyarrow"),
+            keys=["token"],
+            aggs={"n": ("token", "count")},
+            n_buckets=_nb(sf_dir, "documents", 16),
+            partial=True,
+        ).count()
     )
 
     stats = shuffle_join(
@@ -3741,10 +3767,14 @@ def _unigram_lm_scores(sf_dir: str, top_v: int = 20) -> "ray.data.Dataset":
 
     from ray.data.aggregate import Sum
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from ..stages.rollup import grouped_agg
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
     )
 
     def block_top(batch: pa.Table) -> pa.Table:
@@ -4501,9 +4531,16 @@ def kg_two_hop_paths(sf_dir: str) -> pd.DataFrame:
         right_schema={"mid": pa.string(), "endpoint_b": pa.string()},
         bucket_post=keep_ordered,
     )
+    from ..stages.rollup import grouped_agg
+
     out = (
-        joined.groupby(["endpoint", "endpoint_b"])
-        .aggregate(Count(alias_name="n_paths"))
+        grouped_agg(
+            joined,
+            keys=["endpoint", "endpoint_b"],
+            aggs={"n_paths": ("endpoint", "count")},
+            n_buckets=_nb(sf_dir, "documents", 16),
+            partial=True,
+        )
         .to_pandas()
         .rename(columns={"endpoint": "src", "endpoint_b": "dst"})
     )
@@ -7852,10 +7889,16 @@ def word_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
             }
         )
 
+    from ..stages.rollup import grouped_agg
+
     wc = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["token"],
+            aggs={"n": ("n", "sum")},
+            n_buckets=_nb(sf_dir, "documents", 16),
+            partial=True,
+        )
         .to_pandas()
         .sort_values(["n", "token"], ascending=[False, True], kind="stable")
         .head(top_n)
@@ -8057,10 +8100,14 @@ def cheapest_supplier_per_part(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    mins = (
-        li.map_batches(partial_min, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Min("min_price", alias_name="min_price"))
+    from ..stages.rollup import grouped_agg
+
+    mins = grouped_agg(
+        li.map_batches(partial_min, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        aggs={"min_price": ("min_price", "min")},
+        n_buckets=_nb(sf_dir, "lineitem", 16),
+        partial=True,
     )
 
     def argmin_rollup(joined: pa.Table) -> pa.Table:
@@ -9506,8 +9553,13 @@ def brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
         partial=True,
     )
     out = (
-        pairs.groupby("p_brand")
-        .aggregate(Count(alias_name="n_suppliers"))
+        grouped_agg(
+            pairs,
+            keys=["p_brand"],
+            aggs={"n_suppliers": ("n", "count")},
+            n_buckets=_nb(sf_dir, "lineitem", 16),
+            partial=True,
+        )
         .to_pandas()
     )
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
@@ -9875,12 +9927,15 @@ def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    ct = (
-        ds.map_batches(counts, batch_format="pyarrow")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    from ..stages.rollup import grouped_agg
+
+    ct = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        keys=["lang", "token"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
+    ).to_pandas()
     # doc priors
     def doc_counts(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": batch["lang"].to_pylist()})
@@ -9892,12 +9947,13 @@ def nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    priors = (
-        ds.map_batches(doc_counts, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("nd", alias_name="nd"))
-        .to_pandas()
-    )
+    priors = grouped_agg(
+        ds.map_batches(doc_counts, batch_format="pyarrow"),
+        keys=["lang"],
+        aggs={"nd": ("nd", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
+    ).to_pandas()
     langs = sorted(priors["lang"])
     vocab = sorted(ct["token"].unique())
     v = len(vocab)
@@ -10001,10 +10057,9 @@ def embedding_label_prop(
     single int64 so ``argmax_dedup`` breaks ties exactly), and a left
     merge back onto the label table.  The kNN edge set reuses
     ``similarity.knn_self_join`` (cell-partitioned exact mode)."""
-    from ray.data.aggregate import Sum
-
     from ..stages.dedup import argmax_dedup
     from ..stages.join import shuffle_join
+    from ..stages.rollup import grouped_agg
     from ..stages.similarity import knn_self_join
 
     nb = _nb(sf_dir, "embeddings")
@@ -10104,8 +10159,12 @@ def embedding_label_prop(
             right_schema={"neighbor_id": pa.int64(), "lab": pa.int64()},
             bucket_post=vote_partial,
         )
-        totals = votes.groupby(["vec_id", "lab"]).aggregate(
-            Sum(on="n", alias_name="n")
+        totals = grouped_agg(
+            votes,
+            keys=["vec_id", "lab"],
+            aggs={"n": ("n", "sum")},
+            n_buckets=nb,
+            partial=True,
         )
         best = argmax_dedup(
             totals.map_batches(pack_score, batch_format="pyarrow"),
@@ -10636,14 +10695,15 @@ def part_value_concentration(
         g = df.groupby("l_partkey", as_index=False)["cents"].sum()
         return from_pandas_clean(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from ..stages.rollup import grouped_agg
 
-    per_part = (
-        li.map_batches(combine, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum(on="cents", alias_name="cents"))
-        .to_pandas()
-    )
+    per_part = grouped_agg(
+        li.map_batches(combine, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        aggs={"cents": ("cents", "sum")},
+        n_buckets=_nb(sf_dir, "lineitem", 16),
+        partial=True,
+    ).to_pandas()
     if per_part.empty:
         return pd.DataFrame(
             {
@@ -12596,7 +12656,16 @@ def kg_square_count(sf_dir: str) -> pd.DataFrame:
         left_schema={"mid": pa.int64(), "endpoint": pa.int64()},
         right_schema={"mid": pa.int64(), "endpoint_b": pa.int64()},
         bucket_post=keep_ordered,
-    ).groupby(["endpoint", "endpoint_b"]).aggregate(Count(alias_name="w"))
+    )
+    from ..stages.rollup import grouped_agg
+
+    wedges = grouped_agg(
+        wedges,
+        keys=["endpoint", "endpoint_b"],
+        aggs={"w": ("endpoint", "count")},
+        n_buckets=nb,
+        partial=True,
+    )
 
     def fold(b: pa.Table) -> pa.Table:
         w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -12831,12 +12900,14 @@ def doc_cut_dup_spans(sf_dir: str, w: int = 5) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..stages.rollup import grouped_agg
 
-    dup = (
-        spans.map_batches(span_len, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("dup", alias_name="n_dup_tokens"))
+    dup = grouped_agg(
+        spans.map_batches(span_len, batch_format="pyarrow"),
+        keys=["doc_id"],
+        aggs={"n_dup_tokens": ("dup", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -12990,14 +13061,17 @@ def token_vocab(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(
-            lambda b: b.append_column("neg_n", pc.multiply(b["n"], -1)),
-            batch_format="pyarrow",
-        )
+    from ..stages.rollup import grouped_agg
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=_nb(sf_dir, "documents", 16),
+        partial=True,
+    ).map_batches(
+        lambda b: b.append_column("neg_n", pc.multiply(b["n"], -1)),
+        batch_format="pyarrow",
     )
     ranked = global_order_ranks(
         counts,
@@ -13079,10 +13153,16 @@ def word_cooccur_window(
             ["weight", "w1", "w2"], ascending=[False, True, True]
         ).head(top_n)
 
+    from ..stages.rollup import grouped_agg
+
     out = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("weight", alias_name="weight"))
+        grouped_agg(
+            ds.map_batches(pairs, batch_format="pyarrow"),
+            keys=["w1", "w2"],
+            aggs={"weight": ("weight", "sum")},
+            n_buckets=_nb(sf_dir, "documents", 16),
+            partial=True,
+        )
         .map_batches(local_top, batch_format="pandas")
         .to_pandas()
     )

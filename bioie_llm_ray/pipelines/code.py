@@ -1064,12 +1064,15 @@ def license_scan(
         lic = pc.fill_null(pc.struct_field(m, "lic"), "none")
         return pa.table({"repo": batch["repo"], "license": lic})
 
-    out = (
-        snap.map_batches(detect, batch_format="pyarrow")
-        .groupby(["repo", "license"])
-        .aggregate(Count(alias_name="n_files"))
-        .to_pandas()
-    )
+    from ..stages.rollup import grouped_agg
+
+    out = grouped_agg(
+        snap.map_batches(detect, batch_format="pyarrow"),
+        keys=["repo", "license"],
+        aggs={"n_files": ("repo", "count")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
     return out.sort_values(["repo", "license"]).reset_index(drop=True)
 
 
@@ -1161,14 +1164,15 @@ def call_triples(
         right_schema={"fn": pa.string(), "def_repo": pa.string()},
         bucket_post=rollup,
     )
-    out = (
-        joined.groupby(["caller_repo", "def_repo"])
-        .aggregate(
-            Sum(on="n_calls", alias_name="n_calls"),
-            Sum(on="n_fns", alias_name="n_fns"),
-        )
-        .to_pandas()
-    )
+    from ..stages.rollup import grouped_agg
+
+    out = grouped_agg(
+        joined,
+        keys=["caller_repo", "def_repo"],
+        aggs={"n_calls": ("n_calls", "sum"), "n_fns": ("n_fns", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
     out = out.rename(columns={"caller_repo": "subj", "def_repo": "obj"})
     out.insert(1, "pred", "calls")
     out["n_calls"] = out["n_calls"].astype(np.int64)
@@ -1215,9 +1219,17 @@ def fork_pairs(
         ["repo", "content_sha256"],
         n_buckets=n_buckets,
     ).materialize()
+    from ..stages.rollup import grouped_agg
+
     sizes = {
-        r["repo"]: int(r["count()"])
-        for r in rs.groupby("repo").count().take_all()
+        r["repo"]: int(r["n"])
+        for r in grouped_agg(
+            rs,
+            keys=["repo"],
+            aggs={"n": ("repo", "count")},
+            n_buckets=n_buckets,
+            partial=True,
+        ).take_all()
     }
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1245,14 +1257,15 @@ def fork_pairs(
             }
         )
 
-    shared = (
+    shared = grouped_agg(
         rs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(pairs_bucket, batch_format="pandas")
-        .groupby(["repo_a", "repo_b"])
-        .aggregate(Sum(on="n", alias_name="n_shared"))
-        .to_pandas()
-    )
+        .map_groups(pairs_bucket, batch_format="pandas"),
+        keys=["repo_a", "repo_b"],
+        aggs={"n_shared": ("n", "sum")},
+        n_buckets=n_buckets,
+        partial=True,
+    ).to_pandas()
     if len(shared) == 0:
         return pd.DataFrame(
             {
