@@ -966,7 +966,8 @@ def oracle_sql() -> dict[str, str]:
         # structural), so the oracle is the plain SQL join + rollup
         "click_purchase_attribution": """
             SELECT c.user_id, count(*)::BIGINT AS n_pairs,
-                   round_even(sum(p.value), 2) AS purchase_value_sum
+                   round_even(sum(p.value) * 100.0, 0) / 100.0
+                       AS purchase_value_sum
             FROM (SELECT user_id FROM events
                   WHERE event_type = 'click') c
             JOIN (SELECT user_id, value FROM events
@@ -1066,8 +1067,9 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT avg(rev) AS grand FROM daily)
             SELECT isodow(d)::BIGINT AS dow,
                    count(*)::BIGINT AS n_days,
-                   round_even(avg(rev), 2) AS avg_revenue,
-                   round_even(avg(rev) / g.grand, 6) AS seasonal_index
+                   round_even(avg(rev) * 100.0, 0) / 100.0 AS avg_revenue,
+                   round_even(avg(rev) / g.grand * 1000000.0, 0)
+                       / 1000000.0 AS seasonal_index
             FROM daily, g GROUP BY dow, g.grand
         """,
         # information gain of source about lang (natural-log entropies)

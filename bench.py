@@ -36,10 +36,10 @@ def _warm_worker_pool(ray, sf_dir: str, num_cpus: int) -> None:
     def warm_batch(b: _pa.Table) -> _pa.Table:
         import pandas  # noqa: F401 — worker-side lazy import
 
+        from bioie_llm_ray.functions.arrowio import from_pandas_clean
+
         _time.sleep(0.4)
-        return _pa.Table.from_pandas(
-            b.to_pandas(), preserve_index=False
-        ).replace_schema_metadata(None)
+        return from_pandas_clean(b.to_pandas())
 
     from ray.data.aggregate import Count
 

@@ -99,8 +99,15 @@ def bucket_ids_for_columns(cols, n_buckets: int) -> np.ndarray:
         ) and pa.types.is_integer(c.type)
 
     if cols and all(_is_int(c) for c in cols):
+        import pyarrow.compute as pc
+
         acc = np.zeros(len(cols[0]), dtype=np.uint64)
         for c in cols:
+            # null-safe: a null int column materializes as float NaN and
+            # NaN→int64 is platform-dependent; pin nulls to 0 (bucket
+            # routing only needs same-key-same-bucket, not injectivity)
+            if c.null_count:
+                c = pc.fill_null(c, 0)
             v = np.asarray(
                 c.to_numpy(zero_copy_only=False)
             ).astype(np.int64, copy=False).astype(np.uint64)

@@ -2271,7 +2271,7 @@ def lsh_topk_sql(
                        ORDER BY sim DESC, neighbor_id) AS rnk
             FROM sims)
         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
-               round_even(sim, 6) AS cosine
+               round_even(sim * 1000000.0, 0) / 1000000.0 AS cosine
         FROM ranked WHERE rnk <= {k}
     """
 
@@ -2434,11 +2434,14 @@ def pca2d_sql() -> str:
                    s1 * r1x / n1 AS v1x, s1 * r1y / n1 AS v1y,
                    s2 * r2x / n2 AS v2x, s2 * r2y / n2 AS v2y
             FROM vs)
+        -- np.round(x, 6) = rint(x * 1e6) / 1e6: replicate the scaled form
         SELECT e.vec_id,
-               round_even((e.x - v.mx) * v.v1x
-                          + (e.y - v.my) * v.v1y, 6) AS pc1,
-               round_even((e.x - v.mx) * v.v2x
-                          + (e.y - v.my) * v.v2y, 6) AS pc2
+               round_even(((e.x - v.mx) * v.v1x
+                           + (e.y - v.my) * v.v1y) * 1000000.0, 0)
+                   / 1000000.0 AS pc1,
+               round_even(((e.x - v.mx) * v.v2x
+                           + (e.y - v.my) * v.v2y) * 1000000.0, 0)
+                   / 1000000.0 AS pc2
         FROM e, v
         ORDER BY e.vec_id
     """

@@ -5485,6 +5485,13 @@ def part_copurchase(sf_dir: str, min_support: int = 3) -> pd.DataFrame:
         .filter(expr=f"n_orders >= {min_support}")
         .to_pandas()
     )
+    if out.empty:  # empty grouped result loses its schema through to_pandas
+        out = pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("part_a", "part_b", "n_orders")
+            }
+        )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
 
@@ -9215,8 +9222,10 @@ def part_triple_copurchase(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
         .filter(expr=f"n >= {min_support}")
         .to_pandas()
     )
-    pair_set = set(
-        zip(freq_pairs["part_a"].tolist(), freq_pairs["part_b"].tolist())
+    pair_set = (
+        set(zip(freq_pairs["part_a"].tolist(), freq_pairs["part_b"].tolist()))
+        if len(freq_pairs)
+        else set()  # schema-less empty frame: no frequent pairs
     )
     pair_ref = ray.put(pair_set)
 
@@ -13563,7 +13572,10 @@ def click_purchase_attribution(sf_dir: str) -> pd.DataFrame:
         joined,
         keys=["user_id"],
         aggs={
-            "n_pairs": ("value", "count"),
+            # count on the JOIN KEY, not value: the oracle's count(*)
+            # counts every joined row, and a joined row's user_id is
+            # non-null by construction, while value can be null
+            "n_pairs": ("user_id", "count"),
             "purchase_value_sum": ("value", "sum"),
         },
         n_buckets=_nb(sf_dir, "events", 16),

@@ -44,7 +44,16 @@ def ray_fs(fs):
 
 
 def listdir(fs, d) -> list:
-    """Sorted base names inside ``d`` (fsspec ``ls`` returns full paths)."""
+    """Sorted base names inside ``d`` (fsspec ``ls`` returns full paths).
+
+    Invalidates the filesystem's directory cache first: store builds list
+    a directory BEFORE a Ray-worker write (stale-file sweep) and again
+    AFTER it (zone-map/partition discovery); cached backends (s3fs, gcsfs)
+    would otherwise replay the pre-write listing.  Listings are
+    metadata-scale, so the lost caching is noise."""
+    inv = getattr(fs, "invalidate_cache", None)
+    if inv is not None:
+        inv(d)
     return sorted(
         posixpath.basename(p.rstrip("/")) for p in fs.ls(d, detail=False)
     )

@@ -187,3 +187,32 @@ class TestEmptyStreamCardinality:
         got = revenue_forecast_ses(str(d))
         assert len(got) == 0
         assert list(got.columns) == ["day", "revenue", "smoothed"]
+
+
+class TestRound4ReviewEdges:
+    def test_copurchase_empty_support_keeps_schema(self, sf_dir):
+        """Impossible min_support: both co-purchase queries return typed
+        empty frames instead of KeyError-ing on a schema-less empty."""
+        from bioie_llm_ray.pipelines import analytics as A
+
+        df = A.part_copurchase(sf_dir, min_support=10**9)
+        assert list(df.columns) == ["part_a", "part_b", "n_orders"]
+        assert len(df) == 0
+        df = A.part_triple_copurchase(sf_dir, min_support=10**9)
+        assert list(df.columns) == ["part_a", "part_b", "part_c", "n_orders"]
+        assert len(df) == 0
+
+    def test_composite_bucket_null_safe(self):
+        """Null int keys route deterministically (pinned to the 0 bucket
+        path) instead of through a platform-dependent NaN→int cast."""
+        import pyarrow as pa
+
+        from bioie_llm_ray.functions.hashing import bucket_ids_for_columns
+
+        a = pa.array([1, None, 3], type=pa.int64())
+        b = pa.array([None, 2, 3], type=pa.int64())
+        ids = bucket_ids_for_columns([a, b], 8)
+        z1 = pa.array([1, 0, 3], type=pa.int64())
+        z2 = pa.array([0, 2, 3], type=pa.int64())
+        assert (bucket_ids_for_columns([z1, z2], 8) == ids).all()
+        assert ids.dtype.kind == "i" and ((0 <= ids) & (ids < 8)).all()
