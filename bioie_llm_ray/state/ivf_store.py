@@ -92,45 +92,39 @@ def ivf_store_topk(
     probes = np.argsort(d2q, axis=1, kind="stable")[:, :n_probe]
     qn = _normalize(q)
     needed = sorted({int(li) for row in probes for li in row})
-    # storage-enforced pruning: only the probed list=<i>/ partitions are
-    # ever opened; the list id is known from the directory being read, so
-    # inject it explicitly rather than relying on hive-partition inference
-    # (which is version-fragile for explicit file-path reads)
-    def _inject_list(li: int):
-        def inject(batch: pa.Table) -> pa.Table:
-            if "list" in batch.column_names:
-                batch = batch.drop_columns(["list"])
-            return batch.append_column(
-                "list", pa.array(np.full(len(batch), li, dtype=np.int64))
-            )
-
-        return inject
-
-    parts = []
+    # storage-enforced pruning with ONE Dataset over every probed list
+    # partition (per-partition datasets cost O(probed lists) driver
+    # overhead at wide probe sets).  A row's list id is a pure function of
+    # its embedding and the persisted centroids (the build's argmin), so
+    # the task re-derives it instead of carrying the partition identity.
+    files = []
     for li in needed:
         d = join(root, f"list={li}")
-        files = [
+        if not fs.isdir(d):
+            continue
+        files.extend(
             join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
-        ]
-        parts.append(
-            ray.data.read_parquet(
-                files, filesystem=ray_fs(fs)
-            ).map_batches(_inject_list(li), batch_format="pyarrow")
         )
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if not files:
+        return _merge_topk([], query_ids, k, exclude_self)
+    ds = ray.data.read_parquet(
+        files, columns=[id_col, emb_col], filesystem=ray_fs(fs)
+    )
     probe_ref = ray.put(probes)
     q_ref = ray.put(qn)
+    cent_ref = ray.put(cent)
 
     def partial(batch: pa.Table) -> pa.Table:
         pr = ray.get(probe_ref)
         qm = ray.get(q_ref)
+        c = ray.get(cent_ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        lists = batch["list"].to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = _normalize(
-            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-        )
+        raw = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        d2 = ((raw[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        lists = np.argmin(d2, axis=1).astype(np.int64)
+        emb = _normalize(raw)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qm)):
             mask = np.isin(lists, pr[qi])

@@ -103,40 +103,19 @@ def lsh_store_topk(
     q_bands = _band_values(q, signs, n_bands)  # (n_q, n_bands)
     qn = _normalize(q)
 
-    # which (band, bval) partitions each query probes; open each once
+    # which (band, bval) partitions each query probes; ONE pruned read
     needed = sorted(
         {(b, int(q_bands[qi, b])) for qi in range(len(q)) for b in range(n_bands)}
     )
-    parts = []
+    files = []
     for b, v in needed:
         d = join(root, f"band={b}", f"bval={v}")
         if not fs.isdir(d):  # empty hash slot: no corpus vector here
             continue
-        files = [
+        files.extend(
             join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
-        ]
-
-        def _inject(bb: int, vv: int):
-            def inject(batch: pa.Table) -> pa.Table:
-                for c in ("band", "bval"):
-                    if c in batch.column_names:
-                        batch = batch.drop_columns([c])
-                n = len(batch)
-                batch = batch.append_column(
-                    "band", pa.array(np.full(n, bb, dtype=np.int64))
-                )
-                return batch.append_column(
-                    "bval", pa.array(np.full(n, vv, dtype=np.int64))
-                )
-
-            return inject
-
-        parts.append(
-            ray.data.read_parquet(
-                files, filesystem=ray_fs(fs)
-            ).map_batches(_inject(b, v), batch_format="pyarrow")
         )
-    if not parts:
+    if not files:
         return pa.table(
             {
                 "query_id": pa.array([], type=pa.int64()),
@@ -145,34 +124,39 @@ def lsh_store_topk(
                 "cosine": pa.array([], type=pa.float64()),
             }
         )
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # ONE Dataset over every probed file — not one dataset per partition
+    # (per-partition datasets cost O(probed partitions) driver overhead,
+    # the scale killer for wide probe sets).  The row's band codes are a
+    # pure function of its embedding (lsh_signs is deterministic), so the
+    # matching rule re-derives them in the task instead of carrying the
+    # partition identity — which also makes batch/partition alignment
+    # irrelevant (a batch may span partitions freely).
+    ds = ray.data.read_parquet(
+        files, columns=[id_col, emb_col], filesystem=ray_fs(fs)
+    )
     q_ref = ray.put((qn, q_bands))
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qb = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        bands = batch["band"].to_numpy(zero_copy_only=False)
-        bvals = batch["bval"].to_numpy(zero_copy_only=False)
-        emb = _normalize(
-            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-        )
+        raw = np.stack(
+            batch[emb_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        sg = lsh_signs(n_bits, raw.shape[1])
+        row_bands = _band_values(raw, sg, n_bands)  # (n_rows, n_bands)
+        emb = _normalize(raw)
         out_q, out_n, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), len(ids))
         for qi in range(len(qm)):
-            # rows of this batch living in a partition this query probes
-            mask = qb[qi, bands] == bvals
+            # scan-side candidate rule: the row shares >= 1 band code
+            mask = (row_bands == qb[qi][None, :]).any(axis=1)
             idx_all = np.flatnonzero(mask)
             if not len(idx_all):
                 continue
             row = qm[qi] @ emb[idx_all].T
             sub_ids = ids[idx_all]
-            # A vector matching this query in >1 band appears once per
-            # probed partition; if a batch ever spans partitions (explicit
-            # batch_size, block coalescing) the duplicates would occupy
-            # several of the kk slots and could evict a genuine neighbor.
-            # Duplicates carry identical cosines, so keep one occurrence.
+            # the store holds one copy per band; same-id duplicates carry
+            # identical cosines — keep one occurrence before the kk cut
             sub_ids, first_idx = np.unique(sub_ids, return_index=True)
             row = row[first_idx]
             if kk < len(row):
