@@ -148,3 +148,59 @@ class TestBloomFilterProperties:
             if len(p):
                 merged = merged.merge(BloomFilter.build(p, m_bits=4096, k=5))
         assert (merged.words == whole.words).all()
+
+
+class TestBatchShingleProperties:
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=60,
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_batch_shingles_equal_per_doc(self, docs, n_shingle):
+        """The batch-vectorized shingle builder equals the per-doc kernel
+        element-for-element on ARBITRARY unicode text (whitespace runs,
+        empty docs, short docs, every shingle width)."""
+        import pyarrow as pa
+
+        from bioie_llm_ray.stages.neardup import (
+            _batch_shingle_hashes,
+            _token_hashes,
+        )
+
+        S, soff = _batch_shingle_hashes(pa.array(docs, type=pa.string()), n_shingle)
+        assert len(soff) == len(docs) + 1
+        for d, t in enumerate(docs):
+            want = _token_hashes(t, n_shingle)
+            got = S[soff[d] : soff[d + 1]]
+            assert np.array_equal(got, want), (d, repr(t))
+
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            min_size=1,
+            max_size=200,
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_composite_bucket_deterministic_and_in_range(self, keys, nb):
+        """bucket_ids_for_columns on int columns (nulls included) is
+        deterministic, in range, and equal to the null→0 pinned form."""
+        import pyarrow as pa
+
+        from bioie_llm_ray.functions.hashing import bucket_ids_for_columns
+
+        col = pa.array(keys, type=pa.int64())
+        ids = bucket_ids_for_columns([col, col], nb)
+        assert ((0 <= ids) & (ids < nb)).all()
+        pinned = pa.array([0 if k is None else k for k in keys], type=pa.int64())
+        assert (bucket_ids_for_columns([pinned, pinned], nb) == ids).all()
