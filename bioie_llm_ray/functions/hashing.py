@@ -79,6 +79,13 @@ def bucket_ids_for_column(col, n_buckets: int) -> np.ndarray:
 
     t = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
     if t is not None and pa.types.is_integer(t):
+        if col.null_count:
+            # null ints materialize as float NaN and NaN→int64 is
+            # platform-dependent; pin nulls to the 0 bucket path (routing
+            # needs determinism, not injectivity)
+            import pyarrow.compute as pc
+
+            col = pc.fill_null(col, 0)
         return hash_bucket_ints(col.to_numpy(zero_copy_only=False), n_buckets)
     vals = col.to_pylist() if t is not None else list(col)
     return hash_bucket([str(v) for v in vals], n_buckets)

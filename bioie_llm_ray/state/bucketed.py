@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.hashing import bucket_ids_for_column
-from .fs import join, listdir, ray_fs, resolve
+from .fs import isdir, join, listdir, ray_fs, resolve
 
 _META = "_BUCKETS.json"
 
@@ -80,7 +80,7 @@ def read_bucketed(
         dirs = [
             _bucket_dir(root, i)
             for i in range(meta["n_buckets"])
-            if fs.isdir(_bucket_dir(root, i))
+            if isdir(fs, _bucket_dir(root, i))
         ]
     else:
         dirs = [_bucket_dir(root, bucket)]
@@ -123,12 +123,12 @@ def colocated_join(
     l_dirs = {
         i
         for i in range(lm["n_buckets"])
-        if fs.isdir(_bucket_dir(left_root, i))
+        if isdir(fs, _bucket_dir(left_root, i))
     }
     r_dirs = {
         i
         for i in range(rm["n_buckets"])
-        if fs.isdir(_bucket_dir(right_root, i))
+        if isdir(fs, _bucket_dir(right_root, i))
     }
     if join_type == "inner":
         buckets = sorted(l_dirs & r_dirs)
@@ -228,10 +228,10 @@ def merge_upsert(
 
     fs.makedirs(out_root, exist_ok=True)
     b_dirs = {
-        i for i in range(n_buckets) if fs.isdir(_bucket_dir(base_root, i))
+        i for i in range(n_buckets) if isdir(fs, _bucket_dir(base_root, i))
     }
     d_dirs = {
-        i for i in range(n_buckets) if fs.isdir(_bucket_dir(delta_root, i))
+        i for i in range(n_buckets) if isdir(fs, _bucket_dir(delta_root, i))
     }
     some = _bucket_dir(base_root, min(b_dirs)) if b_dirs else None
     if some is None:  # empty base: delta defines the schema
@@ -252,7 +252,7 @@ def merge_upsert(
         parts = []
         for src, path in ((0, base_root), (1, delta_root)):
             d = _bucket_dir(path, i)
-            exists = wfs.isdir(d) if wfs is not None else _os.path.isdir(d)
+            exists = wisdir(fs, d) if wfs is not None else _os.path.isdir(d)
             if not exists:
                 continue
             t = _pq.read_table(d, filesystem=wfs)

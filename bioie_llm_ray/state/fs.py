@@ -57,3 +57,14 @@ def listdir(fs, d) -> list:
     return sorted(
         posixpath.basename(p.rstrip("/")) for p in fs.ls(d, detail=False)
     )
+
+
+def isdir(fs, d) -> bool:
+    """Directory-existence probe with the same dircache invalidation as
+    ``listdir``: store searches probe partitions AFTER Ray-worker writes,
+    and a cached backend would answer from the pre-write listing —
+    silently skipping a real partition."""
+    inv = getattr(fs, "invalidate_cache", None)
+    if inv is not None:
+        inv(d)
+    return fs.isdir(d)

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 
 from ..stages.similarity import _merge_topk, _normalize, distributed_kmeans
-from .fs import join, listdir, ray_fs, resolve
+from .fs import isdir, join, listdir, ray_fs, resolve
 
 _META = "_IVF.json"
 
@@ -94,37 +94,49 @@ def ivf_store_topk(
     needed = sorted({int(li) for row in probes for li in row})
     # storage-enforced pruning with ONE Dataset over every probed list
     # partition (per-partition datasets cost O(probed lists) driver
-    # overhead at wide probe sets).  A row's list id is a pure function of
-    # its embedding and the persisted centroids (the build's argmin), so
-    # the task re-derives it instead of carrying the partition identity.
+    # overhead at wide probe sets)
     files = []
     for li in needed:
         d = join(root, f"list={li}")
-        if not fs.isdir(d):
+        if not isdir(fs, d):
             continue
         files.extend(
             join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
         )
     if not files:
         return _merge_topk([], query_ids, k, exclude_self)
+    # partition identity via include_paths (ground truth from storage;
+    # also avoids re-paying the O(rows × k × dim) distance temp at query
+    # time that in-task re-quantization would cost)
     ds = ray.data.read_parquet(
-        files, columns=[id_col, emb_col], filesystem=ray_fs(fs)
+        files,
+        columns=[id_col, emb_col],
+        include_paths=True,
+        filesystem=ray_fs(fs),
     )
     probe_ref = ray.put(probes)
     q_ref = ray.put(qn)
-    cent_ref = ray.put(cent)
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
         pr = ray.get(probe_ref)
         qm = ray.get(q_ref)
-        c = ray.get(cent_ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        raw = np.stack(
-            batch[emb_col].to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        d2 = ((raw[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
-        lists = np.argmin(d2, axis=1).astype(np.int64)
-        emb = _normalize(raw)
+        emb = _normalize(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        pcodes = _pc.dictionary_encode(batch["path"].combine_chunks())
+        codes = np.asarray(pcodes.indices.to_numpy(zero_copy_only=False))
+        uniq = pcodes.dictionary.to_pylist()
+        ul = np.empty(len(uniq), dtype=np.int64)
+        for i, pth in enumerate(uniq):
+            ul[i] = int(
+                next(x for x in pth.split("/") if x.startswith("list="))[5:]
+            )
+        lists = ul[codes]
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qm)):
             mask = np.isin(lists, pr[qi])

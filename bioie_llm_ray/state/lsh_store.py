@@ -21,10 +21,11 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..stages.similarity import _band_values, _normalize, lsh_signs
-from .fs import join, listdir, ray_fs, resolve
+from .fs import isdir, join, listdir, ray_fs, resolve
 
 _META = "_LSH.json"
 
@@ -110,7 +111,7 @@ def lsh_store_topk(
     files = []
     for b, v in needed:
         d = join(root, f"band={b}", f"bval={v}")
-        if not fs.isdir(d):  # empty hash slot: no corpus vector here
+        if not isdir(fs, d):  # empty hash slot: no corpus vector here
             continue
         files.extend(
             join(d, f) for f in listdir(fs, d) if f.endswith(".parquet")
@@ -126,30 +127,46 @@ def lsh_store_topk(
         )
     # ONE Dataset over every probed file — not one dataset per partition
     # (per-partition datasets cost O(probed partitions) driver overhead,
-    # the scale killer for wide probe sets).  The row's band codes are a
-    # pure function of its embedding (lsh_signs is deterministic), so the
-    # matching rule re-derives them in the task instead of carrying the
-    # partition identity — which also makes batch/partition alignment
-    # irrelevant (a batch may span partitions freely).
+    # the scale killer for wide probe sets).  The row's partition identity
+    # comes back through ``include_paths`` (ground truth from the storage
+    # layout — NOT re-derived from the embedding, whose hyperplane dot
+    # could flip a near-zero sign bit under a different BLAS batch shape
+    # than the build's), so batch/partition alignment is irrelevant: a
+    # batch may span partitions freely.
     ds = ray.data.read_parquet(
-        files, columns=[id_col, emb_col], filesystem=ray_fs(fs)
+        files,
+        columns=[id_col, emb_col],
+        include_paths=True,
+        filesystem=ray_fs(fs),
     )
     q_ref = ray.put((qn, q_bands))
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qb = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        raw = np.stack(
-            batch[emb_col].to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        sg = lsh_signs(n_bits, raw.shape[1])
-        row_bands = _band_values(raw, sg, n_bands)  # (n_rows, n_bands)
-        emb = _normalize(raw)
+        emb = _normalize(
+            np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        # partition identity from the file path: parse once per DISTINCT
+        # path (a batch holds rows from few files), broadcast to rows
+        pcodes = pc.dictionary_encode(batch["path"].combine_chunks())
+        codes = np.asarray(pcodes.indices.to_numpy(zero_copy_only=False))
+        uniq = pcodes.dictionary.to_pylist()
+        ub = np.empty(len(uniq), dtype=np.int64)
+        uv = np.empty(len(uniq), dtype=np.int64)
+        for i, pth in enumerate(uniq):
+            parts_ = pth.split("/")
+            ub[i] = int(next(x for x in parts_ if x.startswith("band="))[5:])
+            uv[i] = int(next(x for x in parts_ if x.startswith("bval="))[5:])
+        bands = ub[codes]
+        bvals = uv[codes]
         out_q, out_n, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), len(ids))
         for qi in range(len(qm)):
-            # scan-side candidate rule: the row shares >= 1 band code
-            mask = (row_bands == qb[qi][None, :]).any(axis=1)
+            # rows of this batch living in a partition this query probes
+            mask = qb[qi, bands] == bvals
             idx_all = np.flatnonzero(mask)
             if not len(idx_all):
                 continue
