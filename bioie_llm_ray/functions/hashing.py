@@ -100,12 +100,17 @@ def bucket_ids_for_columns(cols, n_buckets: int) -> np.ndarray:
     """
     import pyarrow as pa
 
+    if not cols:
+        # row count is unknowable from zero columns; the string path would
+        # silently return a zero-length array for any batch
+        raise ValueError("bucket_ids_for_columns requires at least one column")
+
     def _is_int(c):
         return isinstance(
             c, (pa.Array, pa.ChunkedArray)
         ) and pa.types.is_integer(c.type)
 
-    if cols and all(_is_int(c) for c in cols):
+    if all(_is_int(c) for c in cols):
         import pyarrow.compute as pc
 
         acc = np.zeros(len(cols[0]), dtype=np.uint64)

@@ -90,8 +90,18 @@ def _read(
     )
 
 
+def _clean_schema(path: str, columns: "tuple | None") -> pa.Schema:
+    """Cache wrapper keyed on (path, mtime, size) so a file rewritten in
+    place within one driver process (long-lived driver, regenerating test
+    fixtures) never serves a stale schema to ``read_parquet``."""
+    st = os.stat(path)
+    return _clean_schema_cached(path, st.st_mtime_ns, st.st_size, columns)
+
+
 @functools.lru_cache(maxsize=256)
-def _clean_schema(path: str, columns: "tuple | list | None") -> pa.Schema:
+def _clean_schema_cached(
+    path: str, mtime_ns: int, size: int, columns: "tuple | None"
+) -> pa.Schema:
     """Column-pruned file schema with ALL metadata stripped.  Passing this
     to ``read_parquet`` makes the read tasks emit metadata-free blocks:
     pandas-written parquet carries a ``b'pandas'`` schema blob that makes

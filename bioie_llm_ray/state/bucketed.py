@@ -252,7 +252,7 @@ def merge_upsert(
         parts = []
         for src, path in ((0, base_root), (1, delta_root)):
             d = _bucket_dir(path, i)
-            exists = wisdir(fs, d) if wfs is not None else _os.path.isdir(d)
+            exists = isdir(fs, d) if wfs is not None else _os.path.isdir(d)
             if not exists:
                 continue
             t = _pq.read_table(d, filesystem=wfs)

@@ -216,3 +216,13 @@ class TestRound4ReviewEdges:
         z2 = pa.array([0, 2, 3], type=pa.int64())
         assert (bucket_ids_for_columns([z1, z2], 8) == ids).all()
         assert ids.dtype.kind == "i" and ((0 <= ids) & (ids < 8)).all()
+
+    def test_composite_bucket_empty_cols_raises(self):
+        """Zero key columns is a loud ValueError, not a silent zero-length
+        bucket array (row count is unknowable from no columns)."""
+        import pytest as _pytest
+
+        from bioie_llm_ray.functions.hashing import bucket_ids_for_columns
+
+        with _pytest.raises(ValueError, match="at least one column"):
+            bucket_ids_for_columns([], 8)

@@ -156,3 +156,46 @@ class TestMemoryFsDriverSide:
                 f.write(b"x")
         names = fsmod.listdir(fs, root)
         assert names == ["_META.json", "a.parquet", "b.parquet"]
+
+
+class TestNonLocalFsMergeUpsert:
+    """merge_upsert through a NON-local fsspec filesystem.
+
+    DirFileSystem wraps the local disk but is not a LocalFileSystem
+    instance, so ``ray_fs`` returns a pyarrow wrapper and the remote
+    ``merge_bucket`` task takes the ``wfs is not None`` branch — the
+    S3/HDFS code path — while the bytes still live on real disk that Ray
+    worker processes can reach.  Regression: that branch once referenced
+    an undefined name (``wisdir``) and raised NameError inside the Ray
+    task for every non-local filesystem.
+    """
+
+    def test_merge_upsert_over_dirfs(self, tmp_path):
+        from fsspec.implementations.dirfs import DirFileSystem
+        from fsspec.implementations.local import LocalFileSystem
+
+        dfs = DirFileSystem(str(tmp_path), fs=LocalFileSystem())
+        assert fsmod.ray_fs(dfs) is not None  # genuinely the remote-FS path
+
+        base = pd.DataFrame(
+            {"k": [1, 2, 3], "seq": [10, 10, 10], "v": ["a", "b", "c"],
+             "deleted": [False] * 3}
+        )
+        delta = pd.DataFrame(
+            {"k": [2, 3, 4], "seq": [20, 20, 20], "v": ["B", "x", "d"],
+             "deleted": [False, True, False]}
+        )
+        bucketed.write_bucketed(
+            ray.data.from_pandas(base), "base", key="k", n_buckets=4,
+            filesystem=dfs,
+        )
+        bucketed.merge_upsert(
+            "base", ray.data.from_pandas(delta), "out",
+            seq_cols="seq", delete_col="deleted", filesystem=dfs,
+        )
+        got = (
+            bucketed.read_bucketed("out", filesystem=dfs)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2, 4]
+        assert got["v"].tolist() == ["a", "B", "d"]
