@@ -981,41 +981,40 @@ def doc_repeated_ngrams(
         )
     surv_ref = ray.put(np.sort(survivors["h"].to_numpy().astype(np.uint64)))
 
-    class SpanText:
-        """Second pass: materialize span text for surviving hashes only."""
+    def span_text(batch: pa.Table) -> pa.Table:
+        """Second pass: materialize span text for surviving hashes only.
 
-        def __init__(self):
-            self.surv = ray.get(surv_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            flat, wh, valid, _ = _token_window_hashes(batch, n)
-            hits = np.nonzero(
-                valid
-                & (
-                    self.surv[
-                        np.minimum(
-                            np.searchsorted(self.surv, wh), len(self.surv) - 1
-                        )
-                    ]
-                    == wh
-                )
-            )[0]
-            seen: dict[int, str] = {}
-            for i in hits:  # |hits| ~ answer size, not corpus size
-                hv = int(wh[i])
-                if hv not in seen:
-                    seen[hv] = " ".join(flat[i : i + n])
-            return pa.table(
-                {
-                    "h": pa.array(list(seen.keys()), pa.uint64()),
-                    "ngram": pa.array(list(seen.values()), pa.string()),
-                }
+        Stateless task, NOT an actor pool: the only "state" is a ray.get
+        of the already-sorted survivor array — a zero-copy plasma fetch
+        per task, nothing worth amortizing in an actor ``__init__``.  An
+        actor pool here held its constructor args in the object store
+        with max_restarts > 0 (ray#53727: restart fails if the args are
+        lost), and fixed pools risk starving the upstream read on small
+        sessions; tasks have neither hazard.
+        """
+        surv = ray.get(surv_ref)
+        flat, wh, valid, _ = _token_window_hashes(batch, n)
+        hits = np.nonzero(
+            valid
+            & (
+                surv[np.minimum(np.searchsorted(surv, wh), len(surv) - 1)]
+                == wh
             )
+        )[0]
+        seen: dict[int, str] = {}
+        for i in hits:  # |hits| ~ answer size, not corpus size
+            hv = int(wh[i])
+            if hv not in seen:
+                seen[hv] = " ".join(flat[i : i + n])
+        return pa.table(
+            {
+                "h": pa.array(list(seen.keys()), pa.uint64()),
+                "ngram": pa.array(list(seen.values()), pa.string()),
+            }
+        )
 
     texts = (
-        # autoscaling pool: a fixed pool == num_cpus deadlocks the upstream
-        # read task on small sessions (same hazard documented in kg.py)
-        ds.map_batches(SpanText, concurrency=(1, 4), batch_format="pyarrow")
+        ds.map_batches(span_text, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates("h")
     )
@@ -2760,6 +2759,71 @@ def _cached_pattern(vocab: tuple):
     return compile_vocab_pattern(list(vocab))
 
 
+@functools.lru_cache(maxsize=8)
+def _vocab_arr(vocab: tuple) -> "pa.Array":
+    """Alphabetically-sorted unique surface forms as an Arrow array: the
+    ``value_set`` for the vectorized token scan.  Sorted so ascending
+    vocab_idx == alphabetical mention order (the per-doc sort the regex
+    kernels performed)."""
+    return pa.array(sorted(set(vocab)), type=pa.string())
+
+
+@functools.lru_cache(maxsize=4096)
+def _mask_pair_template(mask: int, canon: tuple):
+    """Pair-explosion template for one presence bitmask: the sorted
+    distinct canonical terms of the set bits, exploded to (subj, obj)
+    index pairs with subj < obj.  Bitmasks over a 10-term vocabulary give
+    ≤2^10 distinct masks per process — the only remaining Python loop in
+    the extraction kernels runs per MASK, never per document."""
+    terms = sorted({canon[i] for i in range(len(canon)) if mask >> i & 1})
+    a, b = [], []
+    for x in range(len(terms)):
+        for y in range(x + 1, len(terms)):
+            a.append(terms[x])
+            b.append(terms[y])
+    return np.asarray(a, dtype=object), np.asarray(b, dtype=object)
+
+
+def _doc_presence_masks(batch: pa.Table, varr: "pa.Array") -> np.ndarray:
+    """Per-row bitmask of which vocabulary terms appear (boundary-checked)
+    in ``text`` — one vectorized Arrow scan, no per-row Python."""
+    from ..stages.mention import vocab_token_hits
+
+    row, vi = vocab_token_hits(batch["text"], varr)
+    v_count = len(varr)
+    distinct = np.unique(row * v_count + vi)
+    masks = np.zeros(batch.num_rows, dtype=np.int64)
+    np.bitwise_or.at(
+        masks, distinct // v_count, np.int64(1) << (distinct % v_count)
+    )
+    return masks
+
+
+def _explode_pairs(
+    masks: np.ndarray, canon: tuple
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """(row_idx, subj, obj) arrays from per-row presence bitmasks: rows
+    sharing a bitmask share one tile of the mask's pair template."""
+    uniq, inv = np.unique(masks, return_inverse=True)
+    rows_out, subj_out, obj_out = [], [], []
+    for k, m in enumerate(uniq):
+        a, b = _mask_pair_template(int(m), canon)
+        if not len(a):
+            continue
+        rows = np.flatnonzero(inv == k)
+        rows_out.append(np.repeat(rows, len(a)))
+        subj_out.append(np.tile(a, len(rows)))
+        obj_out.append(np.tile(b, len(rows)))
+    if not rows_out:
+        empty = np.array([], dtype=np.int64)
+        return empty, np.array([], dtype=object), np.array([], dtype=object)
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(subj_out),
+        np.concatenate(obj_out),
+    )
+
+
 def doc_mentions(sf_dir: str) -> pd.DataFrame:
     """Boundary-checked mention detection over documents (M9 semantics).
 
@@ -2768,27 +2832,21 @@ def doc_mentions(sf_dir: str) -> pd.DataFrame:
     Zero shuffle (a global groupby on this 10k×docs-cardinality key measured
     3-10× the cost of the entire rest of the query).
     """
-    from collections import Counter
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     vocab = tuple(DOC_VOCAB)
 
     def detect_count(batch: pa.Table) -> pa.Table:
-        pattern = _cached_pattern(vocab)
-        out_id, out_m, out_n = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            counts = Counter(m.group(0) for m in pattern.finditer(text))
-            for mention in sorted(counts):
-                out_id.append(did)
-                out_m.append(mention)
-                out_n.append(counts[mention])
+        from ..stages.mention import vocab_token_hits
+
+        varr = _vocab_arr(vocab)
+        row, vi = vocab_token_hits(batch["text"], varr)
+        v_count = len(varr)
+        keys, n = np.unique(row * v_count + vi, return_counts=True)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "mention": pa.array(out_m, type=pa.string()),
-                "n": pa.array(out_n, type=pa.int64()),
+                "doc_id": batch["doc_id"].take(pa.array(keys // v_count)),
+                "mention": varr.take(pa.array(keys % v_count)),
+                "n": pa.array(n, type=pa.int64()),
             }
         )
 
@@ -2797,21 +2855,18 @@ def doc_mentions(sf_dir: str) -> pd.DataFrame:
 
 
 def _emit_pairs(batch: pa.Table, vocab: tuple) -> pa.Table:
-    """Distinct sorted vocab-term pairs per document (fused extraction)."""
-    pattern = _cached_pattern(vocab)
-    out_id, out_a, out_b = [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        terms = sorted({m.group(0) for m in pattern.finditer(text)})
-        for x in range(len(terms)):
-            for y in range(x + 1, len(terms)):
-                out_id.append(did)
-                out_a.append(terms[x])
-                out_b.append(terms[y])
+    """Distinct sorted vocab-term pairs per document (fused extraction):
+    one vectorized scan → per-row presence bitmask → template explosion
+    (``_mask_pair_template``)."""
+    varr = _vocab_arr(vocab)
+    canon = tuple(varr.to_pylist())
+    masks = _doc_presence_masks(batch, varr)
+    rows, subj, obj = _explode_pairs(masks, canon)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "subj": pa.array(out_a, type=pa.string()),
-            "obj": pa.array(out_b, type=pa.string()),
+            "doc_id": batch["doc_id"].take(pa.array(rows)),
+            "subj": pa.array(subj, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
         }
     )
 
@@ -2935,34 +2990,33 @@ def triples_canonical(sf_dir: str) -> pd.DataFrame:
     alias_index = dict(DOC_ALIAS_INDEX)
 
     def extract_link_dedup(batch: pa.Table) -> pa.Table:
-        pattern = _cached_pattern(vocab)
-        seen: set[tuple[str, str]] = set()
-        out_id, out_a, out_b = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            terms = sorted(
-                {
-                    alias_index.get(normalize_surface(m.group(0)), m.group(0))
-                    for m in pattern.finditer(text)
-                }
-            )
-            for x in range(len(terms)):
-                for y in range(x + 1, len(terms)):
-                    pair = (terms[x], terms[y])
-                    if pair in seen:  # batch-local combiner dedup
-                        continue
-                    seen.add(pair)
-                    out_id.append(str(did))
-                    out_a.append(terms[x])
-                    out_b.append(terms[y])
-        n = len(out_id)
+        # vectorized scan → presence bitmask per doc → canonical pair
+        # templates per bitmask (entity linking folds into the template:
+        # canon[i] = alias_index[normalize(surface_i)], distinct-sorted
+        # inside _mask_pair_template) → batch-local combiner dedup via one
+        # np.unique over pair keys (keeps the first doc per pair; the
+        # surviving src_sha only salts the downstream exchange)
+        varr = _vocab_arr(vocab)
+        canon = tuple(
+            alias_index.get(normalize_surface(v), v) for v in varr.to_pylist()
+        )
+        masks = _doc_presence_masks(batch, varr)
+        rows, subj, obj = _explode_pairs(masks, canon)
+        pair_keys = np.char.add(
+            np.char.add(subj.astype(str), "\x1f"), obj.astype(str)
+        ) if len(rows) else np.array([], dtype=str)
+        _, first = np.unique(pair_keys, return_index=True)
+        rows, subj, obj = rows[first], subj[first], obj[first]
         return pa.table(
             {
-                "src_sha": pa.array(out_id, type=pa.string()),
-                "subj": pa.array(out_a, type=pa.string()),
-                "pred": pa.array(["cooccurs_with"] * n, type=pa.string()),
-                "obj": pa.array(out_b, type=pa.string()),
+                "src_sha": pc.cast(
+                    batch["doc_id"].take(pa.array(rows)), pa.string()
+                ),
+                "subj": pa.array(subj, type=pa.string()),
+                "pred": pa.array(
+                    ["cooccurs_with"] * len(rows), type=pa.string()
+                ),
+                "obj": pa.array(obj, type=pa.string()),
             }
         )
 

@@ -29,13 +29,51 @@ class TripleExtractor(MentionDetector):
     Emitting triples inside the same stage as detection keeps all mentions of
     a document on one worker without any co-location shuffle — the
     partitioning assumption is simply "a document is one row".
+
+    When every vocabulary term is boundary-class-only (the common case —
+    gene/protein symbols are ``[a-zA-Z0-9\\-_]``), the scan runs as one
+    vectorized Arrow pass (``stages.mention.vocab_token_hits``); vocabularies
+    with terms the tokenizer can't express (embedded spaces/punctuation)
+    fall back to the per-row regex loop with identical semantics.
     """
 
     def __init__(self, vocab, relation: str = "interacts_with", **kwargs):
-        super().__init__(vocab, **kwargs)
+        super().__init__(vocab, **kwargs)  # resolves vocab → self.vocab
         self.relation = relation
+        from ..stages.mention import vocab_is_tokenizable
+
+        self.vocab_arr = (
+            pa.array(sorted(set(self.vocab)), type=pa.string())
+            if vocab_is_tokenizable(self.vocab)
+            else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.vocab_arr is None:
+            return self._call_regex(batch)
+        import numpy as np
+
+        from ..stages.mention import vocab_token_hits
+
+        row, vi = vocab_token_hits(batch[self.text_col], self.vocab_arr)
+        # subj = first mention per doc; objs = every later mention != subj
+        udocs, first_idx = np.unique(row, return_index=True)
+        subj_per_row = vi[first_idx][np.searchsorted(udocs, row)]
+        is_first = np.zeros(len(row), dtype=bool)
+        is_first[first_idx] = True
+        keep = ~is_first & (vi != subj_per_row)
+        rows = pa.array(row[keep])
+        n = len(rows)
+        return pa.table(
+            {
+                **{c: batch[c].take(rows) for c in self.id_cols},
+                "subj": self.vocab_arr.take(pa.array(subj_per_row[keep])),
+                "pred": pa.array([self.relation] * n, type=pa.string()),
+                "obj": self.vocab_arr.take(pa.array(vi[keep])),
+            }
+        )
+
+    def _call_regex(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = {c: batch[c].to_pylist() for c in self.id_cols}
         out: dict[str, list] = {c: [] for c in self.id_cols}
@@ -76,22 +114,27 @@ def extract_triples(
     batch_size: int = 1024,
     n_salt: int = 16,
 ) -> ray.data.Dataset:
-    """docs (with content_sha256) → canonical (subj, pred, obj, src_sha)."""
-    vocab_ref = ray.put(list(vocab))
+    """docs (with content_sha256) → canonical (subj, pred, obj, src_sha).
+
+    Actor constructor args are passed BY VALUE (or as a ``ParquetState``
+    pointer for big lexicons), never as ``ray.put`` refs: refs in the
+    constructor make actor restart fail when the object is lost
+    (ray#53727) — a real resilience gap on clusters where object loss is
+    routine.
+    """
     triples = docs.map_batches(
         TripleExtractor,
-        fn_constructor_kwargs={"vocab": vocab_ref, "relation": relation},
+        fn_constructor_kwargs={"vocab": vocab, "relation": relation},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
     if alias_index is not None:
-        index_ref = ray.put(alias_index)
         for col in ("subj", "obj"):
             triples = triples.map_batches(
                 EntityLinker,
                 fn_constructor_kwargs={
-                    "alias_index": index_ref,
+                    "alias_index": alias_index,
                     "mention_col": col,
                     "out_col": col,
                     "add_linked_flag": False,

@@ -50,8 +50,17 @@ class EntityLinker:
         keep_unlinked: bool = True,
         add_linked_flag: bool = True,
     ):
-        if isinstance(alias_index, ray.ObjectRef):
-            alias_index = ray.get(alias_index)
+        # rehydratable state (ray#53727): plain dict inlined by value, or
+        # a ParquetState(path, [alias_col, canonical_col]) loaded from
+        # shared storage; legacy ObjectRefs still accepted
+        from .mention import ParquetState, _resolve_state
+
+        alias_index = _resolve_state(alias_index)
+        if isinstance(alias_index, ParquetState):
+            t = alias_index.load()
+            alias_index = dict(
+                zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+            )
         self.index: dict[str, str] = alias_index
         self.mention_col = mention_col
         # out_col == mention_col replaces the surface form in place

@@ -85,7 +85,10 @@ def ordered_prefix_sum(
 
     # phase 2: bucket-keyed exchange, one vectorized cumsum per bucket
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+        # strip any pandas schema-metadata blob (zero-copy) before the
+        # exchange: hash(schema) raises on it, defeating Ray's block-schema
+        # dedup and warning from every shuffle worker (functions/arrowio.py)
+        return batch.replace_schema_metadata(None).append_column(
             _BUCKET, pa.array(bucket_of(batch[order_col]), type=pa.int64())
         )
 
@@ -181,7 +184,10 @@ def global_order_ranks(
         return np.searchsorted(sp, v, side="right").astype(np.int64)
 
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+        # strip any pandas schema-metadata blob (zero-copy) before the
+        # exchange: hash(schema) raises on it, defeating Ray's block-schema
+        # dedup and warning from every shuffle worker (functions/arrowio.py)
+        return batch.replace_schema_metadata(None).append_column(
             _BUCKET, pa.array(bucket_of(batch[order_col]), type=pa.int64())
         )
 
@@ -354,7 +360,9 @@ def ordered_count_scan(
         b = np.searchsorted(
             spl, batch[s_col].to_numpy(zero_copy_only=False), side="right"
         )
-        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+        return batch.replace_schema_metadata(None).append_column(
+            "__b", pa.array(b.astype(np.int64))
+        )
 
     tagged = g.map_batches(tag, batch_format="pyarrow").materialize()
 

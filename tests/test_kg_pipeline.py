@@ -99,3 +99,81 @@ class TestDedup:
         )
         expected = len({(a, b, c) for a, b, c, _ in rows})
         assert salted.count() == expected
+
+
+class TestRehydratableActorState:
+    """Actor constructor args must be restart-safe (ray#53727): plain
+    values inlined in the creation task, or a ParquetState pointer loaded
+    from shared storage in __init__ — never user-created ObjectRefs.
+    (Ray Data's own map_transformer ref is the framework's to manage;
+    these tests pin OUR side of the contract.)"""
+
+    def test_triple_extractor_plain_value_vocab(self):
+        import pyarrow as pa
+
+        from bioie_llm_ray.pipelines.kg import TripleExtractor
+
+        tx = TripleExtractor(["aa", "bb", "cc"])
+        assert tx.vocab_arr is not None  # vectorized path for class-only vocab
+        out = tx(
+            pa.table(
+                {
+                    "content_sha256": pa.array(["s1", "s2"]),
+                    "content": pa.array(["aa then bb then aa", "cc alone"]),
+                }
+            )
+        )
+        got = list(
+            zip(out["content_sha256"].to_pylist(), out["subj"].to_pylist(),
+                out["obj"].to_pylist())
+        )
+        assert got == [("s1", "aa", "bb")]  # second 'aa' == subj → skipped
+
+    def test_parquet_state_rehydrates_vocab_and_alias(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bioie_llm_ray.stages.linker import EntityLinker
+        from bioie_llm_ray.stages.mention import MentionDetector, ParquetState
+
+        pq.write_table(
+            pa.table({"term": ["spark", "hash"]}), str(tmp_path / "vocab.parquet")
+        )
+        pq.write_table(
+            pa.table({"alias": ["spark", "hash"], "canon": ["SPARK", "HASH"]}),
+            str(tmp_path / "alias.parquet"),
+        )
+        det = MentionDetector(ParquetState(str(tmp_path / "vocab.parquet")))
+        assert det.vocab == ["spark", "hash"]
+        out = det(
+            pa.table(
+                {"content_sha256": pa.array(["x"]),
+                 "content": pa.array(["spark hash hashes"])}
+            )
+        )
+        assert out["mention"].to_pylist() == ["spark", "hash"]
+
+        lk = EntityLinker(
+            ParquetState(str(tmp_path / "alias.parquet")), mention_col="m",
+            out_col="m", add_linked_flag=False,
+        )
+        got = lk(pa.table({"m": pa.array(["Spark", "other"])}))
+        assert got["m"].to_pylist() == ["SPARK", "other"]
+
+    def test_extract_triples_passes_no_objectrefs(self):
+        """The flagship builder's constructor kwargs are by-value."""
+        import ast
+        import inspect
+        import textwrap
+
+        from bioie_llm_ray.pipelines import kg
+
+        tree = ast.parse(textwrap.dedent(inspect.getsource(kg.extract_triples)))
+        puts = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "put"
+        ]
+        assert not puts

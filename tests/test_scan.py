@@ -9,9 +9,11 @@ from bioie_llm_ray.stages.scan import ordered_prefix_sum, pack_sequences
 
 
 def _ds(df: pd.DataFrame, parts: int) -> ray.data.Dataset:
+    from bioie_llm_ray.functions.arrowio import from_pandas_clean
+
     # shuffle row order so correctness can't ride on input ordering
     shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
-    return ray.data.from_pandas(shuffled).repartition(parts)
+    return ray.data.from_arrow(from_pandas_clean(shuffled)).repartition(parts)
 
 
 class TestOrderedPrefixSum:
