@@ -2768,20 +2768,31 @@ def _vocab_arr(vocab: tuple) -> "pa.Array":
     return pa.array(sorted(set(vocab)), type=pa.string())
 
 
+@functools.lru_cache(maxsize=16)
+def _canon_sorted(canon: tuple) -> tuple:
+    """Sorted distinct canonical ids — the index space for pair templates
+    (two surface forms may link to one canonical id)."""
+    return tuple(sorted(set(canon)))
+
+
 @functools.lru_cache(maxsize=4096)
 def _mask_pair_template(mask: int, canon: tuple):
-    """Pair-explosion template for one presence bitmask: the sorted
-    distinct canonical terms of the set bits, exploded to (subj, obj)
-    index pairs with subj < obj.  Bitmasks over a 10-term vocabulary give
-    ≤2^10 distinct masks per process — the only remaining Python loop in
-    the extraction kernels runs per MASK, never per document."""
+    """Pair template for one presence bitmask: the sorted distinct
+    canonical terms of the set bits, as (subj, obj) INDEX pairs into
+    ``_canon_sorted(canon)`` with subj < obj.  Bitmasks over a 10-term
+    vocabulary give ≤2^10 distinct masks per process — the only remaining
+    Python loop in the extraction kernels runs per MASK, never per
+    document; downstream stays integer until final string materialization
+    (one Arrow ``take``)."""
+    order = _canon_sorted(canon)
+    pos = {t: i for i, t in enumerate(order)}
     terms = sorted({canon[i] for i in range(len(canon)) if mask >> i & 1})
     a, b = [], []
     for x in range(len(terms)):
         for y in range(x + 1, len(terms)):
-            a.append(terms[x])
-            b.append(terms[y])
-    return np.asarray(a, dtype=object), np.asarray(b, dtype=object)
+            a.append(pos[terms[x]])
+            b.append(pos[terms[y]])
+    return np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
 
 
 def _doc_presence_masks(batch: pa.Table, varr: "pa.Array") -> np.ndarray:
@@ -2801,9 +2812,13 @@ def _doc_presence_masks(batch: pa.Table, varr: "pa.Array") -> np.ndarray:
 
 def _explode_pairs(
     masks: np.ndarray, canon: tuple
-) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
-    """(row_idx, subj, obj) arrays from per-row presence bitmasks: rows
-    sharing a bitmask share one tile of the mask's pair template."""
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]":
+    """Per-row pair explosion from presence bitmasks: (row_idx, subj_idx,
+    obj_idx, canon_arr) — rows sharing a bitmask share one tile of the
+    mask's index-pair template; subj/obj stay integer indices into the
+    returned Arrow ``canon_arr`` (callers materialize strings with one
+    ``take``)."""
+    canon_arr = pa.array(_canon_sorted(canon), type=pa.string())
     uniq, inv = np.unique(masks, return_inverse=True)
     rows_out, subj_out, obj_out = [], [], []
     for k, m in enumerate(uniq):
@@ -2816,12 +2831,40 @@ def _explode_pairs(
         obj_out.append(np.tile(b, len(rows)))
     if not rows_out:
         empty = np.array([], dtype=np.int64)
-        return empty, np.array([], dtype=object), np.array([], dtype=object)
+        return empty, empty, empty, canon_arr
     return (
         np.concatenate(rows_out),
         np.concatenate(subj_out),
         np.concatenate(obj_out),
+        canon_arr,
     )
+
+
+def _distinct_pairs(
+    masks: np.ndarray, canon: tuple
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]":
+    """Batch-distinct pairs WITHOUT the per-row explosion: the distinct
+    pair set of a batch is the union of its unique masks' templates
+    (≤ n_masks × C² candidates, independent of row count), deduped by
+    integer pair key.  Returns (rep_row_idx, subj_idx, obj_idx,
+    canon_arr) where rep_row_idx is a representative row per pair."""
+    canon_arr = pa.array(_canon_sorted(canon), type=pa.string())
+    c_count = len(canon_arr)
+    uniq, rep = np.unique(masks, return_index=True)
+    keys_out, rows_out = [], []
+    for m, r in zip(uniq, rep):
+        a, b = _mask_pair_template(int(m), canon)
+        if not len(a):
+            continue
+        keys_out.append(a * c_count + b)
+        rows_out.append(np.full(len(a), r, dtype=np.int64))
+    if not keys_out:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, empty, canon_arr
+    keys = np.concatenate(keys_out)
+    rows = np.concatenate(rows_out)
+    uk, first = np.unique(keys, return_index=True)
+    return rows[first], uk // c_count, uk % c_count, canon_arr
 
 
 def doc_mentions(sf_dir: str) -> pd.DataFrame:
@@ -2861,12 +2904,12 @@ def _emit_pairs(batch: pa.Table, vocab: tuple) -> pa.Table:
     varr = _vocab_arr(vocab)
     canon = tuple(varr.to_pylist())
     masks = _doc_presence_masks(batch, varr)
-    rows, subj, obj = _explode_pairs(masks, canon)
+    rows, si, oi, carr = _explode_pairs(masks, canon)
     return pa.table(
         {
             "doc_id": batch["doc_id"].take(pa.array(rows)),
-            "subj": pa.array(subj, type=pa.string()),
-            "obj": pa.array(obj, type=pa.string()),
+            "subj": carr.take(pa.array(si)),
+            "obj": carr.take(pa.array(oi)),
         }
     )
 
@@ -2990,33 +3033,30 @@ def triples_canonical(sf_dir: str) -> pd.DataFrame:
     alias_index = dict(DOC_ALIAS_INDEX)
 
     def extract_link_dedup(batch: pa.Table) -> pa.Table:
-        # vectorized scan → presence bitmask per doc → canonical pair
-        # templates per bitmask (entity linking folds into the template:
-        # canon[i] = alias_index[normalize(surface_i)], distinct-sorted
-        # inside _mask_pair_template) → batch-local combiner dedup via one
-        # np.unique over pair keys (keeps the first doc per pair; the
-        # surviving src_sha only salts the downstream exchange)
+        # vectorized scan → presence bitmask per doc → batch-distinct
+        # pairs straight from the unique-mask templates (entity linking
+        # folds into the template: canon[i] =
+        # alias_index[normalize(surface_i)], distinct-sorted inside
+        # _mask_pair_template) — the combiner dedup happens BEFORE any
+        # per-row explosion, so batch cost is O(scan + n_masks × C²), not
+        # O(rows × pairs); any representative doc may supply src_sha (it
+        # only salts the downstream exchange)
         varr = _vocab_arr(vocab)
         canon = tuple(
             alias_index.get(normalize_surface(v), v) for v in varr.to_pylist()
         )
         masks = _doc_presence_masks(batch, varr)
-        rows, subj, obj = _explode_pairs(masks, canon)
-        pair_keys = np.char.add(
-            np.char.add(subj.astype(str), "\x1f"), obj.astype(str)
-        ) if len(rows) else np.array([], dtype=str)
-        _, first = np.unique(pair_keys, return_index=True)
-        rows, subj, obj = rows[first], subj[first], obj[first]
+        rows, si, oi, carr = _distinct_pairs(masks, canon)
         return pa.table(
             {
                 "src_sha": pc.cast(
                     batch["doc_id"].take(pa.array(rows)), pa.string()
                 ),
-                "subj": pa.array(subj, type=pa.string()),
+                "subj": carr.take(pa.array(si)),
                 "pred": pa.array(
                     ["cooccurs_with"] * len(rows), type=pa.string()
                 ),
-                "obj": pa.array(obj, type=pa.string()),
+                "obj": carr.take(pa.array(oi)),
             }
         )
 
