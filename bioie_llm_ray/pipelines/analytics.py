@@ -544,21 +544,49 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
             pa.array(bucket_ids_for_column(batch["user_id"], n_buckets)),
         )
 
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        new_user = g["user_id"].ne(g["user_id"].shift())
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        starts = new_user | gap
-        return pd.DataFrame(
-            {"user_id": g["user_id"].values, "__start": starts.values}
-        ).groupby("user_id", as_index=False).agg(
-            n_sessions=("__start", "sum"), n_events=("__start", "size")
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy-native (no Arrow→pandas→Arrow round-trip per
+        # bucket): sort_indices + boundary flags + one segmented reduceat
+        # per user run — the same vectorized pass pandas groupby bought,
+        # minus the conversion tax
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], g["user_id"].type),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+            )
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = new_user.copy()
+        starts[1:] |= (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")
+        bnd = np.flatnonzero(new_user)
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(pa.array(bnd)),
+                "n_sessions": pa.array(
+                    np.add.reduceat(starts.astype(np.int64), bnd),
+                    type=pa.int64(),
+                ),
+                "n_events": pa.array(
+                    np.diff(np.append(bnd, len(uid))), type=pa.int64()
+                ),
+            }
         )
 
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(sessions_bucket, batch_format="pandas")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     out["n_sessions"] = out["n_sessions"].astype("int64")

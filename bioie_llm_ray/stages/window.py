@@ -22,6 +22,7 @@ over its bucket, never one Python call per group.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -92,7 +93,7 @@ def sessionize(
     session id): bucket-group by key hash, one vectorized pandas pass per
     bucket — sort, flag breaks, cumulative session ids, groupby-agg spans.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap64 = np.timedelta64(int(gap_minutes * 60_000_000), "us")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -100,35 +101,62 @@ def sessionize(
             pa.array(bucket_ids_for_column(batch[key_col], n_buckets)),
         )
 
-    def spans(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
-        new_key = g[key_col].ne(g[key_col].shift())
-        brk = new_key | (g[ts_col].diff() > gap)
-        sid = brk.cumsum()  # globally increasing; per-key rank restores 1-based
-        out = (
-            pd.DataFrame(
+    def spans(g: pa.Table) -> pa.Table:
+        # Arrow/numpy-native per-bucket pass (no pandas round-trip): sort,
+        # boundary flags, then every span statistic is a slice of the
+        # session-start positions — start_ts/end_ts by take, n_events by
+        # diff, per-key 1-based session_idx by a segmented arange
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return pa.table(
                 {
-                    key_col: g[key_col].values,
-                    "__sid": sid.values,
-                    ts_col: g[ts_col].values,
+                    key_col: pa.array([], g[key_col].type),
+                    "session_idx": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], g[ts_col].type),
+                    "end_ts": pa.array([], g[ts_col].type),
+                    "n_events": pa.array([], pa.int64()),
                 }
             )
-            .groupby([key_col, "__sid"], as_index=False)
-            .agg(
-                start_ts=(ts_col, "min"),
-                end_ts=(ts_col, "max"),
-                n_events=(ts_col, "size"),
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
             )
         )
-        out = out.sort_values([key_col, "__sid"], kind="mergesort")
-        out["session_idx"] = out.groupby(key_col, sort=False).cumcount() + 1
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[[key_col, "session_idx", "start_ts", "end_ts", "n_events"]]
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        n = len(key)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        starts = new_key.copy()
+        starts[1:] |= (ts[1:] - ts[:-1]) > gap64
+        sess = np.flatnonzero(starts)  # first row of each session
+        ends = np.append(sess[1:], n) - 1  # last row of each session
+        # per-key 1-based counter: subtract each key's first session pos
+        new_key_sess = new_key[sess]
+        seg_first = np.maximum.accumulate(
+            np.where(new_key_sess, np.arange(len(sess)), 0)
+        )
+        sess_arr = pa.array(sess)
+        return pa.table(
+            {
+                key_col: g[key_col].take(sess_arr),
+                "session_idx": pa.array(
+                    np.arange(len(sess)) - seg_first + 1, type=pa.int64()
+                ),
+                "start_ts": g[ts_col].take(sess_arr),
+                "end_ts": g[ts_col].take(pa.array(ends)),
+                "n_events": pa.array(
+                    np.append(sess[1:], n) - sess, type=pa.int64()
+                ),
+            }
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(spans, batch_format="pandas")
+        .map_groups(spans, batch_format="pyarrow")
     )
 
 
