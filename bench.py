@@ -4,6 +4,8 @@
                                      # $RAY_GRAFT_CPUS (default 32)
     python bench.py --scaling        # same job at 8 and 32 CPUs in fresh
                                      # processes → throughput + efficiency
+    python bench.py --weak-scaling   # same per-core work at 8 and 32 CPUs
+                                     # (data and task count scale with CPUs)
 
 The headline metric is total seconds over the query set below (KG triple
 construction + the widest relational/text/dedup/similarity pipelines).
@@ -126,12 +128,15 @@ def run_bench() -> dict:
     # artifact carries the two-parallelism-level evidence as JSON, not
     # prose.  Re-measuring here would double the bench wall time and add
     # a co-tenancy-noisy sample; the committed record is the curated one.
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(here, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
+    weak_path = os.path.join(here, "WEAK_SCALING.json")
+    if os.path.exists(weak_path):
+        with open(weak_path) as f:
+            out["weak_scaling"] = json.load(f)
     return out
 
 
@@ -151,6 +156,10 @@ def run_scaling_job() -> dict:
     # amortize at both parallelism levels (at 128× the round-4 vectorized
     # minhash made the job so short that startup/tail dominated the ratio)
     repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "512"))
+    # strong scaling: FIXED block count at every parallelism level (identical
+    # decomposition; see below).  Weak scaling overrides this to scale blocks
+    # WITH the data so per-task work stays constant across levels.
+    n_blocks = int(os.environ.get("GRAFT_SCALE_BLOCKS", "256"))
 
     import ray
 
@@ -169,7 +178,6 @@ def run_scaling_job() -> dict:
     import ray.data
 
     from bioie_llm_ray.pipelines.analytics import DOC_VOCAB
-    from bioie_llm_ray.stages.mention import compile_vocab_pattern
 
     # warm page cache
     import pyarrow.parquet as pq
@@ -223,7 +231,7 @@ def run_scaling_job() -> dict:
     base = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        override_num_blocks=256,
+        override_num_blocks=n_blocks,
     )
 
     def amplify(batch: pa.Table) -> pa.Table:
@@ -246,20 +254,25 @@ def run_scaling_job() -> dict:
     vocab = tuple(DOC_VOCAB)
 
     def extract(batch: pa.Table) -> pa.Table:
-        # mention + pair extraction (compute-heavy per row)
-        pattern = compile_vocab_pattern(list(vocab))
-        out_id, out_n = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            terms = sorted({m.group(0) for m in pattern.finditer(text)})
-            n_pairs = len(terms) * (len(terms) - 1) // 2
-            out_id.append(did)
-            out_n.append(n_pairs)
+        # mention + pair extraction — the PRODUCTION vectorized scan
+        # (analytics._doc_presence_masks: one Arrow split + index_in per
+        # batch), so measured throughput is the real engine's, not a
+        # stand-in kernel's
+        import numpy as np
+
+        from bioie_llm_ray.pipelines.analytics import (
+            _doc_presence_masks,
+            _vocab_arr,
+        )
+
+        masks = _doc_presence_masks(batch, _vocab_arr(vocab))
+        uniq, inv = np.unique(masks, return_inverse=True)
+        popcnt = np.array([bin(int(m)).count("1") for m in uniq])
+        c = popcnt[inv]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "n_pairs": pa.array(out_n, type=pa.int64()),
+                "doc_id": batch["doc_id"],
+                "n_pairs": pa.array(c * (c - 1) // 2, type=pa.int64()),
                 "text": batch["text"],
             }
         )
@@ -302,20 +315,27 @@ def run_scaling_job() -> dict:
     }
 
 
+def _run_scaling_subprocess(ncpu: int, repeat=None, blocks=None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if repeat is not None:
+        env["GRAFT_SCALE_REPEAT"] = str(repeat)
+    if blocks is not None:
+        env["GRAFT_SCALE_BLOCKS"] = str(blocks)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-job"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes (BASELINE.md)."""
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-job"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+    run = _run_scaling_subprocess
 
     lo_cpus, hi_cpus = 8, 32
     # the sandbox host is shared: effective capacity fluctuates on ~10 s
@@ -360,9 +380,71 @@ def run_scaling() -> dict:
     }
 
 
+def run_weak_scaling() -> dict:
+    """Weak scaling: same work PER CORE at both parallelism levels.
+
+    8 CPUs process repeat=128 (≈640k docs) while 32 CPUs process
+    repeat=512 (≈2.56M docs); block counts scale with the data (64 vs
+    256) so every task is identical work and only the task COUNT grows
+    with the cluster.  Perfect weak scaling ⇒ equal wall times;
+    efficiency = t_small / t_large.  This is the number a fixed-cluster
+    operator asks ("if I 4× the nodes AND the data, does wall time
+    hold?") and it is far less sensitive to this host's DVFS downclocking
+    than the strong 8→32 ratio, because both levels run the same wall
+    profile shape.  Interleaved best-of-N like run_scaling.
+    """
+    lo_cpus, hi_cpus = 8, 32
+    base_repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "512"))
+    base_blocks = int(os.environ.get("GRAFT_SCALE_BLOCKS", "256"))
+    scale = hi_cpus // lo_cpus
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(
+            _run_scaling_subprocess(
+                lo_cpus, repeat=base_repeat // scale, blocks=base_blocks // scale
+            )
+        )
+        hi_runs.append(
+            _run_scaling_subprocess(hi_cpus, repeat=base_repeat, blocks=base_blocks)
+        )
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
+    freq_penalty = hi["wave_sec"] / lo["wave_sec"] if lo.get("wave_sec") else 1.0
+    eff = lo["value"] / hi["value"]
+    return {
+        "metric": "weak_scaling_efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_8": lo["docs"],
+        "docs_32": hi["docs"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "weak_scaling_efficiency": round(eff, 3),
+        "percore_clock_penalty_at_32": round(freq_penalty, 3),
+        "weak_scaling_efficiency_clock_corrected": round(
+            min(1.0, eff * freq_penalty), 3
+        ),
+        "cpus": [lo_cpus, hi_cpus],
+        "all_sec_8": [r["value"] for r in lo_runs],
+        "all_sec_32": [r["value"] for r in hi_runs],
+        "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-job" in sys.argv:
         print(json.dumps(run_scaling_job()))
+    elif "--weak-scaling" in sys.argv:
+        res = run_weak_scaling()
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "WEAK_SCALING.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res))
     elif "--scaling" in sys.argv:
         res = run_scaling()
         with open(
