@@ -1354,6 +1354,13 @@ def supplier_name_clusters(
         max_broadcast_ids=max_broadcast_ids,
     )
     out = connected_components(pairs).to_pandas()
+    if "node" not in out.columns:  # zero pairs → schema-less empty (see ER)
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "component": pd.Series(dtype="int64"),
+            }
+        )
     out["node"] = out["node"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
@@ -6731,6 +6738,17 @@ def er_entity_clusters(
     cluster) labels, cluster = min reachable doc_id.  The oracle replays
     blocking + verify + a recursive transitive closure in one SQL."""
     out = _er_labels(sf_dir, threshold, max_broadcast_ids).to_pandas()
+    if "node" not in out.columns:
+        # zero candidate pairs (every blocking key purged — e.g. a corpus
+        # whose duplication pushes all blocks past max_block_size) leaves
+        # a zero-block dataset that loses its schema; the oracle replays
+        # the same purge rule, so empty-matches-empty must not crash
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "component": pd.Series(dtype="int64"),
+            }
+        )
     out["node"] = out["node"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
@@ -6822,6 +6840,16 @@ def er_golden_records(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         .map_groups(golden_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if "component" not in out.columns:  # zero ER pairs (see er_entity_clusters)
+        out = pd.DataFrame(
+            {
+                "component": pd.Series(dtype="int64"),
+                "n_members": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype=str),
+                "source": pd.Series(dtype=str),
+                "max_chars": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values("component").reset_index(drop=True)
 
 

@@ -1184,3 +1184,46 @@ class TestLshStoreScaleStress:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestERPurgedCorpus:
+    """A corpus whose duplication pushes every blocking key past
+    max_block_size purges ALL candidate pairs — the ER chain must return
+    a TYPED empty result, not a schema-less frame that KeyErrors
+    (regression: found by the sf1-equivalent sweep, where 10× exact
+    duplication purged every block)."""
+
+    def _docs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        text = "alpha beta gamma delta epsilon zeta"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(12), type=pa.int64()),
+                    "text": pa.array([text] * 12),
+                    "lang": pa.array(["en"] * 12),
+                    "source": pa.array(["web"] * 12),
+                    "n_chars": pa.array([len(text)] * 12, type=pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    def test_er_entity_clusters_typed_empty(self, tmp_path):
+        from bioie_llm_ray.pipelines.analytics import er_entity_clusters
+
+        out = er_entity_clusters(self._docs(tmp_path))
+        assert list(out.columns) == ["node", "component"]
+        assert len(out) == 0 and str(out["node"].dtype) == "int64"
+
+    def test_er_golden_records_typed_empty(self, tmp_path):
+        from bioie_llm_ray.pipelines.analytics import er_golden_records
+
+        out = er_golden_records(self._docs(tmp_path))
+        assert list(out.columns) == [
+            "component", "n_members", "lang", "source", "max_chars",
+        ]
+        assert len(out) == 0

@@ -14,6 +14,14 @@ may legitimately disagree on).  Document texts are left byte-identical
 across replicas ON PURPOSE: a 10-way exact-duplicate corpus stresses the
 dedup/hot-key machinery, which is what the scale sweep is for.
 
+Replica entity NAMES get a distinct per-replica word prefix (edit
+distance ≥4 between any two replica words) and replica EMBEDDINGS get
+real deterministic noise, so similarity-family outputs scale ~linearly
+with the corpus the way a genuinely larger corpus's would — byte-equal
+replica names / nudged-copy vectors would instead make every
+name-similarity and ANN query quadratically explode on an artifact of
+the amplification, which measures the input shape, not the engine.
+
 Pure pyarrow, no Ray session needed.
 """
 
@@ -43,6 +51,13 @@ OFFSETS = {
     "vec_id": 1_000_000,
 }
 COPY_ONLY = {"region", "nation"}
+# distinct words, pairwise edit distance ≥ 4: replica names never
+# near-dup each other
+REPLICA_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+NAME_COLS = {"s_name", "c_name"}
 
 
 def amplify_table(src: str, dst: str, table: str, factor: int) -> int:
@@ -57,15 +72,24 @@ def amplify_table(src: str, dst: str, table: str, factor: int) -> int:
             if name in OFFSETS and i > 0:
                 col = pc.add(r[name], OFFSETS[name] * i)
                 r = r.set_column(r.column_names.index(name), name, col)
+            elif name in NAME_COLS and i > 0:
+                col = pc.binary_join_element_wise(
+                    pa.array([REPLICA_WORDS[i % len(REPLICA_WORDS)]] * len(r)),
+                    r[name].combine_chunks().cast(pa.string()),
+                    " ",
+                )
+                r = r.set_column(r.column_names.index(name), name, col)
         if table == "embeddings" and i > 0:
-            # deterministic per-replica nudge: kills exact cosine ties
+            # real deterministic per-replica noise: replica vectors are
+            # genuinely different points, not nudged copies
             emb = r["embedding"].combine_chunks()
             flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
-            flat = flat + np.float32(1e-4 * i)
+            rng = np.random.RandomState(1000 + i)
+            flat = (flat + rng.normal(0, 0.3, len(flat))).astype(np.float32)
             off = emb.offsets
-            nudged = pa.ListArray.from_arrays(off, pa.array(flat, pa.float32()))
+            noised = pa.ListArray.from_arrays(off, pa.array(flat, pa.float32()))
             r = r.set_column(
-                r.column_names.index("embedding"), "embedding", nudged
+                r.column_names.index("embedding"), "embedding", noised
             )
         parts.append(r)
     out = pa.concat_tables(parts)
