@@ -477,26 +477,44 @@ def verify_jaccard_pairs_join(
     candidates to ``docs`` on ``id_a`` (text_a), then on ``id_b`` (text_b),
     then one vectorized Jaccard pass per batch.
 
-    When the candidate id set is small enough to broadcast (ids only — no
-    text; the common case, since LSH emits m−1 chain pairs per bucket), the
-    docs side is semi-filtered against it and the ≤ 2·|pairs| surviving
-    texts verify via the broadcast kernel — driver memory is bounded by
-    the CANDIDATE count, never the corpus, and the two join shuffles (pure
-    fixed overhead at that size) are skipped entirely.  Above
-    ``max_broadcast_ids`` distinct ids the full corpus streams through the
-    bucketed joins — no driver materialization of text in that mode.
+    When the candidates' DISTINCT id set is small enough to broadcast, the
+    docs side is semi-filtered against it and the surviving texts verify
+    via the broadcast kernel — driver memory is bounded by the distinct-id
+    count (≤ corpus row count), never by the pair count.  Gating on pair
+    count was a scale bug: a duplication-heavy corpus emits tens of
+    millions of candidate PAIRS over a few thousand distinct docs, and the
+    join path those candidates were routed to ships a copy of each text
+    PER PAIR through two shuffles (~pair_count × text_bytes of exchange —
+    measured ~130 GB at the sf1 sweep, 714 s wall) when the whole distinct
+    text set was ~75 MB.  Above ``max_broadcast_ids`` DISTINCT ids the
+    full corpus streams through the bucketed joins — no driver
+    materialization of text in that mode.
     """
+    from .dedup import exact_dedup
     from .join import anti_semi_filter, shuffle_join
 
     if id_type is None:
         id_type = pa.int64()
 
     pairs = pairs.materialize()  # consumed by both joins; candidates are small
-    if pairs.count() * 2 <= max_broadcast_ids:
-        id_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
-        id_set = {str(r["id_a"]) for r in id_rows} | {
-            str(r["id_b"]) for r in id_rows
-        }
+
+    def both_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        batch["id_a"].combine_chunks(),
+                        batch["id_b"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    distinct_ids = exact_dedup(
+        pairs.map_batches(both_ids, batch_format="pyarrow"), ["id"]
+    ).materialize()
+    if distinct_ids.count() <= max_broadcast_ids:
+        id_set = {str(r["id"]) for r in distinct_ids.take_all()}
         texts = {
             r[id_col]: r[text_col]
             for r in anti_semi_filter(docs, id_set, keys=id_col)
@@ -1047,47 +1065,59 @@ def ngram_jaccard_pairs(
     rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = hash_bucket(
-            [str(s) for s in batch["shingle"].to_pylist()], n_hash_buckets
+        # vectorized: the shingle is already a uniform uint64 hash — route
+        # it with the int splitmix kernel, never per-row str()+md5
+        from ..functions.hashing import hash_bucket_ints
+
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                hash_bucket_ints(
+                    batch["shingle"].to_numpy(zero_copy_only=False),
+                    n_hash_buckets,
+                )
+            ),
         )
-        return batch.append_column("__bucket", pa.array(ids))
 
     empty = pa.table(
         {"id_a": pa.array([], type=id_type), "id_b": pa.array([], type=id_type)}
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "s": group["shingle"].to_numpy(zero_copy_only=False),
-                "i": group[id_col].to_pylist(),
-                "n": group["n_sh"].to_numpy(zero_copy_only=False),
-            }
-        )
-        # drop singleton shingles before the per-shingle pair loop
-        df = df[df.groupby("s")["s"].transform("size") >= 2]
-        if df.empty:
-            return empty
+        # Vectorized inverted-index pair generation: sort by shingle, walk
+        # the runs, per-run triu index pairs + length filter in numpy (no
+        # per-PAIR Python — on duplication-heavy corpora every shared
+        # prefix shingle re-discovers the same pair, so the old per-pair
+        # loop ran tens of millions of iterations), then ONE within-bucket
+        # np.unique combiner before the global exact_dedup exchange.
+        s = group["shingle"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s = s[order]
+        ids = group[id_col].to_numpy(zero_copy_only=False)[order]
+        ns = group["n_sh"].to_numpy(zero_copy_only=False)[order]
+        bnd = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        sizes = np.diff(np.append(bnd, len(s)))
         out_a, out_b = [], []
-        for _, sub in df.groupby("s", sort=False):
-            ids = sub["i"].to_numpy()
-            ns = sub["n"].to_numpy()
-            iu, ju = np.triu_indices(len(ids), k=1)
-            na, nb = ns[iu], ns[ju]
+        for start, m in zip(bnd[sizes >= 2], sizes[sizes >= 2]):
+            iu, ju = np.triu_indices(m, k=1)
+            na, nb = ns[start + iu], ns[start + ju]
             keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-            for a, b in zip(ids[iu[keep]], ids[ju[keep]]):
-                lo, hi = (a, b) if a < b else (b, a)
-                if lo != hi:
-                    out_a.append(lo)
-                    out_b.append(hi)
+            a, b = ids[start + iu[keep]], ids[start + ju[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            ne = lo != hi
+            out_a.append(lo[ne])
+            out_b.append(hi[ne])
         if not out_a:
             return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        if a.dtype.kind in "iu":  # combiner dedup (int ids: the scale path)
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = uniq[:, 0], uniq[:, 1]
         return pa.table(
             {
-                "id_a": pa.array(out_a, type=id_type),
-                "id_b": pa.array(out_b, type=id_type),
+                "id_a": pa.array(a, type=id_type),
+                "id_b": pa.array(b, type=id_type),
             }
         )
 
@@ -1100,14 +1130,10 @@ def ngram_jaccard_pairs(
     def key_col(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "_k",
-            pa.array(
-                [
-                    f"{a}|{b}"
-                    for a, b in zip(
-                        batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-                    )
-                ],
-                type=pa.string(),
+            pc.binary_join_element_wise(
+                pc.cast(batch["id_a"], pa.string()),
+                pc.cast(batch["id_b"], pa.string()),
+                "|",
             ),
         )
 
@@ -1196,10 +1222,18 @@ def ngram_containment_pairs(
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = hash_bucket(
-            [str(s) for s in batch["shingle"].to_pylist()], n_hash_buckets
+        # vectorized int routing (see ngram_jaccard_pairs)
+        from ..functions.hashing import hash_bucket_ints
+
+        return batch.append_column(
+            "__bucket",
+            pa.array(
+                hash_bucket_ints(
+                    batch["shingle"].to_numpy(zero_copy_only=False),
+                    n_hash_buckets,
+                )
+            ),
         )
-        return batch.append_column("__bucket", pa.array(ids))
 
     empty = pa.table(
         {
@@ -1272,13 +1306,28 @@ def ngram_containment_pairs(
         )
         return out.filter(pc.greater_equal(out["containment"], threshold))
 
-    if cand.count() * 2 <= max_broadcast_ids:
+    def _both_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        batch["id_sub"].combine_chunks(),
+                        batch["id_super"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    # gate on DISTINCT ids (≤ corpus rows), not pair count — the pair-count
+    # gate routed duplication-heavy corpora to the join path, which ships a
+    # text copy PER PAIR (see verify_jaccard_pairs_join)
+    distinct_ids = exact_dedup(
+        cand.map_batches(_both_ids, batch_format="pyarrow"), ["id"]
+    ).materialize()
+    if distinct_ids.count() <= max_broadcast_ids:
         from .join import anti_semi_filter
 
-        id_rows = cand.select_columns(["id_sub", "id_super"]).take_all()
-        id_set = {str(r["id_sub"]) for r in id_rows} | {
-            str(r["id_super"]) for r in id_rows
-        }
+        id_set = {str(r["id"]) for r in distinct_ids.take_all()}
         texts_ref = ray.put(
             {
                 r[id_col]: r[text_col]
